@@ -1,0 +1,104 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Partition-strategy planning, re-expressed as Spark plans.
+  *
+  * dumpty picks one of three strategies per table (reference
+  * README "Features", pipeline.py:355-400):
+  *  - range:    numeric dense PK → Spark JDBC (col, lower, upper, n)
+  *  - julienne: skewed / non-numeric PK → equal-row slices from
+  *              ROW_NUMBER() boundaries → WHERE predicates
+  *  - single:   too few rows to be worth partitioning
+  *
+  * The julienne boundary computation here is the exact (oracle-
+  * checked) version: a global-ordered row_number window — the same
+  * full sort the reference pushes into the source database
+  * (pipeline.py:236-265). At 100 TB, swap in approxQuantile
+  * boundaries (same downstream predicate generation); exactness of
+  * slice sizes is not semantically required, only coverage.
+  */
+object PartitionPlanner {
+
+  /** Strategy decision given introspected stats.
+    * `partitions` = round(rows / rowsPerPartition), reference
+    * pipeline.py:358 (default_rows_per_partition).
+    */
+  def strategy(stats: DataFrame, rowsPerPartition: Long): DataFrame = {
+    val raw = round(col("row_cnt") / lit(rowsPerPartition.toDouble), 0).cast("long")
+    stats.select(
+      col("table_name"), col("row_cnt"),
+      greatest(lit(1L), raw).as("partitions"),
+      when(raw <= 1, "single")
+        .when(col("dense"), "range")
+        .otherwise("julienne").as("strategy"))
+  }
+
+  /** Equal-row slice boundaries: rows ranked by `key`, boundary at
+    * every rank ≡ 0 (mod width), width = ceil(rows / partitions).
+    * Returns (slice_id, boundary_key).
+    */
+  def julienneBoundaries(df: DataFrame, key: String, rowsPerPartition: Long): DataFrame = {
+    val cnt = df.agg(count(lit(1)).as("c"))
+      .select(col("c"),
+        greatest(lit(1L), round(col("c") / lit(rowsPerPartition.toDouble), 0).cast("long")).as("p"))
+      .select(col("c"), col("p"), ceil(col("c") / col("p").cast("double")).cast("long").as("w"))
+    val w = Window.orderBy(col("k"))
+    df.select(col(key).cast("long").as("k"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(cnt))
+      .filter(col("rn") % col("w") === 0)
+      .select(expr("rn div w").as("slice_id"), col("k").as("boundary_key"))
+  }
+
+  /** WHERE-clause predicates from julienne boundaries (reference
+    * pipeline.py:383-398): first slice takes NULLs, last is open.
+    * Returns (pred_id, predicate).
+    */
+  def juliennePredicates(boundaries: DataFrame, key: String): DataFrame = {
+    val w = Window.orderBy(col("slice_id"))
+    val mid = boundaries
+      .withColumn("prev", lag(col("boundary_key"), 1).over(w))
+      .select(
+        (col("slice_id") - 1).as("pred_id"),
+        when(col("prev").isNull,
+          concat(lit(s"$key <= "), col("boundary_key"), lit(s" OR $key IS NULL")))
+          .otherwise(concat(lit(s"$key > "), col("prev"),
+            lit(s" AND $key <= "), col("boundary_key"))).as("predicate"))
+    val last = boundaries
+      .agg(max(col("slice_id")).as("n"), max(col("boundary_key")).as("b"))
+      .select(col("n").as("pred_id"),
+        concat(lit(s"$key > "), col("b")).as("predicate"))
+    mid.unionAll(last)
+  }
+
+  /** Range partition bounds exactly as Spark's JDBC source computes
+    * them (JDBCRelation.columnPartition): stride = max/n - min/n in
+    * integer arithmetic; first partition absorbs NULLs.
+    * Returns (partition_id, where_clause).
+    */
+  def rangeBounds(spark: SparkSession, stats: DataFrame, key: String,
+                  rowsPerPartition: Long): DataFrame = {
+    val base = stats
+      .select(col("row_cnt"), col("min_key"), col("max_key"),
+        greatest(lit(1L), round(col("row_cnt") / lit(rowsPerPartition.toDouble), 0).cast("long")).as("p"))
+      .select(col("min_key"), col("p"),
+        (expr("max_key div p") - expr("min_key div p")).as("stride"))
+    base
+      .select(col("min_key"), col("p"), col("stride"),
+        explode(sequence(lit(0L), col("p") - 1)).as("partition_id"))
+      .select(col("partition_id"),
+        when(col("p") === 1, lit(s"1=1"))
+          .when(col("partition_id") === 0,
+            concat(lit(s"$key < "), col("min_key") + col("stride"),
+                   lit(s" OR $key IS NULL")))
+          .when(col("partition_id") === col("p") - 1,
+            concat(lit(s"$key >= "), col("min_key") + col("partition_id") * col("stride")))
+          .otherwise(concat(
+            lit(s"$key >= "), col("min_key") + col("partition_id") * col("stride"),
+            lit(s" AND $key < "), col("min_key") + (col("partition_id") + 1) * col("stride")))
+          .as("where_clause"))
+  }
+}

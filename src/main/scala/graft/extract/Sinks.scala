@@ -1,0 +1,64 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import java.nio.file.{Files, Paths}
+
+import graft.functions.GraftFunctions.normalizeStr
+
+/** Extract sinks: compressed-JSON table dumps with a BigQuery
+  * `schema.json` sidecar — the reference's output contract
+  * (pipeline.py:455-468 writes json+gzip with a fixed
+  * timestampFormat; _save_schema pipeline.py:517-526).
+  *
+  * The writer itself is just Spark's distributed JSON sink: each
+  * partition streams one `part-*.json.gz`; partition count (and so
+  * output file size) is governed upstream by PartitionPlanner /
+  * AdaptiveSizer, matching dumpty's target_partition_size_bytes
+  * feedback loop.
+  */
+object Sinks {
+
+  val TimestampFormat = "yyyy-MM-dd HH:mm:ss"
+
+  /** Writes `df` as gzip JSON under `uri`/`table` (normalized name),
+    * plus schema.json; returns the data glob like the reference's
+    * final_uri.
+    */
+  def writeJsonGz(df: DataFrame, uri: String, table: String,
+                  partitions: Option[Int] = None,
+                  normalizeNames: Boolean = true): String = {
+    val name = normalizeStr(table)
+    val out = if (normalizeNames) SchemaNormalizer(df) else df
+    val sized = partitions.map(out.repartition(_)).getOrElse(out)
+    sized.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", TimestampFormat)
+      .option("compression", "gzip")
+      .json(s"$uri/$name")
+    Files.writeString(Paths.get(s"$uri/$name/schema.json"),
+      BqSchema.toJson(df.schema))
+    s"$uri/$name/part-*.json.gz"
+  }
+
+  /** Parquet sink (the cluster-native format; same naming contract). */
+  def writeParquet(df: DataFrame, uri: String, table: String,
+                   partitions: Option[Int] = None): String = {
+    val name = normalizeStr(table)
+    val sized = partitions.map(df.repartition(_)).getOrElse(df)
+    sized.write.mode(SaveMode.Overwrite).parquet(s"$uri/$name")
+    s"$uri/$name/part-*.parquet"
+  }
+
+  /** Total bytes of an extract's output files (drives AdaptiveSizer,
+    * reference gcp.get_size_bytes).
+    */
+  def sizeBytes(uri: String, table: String): Long = {
+    val dir = Paths.get(uri, normalizeStr(table))
+    if (!Files.exists(dir)) 0L
+    else {
+      val s = Files.list(dir)
+      try s.filter(p => p.getFileName.toString.startsWith("part-"))
+        .mapToLong(Files.size).sum
+      finally s.close()
+    }
+  }
+}

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables
+
+/** Document deduplication: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard. All shuffles are keyed on content-derived buckets
+  * (content hash, LSH band, simhash chunk, min-shingle block), so
+  * every variant scales horizontally with no O(n²) stage.
+  *
+  * Queries run over `documents ∪ (documents shifted by +100000)` so
+  * the near-dup joins provably fire (the test corpus has no natural
+  * exact dups); the DuckDB oracle builds the identical corpus.
+  */
+object Dedup {
+
+  val Shift = 100000L
+  /** MinHash permutation constants: h_k = (A(k)·h + B(k)) mod P.
+    * Multipliers must be LARGE (≈P): with small ones the per-perm
+    * minima stay correlated (min h_k ≈ A(k)·min(h)+B(k) whenever the
+    * product rarely wraps P), every doc pair sharing its min token
+    * collides in all bands, and LSH degenerates to near-quadratic
+    * candidate generation. A(k)·h < P² ≈ 1e18 stays inside int64.
+    */
+  val A = Seq(968665207L, 725327549L, 858830963L, 506002657L,
+    918257911L, 659337277L, 426059413L, 795028219L)
+  val B = Seq(102931L, 405179L, 763957L, 111119L,
+    509203L, 903739L, 160481L, 644843L)
+  val NumPerm = 8
+  val Bands = 4 // rows-per-band = 2
+
+  /** documents plus an id-shifted copy (guaranteed dup pairs). */
+  def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.select((col("doc_id") + Shift).as("doc_id"), col("text")))
+  }
+
+  /** Exact dedup: one hash-aggregate on md5(text); keeper = min id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signatures over word-3-gram shingles (Broder): the
+    * shingle space is ~|vocab|³, so unrelated docs share few set
+    * elements and LSH candidates stay near-linear (unigram minhash
+    * on a small-vocab corpus degenerates to all-pairs). One explode,
+    * partial-aggregated mins for all K permutations, single shuffle
+    * on doc_id.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+      .select(col("doc_id"), (col("h") % HashP).as("hp"))
+    val sigs = (0 until NumPerm).map(k =>
+      min((col("hp") * A(k) + B(k)) % HashP).as(s"h$k"))
+    tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** LSH bands: (doc_id, band_id, band_hash) — md5 of the band's
+    * signature slice. Join key for candidate generation.
+    */
+  def minhashBands(sig: DataFrame): DataFrame =
+    (0 until Bands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band_id"),
+        md5(concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("band_hash"))
+    }.reduce(_ unionAll _)
+
+  /** Candidate near-dup pairs: equi-join on (band_id, band_hash) —
+    * the Broder LSH scheme; shuffle is keyed on band hash, never n².
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(minhashSignatures(docs))
+    val a = bands.toDF("doc_a", "band_a", "hash_a")
+    val b = bands.toDF("doc_b", "band_b", "hash_b")
+    a.join(b, col("band_a") === col("band_b") && col("hash_a") === col("hash_b")
+      && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** 48-bit SimHash per doc: sign of per-bit ±1 vote sums. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), tokenHash(col("t")).as("h"))
+    tok.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(47))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(expr("case when (h >> b) & 1 = 1 then 1 else -1 end")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("case when s > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end"))
+        .cast("long").as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming ≤ 3 via pigeonhole blocking: 4
+    * 12-bit chunks — any pair within distance 3 shares ≥ 1 chunk, so
+    * an equi-join on (chunk_id, chunk_value) finds all of them.
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sh = simhash(docs)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("cv", expr("shiftright(simhash, 12 * c) & 4095"))
+    val a = chunks.toDF("doc_a", "sh_a", "c_a", "cv_a")
+    val b = chunks.toDF("doc_b", "sh_b", "c_b", "cv_b")
+    a.join(b, col("c_a") === col("c_b") && col("cv_a") === col("cv_b")
+      && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
+  /** Word-3-gram Jaccard near-dup: two independent min-shingle hashes
+    * as the blocking key (a 2-band LSH prefilter — P(candidate) = J²,
+    * so J≥0.5 pairs are found w.h.p. while near-random blocks from a
+    * single shared min collapse), then exact |∩|/|∪| verification on
+    * distinct shingle-hash arrays.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      array_distinct(shingleHashes(tokens(col("text")), 3)).as("hs"))
+      .withColumn("min_h", array_min(col("hs")))
+      .withColumn("min_h2", array_min(
+        transform(col("hs"), h => (h * lit(31607L) + lit(271828L)) % lit(HashP))))
+    val a = d.toDF("doc_a", "hs_a", "min_a", "min2_a")
+    val b = d.toDF("doc_b", "hs_b", "min_b", "min2_b")
+    a.join(b, col("min_a") === col("min_b") && col("min2_a") === col("min2_b")
+      && col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jac", col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  // --- queries --------------------------------------------------------
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    exact(Tables.documents(s, dir))
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(corpus(s, dir))
+
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(corpus(s, dir))
+
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(corpus(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact _,
+    "q_dedup_minhash" -> qDedupMinhash _,
+    "q_dedup_simhash" -> qDedupSimhash _,
+    "q_ngram_jaccard" -> qNgramJaccard _)
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |    UNION ALL SELECT doc_id + 100000, text FROM documents""".stripMargin
+
+  private val tokSql =
+    s"""SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h
+       |    FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+       |          FROM ($corpusSql))""".stripMargin
+
+  private val shingleTokSql =
+    s"""SELECT doc_id, unnest(hs) AS h FROM (
+       |      SELECT doc_id,
+       |        list_transform(range(1, greatest(len(toks) - 1, 1)),
+       |          i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2])), 1, 12))::BIGINT)
+       |          AS hs
+       |      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |            FROM ($corpusSql)))""".stripMargin
+
+  private val sigSql = {
+    val mins = (0 until NumPerm)
+      .map(k => s"min((${A(k)} * hp + ${B(k)}) % 1000000007) AS h$k").mkString(",\n      ")
+    s"""SELECT doc_id,
+       |      $mins
+       |    FROM (SELECT doc_id, h % 1000000007 AS hp FROM ($shingleTokSql))
+       |    GROUP BY doc_id""".stripMargin
+  }
+
+  private val bandsSql = (0 until Bands).map { b =>
+    s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', h${2 * b}, h${2 * b + 1})) AS bh FROM sig"
+  }.mkString("\n    UNION ALL ")
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH sig AS ($sigSql),
+        |bands AS ($bandsSql)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH tok AS ($tokSql),
+        |bt AS (SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b)
+        |  GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |    sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |  FROM bt GROUP BY doc_id),
+        |chunks AS (SELECT doc_id, simhash, c, (simhash >> (12 * c)) & 4095 AS cv
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |FROM chunks a JOIN chunks b
+        |  ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(sh,
+        |      s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS hs
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |        i -> concat_ws('', toks[i], toks[i+1], toks[i+2])) AS sh
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |          FROM ($corpusSql)))),
+        |dm AS (SELECT doc_id, hs, list_min(hs) AS min_h,
+        |    list_min(list_transform(hs, h -> (h * 31607 + 271828) % 1000000007))
+        |      AS min_h2 FROM d)
+        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.hs, b.hs)) /
+        |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jac
+        |  FROM dm a JOIN dm b ON a.min_h = b.min_h AND a.min_h2 = b.min_h2
+        |    AND a.doc_id < b.doc_id)
+        |WHERE jac >= 0.5""".stripMargin)
+}

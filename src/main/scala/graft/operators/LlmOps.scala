@@ -1,0 +1,12 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Aggregator for the §2c LLM-training-data operator queries. */
+object LlmOps {
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries
+
+  val oracles: Map[String, String] =
+    Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles
+}

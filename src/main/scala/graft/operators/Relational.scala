@@ -1,0 +1,310 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables
+
+/** §2b relational query surface.
+  *
+  * dumpty rides on Spark SQL for its extract queries; this module
+  * demonstrates the full relational operator set — scan w/ pushdown,
+  * hash agg, broadcast/shuffle/semi/anti joins, windows, rollup,
+  * distinct, union/sort/limit, correlated EXISTS, time bucketing,
+  * sessionization — each as a Catalyst-optimizable DataFrame plan
+  * with a DuckDB-checkable oracle (bit-exact via decimal money math,
+  * see GraftFunctions.money).
+  */
+object Relational {
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+
+  /** TPC-H Q1-style pricing summary: single scan, hash aggregate with
+    * map-side partial agg; shuffles only |groups| rows per partition.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") <= ts("1998-09-02"))
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = disc * (lit(1.0) + col("l_tax"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        msum(col("l_quantity")).as("sum_qty"),
+        msum(col("l_extendedprice")).as("sum_base_price"),
+        msum(disc).as("sum_disc_price"),
+        msum(charge).as("sum_charge"),
+        (msum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (msum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (msum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q6-style: all predicates + 2-column projection reach the
+    * parquet scan (PushedFilters / ReadSchema — see PlanSpec).
+    */
+  def qFilterPushdown(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+      .filter(col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07))
+      .filter(col("l_quantity") < lit(24.0))
+      .agg(msum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  /** TPC-H Q3-style: dim-filtered customer broadcast into orders,
+    * shuffle join to lineitem on the (large) orderkey, top-10.
+    */
+  def q3JoinTopk(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1998-03-15"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1998-03-15"))
+    l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+           col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+  }
+
+  /** TPC-H Q5-style: five joins; region/nation/supplier broadcast
+    * (dim-sized), customer⋈orders⋈lineitem shuffled on their keys.
+    */
+  def q5Multijoin(s: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir).join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+    val sup = Tables.supplier(s, dir).join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Explicit broadcast-join: part is dim-sized, lineitem never moves. */
+  def qBroadcastJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size") <= 20)),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"), msum(col("l_quantity")).as("sum_qty"))
+
+  /** Left-semi (EXISTS) and left-anti (NOT EXISTS) joins. */
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val ok = Tables.orders(s, dir).select(col("o_custkey"))
+    val semi = c.join(ok, c("c_custkey") === ok("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt")).select(lit("with_orders").as("kind"), col("cnt"))
+    val anti = c.join(ok, c("c_custkey") === ok("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt")).select(lit("no_orders").as("kind"), col("cnt"))
+    semi.unionAll(anti)
+  }
+
+  /** Window functions: per-supplier monthly revenue, rank within
+    * supplier, running total. Decimal revenue keeps ordering exact.
+    */
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"), date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("rev").desc, col("month"))
+    val running = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("running_rev", sum(col("rev")).over(running).cast("double"))
+      .filter(col("rnk") <= 3)
+      .select(col("l_suppkey"), col("month"), col("rev").cast("double").as("rev"),
+              col("rnk"), col("running_rev"))
+  }
+
+  /** Rollup aggregate (subtotals + grand total). */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(msum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+
+  /** Exact distinct counts (single pass, partial aggregation). */
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      countDistinct(col("l_partkey")).as("d_part"),
+      countDistinct(col("l_suppkey")).as("d_supp"),
+      count(lit(1)).as("total"))
+
+  /** Union + deterministic top-5 per side (row_number tiebreak). */
+  def qUnionSort(s: SparkSession, dir: String): DataFrame = {
+    def top5(df: DataFrame, kind: String, name: String, bal: String) = {
+      val w = Window.orderBy(col(bal).desc, col(name))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(lit(kind).as("kind"), col(name).as("name"), col(bal).as("bal"))
+    }
+    top5(Tables.customer(s, dir), "customer", "c_name", "c_acctbal")
+      .unionAll(top5(Tables.supplier(s, dir), "supplier", "s_name", "s_acctbal"))
+  }
+
+  /** TPC-H Q4-style correlated EXISTS via left-semi join. */
+  def qExists(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1996-04-01"))
+    val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45).select(col("l_orderkey"))
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Batch tumbling-window event aggregation (streaming-equivalent
+    * plan lives in graft.streaming.EventStreams).
+    */
+  def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           msum(col("value")).as("sum_value"),
+           countDistinct(col("user_id")).as("n_users"))
+
+  /** Gap-based sessionization (30-min inactivity): lag + cumulative
+    * sum over a per-user window — one shuffle on user_id.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > lit(1800L * 1000000L), 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "q_filter_pushdown" -> qFilterPushdown _,
+    "q3_join_topk" -> q3JoinTopk _,
+    "q5_multijoin" -> q5Multijoin _,
+    "q_broadcast_join" -> qBroadcastJoin _,
+    "q_semi_anti" -> qSemiAnti _,
+    "q_window" -> qWindow _,
+    "q_rollup" -> qRollup _,
+    "q_distinct" -> qDistinct _,
+    "q_union_sort" -> qUnionSort _,
+    "q_exists" -> qExists _,
+    "q_events_window" -> qEventsWindow _,
+    "q_sessionize" -> qSessionize _)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity::DECIMAL(18,6))::DOUBLE AS sum_qty,
+        |  sum(l_extendedprice::DECIMAL(18,6))::DOUBLE AS sum_base_price,
+        |  sum((l_extendedprice*(1.0-l_discount))::DECIMAL(18,6))::DOUBLE AS sum_disc_price,
+        |  sum((l_extendedprice*(1.0-l_discount)*(1.0+l_tax))::DECIMAL(18,6))::DOUBLE AS sum_charge,
+        |  sum(l_quantity::DECIMAL(18,6))::DOUBLE / count(*) AS avg_qty,
+        |  sum(l_extendedprice::DECIMAL(18,6))::DOUBLE / count(*) AS avg_price,
+        |  sum(l_discount::DECIMAL(18,6))::DOUBLE / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_pushdown" ->
+      """SELECT sum((l_extendedprice*l_discount)::DECIMAL(18,6))::DOUBLE AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05::DOUBLE AND l_discount <= 0.07::DOUBLE
+        |  AND l_quantity < 24.0::DOUBLE""".stripMargin,
+    "q3_join_topk" ->
+      """SELECT l_orderkey,
+        |  sum((l_extendedprice*(1.0-l_discount))::DECIMAL(18,6))::DOUBLE AS revenue,
+        |  o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  sum((l_extendedprice*(1.0-l_discount))::DECIMAL(18,6))::DOUBLE AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_broadcast_join" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |  sum(l_quantity::DECIMAL(18,6))::DOUBLE AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 20 GROUP BY p_brand""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT 'with_orders' AS kind, count(*) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders' AS kind, count(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_window" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey, date_trunc('month', l_shipdate)::TIMESTAMP AS month,
+        |    sum((l_extendedprice*(1.0-l_discount))::DECIMAL(18,6)) AS rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, month, rev::DOUBLE AS rev, rnk, running_rev FROM (
+        |  SELECT l_suppkey, month, rev,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY rev DESC, month) AS rnk,
+        |    (sum(rev) OVER (PARTITION BY l_suppkey ORDER BY month
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS running_rev
+        |  FROM monthly) WHERE rnk <= 3""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity::DECIMAL(18,6))::DOUBLE AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS d_part,
+        |  count(DISTINCT l_suppkey) AS d_supp, count(*) AS total
+        |FROM lineitem""".stripMargin,
+    "q_union_sort" ->
+      """SELECT 'customer' AS kind, c_name AS name, c_acctbal AS bal FROM customer
+        |QUALIFY row_number() OVER (ORDER BY c_acctbal DESC, c_name) <= 5
+        |UNION ALL
+        |SELECT 'supplier' AS kind, s_name AS name, s_acctbal AS bal FROM supplier
+        |QUALIFY row_number() OVER (ORDER BY s_acctbal DESC, s_name) <= 5""".stripMargin,
+    "q_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  sum(value::DECIMAL(18,6))::DOUBLE AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_id""".stripMargin)
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables
+
+/** Text analysis for training-data curation: language-ID, quality
+  * scoring, token counting, document fingerprinting, multimodal
+  * metadata. All narrow single-pass transforms — no shuffle, fully
+  * codegen'd, trivially horizontal at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "es" -> Seq("el", "y", "de", "que", "los", "en", "se", "una", "por", "con"))
+
+  private def hitRatio(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))) / size(toks)
+
+  def qLangid(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, dir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("en_score", hitRatio(toks, Stopwords(0)._2))
+      .withColumn("fr_score", hitRatio(toks, Stopwords(1)._2))
+      .withColumn("de_score", hitRatio(toks, Stopwords(2)._2))
+      .withColumn("es_score", hitRatio(toks, Stopwords(3)._2))
+    scored.select(col("doc_id"), col("lang").as("labeled_lang"), col("n_tokens"),
+      round(col("en_score"), 6).as("en_score"),
+      round(col("fr_score"), 6).as("fr_score"),
+      round(col("de_score"), 6).as("de_score"),
+      round(col("es_score"), 6).as("es_score"),
+      when(col("en_score") >= col("fr_score") && col("en_score") >= col("de_score")
+        && col("en_score") >= col("es_score"), "en")
+        .when(col("fr_score") >= col("de_score") && col("fr_score") >= col("es_score"), "fr")
+        .when(col("de_score") >= col("es_score"), "de")
+        .otherwise("es").as("pred_lang"))
+  }
+
+  def qQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val punctRaw = (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) /
+      length(col("text"))
+    val stopRaw = hitRatio(toks, Stopwords(0)._2)
+    val meanLen = aggregate(transform(toks, t => length(t)), lit(0), _ + _) / nTok
+    val tokScore = least(lit(1.0), nTok / lit(100.0))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(punctRaw, 6).as("punct_ratio"),
+      round(stopRaw, 6).as("stopword_ratio"),
+      round(lit(0.3) * stopRaw + lit(0.3) * (lit(1.0) - punctRaw) + lit(0.4) * tokScore, 6)
+        .as("quality_score"))
+  }
+
+  def qTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      expr("size(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0))")
+        .cast("long").as("n_regex_tokens"),
+      ceil(length(col("text")) / lit(4.0)).cast("long").as("est_bpe_tokens"))
+
+  /** Polynomial rolling hash (base 31 mod 1e9+7) over the first 64
+    * chars — the classic Rabin-Karp document fingerprint.
+    */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr("""aggregate(
+        filter(split(substring(lower(text), 1, 64), ''), c -> c <> ''),
+        cast(0 as bigint),
+        (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""").as("fingerprint"))
+
+  /** Multimodal metadata projection: the SQL-checkable face of
+    * graft.operators.Multimodal (binary payloads + stubbed decode).
+    */
+  def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val h = tokenHash(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("n_bytes", octet_length(col("text").cast("binary")).cast("long"))
+      .select(
+        col("doc_id"), col("n_bytes"),
+        when(col("n_bytes") % 3 === 0, "image")
+          .when(col("n_bytes") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        (h % 640 + 1).as("width"),
+        (h % 480 + 1).as("height"),
+        (col("n_bytes") % 30 + 1).as("frames"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_langid" -> qLangid _,
+    "q_quality" -> qQuality _,
+    "q_tokens" -> qTokens _,
+    "q_fingerprint" -> qFingerprint _,
+    "q_multimodal" -> qMultimodal _)
+
+  private def hitSql(list: Seq[String]) =
+    s"len(list_filter(toks, t -> t IN (${list.map(w => s"'$w'").mkString(", ")}))) / len(toks)"
+
+  val oracles: Map[String, String] = Map(
+    "q_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang AS labeled_lang, len(toks)::BIGINT AS n_tokens,
+        |    ${hitSql(Stopwords(0)._2)} AS en_score,
+        |    ${hitSql(Stopwords(1)._2)} AS fr_score,
+        |    ${hitSql(Stopwords(2)._2)} AS de_score,
+        |    ${hitSql(Stopwords(3)._2)} AS es_score
+        |  FROM t)
+        |SELECT doc_id, labeled_lang, n_tokens,
+        |  round(en_score, 6) AS en_score, round(fr_score, 6) AS fr_score,
+        |  round(de_score, 6) AS de_score, round(es_score, 6) AS es_score,
+        |  CASE WHEN en_score >= fr_score AND en_score >= de_score
+        |         AND en_score >= es_score THEN 'en'
+        |       WHEN fr_score >= de_score AND fr_score >= es_score THEN 'fr'
+        |       WHEN de_score >= es_score THEN 'de'
+        |       ELSE 'es' END AS pred_lang
+        |FROM s""".stripMargin,
+    "q_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, len(toks) AS n_tokens,
+        |    list_sum(list_transform(toks, x -> length(x))) / len(toks) AS mean_len,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |      / length(text) AS punct_raw,
+        |    ${hitSql(Stopwords(0)._2)} AS stop_raw,
+        |    least(1.0::DOUBLE, len(toks) / 100.0) AS tok_score
+        |  FROM t)
+        |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        |  round(mean_len, 6) AS mean_token_len,
+        |  round(punct_raw, 6) AS punct_ratio,
+        |  round(stop_raw, 6) AS stopword_ratio,
+        |  round(0.3::DOUBLE * stop_raw + 0.3::DOUBLE * (1.0::DOUBLE - punct_raw)
+        |    + 0.4::DOUBLE * tok_score, 6) AS quality_score
+        |FROM r""".stripMargin,
+    "q_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+        |    AS n_regex_tokens,
+        |  ceil(length(text) / 4.0)::BIGINT AS est_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(
+        |        list_filter(string_split(substr(lower(text), 1, 64), ''), c -> c <> ''),
+        |        c -> ascii(c)::BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q_multimodal" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    octet_length(encode(text))::BIGINT AS n_bytes,
+        |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  CASE WHEN n_bytes % 3 = 0 THEN 'image'
+        |       WHEN n_bytes % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  h % 640 + 1 AS width,
+        |  h % 480 + 1 AS height,
+        |  n_bytes % 30 + 1 AS frames
+        |FROM b""".stripMargin)
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+/** Parallel JDBC extraction — the reference's core read path
+  * (pipeline.py:402-454 `_extract`), Spark-native.
+  *
+  * Three modes, chosen by PartitionPlanner from introspected stats:
+  *  - Range:      Spark's (partitionColumn, lowerBound, upperBound,
+  *                numPartitions) — one task per key stride.
+  *  - Predicates: one task per julienne WHERE clause (equal-row
+  *                slices even under key skew).
+  *  - Single:     one connection for small tables.
+  *
+  * No live RDBMS exists in CI, so specs cover option/predicate
+  * construction; `read` is the thin terminal call into
+  * `spark.read.jdbc`.
+  */
+object JdbcPartitionedSource {
+
+  sealed trait Mode
+  final case class Range(column: String, lower: Long, upper: Long, numPartitions: Int) extends Mode
+  final case class Predicates(predicates: Seq[String]) extends Mode
+  case object Single extends Mode
+
+  final case class JdbcTable(url: String, table: String,
+                             properties: Map[String, String] = Map.empty,
+                             fetchSize: Int = 10000)
+
+  /** Reader options for the range/single modes (predicates mode uses
+    * the dedicated jdbc(predicates) entry point instead).
+    */
+  def options(t: JdbcTable, mode: Mode): Map[String, String] = {
+    val base = Map(
+      "url" -> t.url,
+      "dbtable" -> t.table,
+      "fetchsize" -> t.fetchSize.toString) ++ t.properties
+    mode match {
+      case Range(c, lo, hi, n) => base ++ Map(
+        "partitionColumn" -> c,
+        "lowerBound" -> lo.toString,
+        "upperBound" -> hi.toString,
+        "numPartitions" -> n.toString)
+      case Predicates(_) | Single => base
+    }
+  }
+
+  def configure(reader: DataFrameReader, t: JdbcTable, mode: Mode): DataFrameReader =
+    options(t, mode).foldLeft(reader.format("jdbc")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+
+  def read(spark: SparkSession, t: JdbcTable, mode: Mode): DataFrame = mode match {
+    case Predicates(preds) =>
+      val props = new java.util.Properties()
+      t.properties.foreach { case (k, v) => props.setProperty(k, v) }
+      props.setProperty("fetchsize", t.fetchSize.toString)
+      spark.read.jdbc(t.url, t.table, preds.toArray, props)
+    case m => configure(spark.read, t, m).load()
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+
+import graft.extract._
+import graft.functions.GraftFunctions.normalizeStr
+import graft.sources.JdbcPartitionedSource
+import graft.sources.JdbcPartitionedSource.{JdbcTable, Range, Predicates, Single}
+
+class ExtractSpec extends AnyFunSuite {
+
+  test("normalizeStr matches reference behavior") {
+    assert(normalizeStr("Foo Bar-Baz.qux") == "foo_bar_baz_qux")
+    assert(normalizeStr("ALready_fine9") == "already_fine9")
+  }
+
+  test("BqSchema maps Spark types per reference rules") {
+    def ty(dt: DataType) = BqSchema.mapType(dt)._1
+    assert(ty(LongType) == "INT64" && ty(IntegerType) == "INT64")
+    assert(ty(DoubleType) == "FLOAT64" && ty(FloatType) == "FLOAT64")
+    assert(ty(StringType) == "STRING" && ty(BooleanType) == "BOOL")
+    assert(ty(BinaryType) == "BYTES" && ty(DateType) == "DATE")
+    assert(ty(TimestampType) == "DATETIME" && ty(TimestampNTZType) == "DATETIME")
+    assert(ty(DecimalType(18, 0)) == "INT64")
+    assert(BqSchema.mapType(DecimalType(20, 4)) == ("NUMERIC", Some(20), Some(4)))
+    assert(BqSchema.mapType(DecimalType(38, 20)) == ("BIGNUMERIC", Some(38), Some(20)))
+  }
+
+  test("BqSchema marks arrays Repeated and normalizes names") {
+    val s = StructType(Seq(
+      StructField("Vec Col", ArrayType(FloatType), nullable = true),
+      StructField("id", LongType, nullable = false)))
+    val fs = BqSchema.fields(s)
+    assert(fs(0) == BqSchema.BqField("vec_col", "FLOAT64", "Repeated"))
+    assert(fs(1) == BqSchema.BqField("id", "INT64", "Required"))
+    assert(BqSchema.toJson(s).contains("\"mode\": \"Repeated\""))
+  }
+
+  test("StateStore round-trips and tracks expiry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-state")
+    val path = dir.resolve("state.json").toString
+    val store = new StateStore(path)
+    val st = ExtractState("orders", rows = Some(15000), minKey = Some(0),
+      maxKey = Some(14999), partitionColumn = Some("o_orderkey"),
+      partitions = Some(15), predicates = Seq("o_orderkey <= 10", "o_orderkey > 10"),
+      introspectEpochS = Some(1000L), rowsLoaded = Some(15000))
+    store.put(st)
+    val re = new StateStore(path)
+    assert(re.get("orders") == st)
+    assert(re.get("missing") == ExtractState("missing"))
+    assert(st.consistent)
+    assert(!st.introspectionExpired(expireS = 0, nowEpochS = 999999))
+    assert(st.introspectionExpired(expireS = 10, nowEpochS = 2000))
+    assert(ExtractState("new").introspectionExpired(expireS = 0))
+  }
+
+  test("JdbcPartitionedSource builds mode-correct options") {
+    val t = JdbcTable("jdbc:sqlserver://host;db=x", "dbo.REPORTING",
+      Map("user" -> "u"), fetchSize = 5000)
+    val r = JdbcPartitionedSource.options(t, Range("id", 0, 14999, 15))
+    assert(r("partitionColumn") == "id" && r("lowerBound") == "0"
+      && r("upperBound") == "14999" && r("numPartitions") == "15"
+      && r("fetchsize") == "5000" && r("user") == "u")
+    val s = JdbcPartitionedSource.options(t, Single)
+    assert(!s.contains("partitionColumn"))
+    val p = JdbcPartitionedSource.options(t, Predicates(Seq("id <= 5")))
+    assert(!p.contains("partitionColumn"))
+  }
+
+  test("ExtractPipeline overlaps stages, captures failures, retries") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
+    val stages = ExtractPipeline.Stages[String, String, String](
+      introspect = t => s"$t:i",
+      extract = {
+        case "flaky:i" if attempts.incrementAndGet() < 2 =>
+          sys.error("transient")
+        case a => s"$a:e"
+      },
+      load = {
+        case "bad:i:e" => sys.error("boom")
+        case b => s"$b:l"
+      })
+    val res = ExtractPipeline.run(Seq("t1", "t2", "bad", "flaky"), stages,
+      retry = ExtractPipeline.RetryPolicy(attempts = 3, backoffMs = 1))
+    val byName = res.map(r => r.name -> r.result).toMap
+    assert(byName("t1") == Right("t1:i:e:l"))
+    assert(byName("flaky") == Right("flaky:i:e:l"), "retry should recover the transient failure")
+    assert(byName("bad").isLeft)
+  }
+}

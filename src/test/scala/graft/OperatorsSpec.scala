@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, Multimodal}
+import graft.sources.Tables
+
+class OperatorsSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("exact dedup groups identical texts under one content hash") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L, "keeper must be the min doc_id")
+  }
+
+  test("minhash LSH finds every exact-copy pair") {
+    val pairs = Dedup.minhashPairs(Dedup.corpus(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = Tables.documents(spark, sf).count()
+    val expected = (0L until nDocs).map(i => (i, i + Dedup.Shift)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing copy pairs: ${(expected -- pairs).take(5)}")
+  }
+
+  test("simhash pairs are within the hamming radius, include copies") {
+    val rows = Dedup.simhashPairs(Dedup.corpus(spark, sf)).collect()
+    assert(rows.forall(_.getLong(2) <= 3))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = Tables.documents(spark, sf).count()
+    assert((0L until nDocs).forall(i => pairs.contains((i, i + Dedup.Shift))))
+  }
+
+  test("ngram jaccard finds copies at jaccard 1.0") {
+    val rows = Dedup.ngramJaccardPairs(Dedup.corpus(spark, sf)).collect()
+    val copies = rows.filter(r => r.getLong(1) == r.getLong(0) + Dedup.Shift)
+    assert(copies.nonEmpty && copies.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("embedding near-dup finds shifted copies at cos 1.0") {
+    val rows = Similarity.nearDupPairs(Tables.embeddings(spark, sf)).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    val copies = rows.filter(r => r.getLong(1) == r.getLong(0) + Similarity.Shift)
+    assert(copies.length == n)
+    assert(copies.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("brute-force ANN returns k ranked neighbors per query") {
+    val rows = Similarity.bruteTopK(Tables.embeddings(spark, sf)).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.sameElements(1 to Similarity.TopK))
+      val cs = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "ranks follow cosine")
+    }
+  }
+
+  test("LSH ANN hits are a subset of candidates with decent recall of brute top-k") {
+    val brute = Similarity.bruteTopK(Tables.embeddings(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(Tables.embeddings(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"LSH recall $recall collapsed — buckets degenerate?")
+  }
+
+  test("multimodal decode is deterministic, batch-shaped, schema-complete") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val out1 = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    val out2 = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(out1.length == media.count())
+    assert(out1.map(_.doc_id).sameElements(out2.map(_.doc_id)))
+    assert(out1.zip(out2).forall { case (a, b) =>
+      a.width == b.width && a.features.sameElements(b.features) })
+    assert(out1.forall(r => r.features.length == 8 && r.width >= 1 && r.frames >= 1))
+    assert(out1.map(_.media_type).toSet.subsetOf(Set("image", "audio", "video")))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Physical-plan assertions: the scale-critical properties — filters
+  * and projections reach the parquet scan, dim joins broadcast,
+  * aggregates partial-aggregate — must hold, not just correctness.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter+projection push down to the parquet scan") {
+    val p = plan(Relational.qFilterPushdown(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // projection pruning: scan must not read the unused join keys
+    assert(p.contains("ReadSchema"))
+    assert(!p.split("ReadSchema")(1).split("\n")(0).contains("l_orderkey"),
+      "scan reads columns the query never uses")
+  }
+
+  test("dim-side joins use broadcast hash join") {
+    val p = plan(Relational.qBroadcastJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1 aggregate is partially aggregated (map-side combine)") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), "no partial aggregation before the exchange")
+  }
+
+  test("q1 stays inside whole-stage codegen") {
+    // AQE hides stage plans until execution finalizes them
+    val df = Relational.q1Agg(spark, sf)
+    df.collect()
+    val p = plan(df)
+    // AQE's finalized plan renders codegen stages as "*(n) Op"
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+  }
+}
