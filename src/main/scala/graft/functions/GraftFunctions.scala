@@ -54,18 +54,18 @@ object GraftFunctions {
           concat_ws("", slice(toks, i + lit(1), lit(n))))),
       _.isNotNull)
 
-  /** Hashed shingles. NOTE: the hash MUST be applied inside the same
-    * transform — Spark 4.1 mis-binds a lambda applied over the output
-    * of a chained indexed-transform + filter (observed: md5 of the
-    * element returns the wrong digest), so `transform(shingles(...),
-    * tokenHash)` is silently wrong while this inline form is correct.
+  /** Hashed shingles via the native ShingleHash48 expression.
+    *
+    * NOTE: do NOT express this as `transform(shingles(...),
+    * tokenHash)` — Spark 4.1 mis-binds a lambda applied over the
+    * output of a chained indexed-transform + filter (observed: md5
+    * of the element returns the wrong digest), and even hashing
+    * post-explode of the HOF's strings read corrupted UTF8String
+    * buffers. The native expression hashes inside one per-row loop
+    * (also ~10x faster than the interpreted lambda chain).
     */
   def shingleHashes(toks: Column, n: Int): Column =
-    filter(
-      transform(toks, (_, i) =>
-        when(i <= size(toks) - n,
-          tokenHash(concat_ws("", slice(toks, i + lit(1), lit(n)))))),
-      _.isNotNull)
+    TextExpressions.shingleHash48(toks, n)
 
   /** Quantize an array<float> to array<bigint> at 1e6 scale: exact,
     * order-independent integer dot products (cross-engine stable).
@@ -73,8 +73,12 @@ object GraftFunctions {
   def quantize(vec: Column): Column =
     transform(vec, e => round(e.cast("double") * lit(1000000.0), 0).cast("long"))
 
+  /** Exact int64 dot product via a native codegen Expression (the
+    * aggregate(zip_with(...)) HOF form is interpreted and allocates
+    * an intermediate array per row — see LongArrayDot).
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    VecExpressions.longArrayDot(a, b)
 
   def normQ(a: Column): Column = dotQ(a, a)
 }

@@ -1,0 +1,74 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native word-n-gram shingle hashing: array<string> tokens →
+  * array<bigint> of 48-bit md5-prefix hashes of each n-token
+  * shingle (concatenated with no separator).
+  *
+  * Bit-equal to the composable form
+  *   transform(tokens, window) |> md5 |> conv(hex[0:12], 16, 10)
+  * and to the DuckDB oracle's
+  *   ('0x' || substr(md5(s), 1, 12))::BIGINT
+  * — md5 over the concatenated UTF-8 bytes, first 6 digest bytes
+  * big-endian — but runs as one tight per-row loop with a reused
+  * MessageDigest instead of an interpreted lambda chain per shingle
+  * (HOF lambdas are CodegenFallback and were the dominant cost of
+  * the dedup pipeline), and sidesteps the Spark 4.1 lambda-rebinding
+  * corruption documented on GraftFunctions.shingleHashes.
+  */
+case class ShingleHash48(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash48 expects array<string>, got $other")
+  }
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val m = len - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        val t = arr.getUTF8String(i + j)
+        if (t != null) md.update(t.getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.GraftColumnBridge
+
+  def shingleHash48(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHash48(GraftColumnBridge.expression(tokens), n))
+}

@@ -51,6 +51,9 @@ object Dedup {
     * on doc_id.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    // hash INSIDE the shingle transform (shingleHashes): consuming
+    // HOF-built strings from any later expression reads corrupted
+    // UTF8String buffers on Spark 4.1 — see GraftFunctions note
     val tok = docs.select(col("doc_id"),
       explode(shingleHashes(tokens(col("text")), 3)).as("h"))
       .select(col("doc_id"), (col("h") % HashP).as("hp"))
@@ -60,13 +63,19 @@ object Dedup {
   }
 
   /** LSH bands: (doc_id, band_id, band_hash) — md5 of the band's
-    * signature slice. Join key for candidate generation.
+    * signature slice. Join key for candidate generation. One
+    * explode pass rather than a Bands-way union (each union branch
+    * would re-execute the whole signature pipeline).
     */
-  def minhashBands(sig: DataFrame): DataFrame =
-    (0 until Bands).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band_id"),
+  def minhashBands(sig: DataFrame): DataFrame = {
+    val bandStructs = array((0 until Bands).map { b =>
+      struct(lit(b).as("band_id"),
         md5(concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("band_hash"))
-    }.reduce(_ unionAll _)
+    }: _*)
+    sig.select(col("doc_id"), explode(bandStructs).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+  }
 
   /** Candidate near-dup pairs: equi-join on (band_id, band_hash) —
     * the Broder LSH scheme; shuffle is keyed on band hash, never n².
@@ -80,16 +89,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
-  /** 48-bit SimHash per doc: sign of per-bit ±1 vote sums. */
+  /** 48-bit SimHash per doc: sign of per-bit ±1 vote sums. One
+    * shuffle with 48 vote columns (a tokens×bits explode would push
+    * 48x the rows through the exchange for the same result).
+    */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), tokenHash(col("t")).as("h"))
-    tok.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(47))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(expr("case when (h >> b) & 1 = 1 then 1 else -1 end")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("case when s > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end"))
-        .cast("long").as("simhash"))
+    val votes = (0 until 48).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
+    tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 48).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** Near-dup pairs with hamming ≤ 3 via pigeonhole blocking: 4
@@ -118,11 +131,15 @@ object Dedup {
     * distinct shingle-hash arrays.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val d = docs.select(col("doc_id"),
-      array_distinct(shingleHashes(tokens(col("text")), 3)).as("hs"))
-      .withColumn("min_h", array_min(col("hs")))
-      .withColumn("min_h2", array_min(
-        transform(col("hs"), h => (h * lit(31607L) + lit(271828L)) % lit(HashP))))
+    // explode + aggregate so the shingle-hash HOF runs once per doc
+    // (projection collapse re-evaluates it per consumer otherwise);
+    // hashing stays INSIDE the transform (see GraftFunctions note)
+    val sh = docs.select(col("doc_id"),
+      explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+    val d = sh.groupBy(col("doc_id")).agg(
+      collect_set(col("h")).as("hs"),
+      min(col("h")).as("min_h"),
+      min((col("h") * 31607L + 271828L) % HashP).as("min_h2"))
     val a = d.toDF("doc_a", "hs_a", "min_a", "min2_a")
     val b = d.toDF("doc_b", "hs_b", "min_b", "min2_b")
     a.join(b, col("min_a") === col("min_b") && col("min2_a") === col("min2_b")

@@ -88,8 +88,7 @@ object Similarity {
   /** Sign-bucket of a quantized vector in LSH table `t`. */
   def lshBucket(q: org.apache.spark.sql.Column, t: Int): org.apache.spark.sql.Column =
     (0 until NumPlanes).map { j =>
-      val dot = aggregate(
-        zip_with(q, typedlit(planes(t)(j).toSeq), _ * _), lit(0L), _ + _)
+      val dot = dotQ(q, typedlit(planes(t)(j).toSeq))
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
