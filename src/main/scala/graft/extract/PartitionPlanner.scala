@@ -74,6 +74,29 @@ object PartitionPlanner {
     mid.unionAll(last)
   }
 
+  /** Sketch-based julienne for cluster scale: the exact version's
+    * global row_number sort is what dumpty pushes into the source DB
+    * and is fine there, but on a 100 TB table a full sort for
+    * boundary discovery is wasteful — approxQuantile reads once,
+    * merges per-partition sketches on the driver, and equal-ROW
+    * slicing only needs boundaries to be roughly equi-depth (slice
+    * size variance just shifts a few rows between tasks).
+    * Returns (slice_id, boundary_key) like the exact planner.
+    */
+  def julienneBoundariesApprox(df: DataFrame, key: String, rowsPerPartition: Long,
+                               relativeError: Double = 0.01): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.count()
+    val p = math.max(1L, math.round(rows.toDouble / rowsPerPartition))
+    if (p <= 1) return Seq.empty[(Long, Long)].toDF("slice_id", "boundary_key")
+    val probs = (1L until p).map(_.toDouble / p).toArray
+    val keyed = df.select(col(key).cast("double").as("k"))
+    val bounds = keyed.stat.approxQuantile("k", probs, relativeError)
+    bounds.zipWithIndex.map { case (b, i) => ((i + 1).toLong, b.toLong) }
+      .toSeq.toDF("slice_id", "boundary_key")
+  }
+
   /** Range partition bounds exactly as Spark's JDBC source computes
     * them (JDBCRelation.columnPartition): stride = max/n - min/n in
     * integer arithmetic; first partition absorbs NULLs.

@@ -66,6 +66,50 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Custom streaming state: per-user gap-based sessionization via
+    * mapGroupsWithState — the stateful twin of
+    * Relational.qSessionize. Emits one summary row per user per
+    * micro-batch (update mode); state carries (last ts, session
+    * count, event count) across batches. GapUs matches the batch
+    * operator's 30-minute inactivity gap.
+    */
+  val GapUs: Long = 1800L * 1000000L
+
+  final case class SessState(lastTsUs: Long, sessions: Long, events: Long)
+  final case class SessSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
+  def statefulSessionSummary(events: DataFrame): org.apache.spark.sql.Dataset[SessSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessState, SessSummary](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state) =>
+          val sorted = evs.map(_._2).toArray.sorted
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          sorted.foreach { ts =>
+            val newSession = st.lastTsUs == Long.MinValue || ts - st.lastTsUs > GapUs
+            st = SessState(ts, st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          SessSummary(uid, st.sessions, st.events)
+      }
+  }
+
+  /** Runs the stateful sessionizer over the (bounded) stream. */
+  def runStatefulToMemory(spark: SparkSession, dir: String,
+                          name: String = "events_sessions"): DataFrame = {
+    val q = statefulSessionSummary(readStream(spark, dir))
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Batch equivalent of windowedAgg for cross-checking. Uses the
     * same window() bucketing on the converted events table.
     */

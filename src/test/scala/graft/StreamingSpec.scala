@@ -7,6 +7,19 @@ import graft.streaming.EventStreams
 class StreamingSpec extends AnyFunSuite {
   import SparkSuite._
 
+  test("stateful sessionization matches the batch sessionizer") {
+    val streamed = EventStreams.runStatefulToMemory(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Relational.qSessionize(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+        org.apache.spark.sql.functions.sum("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"divergence: stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming windowed agg matches the batch plan") {
     val streamed = EventStreams.runToMemory(spark, sf)
       .collect().map(_.toString).sorted
