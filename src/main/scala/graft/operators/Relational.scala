@@ -135,13 +135,15 @@ object Relational {
       countDistinct(col("l_suppkey")).as("d_supp"),
       count(lit(1)).as("total"))
 
-  /** Union + deterministic top-5 per side (row_number tiebreak). */
+  /** Union + deterministic top-5 per side. orderBy+limit compiles to
+    * TakeOrderedAndProject (per-partition heaps + driver merge) —
+    * distributed, unlike a global row_number window.
+    */
   def qUnionSort(s: SparkSession, dir: String): DataFrame = {
-    def top5(df: DataFrame, kind: String, name: String, bal: String) = {
-      val w = Window.orderBy(col(bal).desc, col(name))
-      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-        .select(lit(kind).as("kind"), col(name).as("name"), col(bal).as("bal"))
-    }
+    def top5(df: DataFrame, kind: String, name: String, bal: String) =
+      df.select(lit(kind).as("kind"), col(name).as("name"), col(bal).as("bal"))
+        .orderBy(col("bal").desc, col("name"))
+        .limit(5)
     top5(Tables.customer(s, dir), "customer", "c_name", "c_acctbal")
       .unionAll(top5(Tables.supplier(s, dir), "supplier", "s_name", "s_acctbal"))
   }
@@ -184,7 +186,41 @@ object Relational {
            max(col("ts")).as("session_end"))
   }
 
+  /** Binned histogram (width_bucket-style) of order totals. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / lit(1000.0)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"), msum(col("o_totalprice")).as("sum_price"))
+
+  /** Pivot: order counts per priority × status. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+
+  /** As-of join: each purchase event picks up the user's most recent
+    * click at-or-before it (see AsOfJoin for the single-window
+    * composition).
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    AsOfJoin.asof(purchases, clicks, "user_id", "ts", "ts",
+        rightVals = Seq("ts", "event_id"), tiebreak = "event_id")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("__ts").as("purchase_ts"), col("asof_ts").as("asof_click_ts"),
+        col("asof_event_id").as("asof_click_id"), col("n_right_before").as("n_clicks_before"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> qHistogram _,
+    "q_pivot" -> qPivot _,
+    "q_asof_join" -> qAsofJoin _,
     "q1_agg" -> q1Agg _,
     "q_filter_pushdown" -> qFilterPushdown _,
     "q3_join_topk" -> q3JoinTopk _,
@@ -200,6 +236,35 @@ object Relational {
     "q_sessionize" -> qSessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT floor(o_totalprice / 1000.0)::BIGINT AS bin, count(*) AS cnt,
+        |  sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS F,
+        |  count(*) FILTER (o_orderstatus = 'O') AS O,
+        |  count(*) FILTER (o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts AS __ts, 1 AS __m, event_id AS __tb,
+        |    event_id, NULL::TIMESTAMP AS c_ts, NULL::BIGINT AS c_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, NULL, ts, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT user_id, __ts, __m, event_id,
+        |    last_value(c_ts IGNORE NULLS) OVER w AS asof_click_ts,
+        |    last_value(c_id IGNORE NULLS) OVER w AS asof_click_id,
+        |    sum(CASE WHEN __m = 0 THEN 1 ELSE 0 END) OVER w AS n_clicks_before
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY __ts, __m, __tb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id AS purchase_id, __ts AS purchase_ts,
+        |  asof_click_ts, asof_click_id, n_clicks_before::BIGINT AS n_clicks_before
+        |FROM c WHERE __m = 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity::DECIMAL(18,6))::DOUBLE AS sum_qty,

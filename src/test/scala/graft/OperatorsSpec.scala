@@ -70,6 +70,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH recall $recall collapsed — buckets degenerate?")
   }
 
+  test("as-of join matches a brute-force per-row lookup") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.filter(_._4 == "purchase").map { case (u, pid, pts, _) =>
+      val clicks = ev.filter(e => e._4 == "click" && e._1 == u && e._3 <= pts)
+      val best = if (clicks.isEmpty) None
+        else Some(clicks.maxBy(c => (c._3, c._2)))
+      (pid, best.map(_._2), clicks.length.toLong)
+    }.toSet
+    val got = graft.operators.Relational.qAsofJoin(spark, sf)
+      .select(col("purchase_id"), col("asof_click_id"), col("n_clicks_before"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSet
+    assert(got == expected,
+      s"asof mismatch: got-only=${(got -- expected).take(3)} want-only=${(expected -- got).take(3)}")
+  }
+
+  test("approx_count_distinct lands within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val row = Tables.lineitem(spark, sf).agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact <= 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("multimodal decode is deterministic, batch-shaped, schema-complete") {
     val media = Multimodal.mediaTable(spark, sf)
     val out1 = Multimodal.decode(media).collect().sortBy(_.doc_id)

@@ -35,6 +35,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), "no partial aggregation before the exchange")
   }
 
+  test("top-k uses TakeOrderedAndProject, not a global window") {
+    val p = plan(Relational.qUnionSort(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), "top-k fell back to a single-partition window")
+  }
+
+  test("minhash LSH candidate join is an equi-join, not cartesian") {
+    val p = plan(operators.Dedup.minhashPairs(operators.Dedup.corpus(spark, sf)))
+    assert(!p.contains("CartesianProduct"), "LSH banding degenerated to a cross join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
+  }
+
   test("q1 stays inside whole-stage codegen") {
     // AQE hides stage plans until execution finalizes them
     val df = Relational.q1Agg(spark, sf)

@@ -63,8 +63,8 @@ def main(sf_dir, out_dir):
             print(f"  {name:22s} SCHEMA MISMATCH spark={got_cols} duck={want_cols}")
             failed.append(name)
             continue
-        if sorted(got) != sorted(want):
-            sg, sw = sorted(got), sorted(want)
+        if sorted(got, key=repr) != sorted(want, key=repr):
+            sg, sw = sorted(got, key=repr), sorted(want, key=repr)
             diff = next((i for i in range(min(len(sg), len(sw)))
                          if sg[i] != sw[i]), None)
             print(f"  {name:22s} VALUE MISMATCH rows {len(got)} vs {len(want)}"
