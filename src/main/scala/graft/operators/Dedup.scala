@@ -150,6 +150,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Dedup resolution: near-dup pairs → connected components, so
+    * each duplicate cluster keeps one canonical doc (the minimum
+    * id). Iterative min-label propagation — converges in
+    * O(log(diameter)) joins, the standard Spark formulation;
+    * localCheckpoint truncates the loop's lineage. Matches the
+    * transitive closure (oracle: recursive CTE).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("component_id", col("v")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("component_id"))
+        .unionAll(labels)
+        .groupBy(col("v")).agg(min(col("component_id")).as("component_id"))
+        .localCheckpoint()
+      converged = prop.join(labels.withColumnRenamed("component_id", "old"), "v")
+        .filter(col("component_id") =!= col("old")).isEmpty
+      labels = prop
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("component_id"))
+  }
+
   // --- queries --------------------------------------------------------
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -164,11 +193,15 @@ object Dedup {
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(corpus(s, dir))
 
+  def qDedupComponents(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashPairs(corpus(s, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
-    "q_ngram_jaccard" -> qNgramJaccard _)
+    "q_ngram_jaccard" -> qNgramJaccard _,
+    "q_dedup_components" -> qDedupComponents _)
 
   private val corpusSql =
     """SELECT doc_id, text FROM documents
@@ -202,6 +235,22 @@ object Dedup {
   }.mkString("\n    UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE
+        |sig AS ($sigSql),
+        |bands AS ($bandsSql),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.v)
+        |SELECT v AS doc_id, min(r) AS component_id FROM reach GROUP BY v""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS dup_count

@@ -99,7 +99,32 @@ object TextAnalysis {
         (col("n_bytes") % 30 + 1).as("frames"))
   }
 
+  /** BM25-flavored tf-idf, top 3 terms per doc. The idf weight is
+    * the rational BM25 form (N-df+0.5)/(df+0.5) rather than a log —
+    * bit-reproducible across engines (log implementations may differ
+    * in the last ulp between libm and the JVM).
+    */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("raw").desc, col("term"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("raw",
+        (col("cnt") / col("len")) * ((col("n") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), round(col("raw"), 6).as("tfidf"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> qTfidf _,
     "q_langid" -> qLangid _,
     "q_quality" -> qQuality _,
     "q_tokens" -> qTokens _,
@@ -110,6 +135,25 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> t IN (${list.map(w => s"'$w'").mkString(", ")}))) / len(toks)"
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    (t.cnt / d.len) * ((n.n - f.dfreq + 0.5) / (f.dfreq + 0.5)) AS raw
+        |  FROM tf t JOIN dl d ON t.doc_id = d.doc_id
+        |  JOIN dfreq f ON t.term = f.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, raw,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, round(raw, 6) AS tfidf, rnk
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
     "q_langid" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |    string_split_regex(lower(trim(text)), '\\s+') AS toks

@@ -70,6 +70,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH recall $recall collapsed — buckets degenerate?")
   }
 
+  test("connected components match a union-find ground truth") {
+    val pairs = Dedup.minhashPairs(Dedup.corpus(spark, sf))
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonicalize: component id = min member, which find() yields
+    // because we always parent larger roots under smaller ones
+    val expected = verts.map(v => v -> find(v)).toMap
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("as-of join matches a brute-force per-row lookup") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
