@@ -186,6 +186,26 @@ object Relational {
            max(col("ts")).as("session_end"))
   }
 
+  /** Cube aggregate: all grouping-set combinations of two dims. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), msum(col("o_totalprice")).as("sum_price"))
+
+  /** Deterministic argmin per group: each customer's cheapest order
+    * (window row_number with a full tiebreak — min_by/arg_min tie
+    * behavior is engine-defined, a rank is not).
+    */
+  def qArgmin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("cheapest_order"),
+        col("o_totalprice").as("min_price"))
+  }
+
   /** Binned histogram (width_bucket-style) of order totals. */
   def qHistogram(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -218,6 +238,8 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> qCube _,
+    "q_argmin" -> qArgmin _,
     "q_histogram" -> qHistogram _,
     "q_pivot" -> qPivot _,
     "q_asof_join" -> qAsofJoin _,
@@ -236,6 +258,16 @@ object Relational {
     "q_sessionize" -> qSessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_argmin" ->
+      """SELECT o_custkey, o_orderkey AS cheapest_order,
+        |  o_totalprice AS min_price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice, o_orderkey) = 1""".stripMargin,
     "q_histogram" ->
       """SELECT floor(o_totalprice / 1000.0)::BIGINT AS bin, count(*) AS cnt,
         |  sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS sum_price
