@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Aggregator for the §2c LLM-training-data operator queries. */
 object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries
+    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Sampling.queries
 
   val oracles: Map[String, String] =
-    Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles
+    Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Sampling.oracles
 }
