@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("shingle_hash48"),
       info("shingle_hash48", "48-bit md5-prefix hashes of word n-gram shingles"),
       (exprs: Seq[Expression]) => mkShingleHash(exprs)))
+    e.injectOptimizerRule(_ => graft.plans.DimBroadcastRule)
   }
 }
 

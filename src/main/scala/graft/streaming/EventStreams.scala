@@ -98,6 +98,24 @@ object EventStreams {
       }
   }
 
+  /** Streaming dedup: exactly-once event delivery by id under a
+    * watermark (late duplicates beyond the watermark age out of
+    * state — the bounded-state form of exact dedup).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  def runDedupToMemory(spark: SparkSession, dir: String,
+                       name: String = "events_dedup"): DataFrame = {
+    val q = dedupStream(readStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Runs the stateful sessionizer over the (bounded) stream. */
   def runStatefulToMemory(spark: SparkSession, dir: String,
                           name: String = "events_sessions"): DataFrame = {

@@ -47,6 +47,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
   }
 
+  test("DimBroadcastRule broadcasts dim scans without hints or thresholds") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.DimBroadcastRule
+    try {
+      import org.apache.spark.sql.functions.col
+      val j = graft.sources.Tables.lineitem(spark, sf)
+        .join(graft.sources.Tables.supplier(spark, sf),
+          col("l_suppkey") === col("s_suppkey"))
+      j.collect()
+      val p = plan(j)
+      assert(p.contains("BroadcastHashJoin"),
+        s"dim table was not auto-broadcast:\n$p")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.DimBroadcastRule)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
   test("q1 stays inside whole-stage codegen") {
     // AQE hides stage plans until execution finalizes them
     val df = Relational.q1Agg(spark, sf)

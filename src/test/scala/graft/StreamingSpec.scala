@@ -7,6 +7,13 @@ import graft.streaming.EventStreams
 class StreamingSpec extends AnyFunSuite {
   import SparkSuite._
 
+  test("streaming dedup by id preserves the distinct event set") {
+    val deduped = EventStreams.runDedupToMemory(spark, sf)
+    val batch = graft.sources.Tables.events(spark, sf)
+    assert(deduped.count() == batch.dropDuplicates("event_id").count())
+    assert(deduped.select("event_id").distinct().count() == deduped.count())
+  }
+
   test("stateful sessionization matches the batch sessionizer") {
     val streamed = EventStreams.runStatefulToMemory(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
