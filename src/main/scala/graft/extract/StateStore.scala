@@ -112,6 +112,26 @@ class StateStore(path: String) {
       rowsLoaded = nums.get("rowsLoaded"))
   }
 
-  private def unesc(s: String) =
-    s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\\\", "\\")
+  /** Single left-to-right pass (sequential replace() calls corrupt
+    * inputs like a literal backslash before 'n') incl \\uXXXX.
+    */
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }

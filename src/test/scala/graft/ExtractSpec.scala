@@ -55,6 +55,15 @@ class ExtractSpec extends AnyFunSuite {
     assert(ExtractState("new").introspectionExpired(expireS = 0))
   }
 
+  test("StateStore round-trips backslashes, quotes, and control chars") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-state-esc")
+    val path = dir.resolve("state.json").toString
+    val nasty = ExtractState("t", predicates = Seq(
+      """path\nliteral""", "tab\there", "quote\"inside", """back\\slash""", "nl\nreal"))
+    new StateStore(path).put(nasty)
+    assert(new StateStore(path).get("t") == nasty)
+  }
+
   test("JdbcPartitionedSource builds mode-correct options") {
     val t = JdbcTable("jdbc:sqlserver://host;db=x", "dbo.REPORTING",
       Map("user" -> "u"), fetchSize = 5000)
