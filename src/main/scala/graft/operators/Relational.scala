@@ -186,6 +186,32 @@ object Relational {
            max(col("ts")).as("session_end"))
   }
 
+  /** Semi-structured parsing: pull a field out of the JSON props
+    * column and aggregate on it (get_json_object is codegen'd; for
+    * repeated access at scale, parse once with from_json to a
+    * struct column instead).
+    */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** Left-outer join with null-aware aggregation: every order keeps
+    * a row; orders without matching (filtered) lineitems count 0.
+    */
+  def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+    Tables.orders(s, dir)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("joined_rows"),
+        count(col("l_orderkey")).as("matched_rows"),
+        msum(coalesce(col("l_quantity"), lit(0.0))).as("sum_big_qty"))
+  }
+
   /** Cube aggregate: all grouping-set combinations of two dims. */
   def qCube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -238,6 +264,8 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> qJsonExtract _,
+    "q_outer_join" -> qOuterJoin _,
     "q_cube" -> qCube _,
     "q_argmin" -> qArgmin _,
     "q_histogram" -> qHistogram _,
@@ -258,6 +286,22 @@ object Relational {
     "q_sessionize" -> qSessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  count(k) AS n_with_k, sum(k)::BIGINT AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        json_extract_string(props, '$.k')::BIGINT AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q_outer_join" ->
+      """SELECT o_orderstatus, count(*) AS joined_rows,
+        |  count(l_orderkey) AS matched_rows,
+        |  sum(coalesce(l_quantity, 0.0)::DECIMAL(18,6))::DOUBLE AS sum_big_qty
+        |FROM orders LEFT OUTER JOIN
+        |  (SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity >= 45) li
+        |  ON o_orderkey = li.l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |  sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS sum_price
