@@ -64,4 +64,38 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.grouped(BatchSize).flatMap(FakeDecoder.decodeBatch))
   }
+
+  final case class ResizedRow(doc_id: Long, width: Int, height: Int,
+                              target_w: Int, target_h: Int, scale: Double)
+
+  /** Resize planning: aspect-preserving fit into a target box. The
+    * arithmetic is the real operator; only pixel resampling is
+    * stubbed out with the decoder. Narrow, codegen-free batch pass.
+    */
+  def resize(decoded: Dataset[DecodedRow], maxW: Int, maxH: Int): Dataset[ResizedRow] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { r =>
+      val s = math.min(1.0, math.min(maxW.toDouble / r.width, maxH.toDouble / r.height))
+      ResizedRow(r.doc_id, r.width, r.height,
+        math.max(1, math.floor(r.width * s).toInt),
+        math.max(1, math.floor(r.height * s).toInt), s)
+    }
+  }
+
+  /** Deterministic frame sampling: k evenly-spaced frame indices of
+    * an n-frame clip (the standard video subsample for captioning /
+    * embedding) — index i ↦ ⌊i·n/k⌋, no randomness to coordinate.
+    */
+  def sampleFrameIndices(nFrames: Int, k: Int): Seq[Int] = {
+    require(k >= 1)
+    if (nFrames <= 0) Seq.empty
+    else (0 until math.min(k, nFrames)).map(i => (i.toLong * nFrames / math.min(k, nFrames)).toInt)
+  }
+
+  final case class FrameRow(doc_id: Long, frame_index: Int)
+
+  def frameSample(decoded: Dataset[DecodedRow], k: Int): Dataset[FrameRow] = {
+    import decoded.sparkSession.implicits._
+    decoded.flatMap(r => sampleFrameIndices(r.frames, k).map(FrameRow(r.doc_id, _)))
+  }
 }

@@ -120,6 +120,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact <= 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("multimodal resize preserves aspect and never upscales") {
+    val decoded = Multimodal.decode(Multimodal.mediaTable(spark, sf))
+    val resized = Multimodal.resize(decoded, 320, 240).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.target_w <= 320 && r.target_h <= 240)
+      assert(r.scale <= 1.0 && r.scale > 0.0)
+      if (r.scale < 1.0) {
+        val aspect = r.width.toDouble / r.height
+        val newAspect = r.target_w.toDouble / r.target_h
+        // floor() costs up to 1px on the smaller target dimension
+        val tol = 1.0 / math.min(r.target_w, r.target_h) + 0.01
+        assert(math.abs(aspect - newAspect) / aspect <= tol,
+          s"aspect drifted: $r")
+      } else assert(r.target_w == r.width && r.target_h == r.height)
+    }
+  }
+
+  test("multimodal frame sampling is evenly spaced and bounded") {
+    assert(Multimodal.sampleFrameIndices(30, 4) == Seq(0, 7, 15, 22))
+    assert(Multimodal.sampleFrameIndices(2, 5) == Seq(0, 1))
+    assert(Multimodal.sampleFrameIndices(0, 3).isEmpty)
+    val decoded = Multimodal.decode(Multimodal.mediaTable(spark, sf))
+    val frames = Multimodal.frameSample(decoded, 4).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    val metas = decoded.collect().map(r => r.doc_id -> r.frames).toMap
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length == math.min(4, metas(id)))
+      assert(fs.map(_.frame_index).forall(i => i >= 0 && i < metas(id)))
+    }
+  }
+
   test("multimodal decode is deterministic, batch-shaped, schema-complete") {
     val media = Multimodal.mediaTable(spark, sf)
     val out1 = Multimodal.decode(media).collect().sortBy(_.doc_id)
