@@ -68,6 +68,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join and sessionize stay within two shuffle boundaries") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val p = plan(df)
+      p.sliding("Exchange".length).count(_ == "Exchange")
+    }
+    // as-of: one Exchange per union branch feeding the single keyed
+    // window; sessionize: window shuffle + final session aggregate
+    assert(exchanges(Relational.qAsofJoin(spark, sf)) <= 2)
+    assert(exchanges(Relational.qSessionize(spark, sf)) <= 2)
+  }
+
   test("q1 stays inside whole-stage codegen") {
     // AQE hides stage plans until execution finalizes them
     val df = Relational.q1Agg(spark, sf)
