@@ -66,9 +66,64 @@ case class ShingleHash48(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 48-bit SimHash of a token array in one narrow pass: per token,
+  * the md5-prefix hash votes ±1 on each bit; bits with positive
+  * totals are set. Bit-equal to the explode-tokens + per-bit-sum
+  * formulation (the DuckDB oracle) but requires NO shuffle at all —
+  * the signature is a pure function of the row.
+  */
+case class SimHash48(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash48 expects array<string>, got $other")
+  }
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](48)
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        md.update(t.getBytes)
+        val d = md.digest()
+        val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+        var b = 0
+        while (b < 48) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 48) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftColumnBridge
 
   def shingleHash48(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHash48(GraftColumnBridge.expression(tokens), n))
+
+  def simHash48(tokens: Column): Column =
+    GraftColumnBridge.column(SimHash48(GraftColumnBridge.expression(tokens)))
 }

@@ -89,21 +89,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
-  /** 48-bit SimHash per doc: sign of per-bit ±1 vote sums. One
-    * shuffle with 48 vote columns (a tokens×bits explode would push
-    * 48x the rows through the exchange for the same result).
+  /** 48-bit SimHash per doc: sign of per-bit ±1 vote sums, computed
+    * in one narrow pass by the native SimHash48 expression — no
+    * shuffle at all for the signature (earlier formulations pushed a
+    * tokens×bits explode or 48 vote columns through an exchange).
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), tokenHash(col("t")).as("h"))
-    val votes = (0 until 48).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
-    tok.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 48).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).cast("long").as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextExpressions.simHash48(tokens(col("text"))).as("simhash"))
 
   /** Near-dup pairs with hamming ≤ 3 via pigeonhole blocking: 4
     * 12-bit chunks — any pair within distance 3 shares ≥ 1 chunk, so
