@@ -109,7 +109,21 @@ object ExtractQueries {
       .groupBy(col("event_type").as("table_name"))
       .agg(count(lit(1)).as("changed_rows"), max(col("ts")).as("last_change"))
 
+  /** Upsert demo: orders with every 10th key repriced +100.00.
+    * (An exact 2-decimal addition: round(x*1.1, 2) would land on
+    * .005 ties where Spark — shortest-decimal BigDecimal — and
+    * DuckDB — raw binary double — round differently.)
+    */
+  def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    Merge.upsert(base, updates, "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_upsert" -> qUpsert _,
     "q_introspect" -> qIntrospect _,
     "q_strategy" -> qStrategy _,
     "q_julienne" -> qJulienne _,
@@ -133,6 +147,20 @@ object ExtractQueries {
       |    count(DISTINCT c_custkey) FROM customer""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_upsert" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 100.0::DOUBLE AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY __prio)
+        |    AS __rn
+        |  FROM (SELECT *, 1 AS __prio FROM orders
+        |        UNION ALL SELECT *, 0 AS __prio FROM updates))
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM merged WHERE __rn = 1""".stripMargin,
     "q_introspect" ->
       s"""SELECT table_name, row_cnt, min_key, max_key, distinct_keys,
         |  (row_cnt = max_key OR row_cnt = max_key - 1
