@@ -144,8 +144,46 @@ object Similarity {
       |      list_transform(embedding, e -> round(e::DOUBLE * 1000000)::BIGINT) AS q
       |    FROM embeddings""".stripMargin
 
-  /** q_ann_lsh is rows-only: the hyperplane constants live in Scala. */
+  /** Dot of the quantized vector `q` with hyperplane (t, j), emitted
+    * as explicit integer arithmetic — the md5-derived plane weights
+    * (see `planes`) become SQL literals, so DuckDB reproduces the
+    * exact sign-buckets bit for bit (same technique as the MinHash
+    * permutation constants in Dedup.oracles).
+    */
+  private def planeDotSql(t: Int, j: Int): String =
+    (0 until Dim).map(d => s"q[${d + 1}]*(${planes(t)(j)(d)})").mkString(" + ")
+
+  private def bucketSql(t: Int): String =
+    (0 until NumPlanes).map { j =>
+      s"(CASE WHEN (${planeDotSql(t, j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val annLshSql =
+    s"""WITH n AS (
+      |  SELECT vec_id, label, q,
+      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq,
+      |    (${bucketSql(0)}) AS b0,
+      |    (${bucketSql(1)}) AS b1
+      |  FROM ($quantSql)),
+      |qs AS (SELECT * FROM n WHERE vec_id % $QueryMod = 0),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+      |  FROM n c JOIN qs q ON (c.b0 = q.b0 OR c.b1 = q.b1)
+      |    AND c.vec_id <> q.vec_id),
+      |p AS (
+      |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * q.q[i]))::DOUBLE
+      |      / (sqrt(c.nq::DOUBLE) * sqrt(q.nq::DOUBLE)) AS cos
+      |  FROM cand JOIN n c ON c.vec_id = cand.vec_id
+      |            JOIN n q ON q.vec_id = cand.query_id)
+      |SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
+      |  round(cos, 6) AS cos_sim
+      |FROM p
+      |QUALIFY rnk <= $TopK""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ann_lsh" -> annLshSql,
     "q_embed_neardup" ->
       s"""WITH base AS (
         |  SELECT vec_id, label, q FROM ($quantSql)

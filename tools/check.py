@@ -63,6 +63,22 @@ def main(sf_dir, out_dir):
             print(f"  {name:22s} SCHEMA MISMATCH spark={got_cols} duck={want_cols}")
             failed.append(name)
             continue
+        # The driver hashes typed values, so a DuckDB HUGEINT vs Spark
+        # BIGINT mismatch fails there even when Python values compare
+        # equal here (bit us in r1 with window SUM -> HUGEINT).
+        # Int widths <=64 bits hash identically driver-side (r1: rnk
+        # INTEGER vs BIGINT was hash-green); HUGEINT/DECIMAL do not.
+        def norm_type(t):
+            s = str(t)
+            return "INT" if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else s
+        got_types = {c: norm_type(t) for c, t in zip(got_rel.columns, got_rel.types)}
+        want_types = {c: norm_type(t) for c, t in zip(want_rel.columns, want_rel.types)}
+        type_diff = {c: (got_types[c], want_types[c]) for c in got_types
+                     if got_types[c] != want_types.get(c)}
+        if type_diff:
+            print(f"  {name:22s} TYPE MISMATCH {type_diff}")
+            failed.append(name)
+            continue
         if sorted(got, key=repr) != sorted(want, key=repr):
             sg, sw = sorted(got, key=repr), sorted(want, key=repr)
             diff = next((i for i in range(min(len(sg), len(sw)))
