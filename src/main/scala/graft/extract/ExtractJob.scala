@@ -61,8 +61,11 @@ object ExtractJob {
           introspectEpochS = Some(nowEpochS()),
           predicates =
             if (raw > 1 && !dense)
+              // sketch boundaries: planning only needs coverage, and
+              // the approx path reads once with no shuffle (the exact
+              // rank is reserved for the oracle-checked queries)
               PartitionPlanner.juliennePredicates(
-                PartitionPlanner.julienneBoundaries(df, spec.key, cfg.rowsPerPartition), spec.key)
+                PartitionPlanner.julienneBoundariesApprox(df, spec.key, cfg.rowsPerPartition), spec.key)
                 .orderBy(col("pred_id"))
                 .collect().map(_.getAs[String]("predicate")).toSeq
             else Nil)

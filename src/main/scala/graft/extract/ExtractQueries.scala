@@ -37,6 +37,23 @@ object ExtractQueries {
   def qPredicates(s: SparkSession, dir: String): DataFrame =
     PartitionPlanner.juliennePredicates(qJulienne(s, dir), "o_orderkey")
 
+  /** Coverage proof for the sketch julienne (ExtractJob's default
+    * planner): every orders row must match EXACTLY ONE generated
+    * predicate. Output is the histogram of per-row match counts — a
+    * single row (1, N) iff the predicates partition the key domain.
+    * Rows-only CORRECTNESS entry: boundary VALUES are sketch-
+    * dependent, the partition property is not.
+    */
+  def qJulienneApprox(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val bounds = PartitionPlanner.julienneBoundariesApprox(orders, "o_orderkey", RowsPerPartition)
+    val preds = PartitionPlanner.juliennePredicates(bounds, "o_orderkey")
+      .orderBy(col("pred_id")).collect().map(_.getAs[String]("predicate"))
+    val matches = preds.map(p => when(expr(p), 1).otherwise(0)).reduce(_ + _)
+    orders.select(matches.as("match_count"))
+      .groupBy(col("match_count")).agg(count(lit(1)).as("n_rows"))
+  }
+
   def qRangeBounds(s: SparkSession, dir: String): DataFrame =
     PartitionPlanner.rangeBounds(s,
       Introspector.stats(Tables.orders(s, dir), "orders", "o_orderkey"),
@@ -127,6 +144,7 @@ object ExtractQueries {
     "q_introspect" -> qIntrospect _,
     "q_strategy" -> qStrategy _,
     "q_julienne" -> qJulienne _,
+    "q_julienne_approx" -> qJulienneApprox _,
     "q_predicates" -> qPredicates _,
     "q_range_bounds" -> qRangeBounds _,
     "q_normalize" -> qNormalize _,

@@ -13,12 +13,15 @@ import org.apache.spark.sql.expressions.Window
   *              ROW_NUMBER() boundaries → WHERE predicates
   *  - single:   too few rows to be worth partitioning
   *
-  * The julienne boundary computation here is the exact (oracle-
-  * checked) version: a global-ordered row_number window — the same
-  * full sort the reference pushes into the source database
-  * (pipeline.py:236-265). At 100 TB, swap in approxQuantile
-  * boundaries (same downstream predicate generation); exactness of
-  * slice sizes is not semantically required, only coverage.
+  * Two julienne flavors, both cluster-safe:
+  *  - `julienneBoundaries` — exact equal-row slices (what the
+  *    reference computes by pushing ROW_NUMBER into the source DB,
+  *    pipeline.py:236-265), via distributed rank (range buckets +
+  *    partitioned windows), never a single global sort;
+  *  - `julienneBoundariesApprox` — sketch-only boundary discovery
+  *    (ExtractJob's default): slice sizes need only be roughly
+  *    equi-depth, coverage is what matters, and one approxQuantile
+  *    pass beats a full shuffle for planning a 100 TB extract.
   */
 object PartitionPlanner {
 
@@ -39,15 +42,41 @@ object PartitionPlanner {
   /** Equal-row slice boundaries: rows ranked by `key`, boundary at
     * every rank ≡ 0 (mod width), width = ceil(rows / partitions).
     * Returns (slice_id, boundary_key).
+    *
+    * The global rank is computed DISTRIBUTED-exact: sketch range
+    * buckets (approxQuantile — only balance depends on them, never
+    * the result), a row_number window partitioned per bucket, and
+    * per-bucket offsets added back. Rank-r key = multiset order
+    * statistic, so the output is identical to a single global sort
+    * — without ever moving the table through one task (the r1 plan
+    * was a "No Partition Defined" WindowExec: a 100 TB scale-killer).
     */
-  def julienneBoundaries(df: DataFrame, key: String, rowsPerPartition: Long): DataFrame = {
+  def julienneBoundaries(df: DataFrame, key: String, rowsPerPartition: Long,
+                         rangeBuckets: Int = 32): DataFrame = {
     val cnt = df.agg(count(lit(1)).as("c"))
       .select(col("c"),
         greatest(lit(1L), round(col("c") / lit(rowsPerPartition.toDouble), 0).cast("long")).as("p"))
       .select(col("c"), col("p"), ceil(col("c") / col("p").cast("double")).cast("long").as("w"))
-    val w = Window.orderBy(col("k"))
-    df.select(col(key).cast("long").as("k"))
-      .withColumn("rn", row_number().over(w).cast("long"))
+    val keyed = df.select(col(key).cast("long").as("k"))
+    // Sketch bounds need only be monotone: bucket(k) = #bounds < k.
+    val bounds = keyed.stat
+      .approxQuantile("k", (1 until rangeBuckets).map(_.toDouble / rangeBuckets).toArray, 0.001)
+      .map(_.toLong).distinct.sorted
+    val bucketed = keyed.withColumn("b",
+      aggregate(typedlit(bounds.toSeq), lit(0),
+        (acc, bound) => acc + when(col("k") > bound, 1).otherwise(0)))
+    val localW = Window.partitionBy(col("b")).orderBy(col("k"))
+    val ranked = bucketed.withColumn("lrn", row_number().over(localW).cast("long"))
+    // Per-bucket prefix sums over O(rangeBuckets) rows: a triangular
+    // broadcast join, NOT a window — an unpartitioned window (even
+    // over 32 rows) plans as a single-partition WindowExec, and a
+    // constant partition key just gets folded away.
+    val counts = bucketed.groupBy(col("b")).agg(count(lit(1)).as("bc"))
+    val prior = counts.toDF("b2", "bc2")
+    val offsets = counts.join(broadcast(prior), col("b2") < col("b"), "left")
+      .groupBy(col("b")).agg(coalesce(sum(col("bc2")), lit(0L)).as("off"))
+    ranked.join(broadcast(offsets), "b")
+      .withColumn("rn", col("lrn") + col("off"))
       .crossJoin(broadcast(cnt))
       .filter(col("rn") % col("w") === 0)
       .select(expr("rn div w").as("slice_id"), col("k").as("boundary_key"))
@@ -58,9 +87,12 @@ object PartitionPlanner {
     * Returns (pred_id, predicate).
     */
   def juliennePredicates(boundaries: DataFrame, key: String): DataFrame = {
-    val w = Window.orderBy(col("slice_id"))
+    // slice_ids are consecutive by construction, so "previous
+    // boundary" is an equi-join on slice_id - 1 over the O(partitions)
+    // boundary set — a broadcast join, not an unpartitioned lag window.
+    val prior = boundaries.toDF("prev_id", "prev")
     val mid = boundaries
-      .withColumn("prev", lag(col("boundary_key"), 1).over(w))
+      .join(broadcast(prior), col("prev_id") === col("slice_id") - 1, "left")
       .select(
         (col("slice_id") - 1).as("pred_id"),
         when(col("prev").isNull,

@@ -69,6 +69,32 @@ class ExtractJobSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch julienne predicates partition the key domain exactly") {
+    // q_julienne_approx returns the histogram of per-row predicate
+    // match counts: a single (1, N) row == every row covered once.
+    val rows = Tables.orders(spark, sf).count()
+    val hist = ExtractQueries.qJulienneApprox(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1 -> rows), s"coverage histogram $hist")
+  }
+
+  test("exact julienne boundaries match a reference global sort") {
+    import org.apache.spark.sql.functions._
+    // lineitem's key repeats (julienne's actual use case); the
+    // distributed rank must reproduce the naive single-sort result.
+    val df = Tables.lineitem(spark, sf)
+    val rpp = 700L
+    val got = PartitionPlanner.julienneBoundaries(df, "l_orderkey", rpp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val keys = df.select(col("l_orderkey").cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val p = math.max(1L, math.round(keys.length.toDouble / rpp))
+    val w = math.ceil(keys.length.toDouble / p).toLong
+    val want = (1 to (keys.length / w.toInt))
+      .map(i => (i.toLong, keys(i * w.toInt - 1)))
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+  }
+
   test("salted join returns identical results to the plain join") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
