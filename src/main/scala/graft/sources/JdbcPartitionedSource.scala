@@ -12,9 +12,9 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
   *                slices even under key skew).
   *  - Single:     one connection for small tables.
   *
-  * No live RDBMS exists in CI, so specs cover option/predicate
-  * construction; `read` is the thin terminal call into
-  * `spark.read.jdbc`.
+  * JdbcLiveSpec drives all three modes end-to-end against an
+  * embedded Derby database (a real JDBC URL), including the
+  * introspection aggregate pushed into the source engine.
   */
 object JdbcPartitionedSource {
 
@@ -49,6 +49,20 @@ object JdbcPartitionedSource {
     options(t, mode).foldLeft(reader.format("jdbc")) {
       case (r, (k, v)) => r.option(k, v)
     }
+
+  /** Introspection pushed into the source DB (the reference runs the
+    * same aggregate server-side, pipeline.py:269-330): one row
+    * travels over JDBC, never the table.
+    */
+  def introspect(spark: SparkSession, t: JdbcTable, key: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", t.url)
+      .option("query", // aliases quoted: unquoted identifiers fold to upper case
+        s"""SELECT COUNT(*) AS "row_cnt", MIN($key) AS "min_key",
+           |  MAX($key) AS "max_key", COUNT(DISTINCT $key) AS "distinct_keys"
+           |FROM ${t.table}""".stripMargin)
+      .options(t.properties)
+      .load()
 
   def read(spark: SparkSession, t: JdbcTable, mode: Mode): DataFrame = mode match {
     case Predicates(preds) =>
