@@ -29,4 +29,19 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Session from YAML config (reference config.py:15-24 SparkConfig):
+    * master may be any cluster URL — spark://, yarn, k8s:// — with
+    * executor sizing and arbitrary properties passed through, so the
+    * same job config drives local CI and a real cluster.
+    */
+  def fromConfig(conf: graft.conf.SparkConf): SparkSession = {
+    val base = builder(master = conf.master,
+      shufflePartitions = math.max(1, conf.threads))
+    val spark = conf.properties
+      .foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(conf.logLevel)
+    spark
+  }
 }

@@ -1,0 +1,180 @@
+package graft.extract
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** The reference's load stage (gcp.py:66-183) as a structured,
+  * cloud-free warehouse model: datasets with description / location /
+  * labels / access entries, tables loaded from extract URIs under
+  * create/write dispositions, and `rows_loaded` returned for the
+  * reconcile gate (extract.py:36 `consistent`).
+  *
+  * Data lands as parquet under `<root>/<project>/<dataset>/<table>`;
+  * metadata in a `_dataset.json` sidecar. The disposition semantics
+  * (TRUNCATE / APPEND / EMPTY, CREATE_IF_NEEDED / CREATE_NEVER,
+  * create-or-update with access-entry merge, drop-and-recreate) are
+  * the BigQuery load-job model; only the terminal storage differs,
+  * so swapping a real warehouse client back in is a sink change, not
+  * a semantics change.
+  */
+object Warehouse {
+
+  sealed trait WriteDisposition
+  case object WriteTruncate extends WriteDisposition
+  case object WriteAppend extends WriteDisposition
+  case object WriteEmpty extends WriteDisposition
+
+  sealed trait CreateDisposition
+  case object CreateIfNeeded extends CreateDisposition
+  case object CreateNever extends CreateDisposition
+
+  final case class DatasetRef(project: String, dataset: String) {
+    override def toString = s"$project.$dataset"
+  }
+  object DatasetRef {
+    /** gcp.py DatasetReference.from_string: "project.dataset". */
+    def fromString(s: String): DatasetRef = s.split('.') match {
+      case Array(p, d) => DatasetRef(p, d)
+      case _ => throw new IllegalArgumentException(
+        s"Dataset must be in format project.dataset (got '$s')")
+    }
+  }
+
+  final case class DatasetMeta(
+      description: Option[String] = None,
+      location: String = "US",
+      labels: Map[String, String] = Map.empty,
+      accessEntries: Seq[String] = Nil)
+
+  final case class LoadResult(outputRows: Long, outputBytes: Long)
+
+  final case class LoadJob(
+      create: CreateDisposition = CreateIfNeeded,
+      write: WriteDisposition = WriteTruncate,
+      description: Option[String] = None)
+}
+
+class Warehouse(root: String, spark: SparkSession) {
+  import Warehouse._
+
+  private val mapper = new ObjectMapper()
+
+  private def dsPath(ref: DatasetRef): Path = Paths.get(root, ref.project, ref.dataset)
+  private def metaPath(ref: DatasetRef): Path = dsPath(ref).resolve("_dataset.json")
+  private def tablePath(ref: DatasetRef, table: String): Path = dsPath(ref).resolve(table)
+
+  def datasetExists(ref: DatasetRef): Boolean = Files.exists(metaPath(ref))
+  def tableExists(ref: DatasetRef, table: String): Boolean =
+    Files.exists(tablePath(ref, table))
+
+  def getDataset(ref: DatasetRef): Option[DatasetMeta] =
+    if (!datasetExists(ref)) None
+    else {
+      val node = mapper.readTree(Files.readString(metaPath(ref)))
+      Some(DatasetMeta(
+        description = Option(node.get("description")).filter(!_.isNull).map(_.asText()),
+        location = node.get("location").asText(),
+        labels = node.get("labels").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap,
+        accessEntries = node.get("accessEntries").elements().asScala
+          .map(_.asText()).toSeq))
+    }
+
+  private def putDataset(ref: DatasetRef, meta: DatasetMeta): DatasetMeta = {
+    Files.createDirectories(dsPath(ref))
+    val node = mapper.createObjectNode()
+    meta.description.foreach(node.put("description", _))
+    node.put("location", meta.location)
+    val lbl = node.putObject("labels")
+    meta.labels.foreach { case (k, v) => lbl.put(k, v) }
+    val acc = node.putArray("accessEntries")
+    meta.accessEntries.foreach(acc.add)
+    val tmp = metaPath(ref).resolveSibling("_dataset.json.tmp")
+    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    Files.move(tmp, metaPath(ref), StandardCopyOption.REPLACE_EXISTING)
+    meta
+  }
+
+  /** Create-or-update with the reference's exists/drop logic
+    * (gcp.py:66-105): drop deletes contents; update overwrites
+    * description/location/labels and MERGES access entries.
+    */
+  def createDataset(ref: DatasetRef, meta: DatasetMeta, drop: Boolean = false): DatasetMeta = {
+    val existing = getDataset(ref)
+    if (drop && existing.isDefined) deleteDataset(ref)
+    val merged = existing match {
+      case Some(old) if !drop =>
+        meta.copy(accessEntries =
+          (old.accessEntries ++ meta.accessEntries.filterNot(old.accessEntries.contains)))
+      case _ => meta
+    }
+    putDataset(ref, merged)
+  }
+
+  def deleteDataset(ref: DatasetRef): Unit = {
+    val p = dsPath(ref)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+  }
+
+  /** gcp.py bigquery_apply_labels: replace the label map. */
+  def applyLabels(ref: DatasetRef, labels: Map[String, String]): Unit = {
+    val meta = getDataset(ref).getOrElse(
+      throw new IllegalStateException(s"dataset $ref not found"))
+    putDataset(ref, meta.copy(labels = labels))
+  }
+
+  /** gcp.py bigquery_append_access_entries: append-if-absent. */
+  def appendAccessEntries(ref: DatasetRef, entries: Seq[String]): Unit = {
+    val meta = getDataset(ref).getOrElse(
+      throw new IllegalStateException(s"dataset $ref not found"))
+    putDataset(ref, meta.copy(accessEntries =
+      meta.accessEntries ++ entries.filterNot(meta.accessEntries.contains)))
+  }
+
+  /** Load an extracted table into the warehouse (gcp.py:149-183
+    * bigquery_load): newline-JSON read with the extract's schema,
+    * dispositions enforced, rows/bytes returned for reconciliation.
+    */
+  def load(uri: String, schema: org.apache.spark.sql.types.StructType,
+           ref: DatasetRef, table: String,
+           job: LoadJob = LoadJob()): LoadResult = {
+    if (!datasetExists(ref))
+      throw new IllegalStateException(s"dataset $ref not found")
+    val exists = tableExists(ref, table)
+    job.create match {
+      case CreateNever if !exists =>
+        throw new IllegalStateException(
+          s"table $ref.$table not found and createDisposition=CREATE_NEVER")
+      case _ => ()
+    }
+    val mode = job.write match {
+      case WriteTruncate => SaveMode.Overwrite
+      case WriteAppend => SaveMode.Append
+      case WriteEmpty =>
+        if (exists) throw new IllegalStateException(
+          s"table $ref.$table exists and writeDisposition=WRITE_EMPTY")
+        SaveMode.ErrorIfExists
+    }
+    val df = spark.read.schema(schema).json(uri)
+    val out = tablePath(ref, table)
+    df.write.mode(mode).parquet(out.toString)
+    val rows = spark.read.parquet(out.toString).count()
+    val s = Files.list(out)
+    val bytes =
+      try s.filter(p => p.getFileName.toString.startsWith("part-"))
+        .mapToLong(Files.size).sum
+      finally s.close()
+    LoadResult(rows, bytes)
+  }
+
+  def readTable(ref: DatasetRef, table: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(tablePath(ref, table).toString)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.Warehouse
+import graft.extract.Warehouse._
+import graft.extract.Sinks
+import graft.sources.Tables
+
+/** Load-stage semantics from gcp.py:66-183: dataset create / update /
+  * drop with access-entry merge, label application, and table loads
+  * under every create/write disposition with rows_loaded returned.
+  */
+class WarehouseSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft-wh").toString
+  private val ref = DatasetRef.fromString("proj.ds")
+
+  private lazy val extractUri: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft-wh-src").toString
+    Sinks.writeJsonGz(Tables.nation(spark, sf), out, "nation")
+  }
+  private def nationSchema = Tables.nation(spark, sf).schema
+  private def nationRows = Tables.nation(spark, sf).count()
+
+  test("dataset ref parsing rejects malformed strings") {
+    assert(DatasetRef.fromString("a.b") == DatasetRef("a", "b"))
+    intercept[IllegalArgumentException](DatasetRef.fromString("nodot"))
+    intercept[IllegalArgumentException](DatasetRef.fromString("a.b.c"))
+  }
+
+  test("create-or-update merges access entries, drop recreates clean") {
+    val wh = new Warehouse(freshRoot(), spark)
+    wh.createDataset(ref, DatasetMeta(Some("d1"), "US",
+      Map("stage" -> "pre"), Seq("userByEmail:a@x")))
+    // update: new description/labels, merged entries (no dup of a@x)
+    wh.createDataset(ref, DatasetMeta(Some("d2"), "US",
+      Map("stage" -> "pre2"), Seq("userByEmail:a@x", "groupByEmail:g@x")))
+    val meta = wh.getDataset(ref).get
+    assert(meta.description.contains("d2"))
+    assert(meta.labels == Map("stage" -> "pre2"))
+    assert(meta.accessEntries == Seq("userByEmail:a@x", "groupByEmail:g@x"))
+    // drop: entries from before must NOT survive
+    wh.createDataset(ref, DatasetMeta(Some("d3")), drop = true)
+    assert(wh.getDataset(ref).get.accessEntries.isEmpty)
+  }
+
+  test("applyLabels replaces, appendAccessEntries appends-if-absent") {
+    val wh = new Warehouse(freshRoot(), spark)
+    wh.createDataset(ref, DatasetMeta(labels = Map("a" -> "1", "b" -> "2")))
+    wh.applyLabels(ref, Map("done" -> "true"))
+    assert(wh.getDataset(ref).get.labels == Map("done" -> "true"))
+    wh.appendAccessEntries(ref, Seq("e1", "e2"))
+    wh.appendAccessEntries(ref, Seq("e2", "e3"))
+    assert(wh.getDataset(ref).get.accessEntries == Seq("e1", "e2", "e3"))
+  }
+
+  test("load dispositions: truncate replaces, append doubles, empty refuses") {
+    val wh = new Warehouse(freshRoot(), spark)
+    wh.createDataset(ref, DatasetMeta())
+    val first = wh.load(extractUri, nationSchema, ref, "nation")
+    assert(first.outputRows == nationRows)
+    assert(first.outputBytes > 0)
+    // WRITE_TRUNCATE on an existing table replaces
+    val again = wh.load(extractUri, nationSchema, ref, "nation",
+      LoadJob(write = WriteTruncate))
+    assert(again.outputRows == nationRows)
+    // WRITE_APPEND doubles
+    val appended = wh.load(extractUri, nationSchema, ref, "nation",
+      LoadJob(write = WriteAppend))
+    assert(appended.outputRows == 2 * nationRows)
+    // WRITE_EMPTY refuses when the table exists
+    intercept[IllegalStateException](
+      wh.load(extractUri, nationSchema, ref, "nation", LoadJob(write = WriteEmpty)))
+    // loaded content round-trips
+    assert(wh.readTable(ref, "nation").count() == 2 * nationRows)
+  }
+
+  test("create dispositions: CREATE_NEVER refuses a missing table") {
+    val wh = new Warehouse(freshRoot(), spark)
+    wh.createDataset(ref, DatasetMeta())
+    intercept[IllegalStateException](
+      wh.load(extractUri, nationSchema, ref, "nation", LoadJob(create = CreateNever)))
+    // but succeeds once the table exists
+    wh.load(extractUri, nationSchema, ref, "nation")
+    val ok = wh.load(extractUri, nationSchema, ref, "nation",
+      LoadJob(create = CreateNever, write = WriteAppend))
+    assert(ok.outputRows == 2 * nationRows)
+  }
+
+  test("load into an unknown dataset fails") {
+    val wh = new Warehouse(freshRoot(), spark)
+    intercept[IllegalStateException](
+      wh.load(extractUri, nationSchema, DatasetRef("no", "ds"), "nation"))
+  }
+}
