@@ -31,6 +31,10 @@ object Dedup {
     509203L, 903739L, 160481L, 644843L)
   val NumPerm = 8
   val Bands = 4 // rows-per-band = 2
+  /** Hot-bucket threshold: LSH / simhash buckets larger than this
+    * emit star edges (to the bucket min) instead of all pairs.
+    */
+  val BucketCap = 32
 
   /** documents plus an id-shifted copy (guaranteed dup pairs). */
   def corpus(s: SparkSession, dir: String): DataFrame = {
@@ -79,14 +83,33 @@ object Dedup {
 
   /** Candidate near-dup pairs: equi-join on (band_id, band_hash) —
     * the Broder LSH scheme; shuffle is keyed on band hash, never n².
+    *
+    * Skew guard: a hot bucket (boilerplate text hashing a whole
+    * corpus slice into one band) would pay O(|bucket|²) in a single
+    * reducer. Buckets larger than `bucketCap` switch to a STAR
+    * pattern — every member pairs with the bucket's minimum doc_id
+    * only — which preserves cluster connectivity for downstream
+    * connected components at O(|bucket|) cost. The cap never fires
+    * on ordinary buckets (the oracle output is unchanged); it bounds
+    * the worst case.
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(minhashSignatures(docs))
-    val a = bands.toDF("doc_a", "band_a", "hash_a")
-    val b = bands.toDF("doc_b", "band_b", "hash_b")
-    a.join(b, col("band_a") === col("band_b") && col("hash_a") === col("hash_b")
-      && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+  def minhashPairs(docs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("band_hash"))
+    val sized = minhashBands(minhashSignatures(docs))
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+    val small = sized.filter(col("bsz") <= bucketCap)
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
+    val a = small.toDF("doc_a", "band_a", "hash_a")
+    val b = small.toDF("doc_b", "band_b", "hash_b")
+    val allPairs = a.join(b,
+      col("band_a") === col("band_b") && col("hash_a") === col("hash_b")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val starPairs = sized.filter(col("bsz") > bucketCap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    allPairs.unionAll(starPairs).distinct()
   }
 
   /** 48-bit SimHash per doc: sign of per-bit ±1 vote sums, computed
@@ -102,17 +125,31 @@ object Dedup {
     * 12-bit chunks — any pair within distance 3 shares ≥ 1 chunk, so
     * an equi-join on (chunk_id, chunk_value) finds all of them.
     */
-  def simhashPairs(docs: DataFrame): DataFrame = {
+  def simhashPairs(docs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
     val sh = simhash(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c"), col("cv"))
+    // same skew guard as minhashPairs: oversized (chunk, value)
+    // buckets emit star edges against the bucket minimum (hamming
+    // still verified), capping reducer work at O(|bucket|)
     val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("cv", expr("shiftright(simhash, 12 * c) & 4095"))
-    val a = chunks.toDF("doc_a", "sh_a", "c_a", "cv_a")
-    val b = chunks.toDF("doc_b", "sh_b", "c_b", "cv_b")
-    a.join(b, col("c_a") === col("c_b") && col("cv_a") === col("cv_b")
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+      .withColumn("bminsh", min_by(col("simhash"), col("doc_id")).over(w))
+    val small = chunks.filter(col("bsz") <= bucketCap)
+      .select(col("doc_id"), col("simhash"), col("c"), col("cv"))
+    val a = small.toDF("doc_a", "sh_a", "c_a", "cv_a")
+    val b = small.toDF("doc_b", "sh_b", "c_b", "cv_b")
+    val allPairs = a.join(b, col("c_a") === col("c_b") && col("cv_a") === col("cv_b")
       && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+    val starPairs = chunks.filter(col("bsz") > bucketCap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"),
+        expr("bit_count(bminsh ^ simhash)").cast("long").as("hamming"))
+    allPairs.unionAll(starPairs)
       .filter(col("hamming") <= 3)
       .distinct()
   }
@@ -151,21 +188,36 @@ object Dedup {
     * transitive closure (oracle: recursive CTE).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val spark = pairs.sparkSession
+    // Lineage cut per iteration: RELIABLE checkpoints (HDFS-durable,
+    // executor-loss-safe — what a 100 TB run needs) whenever a
+    // checkpoint dir is configured; executor-memory localCheckpoint
+    // as the single-box fallback.
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def labelSum(df: DataFrame): BigDecimal = BigDecimal(
+      df.agg(coalesce(sum(col("component_id").cast("decimal(38,0)")), lit(0))
+        .cast("decimal(38,0)")).collect()(0).getDecimal(0))
+    val edges = cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("component_id", col("v")).localCheckpoint()
+      .distinct())
+    var labels = cut(edges.select(col("src").as("v")).distinct()
+      .withColumn("component_id", col("v")))
+    // Min-label propagation only ever lowers labels, so the label sum
+    // strictly decreases until the fixed point — convergence is one
+    // scalar aggregate per iteration, not a join + isEmpty job.
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val prop = edges.join(labels, col("src") === col("v"))
+      val prop = cut(edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("component_id"))
         .unionAll(labels)
-        .groupBy(col("v")).agg(min(col("component_id")).as("component_id"))
-        .localCheckpoint()
-      converged = prop.join(labels.withColumnRenamed("component_id", "old"), "v")
-        .filter(col("component_id") =!= col("old")).isEmpty
+        .groupBy(col("v")).agg(min(col("component_id")).as("component_id")))
+      val curSum = labelSum(prop)
+      converged = curSum == prevSum
+      prevSum = curSum
       labels = prop
       iter += 1
     }
@@ -227,15 +279,30 @@ object Dedup {
     s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', h${2 * b}, h${2 * b + 1})) AS bh FROM sig"
   }.mkString("\n    UNION ALL ")
 
+  /** Capped candidate pairs over `bands`: all-pairs within buckets
+    * up to BucketCap, star edges (bucket min → member) beyond —
+    * mirrors minhashPairs exactly.
+    */
+  private val cappedPairsSql =
+    s"""sized AS (SELECT doc_id, band_id, bh,
+      |    count(*) OVER (PARTITION BY band_id, bh) AS bsz,
+      |    min(doc_id) OVER (PARTITION BY band_id, bh) AS bmin
+      |  FROM bands),
+      |small AS (SELECT doc_id, band_id, bh FROM sized WHERE bsz <= $BucketCap),
+      |pairs AS (
+      |  SELECT DISTINCT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |    FROM small a JOIN small b
+      |      ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT bmin, doc_id FROM sized WHERE bsz > $BucketCap AND doc_id <> bmin))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_components" ->
       s"""WITH RECURSIVE
         |sig AS ($sigSql),
         |bands AS ($bandsSql),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |$cappedPairsSql,
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION SELECT doc_b, doc_a FROM pairs),
         |verts AS (SELECT DISTINCT src AS v FROM edges),
@@ -250,10 +317,9 @@ object Dedup {
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH sig AS ($sigSql),
-        |bands AS ($bandsSql)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b
-        |  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin,
+        |bands AS ($bandsSql),
+        |$cappedPairsSql
+        |SELECT doc_a, doc_b FROM pairs""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH tok AS ($tokSql),
         |bt AS (SELECT doc_id, b,
@@ -264,12 +330,22 @@ object Dedup {
         |    sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         |  FROM bt GROUP BY doc_id),
         |chunks AS (SELECT doc_id, simhash, c, (simhash >> (12 * c)) & 4095 AS cv
-        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c))
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-        |FROM chunks a JOIN chunks b
-        |  ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+        |sized AS (SELECT doc_id, simhash, c, cv,
+        |    count(*) OVER (PARTITION BY c, cv) AS bsz,
+        |    min(doc_id) OVER (PARTITION BY c, cv) AS bmin,
+        |    arg_min(simhash, doc_id) OVER (PARTITION BY c, cv) AS bminsh
+        |  FROM chunks),
+        |small AS (SELECT doc_id, simhash, c, cv FROM sized WHERE bsz <= $BucketCap)
+        |SELECT DISTINCT doc_a, doc_b, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |  FROM small a JOIN small b
+        |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT bmin, doc_id, bit_count(xor(bminsh, simhash))::BIGINT
+        |  FROM sized WHERE bsz > $BucketCap AND doc_id <> bmin)
+        |WHERE hamming <= 3""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH d AS (
         |  SELECT doc_id,

@@ -36,6 +36,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert((0L until nDocs).forall(i => pairs.contains((i, i + Dedup.Shift))))
   }
 
+  test("hot LSH buckets degrade to star edges that keep components intact") {
+    import spark.implicits._
+    // 200 identical docs: every band bucket blows past the cap, so a
+    // naive all-pairs join would emit 19900 pairs into one reducer
+    val n = 200
+    val docs = (0 until n).map(i =>
+      (i.toLong, "the same boilerplate text repeated in every doc body"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs)
+    assert(pairs.count() == n - 1, "star pattern must emit O(n) pairs")
+    assert(pairs.filter(col("doc_a") === 0L).count() == n - 1,
+      "every member links to the bucket minimum")
+    val cc = Dedup.connectedComponents(pairs)
+    assert(cc.count() == n)
+    assert(cc.select("component_id").distinct().count() == 1,
+      "the duplicate cluster must stay one component")
+  }
+
+  test("hot simhash buckets degrade to star edges with hamming verified") {
+    import spark.implicits._
+    val n = 200
+    val docs = (0 until n).map(i =>
+      (i.toLong, "the same boilerplate text repeated in every doc body"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs).collect()
+    assert(pairs.length == n - 1, "star pattern must emit O(n) pairs")
+    assert(pairs.forall(_.getLong(2) == 0L), "identical docs: hamming 0")
+  }
+
+  test("connected components are identical under reliable checkpointing") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    def run() = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLocal = run()
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val viaReliable = run()
+    assert(viaLocal == viaReliable)
+    assert(viaReliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("ngram jaccard finds copies at jaccard 1.0") {
     val rows = Dedup.ngramJaccardPairs(Dedup.corpus(spark, sf)).collect()
     val copies = rows.filter(r => r.getLong(1) == r.getLong(0) + Dedup.Shift)
