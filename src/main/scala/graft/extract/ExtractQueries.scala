@@ -139,8 +139,23 @@ object ExtractQueries {
     Merge.upsert(base, updates, "o_orderkey")
   }
 
+  /** SCD-2 (CDC-style) history: orders as version 1, a +30-day
+    * re-extract of every 10th key as version 2; history chained per
+    * key with valid_to / is_current.
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate").as("valid_from"))
+    val v2 = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+        (col("valid_from") + expr("INTERVAL 30 DAYS")).as("valid_from"))
+    Merge.scd2(base.unionByName(v2), "o_orderkey", "valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert" -> qUpsert _,
+    "q_scd2" -> qScd2 _,
     "q_introspect" -> qIntrospect _,
     "q_strategy" -> qStrategy _,
     "q_julienne" -> qJulienne _,
@@ -165,6 +180,18 @@ object ExtractQueries {
       |    count(DISTINCT c_custkey) FROM customer""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH versions AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderdate AS valid_from FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 100.0::DOUBLE,
+        |    o_orderdate + INTERVAL 30 DAY
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, o_totalprice, valid_from,
+        |  lead(valid_from) OVER w AS valid_to,
+        |  (lead(valid_from) OVER w IS NULL) AS is_current
+        |FROM versions
+        |WINDOW w AS (PARTITION BY o_orderkey ORDER BY valid_from)""".stripMargin,
     "q_upsert" ->
       """WITH updates AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,

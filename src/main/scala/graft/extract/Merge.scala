@@ -24,4 +24,17 @@ object Merge {
       .filter(col("__rn") === 1)
       .drop("__prio", "__rn")
   }
+
+  /** SCD-2 history merge (CDC-style): versions carry a `validFrom`
+    * timestamp column; each key's rows are chained so `valid_to` is
+    * the next version's start (NULL = current row). One shuffle on
+    * the key, lead window inside — the standard dimensional-history
+    * rebuild, no join.
+    */
+  def scd2(versions: DataFrame, key: String, validFrom: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(validFrom))
+    versions
+      .withColumn("valid_to", lead(col(validFrom), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -123,6 +123,54 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** IVF parameters: every SeedMod-th vector is a coarse centroid
+    * (deterministic "training" both engines reproduce); queries
+    * probe the NProbe nearest centroid posting lists.
+    */
+  val SeedMod = 25L
+  val NProbe = 2
+
+  /** IVF-style ANN: assign each corpus vector to its nearest coarse
+    * centroid (broadcast centroid set; the corpus×C score blowup
+    * collapses map-side via max_by partial aggregation — no shuffle
+    * carries more than one row per vector), then answer queries from
+    * the NProbe nearest posting lists via a centroid-id equi-join.
+    * At cluster scale this is the classic IVF shape: the posting-
+    * list join replaces any corpus broadcast, and candidates shrink
+    * ~C/NProbe-fold.
+    */
+  def ivfTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val all = quantized(emb)
+    val cents = all.filter(col("vec_id") % SeedMod === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+    val scored = all.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
+    // nearest centroid per vector: partial-aggregatable argmax with a
+    // (cos desc, cid asc) tie-break
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"),
+        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
+      .join(all, "vec_id")
+    // the query subset is small: a plain window picks its NProbe lists
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val probes = scored.filter(col("vec_id") % QueryMod === 0)
+      .withColumn("crn", row_number().over(wq)).filter(col("crn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cid"),
+        col("q").as("q_q"), col("nq").as("nq_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes),
+        assigned("cid") === probes("cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("q"), col("nq"), col("q_q"), col("nq_q"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   // --- queries --------------------------------------------------------
 
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
@@ -134,10 +182,14 @@ object Similarity {
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     lshTopK(Tables.embeddings(s, dir))
 
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_ann_brute" -> qAnnBrute _,
-    "q_ann_lsh" -> qAnnLsh _)
+    "q_ann_lsh" -> qAnnLsh _,
+    "q_ann_ivf" -> qAnnIvf _)
 
   private val quantSql =
     """SELECT vec_id, label,
@@ -182,8 +234,49 @@ object Similarity {
       |FROM p
       |QUALIFY rnk <= $TopK""".stripMargin
 
+  private val annIvfSql =
+    s"""WITH n AS (
+      |  SELECT vec_id, label, q,
+      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+      |  FROM ($quantSql)),
+      |cents AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM n
+      |  WHERE vec_id % $SeedMod = 0),
+      |scored AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+      |      / (sqrt(n.nq::DOUBLE) * sqrt(c.cnq::DOUBLE)) AS ccos
+      |  FROM n CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS arn
+      |    FROM scored)
+      |  WHERE arn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+      |    FROM scored WHERE vec_id % $QueryMod = 0)
+      |  WHERE crn <= $NProbe),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, a.vec_id
+      |  FROM assigned a JOIN probes p ON a.cid = p.cid
+      |    AND a.vec_id <> p.query_id),
+      |p AS (
+      |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * q.q[i]))::DOUBLE
+      |      / (sqrt(c.nq::DOUBLE) * sqrt(q.nq::DOUBLE)) AS cos
+      |  FROM cand JOIN n c ON c.vec_id = cand.vec_id
+      |            JOIN n q ON q.vec_id = cand.query_id)
+      |SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
+      |  round(cos, 6) AS cos_sim
+      |FROM p
+      |QUALIFY rnk <= $TopK""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf" -> annIvfSql,
     "q_embed_neardup" ->
       s"""WITH base AS (
         |  SELECT vec_id, label, q FROM ($quantSql)

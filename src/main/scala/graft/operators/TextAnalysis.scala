@@ -125,18 +125,63 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), round(col("raw"), 6).as("tfidf"), col("rnk"))
   }
 
+  /** Repetition/diversity QC (Gopher-style repetition filters):
+    * unique-word fraction (narrow), plus top-bigram share and
+    * distinct-bigram fraction via the tf-idf explode+agg shape over
+    * 48-bit bigram hashes (hashing stays inside the native shingle
+    * expression — see GraftFunctions.shingleHashes). Docs with no
+    * bigram (single token) drop out in both engines identically.
+    */
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val uniq = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      round(size(array_distinct(tokens(col("text")))) / size(tokens(col("text"))), 6)
+        .as("frac_unique_words"))
+    val bi = docs.select(col("doc_id"),
+      explode(shingleHashes(tokens(col("text")), 2)).as("h"))
+    val top = bi.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("top_c") / col("n_bigrams"), 6).as("top_bigram_frac"),
+        round(col("n_distinct") / col("n_bigrams"), 6).as("frac_unique_bigrams"))
+    uniq.join(top, "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> qTfidf _,
     "q_langid" -> qLangid _,
     "q_quality" -> qQuality _,
     "q_tokens" -> qTokens _,
     "q_fingerprint" -> qFingerprint _,
+    "q_repetition" -> qRepetition _,
     "q_multimodal" -> qMultimodal _)
 
   private def hitSql(list: Seq[String]) =
     s"len(list_filter(toks, t -> t IN (${list.map(w => s"'$w'").mkString(", ")}))) / len(toks)"
 
   val oracles: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |    round(len(list_distinct(toks)) / len(toks), 6) AS frac_unique_words
+        |  FROM t),
+        |bi AS (SELECT doc_id, unnest(hs) AS h FROM (
+        |  SELECT doc_id, list_transform(range(1, len(toks)),
+        |      i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1])), 1, 12))::BIGINT) AS hs
+        |  FROM t)),
+        |c AS (SELECT doc_id, h, count(*) AS c FROM bi GROUP BY 1, 2),
+        |tp AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        |    round(max(c) / sum(c), 6) AS top_bigram_frac,
+        |    round(count(*) / sum(c), 6) AS frac_unique_bigrams
+        |  FROM c GROUP BY doc_id)
+        |SELECT u.doc_id, u.n_tokens, u.frac_unique_words,
+        |  tp.n_bigrams, tp.top_bigram_frac, tp.frac_unique_bigrams
+        |FROM u JOIN tp ON u.doc_id = tp.doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term

@@ -115,6 +115,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH recall $recall collapsed — buckets degenerate?")
   }
 
+  test("IVF ANN probes posting lists with decent recall of brute top-k") {
+    val brute = Similarity.bruteTopK(Tables.embeddings(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(Tables.embeddings(spark, sf)).collect()
+    val ivfSet = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query answers with at most k ranked rows
+    val perQuery = ivf.groupBy(_.getLong(0))
+    assert(perQuery.values.forall(_.length <= Similarity.TopK))
+    assert(perQuery.values.forall(rs =>
+      rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length)),
+      "ranks must be dense 1..n per query")
+    val recall = (brute & ivfSet).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall $recall collapsed — probe lists degenerate?")
+  }
+
   test("connected components match a union-find ground truth") {
     val pairs = Dedup.minhashPairs(Dedup.corpus(spark, sf))
     val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))

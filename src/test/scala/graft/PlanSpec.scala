@@ -41,6 +41,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "top-k fell back to a single-partition window")
   }
 
+  test("per-group top-k windows get the WindowGroupLimit pushdown") {
+    // rank<=k filters: Spark 3.5+ inserts a WindowGroupLimit below
+    // the shuffle so each map task keeps only k rows per group — the
+    // difference between shuffling the whole fact table and k*groups
+    // rows at 100 TB. (q_window deliberately can't get it: its
+    // running_rev needs every preceding row, so only pure-rank
+    // windows qualify.)
+    val tfidf = plan(operators.TextAnalysis.qTfidf(spark, sf))
+    assert(tfidf.contains("WindowGroupLimit"),
+      "tfidf rank<=3 did not push a group-limit below the window")
+    val ann = plan(operators.Similarity.qAnnBrute(spark, sf))
+    assert(ann.contains("WindowGroupLimit"),
+      "ANN top-k did not push a group-limit below the window")
+  }
+
+  test("IVF ANN: centroid set broadcasts, posting-list join is equi") {
+    val p = plan(operators.Similarity.ivfTopK(
+      graft.sources.Tables.embeddings(spark, sf)))
+    assert(!p.contains("CartesianProduct"), "IVF degenerated to a cross join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(500))
+  }
+
   test("minhash LSH candidate join is an equi-join, not cartesian") {
     val p = plan(operators.Dedup.minhashPairs(operators.Dedup.corpus(spark, sf)))
     assert(!p.contains("CartesianProduct"), "LSH banding degenerated to a cross join")
