@@ -122,6 +122,32 @@ object Relational {
               col("rnk"), col("running_rev"))
   }
 
+  /** Exact interpolated percentiles per group (single partial-agg
+    * pass; both engines use the same linear-interpolation formula).
+    */
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
+        count(lit(1)).as("cnt"))
+
+  /** ntile + first_value window coverage: customers bucketed into
+    * acctbal quartiles per nation, with the nation's richest
+    * customer carried alongside.
+    */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_nationkey"),
+      col("c_acctbal"),
+      ntile(4).over(w).as("quartile"),
+      first_value(col("c_custkey")).over(w).as("richest_cust"))
+  }
+
   /** Rollup aggregate (subtotals + grand total). */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -278,6 +304,8 @@ object Relational {
     "q_broadcast_join" -> qBroadcastJoin _,
     "q_semi_anti" -> qSemiAnti _,
     "q_window" -> qWindow _,
+    "q_percentile" -> qPercentile _,
+    "q_ntile" -> qNtile _,
     "q_rollup" -> qRollup _,
     "q_distinct" -> qDistinct _,
     "q_union_sort" -> qUnionSort _,
@@ -406,6 +434,20 @@ object Relational {
         |    (sum(rev) OVER (PARTITION BY l_suppkey ORDER BY month
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS running_rev
         |  FROM monthly) WHERE rnk <= 3""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_ntile" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(c_custkey) OVER w AS richest_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity::DECIMAL(18,6))::DOUBLE AS sum_qty, count(*) AS cnt

@@ -128,6 +128,57 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Stream-stream interval join: purchases joined to the same
+    * user's clicks within the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event time on both
+    * ends, so Spark can expire state — the canonical bounded-state
+    * stream-stream join (nothing is buffered forever at cluster
+    * scale).
+    */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("p_ts"), col("c_ts"))
+  }
+
+  def runIntervalJoinToMemory(spark: SparkSession, dir: String,
+                              name: String = "events_ij"): DataFrame = {
+    val q = intervalJoin(readStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Batch twin of intervalJoin for cross-checking. */
+  def intervalJoinBatch(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** Batch equivalent of windowedAgg for cross-checking. Uses the
     * same window() bucketing on the converted events table.
     */

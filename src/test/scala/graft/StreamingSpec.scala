@@ -27,6 +27,17 @@ class StreamingSpec extends AnyFunSuite {
       s"divergence: stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val streamed = EventStreams.runIntervalJoinToMemory(spark, sf)
+      .collect().map(_.toString).sorted
+    val batch = EventStreams.intervalJoinBatch(
+        graft.sources.Tables.events(spark, sf))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty, "interval join produced no rows")
+    assert(streamed.sameElements(batch),
+      s"stream/batch divergence: ${streamed.length} vs ${batch.length} rows")
+  }
+
   test("streaming windowed agg matches the batch plan") {
     val streamed = EventStreams.runToMemory(spark, sf)
       .collect().map(_.toString).sorted
