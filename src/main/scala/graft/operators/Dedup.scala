@@ -94,12 +94,16 @@ object Dedup {
     * the worst case.
     */
   def minhashPairs(docs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_id"), col("band_hash"))
-    val sized = minhashBands(minhashSignatures(docs))
-      .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("bmin", min(col("doc_id")).over(w))
-    val small = sized.filter(col("bsz") <= bucketCap)
+    // Hot buckets found with a partial-aggregated groupBy (the
+    // shuffle carries one row per DISTINCT bucket, not per member —
+    // a per-bucket window would total-sort the whole band set) and
+    // broadcast back: hot buckets are rare by construction.
+    val bands = minhashBands(minhashSignatures(docs))
+    val hot = bands.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+      .filter(col("bsz") > bucketCap)
+    val marked = bands.join(broadcast(hot), Seq("band_id", "band_hash"), "left")
+    val small = marked.filter(col("bsz").isNull)
       .select(col("doc_id"), col("band_id"), col("band_hash"))
     val a = small.toDF("doc_a", "band_a", "hash_a")
     val b = small.toDF("doc_b", "band_b", "hash_b")
@@ -107,7 +111,7 @@ object Dedup {
       col("band_a") === col("band_b") && col("hash_a") === col("hash_b")
         && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-    val starPairs = sized.filter(col("bsz") > bucketCap && col("doc_id") =!= col("bmin"))
+    val starPairs = marked.filter(col("bsz").isNotNull && col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
     allPairs.unionAll(starPairs).distinct()
   }
@@ -126,19 +130,19 @@ object Dedup {
     * an equi-join on (chunk_id, chunk_value) finds all of them.
     */
   def simhashPairs(docs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
-    val sh = simhash(docs)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c"), col("cv"))
     // same skew guard as minhashPairs: oversized (chunk, value)
-    // buckets emit star edges against the bucket minimum (hamming
-    // still verified), capping reducer work at O(|bucket|)
-    val chunks = sh.select(col("doc_id"), col("simhash"),
+    // buckets — found via partial-aggregated groupBy, broadcast back
+    // — emit star edges against the bucket minimum (hamming still
+    // verified), capping reducer work at O(|bucket|)
+    val chunks = simhash(docs).select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("cv", expr("shiftright(simhash, 12 * c) & 4095"))
-      .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("bmin", min(col("doc_id")).over(w))
-      .withColumn("bminsh", min_by(col("simhash"), col("doc_id")).over(w))
-    val small = chunks.filter(col("bsz") <= bucketCap)
+    val hot = chunks.groupBy(col("c"), col("cv"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"),
+        min_by(col("simhash"), col("doc_id")).as("bminsh"))
+      .filter(col("bsz") > bucketCap)
+    val marked = chunks.join(broadcast(hot), Seq("c", "cv"), "left")
+    val small = marked.filter(col("bsz").isNull)
       .select(col("doc_id"), col("simhash"), col("c"), col("cv"))
     val a = small.toDF("doc_a", "sh_a", "c_a", "cv_a")
     val b = small.toDF("doc_b", "sh_b", "c_b", "cv_b")
@@ -146,7 +150,7 @@ object Dedup {
       && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
-    val starPairs = chunks.filter(col("bsz") > bucketCap && col("doc_id") =!= col("bmin"))
+    val starPairs = marked.filter(col("bsz").isNotNull && col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"),
         expr("bit_count(bminsh ^ simhash)").cast("long").as("hamming"))
     allPairs.unionAll(starPairs)
