@@ -1,6 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Physical-plan audit across every SparkEntry query: one summary
   * line per query with the plan facts that matter at 100 TB — join
@@ -23,7 +27,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     var cartesian = List.empty[String]
-    println(f"${"query"}%-22s exch  bhj  smj  bnlj  pushed  codegen  cartesian")
+    var unpartWin = List.empty[String]
+    println(f"${"query"}%-22s exch  bhj  smj  bnlj  pushed  codegen  globalwin  cartesian")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -31,14 +36,35 @@ object PlanAudit {
         val p = df.queryExecution.executedPlan.toString
         def n(s: String) = p.sliding(s.length).count(_ == s)
         val hasCart = p.contains("CartesianProduct")
+        // walk the tree through AQE wrappers: node-typed counts beat
+        // string heuristics (the "*(" codegen marker was AQE-blind,
+        // and "Exchange" matched inside "ReusedExchange")
+        def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
+          case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+          case q: QueryStageExec => q +: flatten(q.plan)
+          case _ => pl +: pl.children.flatMap(flatten)
+        }
+        val nodes = flatten(df.queryExecution.executedPlan)
+        // an unpartitioned WindowExec moves the world through one
+        // task — the same scale-killer the r1 julienne had
+        val hasGlobalWin = nodes.exists {
+          case w: WindowExec => w.partitionSpec.isEmpty
+          case _ => false
+        }
+        val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+        val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
+        val codegen = nodes.count(_.isInstanceOf[WholeStageCodegenExec])
         if (hasCart) cartesian ::= name
-        println(f"$name%-22s ${n("Exchange")}%4d ${n("BroadcastHashJoin")}%4d " +
+        if (hasGlobalWin) unpartWin ::= name
+        println(f"$name%-22s $shuffles%4d+$reused%-2dr ${n("BroadcastHashJoin")}%4d " +
           f"${n("SortMergeJoin")}%4d ${n("BroadcastNestedLoopJoin")}%5d " +
-          f"${p.contains("PushedFilters: [")}%7s ${p.contains("*(")}%8s $hasCart%9s")
+          f"${p.contains("PushedFilters: [")}%7s $codegen%8d $hasGlobalWin%10s $hasCart%9s")
       } catch {
         case e: Throwable => println(f"$name%-22s FAILED: ${e.getMessage.take(60)}")
       }
     }
+    if (unpartWin.nonEmpty)
+      System.err.println(s"WARNING unpartitioned windows in: ${unpartWin.mkString(", ")}")
     spark.stop()
     if (cartesian.nonEmpty) {
       System.err.println(s"Cartesian products in: ${cartesian.mkString(", ")}")
