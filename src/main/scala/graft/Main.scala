@@ -91,7 +91,8 @@ object Main {
       introspectionExpireS = cfg.introspectionExpireS,
       introspectWorkers = cfg.introspectWorkers,
       extractWorkers = cfg.extractWorkers,
-      loadWorkers = cfg.loadWorkers)
+      loadWorkers = cfg.loadWorkers,
+      format = cfg.spark.format)
     val specs = cfg.tables.map(t => ExtractJob.TableSpec(t.name, t.key))
     val results = ExtractJob.run(spark, srcDir, outUri, specs, store, jobCfg)
 
@@ -110,7 +111,8 @@ object Main {
         val loaded = results.map {
           case ExtractPipeline.Result(name, Right(st)) =>
             val schema = Tables(spark, srcDir, name).schema
-            val res = wh.load(st.extractUri.get, schema, ref, name)
+            val res = wh.load(st.extractUri.get, schema, ref, name,
+              format = cfg.spark.format)
             val fin = st.copy(rowsLoaded = Some(res.outputRows))
             store.put(fin)
             ExtractPipeline.Result(name,

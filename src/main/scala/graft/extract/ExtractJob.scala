@@ -31,7 +31,8 @@ object ExtractJob {
       introspectionExpireS: Long = 0L,
       introspectWorkers: Int = 4,
       extractWorkers: Int = 4,
-      loadWorkers: Int = 4)
+      loadWorkers: Int = 4,
+      format: String = "json")
 
   /** One table through the three stages; returns the final state. */
   def run(spark: SparkSession, srcDir: String, outDir: String,
@@ -75,7 +76,7 @@ object ExtractJob {
 
     def extract(state: ExtractState): ExtractState = {
       val df = Tables(spark, srcDir, state.name)
-      val uri = Sinks.writeJsonGz(df, outDir, state.name, state.partitions)
+      val uri = Sinks.write(df, outDir, state.name, cfg.format, state.partitions)
       val bytes = Sinks.sizeBytes(outDir, state.name)
       // adaptive sizing for the next run (reference pipeline.py:488)
       val recommended = math.max(1L, math.round(bytes.toDouble / cfg.targetPartitionBytes)).toInt
@@ -89,10 +90,8 @@ object ExtractJob {
     }
 
     def load(state: ExtractState): ExtractState = {
-      val loaded = spark.read
-        .schema(Tables(spark, srcDir, state.name).schema)
-        .json(state.extractUri.get)
-        .count()
+      val loaded = Sinks.read(spark, state.extractUri.get, cfg.format,
+        Tables(spark, srcDir, state.name).schema).count()
       val finalState = state.copy(rowsLoaded = Some(loaded))
       store.put(finalState)
       finalState

@@ -39,6 +39,47 @@ object Sinks {
     s"$uri/$name/part-*.json.gz"
   }
 
+  /** Format-dispatching sink (reference config `spark.format` +
+    * gcp.py source_format switch): json (gzip), csv (gzip, header),
+    * or parquet — always with the schema.json sidecar, returning the
+    * part glob.
+    */
+  def write(df: DataFrame, uri: String, table: String, format: String,
+            partitions: Option[Int] = None,
+            normalizeNames: Boolean = true): String = format match {
+    case "json" => writeJsonGz(df, uri, table, partitions, normalizeNames)
+    case "parquet" =>
+      val glob = writeParquet(df, uri, table, partitions)
+      Files.writeString(Paths.get(s"$uri/${normalizeStr(table)}/schema.json"),
+        BqSchema.toJson(df.schema))
+      glob
+    case "csv" =>
+      val name = normalizeStr(table)
+      val out = if (normalizeNames) SchemaNormalizer(df) else df
+      val sized = partitions.map(out.repartition(_)).getOrElse(out)
+      sized.write.mode(SaveMode.Overwrite)
+        .option("header", "true")
+        .option("timestampFormat", TimestampFormat)
+        .option("compression", "gzip")
+        .csv(s"$uri/$name")
+      Files.writeString(Paths.get(s"$uri/$name/schema.json"),
+        BqSchema.toJson(df.schema))
+      s"$uri/$name/part-*.csv.gz"
+    case other => throw new IllegalArgumentException(s"unknown format $other")
+  }
+
+  /** Reader for data this sink wrote (used by load-stage reconcile). */
+  def read(spark: org.apache.spark.sql.SparkSession, uri: String, format: String,
+           schema: org.apache.spark.sql.types.StructType): DataFrame = format match {
+    case "json" => spark.read.schema(schema).json(uri)
+    case "parquet" => spark.read.parquet(uri)
+    case "csv" => spark.read.schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", TimestampFormat)
+      .csv(uri)
+    case other => throw new IllegalArgumentException(s"unknown format $other")
+  }
+
   /** Parquet sink (the cluster-native format; same naming contract). */
   def writeParquet(df: DataFrame, uri: String, table: String,
                    partitions: Option[Int] = None): String = {

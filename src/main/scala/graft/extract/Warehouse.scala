@@ -145,7 +145,8 @@ class Warehouse(root: String, spark: SparkSession) {
     */
   def load(uri: String, schema: org.apache.spark.sql.types.StructType,
            ref: DatasetRef, table: String,
-           job: LoadJob = LoadJob()): LoadResult = {
+           job: LoadJob = LoadJob(),
+           format: String = "json"): LoadResult = {
     if (!datasetExists(ref))
       throw new IllegalStateException(s"dataset $ref not found")
     val exists = tableExists(ref, table)
@@ -163,7 +164,7 @@ class Warehouse(root: String, spark: SparkSession) {
           s"table $ref.$table exists and writeDisposition=WRITE_EMPTY")
         SaveMode.ErrorIfExists
     }
-    val df = spark.read.schema(schema).json(uri)
+    val df = Sinks.read(spark, uri, format, schema)
     val out = tablePath(ref, table)
     df.write.mode(mode).parquet(out.toString)
     val rows = spark.read.parquet(out.toString).count()

@@ -53,6 +53,32 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(store.get("nation").introspectEpochS.exists(_ >= 10000L))
   }
 
+  test("ELT round-trips in csv and parquet formats too") {
+    import org.apache.spark.sql.functions._
+    for (fmt <- Seq("csv", "parquet")) {
+      val out = java.nio.file.Files.createTempDirectory(s"graft-elt-$fmt").toString
+      val store = new StateStore(s"$out/state.json")
+      val cfg = ExtractJob.Config(rowsPerPartition = 500, format = fmt)
+      val results = ExtractJob.run(spark, sf, out,
+        Seq(ExtractJob.TableSpec("orders", "o_orderkey")), store, cfg, () => 1000L)
+      assert(results.forall(_.result.isRight), s"$fmt: $results")
+      val st = store.get("orders")
+      assert(st.consistent, s"$fmt: $st")
+      assert(st.extractUri.get.endsWith(
+        if (fmt == "parquet") "part-*.parquet" else "part-*.csv.gz"))
+      // content survives the format round-trip, not just counts
+      val back = Sinks.read(spark, st.extractUri.get, fmt,
+        Tables.orders(spark, sf).schema)
+      val sums = back.agg(
+        sum(col("o_orderkey")).as("k"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 4).as("p")).collect()(0)
+      val want = Tables.orders(spark, sf).agg(
+        sum(col("o_orderkey")).as("k"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 4).as("p")).collect()(0)
+      assert(sums == want, s"$fmt content drift: $sums vs $want")
+    }
+  }
+
   test("approx julienne boundaries land near equi-depth positions") {
     val df = Tables.orders(spark, sf)
     val rows = df.count()
