@@ -171,6 +171,19 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Per-label centroid components (mean pooling): quantized vectors
+    * exploded by position, one partial-aggregated shuffle on
+    * (label, pos). Integer sums are exact, the final /n is a single
+    * IEEE division — bit-reproducible. The posting shape (row per
+    * (label, pos)) is what a k-means/IVF trainer consumes.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    quantized(emb)
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round((sum(col("v")) / count(lit(1))).cast("double") / 1e6, 6).as("mean_val"))
+
   // --- queries --------------------------------------------------------
 
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
@@ -185,11 +198,15 @@ object Similarity {
   def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(s, dir))
 
+  def qEmbedCentroids(s: SparkSession, dir: String): DataFrame =
+    labelCentroids(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_ann_brute" -> qAnnBrute _,
     "q_ann_lsh" -> qAnnLsh _,
-    "q_ann_ivf" -> qAnnIvf _)
+    "q_ann_ivf" -> qAnnIvf _,
+    "q_embed_centroids" -> qEmbedCentroids _)
 
   private val quantSql =
     """SELECT vec_id, label,
@@ -275,6 +292,11 @@ object Similarity {
       |QUALIFY rnk <= $TopK""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_embed_centroids" ->
+      s"""SELECT label, i - 1 AS pos, count(*) AS n_vecs,
+        |  round((sum(q[i])::DOUBLE / count(*)) / 1e6, 6) AS mean_val
+        |FROM ($quantSql), range(1, ${Dim + 1}) r(i)
+        |GROUP BY label, i""".stripMargin,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
     "q_embed_neardup" ->

@@ -150,7 +150,27 @@ object TextAnalysis {
     uniq.join(top, "doc_id")
   }
 
+  /** Corpus-level vocabulary statistics: total/distinct token
+    * counts, hapax legomena, and the modal term — the Zipf sanity
+    * numbers a curation pipeline reports per corpus snapshot. Two
+    * partial-aggregated shuffles on term; the top term rides a
+    * TakeOrdered, never a global window.
+    */
+  def qVocab(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val stats = tf.agg(
+      sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_count"))
+    val top = tf.orderBy(col("cnt").desc, col("term")).limit(1)
+      .select(col("term").as("top_term"), col("cnt").as("top_term_cnt"))
+    stats.crossJoin(broadcast(top))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab" -> qVocab _,
     "q_tfidf" -> qTfidf _,
     "q_langid" -> qLangid _,
     "q_quality" -> qQuality _,
@@ -163,6 +183,18 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> t IN (${list.map(w => s"'$w'").mkString(", ")}))) / len(toks)"
 
   val oracles: Map[String, String] = Map(
+    "q_vocab" ->
+      """WITH tf AS (
+        |  SELECT t AS term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents) GROUP BY t),
+        |stats AS (SELECT sum(cnt)::BIGINT AS total_tokens,
+        |    count(*) AS vocab_size,
+        |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count
+        |  FROM tf),
+        |top AS (SELECT term AS top_term, cnt AS top_term_cnt FROM tf
+        |  ORDER BY cnt DESC, term LIMIT 1)
+        |SELECT * FROM stats CROSS JOIN top""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks
