@@ -228,6 +228,20 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("component_id"))
   }
 
+  /** The APPLY step of dedup: resolve near-dup pairs to clusters,
+    * keep each cluster's minimum doc_id, and return the surviving
+    * corpus — what a curation pipeline actually materializes.
+    * Structure: pairs → components (iterative) → semi/anti joins
+    * against the corpus; docs in no cluster survive untouched.
+    */
+  def applyDedup(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    // survivors: docs not in any cluster, plus each cluster's min id
+    val losers = comp.filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // --- queries --------------------------------------------------------
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -245,12 +259,17 @@ object Dedup {
   def qDedupComponents(s: SparkSession, dir: String): DataFrame =
     connectedComponents(minhashPairs(corpus(s, dir)))
 
+  def qDedupApply(s: SparkSession, dir: String): DataFrame =
+    applyDedup(corpus(s, dir), minhashPairs(corpus(s, dir)))
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_ngram_jaccard" -> qNgramJaccard _,
-    "q_dedup_components" -> qDedupComponents _)
+    "q_dedup_components" -> qDedupComponents _,
+    "q_dedup_apply" -> qDedupApply _)
 
   private val corpusSql =
     """SELECT doc_id, text FROM documents
@@ -301,20 +320,33 @@ object Dedup {
       |    UNION ALL
       |    SELECT bmin, doc_id FROM sized WHERE bsz > $BucketCap AND doc_id <> bmin))""".stripMargin
 
+  /** Shared CTE chain: signatures → bands → capped pairs → edges →
+    * transitive closure; ends with `comps(v, component_id)`.
+    */
+  private val componentsCtes =
+    s"""WITH RECURSIVE
+      |sig AS ($sigSql),
+      |bands AS ($bandsSql),
+      |$cappedPairsSql,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |reach(v, r) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.v),
+      |comps AS (SELECT v, min(r) AS component_id FROM reach GROUP BY v)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_components" ->
-      s"""WITH RECURSIVE
-        |sig AS ($sigSql),
-        |bands AS ($bandsSql),
-        |$cappedPairsSql,
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |verts AS (SELECT DISTINCT src AS v FROM edges),
-        |reach(v, r) AS (
-        |  SELECT v, v FROM verts
-        |  UNION
-        |  SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.v)
-        |SELECT v AS doc_id, min(r) AS component_id FROM reach GROUP BY v""".stripMargin,
+      s"""$componentsCtes
+        |SELECT v AS doc_id, component_id FROM comps""".stripMargin,
+    "q_dedup_apply" ->
+      s"""$componentsCtes
+        |SELECT c.doc_id, md5(c.text) AS content_hash
+        |FROM ($corpusSql) c
+        |WHERE NOT EXISTS (SELECT 1 FROM comps
+        |  WHERE comps.v = c.doc_id AND comps.component_id <> c.doc_id)""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS dup_count
