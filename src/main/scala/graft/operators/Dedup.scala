@@ -228,6 +228,33 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("component_id"))
   }
 
+  /** Estimator quality for MinHash: per candidate pair, the
+    * signature-agreement estimate (matching components / K) next to
+    * the exact shingle-set Jaccard — the number you watch when
+    * tuning K/bands on a real corpus. Joins are all keyed on doc
+    * ids; the pair set is already candidate-bounded.
+    */
+  def minhashEstimates(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val sa = sig.toDF("doc_a" +: (0 until NumPerm).map(k => s"a$k"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until NumPerm).map(k => s"b$k"): _*)
+    val matches = (0 until NumPerm)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    val d = docs.select(col("doc_id"),
+      explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    minhashPairs(docs)
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard", round(matches / lit(NumPerm.toDouble), 6))
+      .join(d.toDF("doc_a", "hs_a"), "doc_a")
+      .join(d.toDF("doc_b", "hs_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+  }
+
   /** The APPLY step of dedup: resolve near-dup pairs to clusters,
     * keep each cluster's minimum doc_id, and return the surviving
     * corpus — what a curation pipeline actually materializes.
@@ -269,7 +296,9 @@ object Dedup {
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_dedup_components" -> qDedupComponents _,
-    "q_dedup_apply" -> qDedupApply _)
+    "q_dedup_apply" -> qDedupApply _,
+    "q_minhash_est" -> ((s: SparkSession, dir: String) =>
+      minhashEstimates(corpus(s, dir))))
 
   private val corpusSql =
     """SELECT doc_id, text FROM documents
@@ -347,6 +376,26 @@ object Dedup {
         |FROM ($corpusSql) c
         |WHERE NOT EXISTS (SELECT 1 FROM comps
         |  WHERE comps.v = c.doc_id AND comps.component_id <> c.doc_id)""".stripMargin,
+    "q_minhash_est" -> {
+      val est = (0 until NumPerm)
+        .map(k => s"CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sig AS ($sigSql),
+        |bands AS ($bandsSql),
+        |$cappedPairsSql,
+        |d AS (SELECT doc_id, list_distinct(list(h)) AS hs
+        |  FROM ($shingleTokSql) GROUP BY doc_id)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(($est) / ${NumPerm.toDouble}, 6) AS est_jaccard,
+        |  round(len(list_intersect(da.hs, db.hs)) /
+        |    (len(da.hs) + len(db.hs) - len(list_intersect(da.hs, db.hs))), 6)
+        |    AS jaccard
+        |FROM pairs p
+        |JOIN sig sa ON sa.doc_id = p.doc_a
+        |JOIN sig sb ON sb.doc_id = p.doc_b
+        |JOIN d da ON da.doc_id = p.doc_a
+        |JOIN d db ON db.doc_id = p.doc_b""".stripMargin
+    },
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS dup_count

@@ -148,6 +148,28 @@ object Relational {
       first_value(col("c_custkey")).over(w).as("richest_cust"))
   }
 
+  /** Deterministic nested-array output: per-customer sorted order
+    * key list (collect_list is unordered by contract — sort_array
+    * makes it reproducible; DuckDB mirrors with list_sort(list())).
+    */
+  def qCollect(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+
+  /** Salted-join parity through the oracle gate: the salted plan
+    * must aggregate to exactly what the plain SQL join yields.
+    */
+  def qSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    Skew.saltedJoin(li, o, "l_orderkey", salts = 7)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), msum(col("l_quantity")).as("sum_qty"))
+  }
+
   /** Rollup aggregate (subtotals + grand total). */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -306,6 +328,8 @@ object Relational {
     "q_window" -> qWindow _,
     "q_percentile" -> qPercentile _,
     "q_ntile" -> qNtile _,
+    "q_collect" -> qCollect _,
+    "q_salted" -> qSalted _,
     "q_rollup" -> qRollup _,
     "q_distinct" -> qDistinct _,
     "q_union_sort" -> qUnionSort _,
@@ -434,6 +458,15 @@ object Relational {
         |    (sum(rev) OVER (PARTITION BY l_suppkey ORDER BY month
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS running_rev
         |  FROM monthly) WHERE rnk <= 3""".stripMargin,
+    "q_collect" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  list_sort(list(o_orderkey)) AS order_keys
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q_salted" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  sum(l_quantity::DECIMAL(18,6))::DOUBLE AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
