@@ -102,6 +102,31 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(Relational.qSessionize(spark, sf)) <= 2)
   }
 
+  test("dedup/similarity shuffle counts stay pinned") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => q +: flatten(q.plan)
+        case _ => pl +: pl.children.flatMap(flatten)
+      }
+      flatten(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+    }
+    // ceilings from the current audited plans (PlanAudit): a refactor
+    // that re-computes the signature pipeline per branch or loses a
+    // broadcast shows up here as extra shuffles
+    assert(shuffles(operators.Dedup.simhashPairs(
+      operators.Dedup.corpus(spark, sf))) <= 4, "simhash pairs plan grew")
+    assert(shuffles(operators.Similarity.ivfTopK(
+      graft.sources.Tables.embeddings(spark, sf))) <= 3, "IVF plan grew")
+    assert(shuffles(operators.Similarity.lshTopK(
+      graft.sources.Tables.embeddings(spark, sf))) <= 2, "LSH ANN plan grew")
+  }
+
   test("q1 stays inside whole-stage codegen") {
     // AQE hides stage plans until execution finalizes them
     val df = Relational.q1Agg(spark, sf)
