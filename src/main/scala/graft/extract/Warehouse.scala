@@ -178,4 +178,26 @@ class Warehouse(root: String, spark: SparkSession) {
 
   def readTable(ref: DatasetRef, table: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(tablePath(ref, table).toString)
+
+  /** Direct DataFrame write into a warehouse table (the streaming
+    * foreachBatch path). Writes land in a staging directory first
+    * and swap in atomically — overwriting a parquet dir that the
+    * same plan is reading (merge-into-self) corrupts it otherwise.
+    */
+  def writeTable(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                 table: String): Unit = {
+    if (!datasetExists(ref))
+      throw new IllegalStateException(s"dataset $ref not found")
+    val target = tablePath(ref, table)
+    val staging = target.resolveSibling(s"$table.staging")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val old = target.resolveSibling(s"$table.old")
+    if (Files.exists(target)) Files.move(target, old)
+    Files.move(staging, target)
+    if (Files.exists(old)) {
+      val s = Files.walk(old)
+      try s.sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
+      finally s.close()
+    }
+  }
 }

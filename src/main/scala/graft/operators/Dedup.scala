@@ -255,6 +255,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
   }
 
+  /** Incremental dedup: which docs of a NEW batch duplicate the
+    * EXISTING corpus, or each other. The existing side's bands are
+    * the "index" (in production: computed once, stored, and only
+    * the incoming batch is hashed per run — the cost scales with the
+    * batch, not the corpus); incoming bands equi-join the index plus
+    * themselves. Output (new_doc, matched_doc).
+    */
+  def incrementalDupes(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val idx = minhashBands(minhashSignatures(existing))
+    val inc = minhashBands(minhashSignatures(incoming))
+    val vsOld = inc.toDF("new_doc", "band_n", "hash_n")
+      .join(idx.toDF("old_doc", "band_o", "hash_o"),
+        col("band_n") === col("band_o") && col("hash_n") === col("hash_o"))
+      .select(col("new_doc"), col("old_doc").as("matched_doc"))
+    val a = inc.toDF("doc_a", "band_a", "hash_a")
+    val b = inc.toDF("doc_b", "band_b", "hash_b")
+    val vsNew = a.join(b,
+        col("band_a") === col("band_b") && col("hash_a") === col("hash_b")
+          && col("doc_a") < col("doc_b"))
+      .select(col("doc_b").as("new_doc"), col("doc_a").as("matched_doc"))
+    vsOld.unionAll(vsNew).distinct()
+  }
+
   /** The APPLY step of dedup: resolve near-dup pairs to clusters,
     * keep each cluster's minimum doc_id, and return the surviving
     * corpus — what a curation pipeline actually materializes.
@@ -298,7 +321,12 @@ object Dedup {
     "q_dedup_components" -> qDedupComponents _,
     "q_dedup_apply" -> qDedupApply _,
     "q_minhash_est" -> ((s: SparkSession, dir: String) =>
-      minhashEstimates(corpus(s, dir))))
+      minhashEstimates(corpus(s, dir))),
+    "q_dedup_incremental" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      incrementalDupes(docs,
+        docs.select((col("doc_id") + Shift).as("doc_id"), col("text")))
+    }))
 
   private val corpusSql =
     """SELECT doc_id, text FROM documents
@@ -309,27 +337,33 @@ object Dedup {
        |    FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
        |          FROM ($corpusSql))""".stripMargin
 
-  private val shingleTokSql =
+  private def shingleTokSqlFor(src: String) =
     s"""SELECT doc_id, unnest(hs) AS h FROM (
        |      SELECT doc_id,
        |        list_transform(range(1, greatest(len(toks) - 1, 1)),
        |          i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2])), 1, 12))::BIGINT)
        |          AS hs
        |      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-       |            FROM ($corpusSql)))""".stripMargin
+       |            FROM ($src)))""".stripMargin
 
-  private val sigSql = {
+  private val shingleTokSql = shingleTokSqlFor(corpusSql)
+
+  private def sigSqlFor(src: String) = {
     val mins = (0 until NumPerm)
       .map(k => s"min((${A(k)} * hp + ${B(k)}) % 1000000007) AS h$k").mkString(",\n      ")
     s"""SELECT doc_id,
        |      $mins
-       |    FROM (SELECT doc_id, h % 1000000007 AS hp FROM ($shingleTokSql))
+       |    FROM (SELECT doc_id, h % 1000000007 AS hp FROM (${shingleTokSqlFor(src)}))
        |    GROUP BY doc_id""".stripMargin
   }
 
-  private val bandsSql = (0 until Bands).map { b =>
-    s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', h${2 * b}, h${2 * b + 1})) AS bh FROM sig"
+  private val sigSql = sigSqlFor(corpusSql)
+
+  private def bandsSqlFor(sigTable: String) = (0 until Bands).map { b =>
+    s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', h${2 * b}, h${2 * b + 1})) AS bh FROM $sigTable"
   }.mkString("\n    UNION ALL ")
+
+  private val bandsSql = bandsSqlFor("sig")
 
   /** Capped candidate pairs over `bands`: all-pairs within buckets
     * up to BucketCap, star edges (bucket min → member) beyond —
@@ -376,6 +410,19 @@ object Dedup {
         |FROM ($corpusSql) c
         |WHERE NOT EXISTS (SELECT 1 FROM comps
         |  WHERE comps.v = c.doc_id AND comps.component_id <> c.doc_id)""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH sig_old AS (${sigSqlFor("SELECT doc_id, text FROM documents")}),
+        |sig_new AS (${sigSqlFor("SELECT doc_id + 100000 AS doc_id, text FROM documents")}),
+        |bands_old AS (${bandsSqlFor("sig_old")}),
+        |bands_new AS (${bandsSqlFor("sig_new")})
+        |SELECT DISTINCT new_doc, matched_doc FROM (
+        |  SELECT n.doc_id AS new_doc, o.doc_id AS matched_doc
+        |  FROM bands_new n JOIN bands_old o
+        |    ON n.band_id = o.band_id AND n.bh = o.bh
+        |  UNION ALL
+        |  SELECT b.doc_id, a.doc_id
+        |  FROM bands_new a JOIN bands_new b
+        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin,
     "q_minhash_est" -> {
       val est = (0 until NumPerm)
         .map(k => s"CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END")

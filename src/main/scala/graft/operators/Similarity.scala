@@ -171,6 +171,31 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** One deterministic Lloyd (k-means) iteration over the seed
+    * centroids: assign every vector to its nearest seed (partial-
+    * aggregated argmax, broadcast seeds), then recompute centroid
+    * components as the per-cluster mean — integer sums exact, one
+    * IEEE division, rounded back to the quantized grid. Repeating
+    * this is IVF training; one step is enough to verify the whole
+    * machinery cross-engine. Output: (cid, pos, centroid_q, n_members).
+    */
+  def kmeansStep(emb: DataFrame): DataFrame = {
+    val all = quantized(emb)
+    val cents = all.filter(col("vec_id") % SeedMod === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+    val assigned = all.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"),
+        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
+      .join(all, "vec_id")
+    assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("v")) / count(lit(1)), 0).cast("long").as("centroid_q"))
+  }
+
   /** Per-label centroid components (mean pooling): quantized vectors
     * exploded by position, one partial-aggregated shuffle on
     * (label, pos). Integer sums are exact, the final /n is a single
@@ -201,12 +226,16 @@ object Similarity {
   def qEmbedCentroids(s: SparkSession, dir: String): DataFrame =
     labelCentroids(Tables.embeddings(s, dir))
 
+  def qKmeansStep(s: SparkSession, dir: String): DataFrame =
+    kmeansStep(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_ann_brute" -> qAnnBrute _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
-    "q_embed_centroids" -> qEmbedCentroids _)
+    "q_embed_centroids" -> qEmbedCentroids _,
+    "q_kmeans_step" -> qKmeansStep _)
 
   private val quantSql =
     """SELECT vec_id, label,
@@ -291,7 +320,31 @@ object Similarity {
       |FROM p
       |QUALIFY rnk <= $TopK""".stripMargin
 
+  private val kmeansStepSql =
+    s"""WITH n AS (
+      |  SELECT vec_id, label, q,
+      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+      |  FROM ($quantSql)),
+      |cents AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM n
+      |  WHERE vec_id % $SeedMod = 0),
+      |scored AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+      |      / (sqrt(n.nq::DOUBLE) * sqrt(c.cnq::DOUBLE)) AS ccos
+      |  FROM n CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS arn
+      |    FROM scored)
+      |  WHERE arn = 1)
+      |SELECT a.cid, i - 1 AS pos, count(*) AS n_members,
+      |  round(sum(q[i]) / count(*), 0)::BIGINT AS centroid_q
+      |FROM assigned a JOIN n USING (vec_id), range(1, ${Dim + 1}) r(i)
+      |GROUP BY a.cid, i""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_kmeans_step" -> kmeansStepSql,
     "q_embed_centroids" ->
       s"""SELECT label, i - 1 AS pos, count(*) AS n_vecs,
         |  round((sum(q[i])::DOUBLE / count(*)) / 1e6, 6) AS mean_val

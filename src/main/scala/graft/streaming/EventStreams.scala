@@ -163,6 +163,30 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Streaming load into the warehouse model: every micro-batch
+    * upserts by event_id into a warehouse table via foreachBatch —
+    * the streaming twin of the batch load stage. Keyed merge makes
+    * replayed batches idempotent (at-least-once source → exactly-
+    * once table), the property a production streaming sink needs.
+    */
+  def runStreamToWarehouse(spark: SparkSession, dir: String,
+                           wh: graft.extract.Warehouse,
+                           ref: graft.extract.Warehouse.DatasetRef,
+                           table: String): Unit = {
+    val q = readStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val merged =
+          if (wh.tableExists(ref, table))
+            graft.extract.Merge.upsert(wh.readTable(ref, table), batch.toDF(), "event_id")
+          else batch.toDF().dropDuplicates("event_id")
+        wh.writeTable(merged, ref, table)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Batch twin of intervalJoin for cross-checking. */
   def intervalJoinBatch(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
