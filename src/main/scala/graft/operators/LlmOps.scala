@@ -5,8 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Aggregator for the §2c LLM-training-data operator queries. */
 object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Sampling.queries
+    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Sampling.queries ++ Layout.queries
 
   val oracles: Map[String, String] =
-    Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++ Sampling.oracles
+    Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
+      Sampling.oracles ++ Layout.oracles
 }

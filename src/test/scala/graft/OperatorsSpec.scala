@@ -130,6 +130,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall collapsed — probe lists degenerate?")
   }
 
+  test("z-order layout bounds per-chunk spans on BOTH dimensions") {
+    import graft.operators.Layout
+    // both dims normalized to comparable bit widths (what a real
+    // z-order job does by rank-bucketing each column first): the sf
+    // fixture has ~15 users (4 bits), so bucket hours to 4 bits too —
+    // with mismatched widths the curve's high bits come from one dim
+    // only and chunks degenerate to ranges of that dim
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) div 3600000000) & 15").as("hr"))
+    def spans(df: org.apache.spark.sql.DataFrame) = {
+      val chunks = df
+        .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+        .groupBy("pid").agg(
+          (max("user_id") - min("user_id")).as("uspan"),
+          (max("hr") - min("hr")).as("tspan"))
+        .collect()
+      // MEAN spans: single chunks straddling a Morton octant
+      // boundary legitimately cover the domain; pruning power is an
+      // aggregate property
+      (chunks.map(_.getAs[Long]("uspan")).sum.toDouble / chunks.length,
+        chunks.map(_.getAs[Long]("tspan")).sum.toDouble / chunks.length)
+    }
+    val fullU = ev.agg(max("user_id") - min("user_id")).collect()(0).getLong(0)
+    val fullT = ev.agg(max("hr") - min("hr")).collect()(0).getLong(0)
+    // linear sort by user_id: each chunk still covers ~the whole time range
+    val (_, linearT) = spans(ev.repartitionByRange(16, col("user_id")))
+    assert(linearT >= fullT * 0.9, "fixture degenerate: time not spread")
+    // z-order: chunks are tight on BOTH dims on average
+    val (zU, zT) = spans(Layout.zOrdered(ev, col("user_id"), col("hr"), 16))
+    assert(zU <= fullU / 2.0, s"mean user span $zU not bounded (full $fullU)")
+    assert(zT <= fullT / 2.0, s"mean time span $zT not bounded (full $fullT)")
+  }
+
+  test("approx percentile sketch lands within tolerance of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val Array(approx, exact) = li.agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)"),
+      expr("percentile(l_extendedprice, 0.5)")).collect()(0)
+      .toSeq.map(v => v.toString.toDouble).toArray
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("connected components match a union-find ground truth") {
     val pairs = Dedup.minhashPairs(Dedup.corpus(spark, sf))
     val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
