@@ -34,6 +34,27 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
 
+  /** Rank-bucket a column into 2^`bits` equi-depth buckets via an
+    * approxQuantile sketch (one scan, driver-side bounds, then a
+    * narrow comparison against the broadcast bound array) — the
+    * normalization z-order needs so both dims contribute comparable
+    * bit widths to the curve; raw values with mismatched ranges put
+    * all high curve bits on one dimension.
+    */
+  def rankBucket(df: DataFrame, c: Column, bits: Int): Column = {
+    val n = 1 << bits
+    val bounds = df.select(c.cast("double").as("__rb")).stat
+      .approxQuantile("__rb", (1 until n).map(_.toDouble / n).toArray, 0.001)
+      .distinct.sorted
+    aggregate(typedlit(bounds.toSeq), lit(0L),
+      (acc, bound) => acc + when(c.cast("double") > bound, 1L).otherwise(0L))
+  }
+
+  /** zOrdered with both dims rank-normalized to `bits` each. */
+  def zOrderedRanked(df: DataFrame, a: Column, b: Column,
+                     partitions: Int, bits: Int = 8): DataFrame =
+    zOrdered(df, rankBucket(df, a, bits), rankBucket(df, b, bits), partitions)
+
   /** events keyed by (user_id, hour-of-epoch), both masked to 16
     * bits — the z-values a layout job would range-partition on.
     */

@@ -164,6 +164,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(zT <= fullT / 2.0, s"mean time span $zT not bounded (full $fullT)")
   }
 
+  test("rank-normalized z-order needs no manual width matching") {
+    import graft.operators.Layout
+    // raw dims with wildly mismatched ranges (15 users vs epoch
+    // hours in the hundreds of thousands): zOrderedRanked buckets
+    // both to equal widths itself
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("hr"))
+    val chunks = Layout.zOrderedRanked(ev, col("user_id"), col("hr"), 16, bits = 4)
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("pid").agg(
+        (max("user_id") - min("user_id")).as("uspan"),
+        (max("hr") - min("hr")).as("tspan"))
+      .collect()
+    val meanU = chunks.map(_.getAs[Long]("uspan")).sum.toDouble / chunks.length
+    val meanT = chunks.map(_.getAs[Long]("tspan")).sum.toDouble / chunks.length
+    val fullU = ev.agg(max("user_id") - min("user_id")).collect()(0).getLong(0)
+    val fullT = ev.agg(max("hr") - min("hr")).collect()(0).getLong(0)
+    assert(meanU <= fullU / 2.0, s"mean user span $meanU (full $fullU)")
+    assert(meanT <= fullT / 2.0, s"mean time span $meanT (full $fullT)")
+  }
+
   test("approx percentile sketch lands within tolerance of exact") {
     val li = Tables.lineitem(spark, sf)
     val Array(approx, exact) = li.agg(
