@@ -116,17 +116,28 @@ object PartitionPlanner {
     * Returns (slice_id, boundary_key) like the exact planner.
     */
   def julienneBoundariesApprox(df: DataFrame, key: String, rowsPerPartition: Long,
-                               relativeError: Double = 0.01): DataFrame = {
+                               gridSize: Int = 512): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df.count()
+    // ONE pass: row count and a fine quantile grid come from the same
+    // aggregate (partition count depends on the count, so per-p probs
+    // would force a second scan); boundaries are then picked from the
+    // grid driver-side. Grid error ≤ 1/gridSize of the row count only
+    // nudges slice balance — coverage never depends on it.
+    val gridProbs = (1 until gridSize).map(_.toDouble / gridSize)
+    val row = df.select(col(key).cast("double").as("k"))
+      .agg(count(lit(1)).as("c"),
+        expr(s"percentile_approx(k, array(${gridProbs.mkString(",")}), 1000)").as("g"))
+      .collect()(0)
+    val rows = row.getAs[Long]("c")
+    val grid = row.getSeq[Double](1)
     val p = math.max(1L, math.round(rows.toDouble / rowsPerPartition))
     if (p <= 1) return Seq.empty[(Long, Long)].toDF("slice_id", "boundary_key")
-    val probs = (1L until p).map(_.toDouble / p).toArray
-    val keyed = df.select(col(key).cast("double").as("k"))
-    val bounds = keyed.stat.approxQuantile("k", probs, relativeError)
-    bounds.zipWithIndex.map { case (b, i) => ((i + 1).toLong, b.toLong) }
-      .toSeq.toDF("slice_id", "boundary_key")
+    (1L until p).map { i =>
+      val gi = math.min(grid.size - 1, math.max(0,
+        math.round(i.toDouble * gridSize / p).toInt - 1))
+      (i, grid(gi).toLong)
+    }.toDF("slice_id", "boundary_key")
   }
 
   /** Range partition bounds exactly as Spark's JDBC source computes

@@ -39,6 +39,16 @@ object GraftFunctions {
   def tokenHash(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
+  /** Scalar twin of `tokenHash` (first 6 md5 bytes, big-endian) for
+    * driver-side constant generation (LSH hyperplanes, test refs).
+    */
+  def tokenHashLong(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
   /** tokenHash reduced mod 1e9+7 (keeps a*h+b inside 2^63). */
   val HashP = 1000000007L
   def tokenHashP(c: Column): Column = tokenHash(c) % HashP

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Pure-function properties (no Spark session): the deterministic
+  * primitives the oracle parity rests on, checked over generated
+  * inputs rather than fixtures.
+  */
+object GraftProps extends Properties("graft") {
+
+  // --- z-curve ---------------------------------------------------------
+
+  private def interleave(a: Long, b: Long): Long =
+    (0 until 16).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+
+  private def deinterleave(z: Long): (Long, Long) = {
+    var a = 0L; var b = 0L
+    (0 until 16).foreach { i =>
+      a |= ((z >> (2 * i)) & 1L) << i
+      b |= ((z >> (2 * i + 1)) & 1L) << i
+    }
+    (a, b)
+  }
+
+  private val dim16 = Gen.choose(0L, 65535L)
+
+  property("zValue is a bijection on 16-bit pairs") =
+    forAll(dim16, dim16) { (a, b) => deinterleave(interleave(a, b)) == ((a, b)) }
+
+  property("zValue is monotone per dimension within an octant") =
+    forAll(Gen.choose(0L, 65534L), dim16) { (a, b) =>
+      // raising a by 1 inside the same power-of-two block raises z
+      interleave(a + 1, b) != interleave(a, b)
+    }
+
+  // --- normalization ---------------------------------------------------
+
+  private val anyString = Gen.asciiPrintableStr
+
+  property("normalizeStr is idempotent") = forAll(anyString) { s =>
+    val once = graft.functions.GraftFunctions.normalizeStr(s)
+    graft.functions.GraftFunctions.normalizeStr(once) == once
+  }
+
+  property("normalizeStr output is lowercase [a-z0-9_]") = forAll(anyString) { s =>
+    graft.functions.GraftFunctions.normalizeStr(s)
+      .forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_')
+  }
+
+  // --- 48-bit md5 token hash ------------------------------------------
+
+  property("tokenHashLong stays within 48 bits and matches md5 prefix") =
+    forAll(anyString) { s =>
+      val h = graft.functions.GraftFunctions.tokenHashLong(s)
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val ref = java.lang.Long.parseLong(
+        d.take(6).map("%02x".format(_)).mkString, 16)
+      h == ref && h >= 0L && h < (1L << 48)
+    }
+
+  // --- julienne predicate coverage ------------------------------------
+
+  property("julienne-style predicates partition any boundary list") = {
+    val boundaries = Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L))
+      .map(_.distinct.sorted)
+    forAll(boundaries, Gen.choose(-1100L, 1100L)) { (bs, k) =>
+      // first slice: k <= b0; middle: prev < k <= b; last: k > bMax —
+      // every key must land in exactly one slice
+      val hits = (bs.indices.map { i =>
+        if (i == 0) k <= bs(0) else k > bs(i - 1) && k <= bs(i)
+      } :+ (k > bs.last)).count(identity)
+      Prop(hits == 1) :| s"k=$k boundaries=$bs hits=$hits"
+    }
+  }
+}
