@@ -76,14 +76,10 @@ object Similarity {
     * integer weights in [-1000, 1000] derived from md5 —
     * reproducible everywhere.
     */
-  lazy val planes: Array[Array[Array[Long]]] = {
-    val mdt = java.security.MessageDigest.getInstance("MD5")
+  lazy val planes: Array[Array[Array[Long]]] =
     Array.tabulate(NumTables, NumPlanes, Dim) { (t, j, d) =>
-      val hex = mdt.digest(s"hp_${t}_${j}_$d".getBytes("UTF-8"))
-        .take(6).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+      graft.functions.GraftFunctions.tokenHashLong(s"hp_${t}_${j}_$d") % 2001L - 1000L
     }
-  }
 
   /** Sign-bucket of a quantized vector in LSH table `t`. */
   def lshBucket(q: org.apache.spark.sql.Column, t: Int): org.apache.spark.sql.Column =

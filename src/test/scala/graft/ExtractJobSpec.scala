@@ -146,10 +146,7 @@ class ExtractJobSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
     assert(sh.length == 2)
     // equals the md5-prefix of 'abc' and 'bcd'
-    def ref(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
-      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
-    }
-    assert(sh == Seq(ref("abc"), ref("bcd")))
+    import graft.functions.GraftFunctions.tokenHashLong
+    assert(sh == Seq(tokenHashLong("abc"), tokenHashLong("bcd")))
   }
 }
