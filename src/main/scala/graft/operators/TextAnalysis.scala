@@ -169,8 +169,31 @@ object TextAnalysis {
     stats.crossJoin(broadcast(top))
   }
 
+  /** Benchmark decontamination: training docs sharing any word
+    * 5-gram with the benchmark set, with overlap counts — the
+    * standard train/test leakage screen. The benchmark's distinct
+    * shingle set is small by construction and BROADCASTS; the
+    * training corpus never shuffles on anything but its own doc_id
+    * aggregate, so the screen scales with the corpus. Here every
+    * 100th doc stands in as "benchmark" (it is trivially leaked into
+    * the corpus, so the screen provably fires).
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchSh = docs.filter(col("doc_id") % 100 === 0)
+      .select(explode(shingleHashes(tokens(col("text")), 5)).as("h"))
+      .distinct()
+    val trainSh = docs
+      .select(col("doc_id"), explode(shingleHashes(tokens(col("text")), 5)).as("h"))
+      .distinct()
+    trainSh.join(broadcast(benchSh), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab" -> qVocab _,
+    "q_decontaminate" -> qDecontaminate _,
     "q_tfidf" -> qTfidf _,
     "q_langid" -> qLangid _,
     "q_quality" -> qQuality _,
@@ -183,6 +206,21 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> t IN (${list.map(w => s"'$w'").mkString(", ")}))) / len(toks)"
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(hs) AS h FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(1, greatest(len(toks) - 3, 1)),
+        |        i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1],
+        |               toks[i+2], toks[i+3], toks[i+4])), 1, 12))::BIGINT) AS hs
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(lower(trim(text)), '\s+') AS toks
+        |          FROM documents))),
+        |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0),
+        |train AS (SELECT DISTINCT doc_id, h FROM sh)
+        |SELECT t.doc_id, count(*) AS n_shared_shingles
+        |FROM train t JOIN bench b ON t.h = b.h
+        |GROUP BY t.doc_id""".stripMargin,
     "q_vocab" ->
       """WITH tf AS (
         |  SELECT t AS term, count(*) AS cnt FROM (
