@@ -41,8 +41,11 @@ object ExtractQueries {
     * planner): every orders row must match EXACTLY ONE generated
     * predicate. Output is the histogram of per-row match counts — a
     * single row (1, N) iff the predicates partition the key domain.
-    * Rows-only CORRECTNESS entry: boundary VALUES are sketch-
-    * dependent, the partition property is not.
+    * The boundary VALUES are sketch-dependent, but the partition
+    * property is not, so the oracle states the invariant directly:
+    * SELECT 1, count(*) FROM orders. Any gap or overlap in the
+    * generated predicates produces extra histogram rows and fails
+    * the row/hash compare.
     */
   def qJulienneApprox(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir)
@@ -50,7 +53,7 @@ object ExtractQueries {
     val preds = PartitionPlanner.juliennePredicates(bounds, "o_orderkey")
       .orderBy(col("pred_id")).collect().map(_.getAs[String]("predicate"))
     val matches = preds.map(p => when(expr(p), 1).otherwise(0)).reduce(_ + _)
-    orders.select(matches.as("match_count"))
+    orders.select(matches.cast("long").as("match_count"))
       .groupBy(col("match_count")).agg(count(lit(1)).as("n_rows"))
   }
 
@@ -180,6 +183,8 @@ object ExtractQueries {
       |    count(DISTINCT c_custkey) FROM customer""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_julienne_approx" ->
+      "SELECT 1::BIGINT AS match_count, count(*)::BIGINT AS n_rows FROM orders",
     "q_scd2" ->
       """WITH versions AS (
         |  SELECT o_orderkey, o_totalprice, o_orderdate AS valid_from FROM orders

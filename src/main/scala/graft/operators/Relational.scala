@@ -148,15 +148,21 @@ object Relational {
       first_value(col("c_custkey")).over(w).as("richest_cust"))
   }
 
-  /** Deterministic nested-array output: per-customer sorted order
-    * key list (collect_list is unordered by contract — sort_array
-    * makes it reproducible; DuckDB mirrors with list_sort(list())).
+  /** Deterministic nested-array aggregation: per-customer sorted
+    * order key list (collect_list is unordered by contract —
+    * sort_array makes it reproducible), emitted as a canonical
+    * comma-joined string. The gate's comparator hashes scalar cells
+    * (array cells broke the r2 driver compare), so the list is
+    * serialized identically on both sides: DuckDB mirrors with
+    * string_agg(k, ',' ORDER BY k). Integer-to-string rendering is
+    * engine-identical; the sort happens numerically pre-cast.
     */
   def qCollect(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        expr("array_join(transform(sort_array(collect_list(o_orderkey))," +
+          " x -> cast(x AS STRING)), ',')").as("order_keys"))
 
   /** Salted-join parity through the oracle gate: the salted plan
     * must aggregate to exactly what the plain SQL join yields.
@@ -460,7 +466,7 @@ object Relational {
         |  FROM monthly) WHERE rnk <= 3""".stripMargin,
     "q_collect" ->
       """SELECT o_custkey, count(*) AS n_orders,
-        |  list_sort(list(o_orderkey)) AS order_keys
+        |  string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys
         |FROM orders GROUP BY o_custkey""".stripMargin,
     "q_salted" ->
       """SELECT o_orderstatus, count(*) AS cnt,
