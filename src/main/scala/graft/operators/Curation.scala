@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * runs before tokenization: PII/URL scrubbing, passage chunking
+  * with chunk-level dedup stats, and training-mixture (temperature
+  * sampling) planning. All either narrow per-row transforms or
+  * 1-2 partial-aggregated shuffles — no all-pairs joins, nothing
+  * driver-resident; horizontal at 100 TB.
+  */
+object Curation {
+
+  // --- PII / URL scrubbing -------------------------------------------
+
+  /** Redaction patterns: kept to the regex subset with identical
+    * semantics in Java (Spark) and RE2 (DuckDB) — character classes,
+    * greedy counted repeats, alternation-free.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val NumRe = "\\+?[0-9][0-9-]{3,}"
+
+  /** Scrub emails, then URLs, then digit runs (order matters: the
+    * e-mail/URL bodies contain digit runs of their own).
+    */
+  def scrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      NumRe, "<NUM>")
+
+  /** The synthetic corpus is PII-free word soup, so the query seeds
+    * each document with deterministic contact/URL facts derived from
+    * its own key columns — both engines build the identical string —
+    * and then proves the scrubber removes them. Counts are measured
+    * on the pre-scrub text; the scrubbed text ships as a 48-bit md5
+    * hash (md5-prefix parity per the oracle rules).
+    */
+  def qScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" reach user"), col("doc_id").cast("string"),
+      lit("@mail.example.net ref +1-555-"),
+      lpad((col("doc_id") * 7919 % 10000).cast("string"), 4, "0"),
+      lit(" see https://data.example.org/"), col("source"),
+      lit("/p"), col("doc_id").cast("string"))
+    // regexes go through functions/lit (Java regex verbatim), never
+    // through expr() SQL string literals, whose escape processing
+    // would strip the backslashes
+    Tables.documents(s, dir)
+      .withColumn("aug", aug)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("aug"), lit(NumRe), lit(0))).cast("long").as("n_nums"),
+        length(col("aug")).cast("long").as("n_chars_raw"),
+        length(scrub(col("aug"))).cast("long").as("n_chars_scrubbed"),
+        tokenHash(scrub(col("aug"))).as("scrub_hash"))
+  }
+
+  // --- passage chunking + chunk-level dedup --------------------------
+
+  val ChunkWords = 10
+
+  /** Non-overlapping ChunkWords-word passage hashes per document.
+    * The md5 hash is applied INSIDE the producing transform lambda —
+    * consuming a HOF's string output from a second lambda mis-binds
+    * on Spark 4.1 (see GraftFunctions.shingleHashes).
+    */
+  def chunkHashes(textCol: String): Column =
+    // escaping: s-interpolator halves \\\\ to \\, Spark's SQL literal
+    // unescape halves again — the regex engine sees \s+
+    expr(s"""transform(
+      sequence(0, greatest(0, cast(ceil(size(split(lower(trim($textCol)), '\\\\s+')) / $ChunkWords.0) as int) - 1)),
+      i -> cast(conv(substring(md5(concat_ws(' ',
+        slice(split(lower(trim($textCol)), '\\\\s+'), i * $ChunkWords + 1, $ChunkWords))), 1, 12), 16, 10) as bigint))""")
+
+  /** Chunk-granularity dedup stats (the RefinedWeb/Gopher-style
+    * "duplicated passage fraction" signal): explode chunk hashes,
+    * count global occurrences per hash (one partial-aggregated
+    * shuffle), re-aggregate per document. At 100 TB both shuffles
+    * key on the 48-bit hash — uniform by construction, no hot keys.
+    */
+  def qChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(chunkHashes("text")).as("ch"))
+    val counts = exploded.groupBy(col("ch")).agg(count(lit(1)).as("n_occ"))
+    exploded.join(counts, "ch")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("ch")).as("n_unique_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
+
+  // --- training-mixture planning -------------------------------------
+
+  /** Temperature-sampled mixture weights per source (the standard
+    * multilingual/multi-source recipe: w_i ∝ share_i^alpha with
+    * alpha = 1/2). sqrt is correctly rounded in IEEE 754 so both
+    * engines produce the identical double; the weight is then
+    * FLOOR-quantized to a 1e6 grid so the normalizing sum is an
+    * exact integer sum (floor of a double is representation-stable;
+    * round() is not — oracle rule). Two tiny aggregates + two
+    * broadcast joins; the per-source table is O(sources).
+    */
+  def qMixture(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+      .withColumn("wq", floor(sqrt(col("share")) * 1e6).cast("long"))
+    val wtot = shared.agg(sum(col("wq")).as("wq_tot"))
+    shared.crossJoin(broadcast(wtot))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("token_share"),
+        round(col("wq").cast("double") / col("wq_tot").cast("double"), 6).as("weight"),
+        round(col("wq").cast("double") / col("wq_tot").cast("double") / col("share"), 6)
+          .as("sample_factor"))
+  }
+
+  // --- driver contract -----------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scrub" -> qScrub _,
+    "q_chunk_dedup" -> qChunkDedup _,
+    "q_mixture" -> qMixture _)
+
+  // single line: interpolating multi-line SQL into a stripMargin
+  // string would let the outer stripMargin eat the first | of a ||
+  private val augSql =
+    "text || ' reach user' || doc_id::VARCHAR || '@mail.example.net ref +1-555-' || lpad(((doc_id * 7919) % 10000)::VARCHAR, 4, '0') || ' see https://data.example.org/' || source || '/p' || doc_id::VARCHAR"
+
+  private val chunkSql =
+    s"""SELECT doc_id,
+      |  unnest(list_transform(
+      |    range(0, greatest(1, ceil(len(t) / $ChunkWords.0)::INT)),
+      |    i -> ('0x' || substr(md5(array_to_string(
+      |      list_slice(t, i * $ChunkWords + 1, i * $ChunkWords + $ChunkWords), ' ')), 1, 12))::BIGINT)) AS ch
+      |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |      FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_scrub" ->
+      s"""WITH a AS (SELECT doc_id, ($augSql) AS aug FROM documents),
+        |s AS (SELECT doc_id, aug,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '$EmailRe', '<EMAIL>', 'g'),
+        |    '$UrlRe', '<URL>', 'g'),
+        |    '$NumRe', '<NUM>', 'g') AS scrubbed
+        |  FROM a)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug, '$EmailRe'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(aug, '$UrlRe'))::BIGINT AS n_urls,
+        |  len(regexp_extract_all(aug, '$NumRe'))::BIGINT AS n_nums,
+        |  strlen(aug)::BIGINT AS n_chars_raw,
+        |  strlen(scrubbed)::BIGINT AS n_chars_scrubbed,
+        |  ('0x' || substr(md5(scrubbed), 1, 12))::BIGINT AS scrub_hash
+        |FROM s""".stripMargin,
+    "q_chunk_dedup" ->
+      s"""WITH ch AS ($chunkSql),
+        |cc AS (SELECT ch, count(*) AS n_occ FROM ch GROUP BY ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  count(DISTINCT ch.ch) AS n_unique_chunks,
+        |  sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+        |  round(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+        |    / count(*), 6) AS dup_frac
+        |FROM ch JOIN cc USING (ch)
+        |GROUP BY doc_id""".stripMargin,
+    "q_mixture" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(string_split_regex(lower(trim(text)), '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |sh AS (
+        |  SELECT *, n_tokens::DOUBLE / (sum(n_tokens) OVER ())::BIGINT::DOUBLE AS share
+        |  FROM per),
+        |wq AS (
+        |  SELECT *, floor(sqrt(share) * 1e6)::BIGINT AS w FROM sh),
+        |n AS (SELECT *, (sum(w) OVER ())::BIGINT AS w_tot FROM wq)
+        |SELECT source, n_docs, n_tokens,
+        |  round(share, 6) AS token_share,
+        |  round(w::DOUBLE / w_tot::DOUBLE, 6) AS weight,
+        |  round(w::DOUBLE / w_tot::DOUBLE / share, 6) AS sample_factor
+        |FROM n""".stripMargin)
+}

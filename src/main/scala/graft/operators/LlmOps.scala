@@ -6,9 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Sampling.queries ++ Layout.queries
+      Sampling.queries ++ Layout.queries ++ Curation.queries
 
   val oracles: Map[String, String] =
     Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Sampling.oracles ++ Layout.oracles
+      Sampling.oracles ++ Layout.oracles ++ Curation.oracles
 }

@@ -317,7 +317,77 @@ object Relational {
         col("asof_event_id").as("asof_click_id"), col("n_right_before").as("n_clicks_before"))
   }
 
+  /** Batch interval (range) join, binned: for every event, count and
+    * sum the same-type events within ±RangeJoinWindow. A naive theta
+    * join (|Δts| ≤ w) is O(n·m) in Spark — BroadcastNestedLoop at any
+    * scale. Binning ts to window-width buckets turns it into an
+    * equi-join on (type, bin): each probe row expands to 3 candidate
+    * bins (b-1, b, b+1 cover every |Δ| ≤ w neighbor exactly once,
+    * since a neighbor's bin is fixed), the join shuffles on the bin
+    * key, and the exact |Δ| predicate filters residuals — the
+    * standard distributed range-join rewrite (DuckDB's native IEJoin
+    * verifies it). At 100 TB the bin key is (type, 10-min bucket):
+    * uniform-ish by construction; AQE skew-split covers hot buckets.
+    */
+  val RangeJoinWindowUs: Long = 600L * 1000000L
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("et"), col("value"))
+    val bin = (c: org.apache.spark.sql.Column) =>
+      floor(c / lit(RangeJoinWindowUs)).cast("long")
+    val probe = ev.withColumn("nb",
+      explode(array(bin(col("et")) - 1, bin(col("et")), bin(col("et")) + 1)))
+    val build = ev.toDF("n_event_id", "n_event_type", "n_et", "n_value")
+      .withColumn("n_bin", bin(col("n_et")))
+    val agg = probe.join(build,
+        col("nb") === col("n_bin") && col("event_type") === col("n_event_type")
+          && col("event_id") =!= col("n_event_id")
+          && abs(col("et") - col("n_et")) <= RangeJoinWindowUs)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nbrs"), msum(col("n_value")).as("sum_nbr_value"))
+    ev.select(col("event_id")).join(agg, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        coalesce(col("sum_nbr_value"), lit(0.0)).as("sum_nbr_value"))
+  }
+
+  /** Calendar gap-fill + cumulative: daily per-type counts joined
+    * against the full (type × day) grid — the grid sides are an
+    * exploded 1-row min/max aggregate and a distinct-types dim, both
+    * broadcast (BNLJ over tiny sides, never a shuffled cartesian) —
+    * then a per-type running total (partitioned window).
+    */
+  def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    days.crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("cum_events", sum(col("n_events")).over(w))
+      .select(col("event_type"), col("day"), col("n_events"), col("cum_events"))
+  }
+
+  /** Set operations: INTERSECT ALL-distinct semantics + EXCEPT, both
+    * compiled to hash joins by Catalyst (left-semi / left-anti over
+    * distinct inputs) — no sort, partial-agg dedup first.
+    */
+  def qSetops(s: SparkSession, dir: String): DataFrame = {
+    val byStatus = (st: String) => Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === st).select(col("o_custkey"))
+    byStatus("F").intersect(byStatus("O")).except(byStatus("P"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> qRangeJoin _,
+    "q_gapfill" -> qGapfill _,
+    "q_setops" -> qSetops _,
     "q_json_extract" -> qJsonExtract _,
     "q_outer_join" -> qOuterJoin _,
     "q_cube" -> qCube _,
@@ -344,6 +414,32 @@ object Relational {
     "q_sessionize" -> qSessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_range_join" ->
+      s"""SELECT e.event_id, count(n.event_id)::BIGINT AS n_nbrs,
+        |  coalesce(sum(n.value::DECIMAL(18,6)), 0)::DOUBLE AS sum_nbr_value
+        |FROM events e LEFT JOIN events n
+        |  ON n.event_type = e.event_type AND n.event_id <> e.event_id
+        |  AND abs(epoch_us(n.ts) - epoch_us(e.ts)) <= ${RangeJoinWindowUs}
+        |GROUP BY e.event_id""".stripMargin,
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |grid AS (SELECT t.event_type, days.day
+        |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN days)
+        |SELECT g.event_type, g.day, coalesce(d.n, 0)::BIGINT AS n_events,
+        |  (sum(coalesce(d.n, 0))
+        |     OVER (PARTITION BY g.event_type ORDER BY g.day))::BIGINT AS cum_events
+        |FROM grid g LEFT JOIN daily d
+        |  ON d.event_type = g.event_type AND d.day = g.day""".stripMargin,
+    "q_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
         |  count(k) AS n_with_k, sum(k)::BIGINT AS sum_k,

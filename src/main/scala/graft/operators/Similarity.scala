@@ -137,8 +137,19 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
     val all = quantized(emb)
-    val cents = all.filter(col("vec_id") % SeedMod === 0)
+    searchIvf(all, seedCentroids(all), k)
+  }
+
+  /** Seed coarse centroids: every SeedMod-th vector. */
+  def seedCentroids(all: DataFrame): DataFrame =
+    all.filter(col("vec_id") % SeedMod === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+
+  /** IVF search against an arbitrary centroid set (seeded or
+    * trained): assignment + probing + posting-list join as described
+    * on ivfTopK.
+    */
+  private def searchIvf(all: DataFrame, cents: DataFrame, k: Int): DataFrame = {
     val scored = all.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
     // nearest centroid per vector: partial-aggregatable argmax with a
@@ -165,6 +176,90 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Trained coarse quantizer: TrainIters full Lloyd iterations from
+    * the deterministic seeds. Each iteration is one broadcast of the
+    * (tiny) centroid set + one partial-aggregated argmax over the
+    * corpus + one (cid, pos) mean aggregation — at 100 TB that is
+    * 2 shuffles per iteration, nothing resident on the driver, and
+    * the centroid table never exceeds C×Dim rows. Means land back on
+    * the quantized grid (round half-away), so every iteration stays
+    * integer-exact and cross-engine reproducible.
+    */
+  val TrainIters = 2
+  def trainCentroids(all: DataFrame, iters: Int = TrainIters): DataFrame = {
+    var cents = seedCentroids(all)
+    for (_ <- 1 to iters) {
+      val assigned = all.join(broadcast(cents))
+        .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"),
+          struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
+        .join(all, "vec_id")
+      // per-(cluster, position) mean, then rebuild the vector sorted
+      // by position (struct sort keys on pos first; pos is unique)
+      cents = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(sum(col("v")) / count(lit(1)), 0).cast("long").as("cv"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cq"))
+        .withColumn("cnq", normQ(col("cq")))
+    }
+    cents
+  }
+
+  /** IVF ANN over the TRAINED quantizer (SURVEY §7 r3): identical
+    * search path to ivfTopK but probing Lloyd-trained posting lists —
+    * the standard IVF recipe (train coarse quantizer, assign, probe).
+    */
+  def ivfTrainedTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val all = quantized(emb)
+    searchIvf(all, trainCentroids(all), k)
+  }
+
+  /** Retrieve-then-rerank (SURVEY §7 r3): stage 1 retrieves RerankPool
+    * candidates per query from the LSH tables by quantized cosine
+    * (cheap, bucketed — never touches the full corpus); stage 2
+    * re-scores only that pool with a richer function and keeps the
+    * top k. The rerank score here is a deterministic cross-feature
+    * proxy (cosine blended with a label-match bonus) standing in for
+    * a cross-encoder model call — at scale stage 2 would be a
+    * mapInPandas batch over ~RerankPool×|queries| rows, which is why
+    * the retrieve/rerank split matters: the expensive scorer sees
+    * 10^2-10^3 fewer pairs than the corpus join.
+    */
+  val RerankPool = 20
+  val RerankCosWeight = 0.9
+  // NOT derived as 1 - RerankCosWeight: 1.0 - 0.9 = 0.09999999999999998
+  // in IEEE doubles, and the oracle writes the literal 0.1.
+  val RerankLabelWeight = 0.1
+  def rerankTopK(emb: DataFrame, pool: Int = RerankPool, k: Int = TopK): DataFrame = {
+    val all = bucketed(emb)
+    val qs = all.toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q")
+      .filter(col("query_id") % QueryMod === 0)
+    val wRetr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    val retrieved = all.join(broadcast(qs),
+        col("tbl") === col("tbl_q") && col("bucket") === col("bucket_q")
+          && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("label_q"),
+        col("q"), col("nq"), col("q_q"), col("nq_q"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+      .withColumn("retrieval_rnk", row_number().over(wRetr))
+      .filter(col("retrieval_rnk") <= pool)
+    val wRer = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rscore").desc, col("vec_id"))
+    retrieved
+      .withColumn("rscore", col("cos") * RerankCosWeight
+        + (col("label") === col("label_q")).cast("double") * RerankLabelWeight)
+      .withColumn("rnk", row_number().over(wRer))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("retrieval_rnk"), round(col("rscore"), 6).as("rerank_score"))
   }
 
   /** One deterministic Lloyd (k-means) iteration over the seed
@@ -230,6 +325,8 @@ object Similarity {
     "q_ann_brute" -> qAnnBrute _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
+    "q_ann_ivf_trained" -> ((s, dir) => ivfTrainedTopK(Tables.embeddings(s, dir))),
+    "q_ann_rerank" -> ((s, dir) => rerankTopK(Tables.embeddings(s, dir))),
     "q_embed_centroids" -> qEmbedCentroids _,
     "q_kmeans_step" -> qKmeansStep _)
 
@@ -316,6 +413,110 @@ object Similarity {
       |FROM p
       |QUALIFY rnk <= $TopK""".stripMargin
 
+  /** One Lloyd iteration as CTE text: centroids `prev` → `out`.
+    * Mirrors trainCentroids exactly (argmax assignment with
+    * (ccos DESC, cid) tie-break, per-(cid, pos) grid-rounded mean,
+    * vector rebuild ordered by position).
+    */
+  private def lloydIterSql(prev: String, out: String): String =
+    s"""s_$out AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+      |      / (sqrt(n.nq::DOUBLE) * sqrt(c.cnq::DOUBLE)) AS ccos
+      |  FROM n CROSS JOIN $prev c),
+      |a_$out AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS arn
+      |    FROM s_$out)
+      |  WHERE arn = 1),
+      |m_$out AS (
+      |  SELECT a.cid, i, round(sum(q[i]) / count(*), 0)::BIGINT AS cv
+      |  FROM a_$out a JOIN n USING (vec_id), range(1, ${Dim + 1}) r(i)
+      |  GROUP BY a.cid, i),
+      |$out AS (
+      |  SELECT cid, cq,
+      |    list_sum(list_transform(range(1, len(cq) + 1), i -> cq[i] * cq[i]))::BIGINT AS cnq
+      |  FROM (SELECT cid, list(cv ORDER BY i) AS cq FROM m_$out GROUP BY cid))""".stripMargin
+
+  private val annIvfTrainedSql =
+    s"""WITH n AS (
+      |  SELECT vec_id, label, q,
+      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+      |  FROM ($quantSql)),
+      |c0 AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM n
+      |  WHERE vec_id % $SeedMod = 0),
+      |${lloydIterSql("c0", "c1")},
+      |${lloydIterSql("c1", "c2")},
+      |scored AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+      |      / (sqrt(n.nq::DOUBLE) * sqrt(c.cnq::DOUBLE)) AS ccos
+      |  FROM n CROSS JOIN c2 c),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS arn
+      |    FROM scored)
+      |  WHERE arn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+      |    FROM scored WHERE vec_id % $QueryMod = 0)
+      |  WHERE crn <= $NProbe),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, a.vec_id
+      |  FROM assigned a JOIN probes p ON a.cid = p.cid
+      |    AND a.vec_id <> p.query_id),
+      |p AS (
+      |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * q.q[i]))::DOUBLE
+      |      / (sqrt(c.nq::DOUBLE) * sqrt(q.nq::DOUBLE)) AS cos
+      |  FROM cand JOIN n c ON c.vec_id = cand.vec_id
+      |            JOIN n q ON q.vec_id = cand.query_id)
+      |SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
+      |  round(cos, 6) AS cos_sim
+      |FROM p
+      |QUALIFY rnk <= $TopK""".stripMargin
+
+  private val annRerankSql =
+    s"""WITH n AS (
+      |  SELECT vec_id, label, q,
+      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq,
+      |    (${bucketSql(0)}) AS b0,
+      |    (${bucketSql(1)}) AS b1
+      |  FROM ($quantSql)),
+      |qs AS (SELECT * FROM n WHERE vec_id % $QueryMod = 0),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+      |  FROM n c JOIN qs q ON (c.b0 = q.b0 OR c.b1 = q.b1)
+      |    AND c.vec_id <> q.vec_id),
+      |p AS (
+      |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+      |    c.label AS label_c, q.label AS label_q,
+      |    list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * q.q[i]))::DOUBLE
+      |      / (sqrt(c.nq::DOUBLE) * sqrt(q.nq::DOUBLE)) AS cos
+      |  FROM cand JOIN n c ON c.vec_id = cand.vec_id
+      |            JOIN n q ON q.vec_id = cand.query_id),
+      |pool AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS retrieval_rnk
+      |    FROM p)
+      |  WHERE retrieval_rnk <= $RerankPool),
+      |rr AS (
+      |  SELECT query_id, neighbor_id, retrieval_rnk,
+      |    cos * $RerankCosWeight
+      |      + (CASE WHEN label_c = label_q THEN $RerankLabelWeight ELSE 0.0 END) AS rscore
+      |  FROM pool)
+      |SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY rscore DESC, neighbor_id) AS rnk,
+      |  retrieval_rnk, round(rscore, 6) AS rerank_score
+      |FROM rr
+      |QUALIFY rnk <= $TopK""".stripMargin
+
   private val kmeansStepSql =
     s"""WITH n AS (
       |  SELECT vec_id, label, q,
@@ -348,6 +549,8 @@ object Similarity {
         |GROUP BY label, i""".stripMargin,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivf_trained" -> annIvfTrainedSql,
+    "q_ann_rerank" -> annRerankSql,
     "q_embed_neardup" ->
       s"""WITH base AS (
         |  SELECT vec_id, label, q FROM ($quantSql)

@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Relational, Similarity}
+import graft.sources.Tables
+
+/** Round-3 surface: curation ops (scrub / chunk dedup / mixture),
+  * trained IVF + rerank, and the new relational ops (binned range
+  * join, gap-fill, set ops).
+  */
+class CurationSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("scrub redacts emails, urls and digit runs; idempotent") {
+    import spark.implicits._
+    val df = Seq(
+      ("mail bob.smith@corp.example.com end",
+        "see https://a.example.com/x?q=1 now",
+        "call +1-555-0199 or 4085551234")).toDF("a", "b", "c")
+    val r = df.select(
+      Curation.scrub(col("a")).as("a"),
+      Curation.scrub(col("b")).as("b"),
+      Curation.scrub(col("c")).as("c")).head()
+    assert(r.getString(0) == "mail <EMAIL> end")
+    assert(r.getString(1) == "see <URL> now")
+    assert(r.getString(2) == "call <NUM> or <NUM>")
+    val twice = df.select(Curation.scrub(Curation.scrub(col("a")))).head().getString(0)
+    assert(twice == "mail <EMAIL> end", "scrub must be idempotent")
+  }
+
+  test("qScrub leaves no unredacted pattern and counts each seeded fact") {
+    val out = Curation.qScrub(spark, sf)
+    assert(out.filter(col("n_emails") < 1 || col("n_urls") < 1 || col("n_nums") < 1)
+      .count() == 0, "every doc is seeded with at least one of each")
+    // scrubbed text must be shorter than raw (placeholders < payloads)
+    assert(out.filter(col("n_chars_scrubbed") >= col("n_chars_raw")).count() == 0)
+  }
+
+  test("chunk dedup flags exactly the shared passages") {
+    import spark.implicits._
+    val shared = (1 to Curation.ChunkWords).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " unique one two three four five six seven eight nine"),
+      (2L, shared + " other alpha beta gamma delta eps zeta eta theta iota"),
+      (3L, "totally distinct words here that no other document carries x")
+    ).toDF("doc_id", "text")
+    val out = Curation.qChunkDedup(spark, sf).limit(0) // schema smoke at sf
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_chunks", "n_unique_chunks", "n_dup_chunks", "dup_frac"))
+    val exploded = docs.select(col("doc_id"),
+      explode(Curation.chunkHashes("text")).as("ch"))
+    val counts = exploded.groupBy("ch").agg(count(lit(1)).as("n"))
+    val dups = exploded.join(counts, "ch").filter(col("n") > 1)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(dups == Set(1L, 2L), "only the docs sharing the 10-word chunk")
+  }
+
+  test("mixture weights are a distribution and flatten shares (alpha=1/2)") {
+    val rows = Curation.qMixture(spark, sf).collect()
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    // temperature sampling: below-average sources get factor > 1,
+    // above-average get < 1 (sqrt flattens)
+    val n = rows.length.toDouble
+    rows.foreach { r =>
+      val share = r.getAs[Double]("token_share")
+      val factor = r.getAs[Double]("sample_factor")
+      if (share < 1.0 / n * 0.9) assert(factor > 1.0, s"small source upsampled: $r")
+      if (share > 1.0 / n * 1.1) assert(factor < 1.0, s"big source downsampled: $r")
+    }
+  }
+
+  test("binned range join equals the naive theta join") {
+    val fast = Relational.qRangeJoin(spark, sf)
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("event_type"), unix_micros(col("ts")).as("et"),
+      col("value"))
+    val nb = ev.toDF("n_event_id", "n_event_type", "n_et", "n_value")
+    val naive = ev.join(nb,
+        col("event_type") === col("n_event_type")
+          && col("event_id") =!= col("n_event_id")
+          && abs(col("et") - col("n_et")) <= Relational.RangeJoinWindowUs, "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("n_event_id")).as("n_nbrs"))
+    val diff = fast.select("event_id", "n_nbrs")
+      .exceptAll(naive.select("event_id", "n_nbrs"))
+    assert(diff.isEmpty, s"bin rewrite diverges: ${diff.take(3).mkString}")
+  }
+
+  test("gap-fill covers the full calendar with zero-filled days") {
+    val out = Relational.qGapfill(spark, sf).cache()
+    val days = out.select("day").distinct().count()
+    val types = out.select("event_type").distinct().count()
+    assert(out.count() == days * types, "grid must be complete")
+    val total = out.groupBy().agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count(), "counts conserve")
+    // cumulative is monotone per type
+    val bad = out.selectExpr("event_type", "day", "cum_events",
+        "lag(cum_events) over (partition by event_type order by day) as prev")
+      .filter(col("prev").isNotNull && col("cum_events") < col("prev"))
+    assert(bad.isEmpty)
+    out.unpersist()
+  }
+
+  test("set ops follow distinct INTERSECT/EXCEPT semantics") {
+    val out = Relational.qSetops(spark, sf).collect().map(_.getLong(0)).toSet
+    val o = Tables.orders(spark, sf)
+    def keys(st: String) = o.filter(col("o_orderstatus") === st)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(out == (keys("F") & keys("O")) -- keys("P"))
+  }
+
+  test("trained IVF recall does not collapse and matches brute reasonably") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = Similarity.ivfTrainedTopK(emb).collect()
+    val tSet = trained.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & tSet).size.toDouble / brute.size
+    assert(recall >= 0.2, s"trained-IVF recall $recall collapsed")
+    val perQuery = trained.groupBy(_.getLong(0))
+    assert(perQuery.forall(_._2.map(_.getInt(2)).sorted.sameElements(
+      1 to perQuery.head._2.length)), "ranks are 1..k per query")
+  }
+
+  test("rerank output stays inside the retrieval pool and reranks by score") {
+    val out = Similarity.rerankTopK(Tables.embeddings(spark, sf)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(3) <= Similarity.RerankPool, "neighbor from the pool")
+      assert(r.getInt(2) <= Similarity.TopK)
+    }
+    // scores non-increasing in rerank rank per query
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRnk = rows.sortBy(_.getInt(2)).map(_.getAs[Double]("rerank_score"))
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

@@ -100,8 +100,8 @@ class ExtractJobSpec extends AnyFunSuite {
     // match counts: a single (1, N) row == every row covered once.
     val rows = Tables.orders(spark, sf).count()
     val hist = ExtractQueries.qJulienneApprox(spark, sf)
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(hist == Map(1 -> rows), s"coverage histogram $hist")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1L -> rows), s"coverage histogram $hist")
   }
 
   test("exact julienne boundaries match a reference global sort") {
