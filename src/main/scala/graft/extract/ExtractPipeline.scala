@@ -41,15 +41,26 @@ object ExtractPipeline {
     }
   }
 
+  final case class DeadlineExceeded(table: String, deadlineMs: Long)
+    extends RuntimeException(
+      s"table $table unfinished after ${deadlineMs}ms deadline")
+
   /** Runs every table through all three stages with per-stage
     * parallelism caps (reference introspect_workers / extract_workers
     * / load_workers). Returns per-table results, failures captured
     * not thrown (reference error_queue).
+    *
+    * `deadlineMs` caps the whole run (the reference's TODO "deadline
+    * flag that causes the extract to abort"): tables still in flight
+    * when it expires come back as DeadlineExceeded failures instead
+    * of blocking the batch window; finished tables keep their real
+    * results.
     */
   def run[A, B, C](tables: Seq[String], stages: Stages[A, B, C],
                    introspectWorkers: Int = 4, extractWorkers: Int = 4,
                    loadWorkers: Int = 4,
-                   retry: RetryPolicy = RetryPolicy()): Seq[Result[C]] = {
+                   retry: RetryPolicy = RetryPolicy(),
+                   deadlineMs: Option[Long] = None): Seq[Result[C]] = {
     val pools = Seq(introspectWorkers, extractWorkers, loadWorkers)
       .map(n => Executors.newFixedThreadPool(n))
     val Seq(ec1, ec2, ec3) = pools.map(ExecutionContext.fromExecutorService)
@@ -62,7 +73,21 @@ object ExtractPipeline {
           .recover { case NonFatal(e) => Result(t, Left(e): Either[Throwable, C]) }(ec3)
       }
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence(futures), Duration.Inf)
-    } finally pools.foreach(_.shutdown())
+      deadlineMs match {
+        case None => Await.result(Future.sequence(futures), Duration.Inf)
+        case Some(ms) =>
+          try Await.ready(Future.sequence(futures), Duration(ms, "ms"))
+          catch { case _: java.util.concurrent.TimeoutException => }
+          tables.zip(futures).map { case (t, f) =>
+            f.value match {
+              case Some(scala.util.Success(r)) => r
+              case Some(scala.util.Failure(e)) =>
+                Result(t, Left(e): Either[Throwable, C])
+              case None =>
+                Result(t, Left(DeadlineExceeded(t, ms)): Either[Throwable, C])
+            }
+          }
+      }
+    } finally pools.foreach(_.shutdownNow())
   }
 }

@@ -97,4 +97,25 @@ class ExtractSpec extends AnyFunSuite {
     assert(byName("flaky") == Right("flaky:i:e:l"), "retry should recover the transient failure")
     assert(byName("bad").isLeft)
   }
+
+  test("ExtractPipeline deadline fails stragglers, keeps finished results") {
+    val stages = ExtractPipeline.Stages[String, String, String](
+      introspect = t => t,
+      extract = {
+        case "slow" => Thread.sleep(60000); "slow"
+        case a => a
+      },
+      load = b => s"$b:done")
+    val res = ExtractPipeline.run(Seq("fast1", "fast2", "slow"), stages,
+      retry = ExtractPipeline.RetryPolicy(attempts = 1),
+      deadlineMs = Some(2000))
+    val byName = res.map(r => r.name -> r.result).toMap
+    assert(byName("fast1") == Right("fast1:done"))
+    assert(byName("fast2") == Right("fast2:done"))
+    byName("slow") match {
+      case Left(e: ExtractPipeline.DeadlineExceeded) =>
+        assert(e.table == "slow")
+      case other => fail(s"expected DeadlineExceeded, got $other")
+    }
+  }
 }

@@ -125,6 +125,23 @@ class PlanSpec extends AnyFunSuite {
       graft.sources.Tables.embeddings(spark, sf))) <= 3, "IVF plan grew")
     assert(shuffles(operators.Similarity.lshTopK(
       graft.sources.Tables.embeddings(spark, sf))) <= 2, "LSH ANN plan grew")
+    // r3 additions: chunk dedup = hash agg + hash join + doc agg;
+    // range join = (type, bin) equi-join + per-event agg + left join
+    // back; rerank = LSH retrieval + two windows over the pool
+    assert(shuffles(operators.Curation.qChunkDedup(spark, sf)) <= 4,
+      "chunk-dedup plan grew")
+    assert(shuffles(Relational.qRangeJoin(spark, sf)) <= 4,
+      "range-join plan grew")
+    assert(shuffles(operators.Similarity.rerankTopK(
+      graft.sources.Tables.embeddings(spark, sf))) <= 2, "rerank plan grew")
+  }
+
+  test("range join is an equi-join on (type, bin), never nested-loop") {
+    val df = Relational.qRangeJoin(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join fell back to a quadratic plan")
   }
 
   test("q1 stays inside whole-stage codegen") {
