@@ -101,6 +101,49 @@ object Curation {
         round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
   }
 
+  // --- quality rule filter -------------------------------------------
+
+  /** Gopher-style keep/drop rule cascade with the FIRST failing rule
+    * recorded as the drop reason — the auditable form every corpus
+    * filter ships with. Thresholds are plain rational comparisons on
+    * exact counts (no float accumulation), narrow and codegen'd.
+    */
+  val MinTokens = 15L
+  val MaxTokens = 100000L
+  val MinMeanTokenLen = 2.0
+  val MaxMeanTokenLen = 12.0
+  val MaxTopWordShare = 0.20
+
+  def qFilterRules(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val charSum = aggregate(transform(toks, t => length(t)),
+      lit(0L), (acc, x) => acc + x)
+    // modal word count per doc: explode + two partial aggs keyed by
+    // doc — the only shuffled piece, and it shuffles (doc_id, term)
+    // counts, not text
+    val top = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_cnt"))
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_len", charSum.cast("double") / nTok)
+      .join(top, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("mean_len"), 6).as("mean_token_len"),
+        col("top_word_cnt"),
+        when(col("n_tokens") < MinTokens, "too_few_tokens")
+          .when(col("n_tokens") > MaxTokens, "too_many_tokens")
+          .when(col("mean_len") < MinMeanTokenLen, "mean_token_too_short")
+          .when(col("mean_len") > MaxMeanTokenLen, "mean_token_too_long")
+          .when(col("top_word_cnt").cast("double")
+            > col("n_tokens").cast("double") * MaxTopWordShare, "repetitive_top_word")
+          .otherwise(lit(null).cast("string")).as("drop_reason"))
+      .withColumn("keep", col("drop_reason").isNull)
+  }
+
   // --- training-mixture planning -------------------------------------
 
   /** Temperature-sampled mixture weights per source (the standard
@@ -136,6 +179,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scrub" -> qScrub _,
     "q_chunk_dedup" -> qChunkDedup _,
+    "q_filter_rules" -> qFilterRules _,
     "q_mixture" -> qMixture _)
 
   // single line: interpolating multi-line SQL into a stripMargin
@@ -179,6 +223,43 @@ object Curation {
         |    / count(*), 6) AS dup_frac
         |FROM ch JOIN cc USING (ch)
         |GROUP BY doc_id""".stripMargin,
+    "q_filter_rules" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |    (list_sum(list_transform(toks, x -> strlen(x)))::BIGINT)::DOUBLE
+        |      / len(toks)::BIGINT AS mean_len
+        |  FROM t),
+        |tw AS (
+        |  SELECT doc_id, max(c) AS top_word_cnt FROM (
+        |    SELECT doc_id, t2, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS t2 FROM t)
+        |    GROUP BY doc_id, t2)
+        |  GROUP BY doc_id),
+        |j AS (SELECT * FROM base JOIN tw USING (doc_id))
+        |SELECT doc_id, n_tokens, round(mean_len, 6) AS mean_token_len,
+        |  top_word_cnt,
+        |  CASE
+        |    WHEN n_tokens < $MinTokens THEN 'too_few_tokens'
+        |    WHEN n_tokens > $MaxTokens THEN 'too_many_tokens'
+        |    WHEN mean_len < $MinMeanTokenLen THEN 'mean_token_too_short'
+        |    WHEN mean_len > $MaxMeanTokenLen THEN 'mean_token_too_long'
+        |    WHEN top_word_cnt::DOUBLE > n_tokens::DOUBLE * $MaxTopWordShare
+        |      THEN 'repetitive_top_word'
+        |    ELSE NULL
+        |  END AS drop_reason,
+        |  (CASE
+        |    WHEN n_tokens < $MinTokens THEN 'too_few_tokens'
+        |    WHEN n_tokens > $MaxTokens THEN 'too_many_tokens'
+        |    WHEN mean_len < $MinMeanTokenLen THEN 'mean_token_too_short'
+        |    WHEN mean_len > $MaxMeanTokenLen THEN 'mean_token_too_long'
+        |    WHEN top_word_cnt::DOUBLE > n_tokens::DOUBLE * $MaxTopWordShare
+        |      THEN 'repetitive_top_word'
+        |    ELSE NULL
+        |  END IS NULL) AS keep
+        |FROM j""".stripMargin,
     "q_mixture" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,

@@ -262,6 +262,25 @@ object Similarity {
         col("retrieval_rnk"), round(col("rscore"), 6).as("rerank_score"))
   }
 
+  /** Sparse sign (Achlioptas/JL) random projection to ProjDims:
+    * the classic embedding dim-reduction before clustering/ANN. The
+    * ±1 signs are md5-derived constants (reproducible everywhere,
+    * emitted as literals into the oracle); each output dim is an
+    * integer dot of the quantized vector — narrow, codegen'd, zero
+    * shuffle, horizontal at any scale.
+    */
+  val ProjDims = 8
+  lazy val projSigns: Array[Array[Long]] =
+    Array.tabulate(ProjDims, Dim) { (j, d) =>
+      if (graft.functions.GraftFunctions.tokenHashLong(s"proj_${j}_$d") % 2 == 0) 1L else -1L
+    }
+  def projectTopDims(emb: DataFrame): DataFrame = {
+    val base = quantized(emb)
+    base.select(col("vec_id") +: col("label") +:
+      (0 until ProjDims).map(j =>
+        dotQ(col("q"), typedlit(projSigns(j).toSeq)).as(s"p$j")): _*)
+  }
+
   /** One deterministic Lloyd (k-means) iteration over the seed
     * centroids: assign every vector to its nearest seed (partial-
     * aggregated argmax, broadcast seeds), then recompute centroid
@@ -327,6 +346,7 @@ object Similarity {
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_trained" -> ((s, dir) => ivfTrainedTopK(Tables.embeddings(s, dir))),
     "q_ann_rerank" -> ((s, dir) => rerankTopK(Tables.embeddings(s, dir))),
+    "q_project" -> ((s, dir) => projectTopDims(Tables.embeddings(s, dir))),
     "q_embed_centroids" -> qEmbedCentroids _,
     "q_kmeans_step" -> qKmeansStep _)
 
@@ -551,6 +571,13 @@ object Similarity {
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_trained" -> annIvfTrainedSql,
     "q_ann_rerank" -> annRerankSql,
+    "q_project" -> {
+      def projDotSql(j: Int): String =
+        (0 until Dim).map(d => s"q[${d + 1}]*(${projSigns(j)(d)})").mkString(" + ")
+      val cols = (0 until ProjDims)
+        .map(j => s"(${projDotSql(j)})::BIGINT AS p$j").mkString(", ")
+      s"SELECT vec_id, label, $cols FROM ($quantSql)"
+    },
     "q_embed_neardup" ->
       s"""WITH base AS (
         |  SELECT vec_id, label, q FROM ($quantSql)

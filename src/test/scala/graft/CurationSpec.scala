@@ -125,6 +125,38 @@ class CurationSpec extends AnyFunSuite {
       1 to perQuery.head._2.length)), "ranks are 1..k per query")
   }
 
+  test("rule filter drops the crafted offenders for the right reasons") {
+    import spark.implicits._
+    // route crafted docs through the same physical op by writing a
+    // tiny parquet dir shaped like the documents table
+    val dir = java.nio.file.Files.createTempDirectory("graft-rules").toString
+    Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen ok", "en", "s", 1L),
+      (2L, "short doc", "en", "s", 1L),
+      (3L, ("spam " * 30).trim + " filler word list that runs long enough to pass the token floor", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.qFilterRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(5), Option(r.getString(4)))).toMap
+    assert(out(1L) == ((true, None)))
+    assert(out(2L) == ((false, Some("too_few_tokens"))))
+    assert(out(3L) == ((false, Some("repetitive_top_word"))))
+  }
+
+  test("sign projection is deterministic and respects vector identity") {
+    val p = Similarity.projectTopDims(
+      graft.sources.Tables.embeddings(spark, sf)).collect()
+    assert(p.nonEmpty)
+    // same input vector -> same projection (pure function of q)
+    val again = Similarity.projectTopDims(
+      graft.sources.Tables.embeddings(spark, sf)).collect()
+    assert(p.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // projections are not degenerate: every output dim varies
+    (2 until 2 + Similarity.ProjDims).foreach { i =>
+      assert(p.map(_.getLong(i)).distinct.length > 1, s"dim $i constant")
+    }
+  }
+
   test("rerank output stays inside the retrieval pool and reranks by score") {
     val out = Similarity.rerankTopK(Tables.embeddings(spark, sf)).collect()
     assert(out.nonEmpty)
