@@ -328,7 +328,7 @@ object Dedup {
         docs.select((col("doc_id") + Shift).as("doc_id"), col("text")))
     }))
 
-  private val corpusSql =
+  private[operators] val corpusSql =
     """SELECT doc_id, text FROM documents
       |    UNION ALL SELECT doc_id + 100000, text FROM documents""".stripMargin
 
@@ -386,7 +386,7 @@ object Dedup {
   /** Shared CTE chain: signatures → bands → capped pairs → edges →
     * transitive closure; ends with `comps(v, component_id)`.
     */
-  private val componentsCtes =
+  private[operators] val componentsCtes =
     s"""WITH RECURSIVE
       |sig AS ($sigSql),
       |bands AS ($bandsSql),

@@ -41,10 +41,57 @@ object Sampling {
       .agg(count(lit(1)).as("n_total"),
         sum(when(hashBucket(id) < pct, 1L).otherwise(0L)).as("n_sampled"))
 
+  /** Leakage-safe split: bucket by the NEAR-DUP CLUSTER root, not the
+    * document id, so two near-identical documents can never land on
+    * opposite sides of a train/test boundary (the classic eval-
+    * contamination hole a plain hash split leaves open). Docs outside
+    * any cluster fall back to their own id. Costs one left join
+    * against the (small) components table on top of the narrow split.
+    */
+  def splitSafe(docs: DataFrame, comps: DataFrame,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.join(comps, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
+      .withColumn("bucket", hashBucket(col("cluster_id")))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+
+  /** Length-bucketed batch packing for training: group docs into
+    * token-length buckets (width LenBucketWidth), fill fixed-size
+    * batches within each bucket in stable doc order, and report the
+    * padding waste per batch (1 - sum/(max·n)) — the metric length
+    * bucketing exists to minimize. Windows are PARTITIONED by bucket:
+    * no global sort, horizontal at any scale.
+    */
+  val BatchDocs = 8
+  val LenBucketWidth = 32
+  def qLengthBatches(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("len_bucket")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("len_bucket", expr(s"n_tok div $LenBucketWidth"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"cast(rn - 1 as bigint) div $BatchDocs"))
+      .groupBy(col("len_bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_len"),
+        sum(col("n_tok")).as("sum_len"))
+      .withColumn("pad_frac", round(lit(1.0)
+        - col("sum_len").cast("double")
+          / (col("max_len") * col("n_docs")).cast("double"), 6))
+  }
+
   // --- queries --------------------------------------------------------
 
   def qSplit(s: SparkSession, dir: String): DataFrame =
     split(Tables.documents(s, dir).select(col("doc_id"), col("lang")), col("doc_id"))
+
+  def qSplitSafe(s: SparkSession, dir: String): DataFrame =
+    splitSafe(Dedup.corpus(s, dir).select(col("doc_id")),
+      Dedup.qDedupComponents(s, dir))
 
   def qSampleStratified(s: SparkSession, dir: String): DataFrame =
     stratifiedSampleCounts(Tables.documents(s, dir), col("doc_id"), col("lang"))
@@ -59,11 +106,16 @@ object Sampling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split" -> qSplit _,
+    "q_split_safe" -> qSplitSafe _,
+    "q_length_batches" -> qLengthBatches _,
     "q_sample_stratified" -> qSampleStratified _,
     "q_weighted_avg" -> qWeightedAvg _)
 
   private val bucketSql =
     "('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100"
+
+  private val clusterBucketSql =
+    "('0x' || substr(md5(coalesce(m.component_id, c.doc_id)::VARCHAR), 1, 12))::BIGINT % 100"
 
   val oracles: Map[String, String] = Map(
     "q_split" ->
@@ -72,6 +124,31 @@ object Sampling {
         |       WHEN $bucketSql < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "q_split_safe" ->
+      s"""${Dedup.componentsCtes}
+        |SELECT c.doc_id,
+        |  coalesce(m.component_id, c.doc_id) AS cluster_id,
+        |  $clusterBucketSql AS bucket,
+        |  CASE WHEN $clusterBucketSql < 80 THEN 'train'
+        |       WHEN $clusterBucketSql < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (${Dedup.corpusSql}) c
+        |LEFT JOIN comps m ON m.v = c.doc_id""".stripMargin,
+    "q_length_batches" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tok, n_tok // $LenBucketWidth AS len_bucket FROM d),
+        |r AS (SELECT *,
+        |  (row_number() OVER (PARTITION BY len_bucket ORDER BY doc_id) - 1)
+        |    // $BatchDocs AS batch_id
+        |  FROM b)
+        |SELECT len_bucket, batch_id, count(*) AS n_docs,
+        |  max(n_tok) AS max_len, sum(n_tok)::BIGINT AS sum_len,
+        |  round(1.0 - sum(n_tok)::BIGINT::DOUBLE
+        |    / (max(n_tok) * count(*))::DOUBLE, 6) AS pad_frac
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT lang AS stratum, count(*) AS n_total,
         |  sum(CASE WHEN $bucketSql < 20 THEN 1 ELSE 0 END)::BIGINT AS n_sampled

@@ -157,6 +157,37 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-safe split keeps every near-dup cluster on one side") {
+    val out = operators.Sampling.qSplitSafe(spark, sf).cache()
+    // one split value per cluster — the property a plain hash split lacks
+    val mixed = out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(mixed.isEmpty, s"clusters straddle splits: ${mixed.take(3).mkString}")
+    // the corpus guarantees (i, i+Shift) near-dup pairs: same split
+    val byDoc = out.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    (0L until n).foreach { i =>
+      assert(byDoc(i) == byDoc(i + operators.Dedup.Shift),
+        s"dup pair $i split across sides")
+    }
+    out.unpersist()
+  }
+
+  test("length batches respect capacity and account every document") {
+    val out = operators.Sampling.qLengthBatches(spark, sf).collect()
+    assert(out.forall(_.getAs[Long]("n_docs") <= operators.Sampling.BatchDocs))
+    assert(out.forall { r =>
+      val f = r.getAs[Double]("pad_frac"); f >= 0.0 && f < 1.0 })
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.sources.Tables.documents(spark, sf).count())
+    // only the LAST batch of a bucket may be partial
+    out.groupBy(_.getAs[Long]("len_bucket")).values.foreach { batches =>
+      val partial = batches.count(_.getAs[Long]("n_docs") < operators.Sampling.BatchDocs)
+      assert(partial <= 1, "non-terminal partial batch")
+    }
+  }
+
   test("rerank output stays inside the retrieval pool and reranks by score") {
     val out = Similarity.rerankTopK(Tables.embeddings(spark, sf)).collect()
     assert(out.nonEmpty)
