@@ -61,22 +61,28 @@ object Sampling {
 
   /** Length-bucketed batch packing for training: group docs into
     * token-length buckets (width LenBucketWidth), fill fixed-size
-    * batches within each bucket in stable doc order, and report the
-    * padding waste per batch (1 - sum/(max·n)) — the metric length
-    * bucketing exists to minimize. Windows are PARTITIONED by bucket:
-    * no global sort, horizontal at any scale.
+    * batches within each (bucket, sub-bucket) in stable doc order,
+    * and report the padding waste per batch (1 - sum/(max·n)) — the
+    * metric length bucketing exists to minimize. The deterministic
+    * hash SUB-bucket matters at scale: a window partitioned by
+    * len_bucket alone sends every doc of a popular length range
+    * through ONE reducer; the sub-bucket multiplies parallelism by
+    * SubBuckets while keeping assignment a pure function of the row
+    * (same padding properties — batches just interleave).
     */
   val BatchDocs = 8
   val LenBucketWidth = 32
+  val SubBuckets = 4
   def qLengthBatches(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("len_bucket")).orderBy(col("doc_id"))
+      .partitionBy(col("len_bucket"), col("sub")).orderBy(col("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("len_bucket", expr(s"n_tok div $LenBucketWidth"))
+      .withColumn("sub", hashBucket(col("doc_id"), SubBuckets))
       .withColumn("rn", row_number().over(w))
       .withColumn("batch_id", expr(s"cast(rn - 1 as bigint) div $BatchDocs"))
-      .groupBy(col("len_bucket"), col("batch_id"))
+      .groupBy(col("len_bucket"), col("sub"), col("batch_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_len"),
         sum(col("n_tok")).as("sum_len"))
       .withColumn("pad_frac", round(lit(1.0)
@@ -139,16 +145,18 @@ object Sampling {
         |  SELECT doc_id,
         |    len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tok
         |  FROM documents),
-        |b AS (SELECT doc_id, n_tok, n_tok // $LenBucketWidth AS len_bucket FROM d),
+        |b AS (SELECT doc_id, n_tok, n_tok // $LenBucketWidth AS len_bucket,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % $SubBuckets AS sub
+        |  FROM d),
         |r AS (SELECT *,
-        |  (row_number() OVER (PARTITION BY len_bucket ORDER BY doc_id) - 1)
+        |  (row_number() OVER (PARTITION BY len_bucket, sub ORDER BY doc_id) - 1)
         |    // $BatchDocs AS batch_id
         |  FROM b)
-        |SELECT len_bucket, batch_id, count(*) AS n_docs,
+        |SELECT len_bucket, sub, batch_id, count(*) AS n_docs,
         |  max(n_tok) AS max_len, sum(n_tok)::BIGINT AS sum_len,
         |  round(1.0 - sum(n_tok)::BIGINT::DOUBLE
         |    / (max(n_tok) * count(*))::DOUBLE, 6) AS pad_frac
-        |FROM r GROUP BY 1, 2""".stripMargin,
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT lang AS stratum, count(*) AS n_total,
         |  sum(CASE WHEN $bucketSql < 20 THEN 1 ELSE 0 END)::BIGINT AS n_sampled

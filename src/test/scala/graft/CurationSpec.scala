@@ -181,11 +181,12 @@ class CurationSpec extends AnyFunSuite {
       val f = r.getAs[Double]("pad_frac"); f >= 0.0 && f < 1.0 })
     val total = out.map(_.getAs[Long]("n_docs")).sum
     assert(total == graft.sources.Tables.documents(spark, sf).count())
-    // only the LAST batch of a bucket may be partial
-    out.groupBy(_.getAs[Long]("len_bucket")).values.foreach { batches =>
-      val partial = batches.count(_.getAs[Long]("n_docs") < operators.Sampling.BatchDocs)
-      assert(partial <= 1, "non-terminal partial batch")
-    }
+    // only the LAST batch of a (bucket, sub-bucket) may be partial
+    out.groupBy(r => (r.getAs[Long]("len_bucket"), r.getAs[Long]("sub")))
+      .values.foreach { batches =>
+        val partial = batches.count(_.getAs[Long]("n_docs") < operators.Sampling.BatchDocs)
+        assert(partial <= 1, "non-terminal partial batch")
+      }
   }
 
   test("rerank output stays inside the retrieval pool and reranks by score") {
