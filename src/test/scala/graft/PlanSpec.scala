@@ -136,6 +136,22 @@ class PlanSpec extends AnyFunSuite {
       graft.sources.Tables.embeddings(spark, sf))) <= 2, "rerank plan grew")
   }
 
+  test("embedding near-dup blocks on (label, tbl, bucket), not label alone") {
+    // label-only blocking is O((n/L)^2) at scale; the LSH bucket must
+    // be part of the equi-join key so candidate counts stay
+    // data-dependent (r3 verdict's one scale-killer)
+    val df = operators.Similarity.nearDupPairs(
+      graft.sources.Tables.embeddings(spark, sf))
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "near-dup degenerated to a quadratic join")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("label_a")).getOrElse("")
+    assert(joinLine.contains("bucket_a") && joinLine.contains("tbl_a"),
+      s"near-dup join key lost the LSH bucket:\n$joinLine")
+  }
+
   test("range join is an equi-join on (type, bin), never nested-loop") {
     val df = Relational.qRangeJoin(spark, sf)
     df.collect()
