@@ -205,27 +205,75 @@ object Similarity {
     * integer-exact and cross-engine reproducible.
     */
   val TrainIters = 2
+  private def lloydIter(all: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = all.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"),
+        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
+      .join(all, "vec_id")
+    // per-(cluster, position) mean, then rebuild the vector sorted
+    // by position (struct sort keys on pos first; pos is unique)
+    assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(sum(col("v")) / count(lit(1)), 0).cast("long").as("cv"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cq"))
+      .withColumn("cnq", normQ(col("cq")))
+  }
+
   def trainCentroids(all: DataFrame, iters: Int = TrainIters): DataFrame = {
     var cents = seedCentroids(all)
-    for (_ <- 1 to iters) {
-      val assigned = all.join(broadcast(cents))
-        .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"),
-          struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
-        .join(all, "vec_id")
-      // per-(cluster, position) mean, then rebuild the vector sorted
-      // by position (struct sort keys on pos first; pos is unique)
-      cents = assigned
-        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(round(sum(col("v")) / count(lit(1)), 0).cast("long").as("cv"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          x => x.getField("cv")).as("cq"))
-        .withColumn("cnq", normQ(col("cq")))
-    }
+    for (_ <- 1 to iters) cents = lloydIter(all, cents)
     cents
+  }
+
+  /** Lloyd training to CONVERGENCE: iterate until the max centroid
+    * component movement on the quantized grid (an exact integer —
+    * cross-engine comparable) drops to ConvergeEpsQ, bounded by
+    * MaxTrainIters. The convergence check is a scalar aggregate
+    * (O(1) on the driver, the connectedComponents pattern); each
+    * iteration's centroid table is checkpointed so the loop's
+    * lineage stays flat — reliable checkpoint when a checkpoint dir
+    * is set (the cluster answer), localCheckpoint otherwise. The
+    * oracle unrolls MaxTrainIters iterations in CTEs, derives each
+    * movement, and picks the FIRST converged iteration — replicating
+    * the data-dependent stopping rule, not a fixed count.
+    */
+  val MaxTrainIters = 5
+  val ConvergeEpsQ = 30000L
+  def trainCentroidsConverged(all: DataFrame,
+                              maxIters: Int = MaxTrainIters,
+                              epsQ: Long = ConvergeEpsQ): DataFrame =
+    trainCentroidsConvergedWithIters(all, maxIters, epsQ)._1
+
+  /** Same, also reporting how many iterations ran (spec hook: proves
+    * the stopping rule fires before the bound at test scale).
+    */
+  def trainCentroidsConvergedWithIters(all: DataFrame,
+                                       maxIters: Int = MaxTrainIters,
+                                       epsQ: Long = ConvergeEpsQ): (DataFrame, Int) = {
+    def pin(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var cents = pin(seedCentroids(all))
+    var it = 0
+    var done = false
+    while (it < maxIters && !done) {
+      val next = pin(lloydIter(all, cents))
+      val moved = next
+        .join(cents.select(col("cid"), col("cq").as("cq_old")), "cid")
+        .select(expr(
+          "aggregate(zip_with(cq, cq_old, (x, y) -> abs(x - y)), 0L, (acc, v) -> greatest(acc, v))")
+          .as("m"))
+        .agg(max(col("m")).as("m")).head.getLong(0)
+      cents = next
+      it += 1
+      done = moved <= epsQ
+    }
+    (cents, it)
   }
 
   /** IVF ANN over the TRAINED quantizer (SURVEY §7 r3): identical
@@ -235,6 +283,15 @@ object Similarity {
   def ivfTrainedTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
     val all = quantized(emb)
     searchIvf(all, trainCentroids(all), k)
+  }
+
+  /** IVF ANN over the CONVERGED quantizer (SURVEY §7 r4): same
+    * search, but the coarse quantizer trains until centroid movement
+    * stalls instead of a fixed iteration count.
+    */
+  def ivfConvergedTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val all = quantized(emb)
+    searchIvf(all, trainCentroidsConverged(all), k)
   }
 
   /** Retrieve-then-rerank (SURVEY §7 r3): stage 1 retrieves RerankPool
@@ -362,6 +419,7 @@ object Similarity {
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_trained" -> ((s, dir) => ivfTrainedTopK(Tables.embeddings(s, dir))),
+    "q_ann_ivf_converged" -> ((s, dir) => ivfConvergedTopK(Tables.embeddings(s, dir))),
     "q_ann_rerank" -> ((s, dir) => rerankTopK(Tables.embeddings(s, dir))),
     "q_project" -> ((s, dir) => projectTopDims(Tables.embeddings(s, dir))),
     "q_embed_centroids" -> qEmbedCentroids _,
@@ -476,20 +534,16 @@ object Similarity {
       |    list_sum(list_transform(range(1, len(cq) + 1), i -> cq[i] * cq[i]))::BIGINT AS cnq
       |  FROM (SELECT cid, list(cv ORDER BY i) AS cq FROM m_$out GROUP BY cid))""".stripMargin
 
-  private val annIvfTrainedSql =
-    s"""WITH n AS (
-      |  SELECT vec_id, label, q,
-      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
-      |  FROM ($quantSql)),
-      |c0 AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM n
-      |  WHERE vec_id % $SeedMod = 0),
-      |${lloydIterSql("c0", "c1")},
-      |${lloydIterSql("c1", "c2")},
-      |scored AS (
+  /** The IVF search tail (scored/assigned/probes/cand + final
+    * top-k select) against centroid CTE `cents` — shared by the
+    * trained and converged oracles.
+    */
+  private def ivfSearchSql(cents: String): String =
+    s"""scored AS (
       |  SELECT n.vec_id, c.cid,
       |    list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
       |      / (sqrt(n.nq::DOUBLE) * sqrt(c.cnq::DOUBLE)) AS ccos
-      |  FROM n CROSS JOIN c2 c),
+      |  FROM n CROSS JOIN $cents c),
       |assigned AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid,
@@ -517,6 +571,51 @@ object Similarity {
       |  round(cos, 6) AS cos_sim
       |FROM p
       |QUALIFY rnk <= $TopK""".stripMargin
+
+  private val annIvfTrainedSql =
+    s"""WITH n AS (
+      |  SELECT vec_id, label, q,
+      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+      |  FROM ($quantSql)),
+      |c0 AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM n
+      |  WHERE vec_id % $SeedMod = 0),
+      |${lloydIterSql("c0", "c1")},
+      |${lloydIterSql("c1", "c2")},
+      |${ivfSearchSql("c2")}""".stripMargin
+
+  /** Movement CTE: max L∞ centroid shift (quantized-grid integers)
+    * between consecutive Lloyd iterations i-1 → i.
+    */
+  private def lloydMoveSql(i: Int): String =
+    s"""mv$i AS (
+      |  SELECT max(list_max(list_transform(range(1, len(a.cq) + 1),
+      |    j -> abs(a.cq[j] - b.cq[j])))) AS m
+      |  FROM c$i a JOIN c${i - 1} b USING (cid))""".stripMargin
+
+  private val annIvfConvergedSql = {
+    val iters = (1 to MaxTrainIters)
+      .map(i => lloydIterSql(s"c${i - 1}", s"c$i")).mkString(",\n")
+    val moves = (1 to MaxTrainIters).map(lloydMoveSql).mkString(",\n")
+    val mvUnion = (1 to MaxTrainIters)
+      .map(i => s"SELECT $i AS it, m FROM mv$i").mkString(" UNION ALL ")
+    val cUnion = (1 to MaxTrainIters)
+      .map(i => s"SELECT $i AS it, cid, cq, cnq FROM c$i").mkString(" UNION ALL ")
+    s"""WITH n AS (
+      |  SELECT vec_id, label, q,
+      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+      |  FROM ($quantSql)),
+      |c0 AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM n
+      |  WHERE vec_id % $SeedMod = 0),
+      |$iters,
+      |$moves,
+      |pick AS (
+      |  SELECT coalesce(min(it), $MaxTrainIters) AS k
+      |  FROM ($mvUnion) WHERE m <= $ConvergeEpsQ),
+      |cfin AS (
+      |  SELECT cid, cq, cnq FROM ($cUnion)
+      |  WHERE it = (SELECT k FROM pick)),
+      |${ivfSearchSql("cfin")}""".stripMargin
+  }
 
   private val annRerankSql =
     s"""WITH n AS (
@@ -587,6 +686,7 @@ object Similarity {
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_trained" -> annIvfTrainedSql,
+    "q_ann_ivf_converged" -> annIvfConvergedSql,
     "q_ann_rerank" -> annRerankSql,
     "q_project" -> {
       def projDotSql(j: Int): String =

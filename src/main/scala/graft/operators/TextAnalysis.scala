@@ -191,7 +191,62 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** One BPE (byte-pair-encoding) training step — the tokenizer-
+    * training primitive: corpus-wide adjacent-symbol-pair counts, the
+    * most frequent pair chosen as the merge, the merge applied, and
+    * the pair counts re-derived. Works on the DISTINCT word vocabulary
+    * weighted by word frequency (the classic BPE-training trick: the
+    * corpus explodes once into a Zipf-small vocab table and every
+    * subsequent pass is vocab-sized, not corpus-sized — at 100 TB the
+    * only corpus-wide shuffle is the word count).
+    *
+    * Symbol sequences are space-separated strings built by a pure
+    * regex (no HOF chains — Spark 4.1 mis-binds lambdas over chained
+    * HOF string output, see GraftFunctions.shingleHashes); pair
+    * enumeration is posexplode + a per-word lead() window (vocab
+    * words are tiny window partitions). The merge applies via
+    * leftmost non-overlapping string replace, which IS greedy BPE
+    * merge order when all symbols are single characters ("a a a a"
+    * -> "aa aa"), identical in Spark and DuckDB. Output: top
+    * BpeTopPairs pairs by (cnt desc, lhs, rhs) before and after the
+    * merge — both stages ride TakeOrdered, never a global window.
+    */
+  val BpeTopPairs = 20
+  private def wordVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  private def pairCounts(sym: DataFrame): DataFrame = {
+    val wLead = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("pos"))
+    sym.select(col("w"), col("n"), posexplode(split(col("s"), " ")).as(Seq("pos", "c")))
+      .withColumn("nx", lead(col("c"), 1).over(wLead))
+      .filter(col("nx").isNotNull)
+      .groupBy(col("c").as("lhs"), col("nx").as("rhs"))
+      .agg(sum(col("n")).as("cnt"))
+  }
+
+  private def topPairs(pairs: DataFrame, stage: String): DataFrame =
+    pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(BpeTopPairs)
+      .select(lit(stage).as("stage"), col("lhs"), col("rhs"), col("cnt"))
+
+  def qBpeMerge(s: SparkSession, dir: String): DataFrame = {
+    val sym = wordVocab(Tables.documents(s, dir))
+      .withColumn("s", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+    val pre = pairCounts(sym)
+    val top1 = pre.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+      .select(col("lhs").as("m_lhs"), col("rhs").as("m_rhs"))
+    val merged = sym.crossJoin(broadcast(top1))
+      .withColumn("s",
+        org.apache.spark.sql.functions.replace(col("s"),
+          concat(col("m_lhs"), lit(" "), col("m_rhs")),
+          concat(col("m_lhs"), col("m_rhs"))))
+      .select(col("w"), col("n"), col("s"))
+    topPairs(pre, "pre").unionAll(topPairs(pairCounts(merged), "post"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merge" -> qBpeMerge _,
     "q_vocab" -> qVocab _,
     "q_decontaminate" -> qDecontaminate _,
     "q_tfidf" -> qTfidf _,
@@ -205,7 +260,40 @@ object TextAnalysis {
   private def hitSql(list: Seq[String]) =
     s"len(list_filter(toks, t -> t IN (${list.map(w => s"'$w'").mkString(", ")}))) / len(toks)"
 
+  /** Adjacent-pair counts of space-separated symbol strings in CTE
+    * `src` (DuckDB twin of `pairCounts`; lists are 1-based, so
+    * range(1, len) enumerates the len-1 adjacent pairs).
+    */
+  private def bpePairSql(src: String): String =
+    s"""SELECT p.l AS lhs, p.r AS rhs, sum(n)::BIGINT AS cnt FROM (
+      |    SELECT n, unnest(list_transform(range(1, len(sl)),
+      |      i -> {'l': sl[i], 'r': sl[i+1]})) AS p
+      |    FROM (SELECT n, string_split(s, ' ') AS sl FROM $src))
+      |  GROUP BY 1, 2""".stripMargin
+
+  private val bpeMergeSql =
+    s"""WITH words AS (
+      |  SELECT t AS w, count(*) AS n FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      |    FROM documents)
+      |  GROUP BY t),
+      |sym AS (SELECT w, n, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
+      |  FROM words),
+      |pre AS (${bpePairSql("sym")}),
+      |top1 AS (SELECT lhs, rhs FROM pre ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |merged AS (SELECT w, n, replace(s, t.lhs || ' ' || t.rhs, t.lhs || t.rhs) AS s
+      |  FROM sym, top1 t),
+      |post AS (${bpePairSql("merged")})
+      |SELECT 'pre' AS stage, lhs, rhs, cnt FROM
+      |  (SELECT *, row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rn FROM pre)
+      |  WHERE rn <= $BpeTopPairs
+      |UNION ALL
+      |SELECT 'post' AS stage, lhs, rhs, cnt FROM
+      |  (SELECT *, row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rn FROM post)
+      |  WHERE rn <= $BpeTopPairs""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_merge" -> bpeMergeSql,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(hs) AS h FROM (

@@ -81,6 +81,29 @@ class OperatorsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("converged IVF training stops before the iteration bound") {
+    val all = Similarity.quantized(Tables.embeddings(spark, sf))
+    val (cents, iters) = Similarity.trainCentroidsConvergedWithIters(all)
+    assert(iters >= 2 && iters < Similarity.MaxTrainIters,
+      s"convergence rule never fired: ran $iters/${Similarity.MaxTrainIters} iters")
+    assert(cents.count() > 0)
+  }
+
+  test("BPE merge: top pair vanishes post-merge, its merged symbol appears") {
+    val rows = operators.TextAnalysis.qBpeMerge(spark, sf).collect()
+    val pre = rows.filter(_.getString(0) == "pre")
+    val post = rows.filter(_.getString(0) == "post")
+    assert(pre.length == operators.TextAnalysis.BpeTopPairs && post.nonEmpty)
+    val top = pre.sortBy(r => (-r.getLong(3), r.getString(1), r.getString(2))).head
+    val (l, r) = (top.getString(1), top.getString(2))
+    // greedy replace consumed every single-symbol (l, r) adjacency
+    assert(!post.exists(p => p.getString(1) == l && p.getString(2) == r),
+      s"merged pair ($l, $r) survived the merge")
+    // and the merged symbol now participates in pairs of its own
+    assert(post.exists(p => p.getString(1) == l + r || p.getString(2) == l + r),
+      s"merged symbol $l$r absent from post-merge pairs")
+  }
+
   test("ngram jaccard finds copies at jaccard 1.0") {
     val rows = Dedup.ngramJaccardPairs(Dedup.corpus(spark, sf)).collect()
     val copies = rows.filter(r => r.getLong(1) == r.getLong(0) + Dedup.Shift)
