@@ -155,8 +155,8 @@ object Curation {
     * round() is not — oracle rule). Two tiny aggregates + two
     * broadcast joins; the per-source table is O(sources).
     */
-  def qMixture(s: SparkSession, dir: String): DataFrame = {
-    val per = Tables.documents(s, dir)
+  private def mixtureRaw(docs: DataFrame): DataFrame = {
+    val per = docs
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
@@ -166,12 +166,46 @@ object Curation {
       .withColumn("wq", floor(sqrt(col("share")) * 1e6).cast("long"))
     val wtot = shared.agg(sum(col("wq")).as("wq_tot"))
     shared.crossJoin(broadcast(wtot))
+  }
+
+  def qMixture(s: SparkSession, dir: String): DataFrame =
+    mixtureRaw(Tables.documents(s, dir))
       .select(
         col("source"), col("n_docs"), col("n_tokens"),
         round(col("share"), 6).as("token_share"),
         round(col("wq").cast("double") / col("wq_tot").cast("double"), 6).as("weight"),
         round(col("wq").cast("double") / col("wq_tot").cast("double") / col("share"), 6)
           .as("sample_factor"))
+
+  /** Doc-level mixture APPLICATION (SURVEY §7 r4): the per-source
+    * sample_factor materialized deterministically per document.
+    * floor(factor) copies always; one extra iff the doc's salted
+    * hash fraction (on the same 1e6 grid the weights quantize to)
+    * falls below the factor's fractional part — a pure function of
+    * the row and the O(sources) factor table, so reruns and late
+    * data reproduce the sample with no RNG or coordination (the
+    * q_split philosophy). Upsampling (factor > 1) materializes via
+    * explode(sequence); downsampling drops the row when no copy is
+    * due. The factor table broadcasts; the corpus never shuffles.
+    * Thresholds stay integer (floor on the 1e6 grid — floor of a
+    * double is representation-stable, round is not).
+    */
+  def qMixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val factors = mixtureRaw(Tables.documents(s, dir))
+      .withColumn("f",
+        col("wq").cast("double") / col("wq_tot").cast("double") / col("share"))
+      .select(col("source"),
+        floor(col("f")).cast("long").as("base"),
+        floor((col("f") - floor(col("f"))) * 1e6).cast("long").as("thr"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(factors), "source")
+      .withColumn("n_copies",
+        col("base") + when(
+          tokenHash(concat(lit("mix_"), col("doc_id").cast("string"))) % 1000000L
+            < col("thr"), 1L).otherwise(0L))
+      .withColumn("copy_idx",
+        explode(when(col("n_copies") >= 1, sequence(lit(1L), col("n_copies")))))
+      .select(col("doc_id"), col("source"), col("n_copies"), col("copy_idx"))
   }
 
   // --- driver contract -----------------------------------------------
@@ -180,7 +214,8 @@ object Curation {
     "q_scrub" -> qScrub _,
     "q_chunk_dedup" -> qChunkDedup _,
     "q_filter_rules" -> qFilterRules _,
-    "q_mixture" -> qMixture _)
+    "q_mixture" -> qMixture _,
+    "q_mixture_sample" -> qMixtureSample _)
 
   // single line: interpolating multi-line SQL into a stripMargin
   // string would let the outer stripMargin eat the first | of a ||
@@ -275,5 +310,31 @@ object Curation {
         |  round(share, 6) AS token_share,
         |  round(w::DOUBLE / w_tot::DOUBLE, 6) AS weight,
         |  round(w::DOUBLE / w_tot::DOUBLE / share, 6) AS sample_factor
-        |FROM n""".stripMargin)
+        |FROM n""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(string_split_regex(lower(trim(text)), '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |sh AS (
+        |  SELECT *, n_tokens::DOUBLE / (sum(n_tokens) OVER ())::BIGINT::DOUBLE AS share
+        |  FROM per),
+        |wq AS (
+        |  SELECT *, floor(sqrt(share) * 1e6)::BIGINT AS w FROM sh),
+        |n AS (SELECT *, (sum(w) OVER ())::BIGINT AS w_tot FROM wq),
+        |ff AS (
+        |  SELECT source,
+        |    floor(w::DOUBLE / w_tot::DOUBLE / share)::BIGINT AS base,
+        |    floor((w::DOUBLE / w_tot::DOUBLE / share
+        |      - floor(w::DOUBLE / w_tot::DOUBLE / share)) * 1e6)::BIGINT AS thr
+        |  FROM n),
+        |cp AS (
+        |  SELECT d.doc_id, d.source,
+        |    base + (CASE WHEN
+        |      ('0x' || substr(md5('mix_' || d.doc_id::VARCHAR), 1, 12))::BIGINT
+        |        % 1000000 < thr THEN 1 ELSE 0 END) AS n_copies
+        |  FROM documents d JOIN ff USING (source))
+        |SELECT doc_id, source, n_copies,
+        |  unnest(range(1, n_copies + 1)) AS copy_idx
+        |FROM cp""".stripMargin)
 }

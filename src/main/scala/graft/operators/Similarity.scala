@@ -71,14 +71,31 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** The oracle harness's query set: every QueryMod-th corpus
+    * vector. Every ANN entry point also has a `...For` variant that
+    * takes an EXTERNAL query DataFrame with the embeddings schema
+    * (vec_id, label, embedding) — the shape a real caller has; the
+    * harness instance is just `defaultQueries(emb)` passed through.
+    */
+  def defaultQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % QueryMod === 0)
+
   /** Brute-force top-k: the (small) query set is broadcast against
     * the full corpus — one narrow pass over the big side, no shuffle
     * of the corpus, then a per-query top-k window.
     */
-  def bruteTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+  def bruteTopK(emb: DataFrame, k: Int = TopK): DataFrame =
+    bruteTopKFor(emb, defaultQueries(emb), k)
+
+  /** External-query brute force. Contract: the query batch is
+    * bounded (it broadcasts); the CORPUS side never broadcasts and
+    * never shuffles regardless of query-set size — brute force over
+    * an unbounded query set is the wrong tool by definition (use
+    * lshTopKFor/ivfTopKFor with broadcastQueries=false).
+    */
+  def bruteTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK): DataFrame = {
     val all = quantized(emb)
-    val qs = all.filter(col("vec_id") % QueryMod === 0)
-      .toDF("query_id", "label_q", "q_q", "nq_q")
+    val qs = quantized(queries).toDF("query_id", "label_q", "q_q", "nq_q")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     all.join(broadcast(qs), col("vec_id") =!= col("query_id"))
@@ -118,13 +135,23 @@ object Similarity {
     * candidate count drops ~2^NumPlanes/NumTables-fold. Recall vs
     * bruteTopK is asserted in OperatorsSpec.
     */
-  def lshTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+  def lshTopK(emb: DataFrame, k: Int = TopK): DataFrame =
+    lshTopKFor(emb, defaultQueries(emb), k)
+
+  /** External-query LSH ANN. With broadcastQueries=false the bucket
+    * join is a plain shuffled equi-join on (tbl, bucket) — neither
+    * side broadcasts, so an unbounded query set (e.g. corpus-vs-
+    * corpus) stays horizontal.
+    */
+  def lshTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
+                 broadcastQueries: Boolean = true): DataFrame = {
     val all = bucketed(emb)
-    val qs = all.toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q")
-      .filter(col("query_id") % QueryMod === 0)
+    val qsRaw = bucketed(queries)
+      .toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q")
+    val qs = if (broadcastQueries) broadcast(qsRaw) else qsRaw
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    all.join(broadcast(qs),
+    all.join(qs,
         col("tbl") === col("tbl_q") && col("bucket") === col("bucket_q")
           && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("q"), col("nq"), col("q_q"), col("nq_q"))
@@ -157,6 +184,17 @@ object Similarity {
     searchIvf(all, seedCentroids(all), k)
   }
 
+  /** External-query IVF ANN (seeded quantizer): queries carry the
+    * embeddings schema; with broadcastQueries=false the posting-list
+    * join shuffles both sides on cid — nothing broadcasts but the
+    * (tiny) centroid set, so the query set can be corpus-sized.
+    */
+  def ivfTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
+                 broadcastQueries: Boolean = true): DataFrame = {
+    val all = quantized(emb)
+    searchIvfFor(all, seedCentroids(all), quantized(queries), k, broadcastQueries)
+  }
+
   /** Seed coarse centroids: every SeedMod-th vector. */
   def seedCentroids(all: DataFrame): DataFrame =
     all.filter(col("vec_id") % SeedMod === 0)
@@ -166,7 +204,14 @@ object Similarity {
     * trained): assignment + probing + posting-list join as described
     * on ivfTopK.
     */
-  private def searchIvf(all: DataFrame, cents: DataFrame, k: Int): DataFrame = {
+  private def searchIvf(all: DataFrame, cents: DataFrame, k: Int): DataFrame =
+    searchIvfFor(all, cents, all.filter(col("vec_id") % QueryMod === 0), k)
+
+  /** IVF search against an arbitrary centroid set and an arbitrary
+    * QUANTIZED query set (vec_id, label, q, nq).
+    */
+  private def searchIvfFor(all: DataFrame, cents: DataFrame, qsQuant: DataFrame,
+                           k: Int, broadcastQueries: Boolean = true): DataFrame = {
     val scored = all.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
     // nearest centroid per vector: partial-aggregatable argmax with a
@@ -175,17 +220,20 @@ object Similarity {
       .agg(max_by(col("cid"),
         struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
       .join(all, "vec_id")
-    // the query subset is small: a plain window picks its NProbe lists
+    // queries probe their NProbe nearest lists; per-query windows are
+    // NProbe-deep regardless of query-set size
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val probes = scored.filter(col("vec_id") % QueryMod === 0)
+    val probesRaw = qsQuant.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
       .withColumn("crn", row_number().over(wq)).filter(col("crn") <= NProbe)
       .select(col("vec_id").as("query_id"), col("cid"),
         col("q").as("q_q"), col("nq").as("nq_q"))
+    val probes = if (broadcastQueries) broadcast(probesRaw) else probesRaw
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probes),
-        assigned("cid") === probes("cid") && col("vec_id") =!= col("query_id"))
+    assigned.join(probes,
+        assigned("cid") === probesRaw("cid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("q"), col("nq"), col("q_q"), col("nq_q"))
       .dropDuplicates("query_id", "vec_id")
       .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
@@ -294,6 +342,18 @@ object Similarity {
     searchIvf(all, trainCentroidsConverged(all), k)
   }
 
+  def ivfTrainedTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
+                        broadcastQueries: Boolean = true): DataFrame = {
+    val all = quantized(emb)
+    searchIvfFor(all, trainCentroids(all), quantized(queries), k, broadcastQueries)
+  }
+
+  def ivfConvergedTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
+                          broadcastQueries: Boolean = true): DataFrame = {
+    val all = quantized(emb)
+    searchIvfFor(all, trainCentroidsConverged(all), quantized(queries), k, broadcastQueries)
+  }
+
   /** Retrieve-then-rerank (SURVEY §7 r3): stage 1 retrieves RerankPool
     * candidates per query from the LSH tables by quantized cosine
     * (cheap, bucketed — never touches the full corpus); stage 2
@@ -310,13 +370,19 @@ object Similarity {
   // NOT derived as 1 - RerankCosWeight: 1.0 - 0.9 = 0.09999999999999998
   // in IEEE doubles, and the oracle writes the literal 0.1.
   val RerankLabelWeight = 0.1
-  def rerankTopK(emb: DataFrame, pool: Int = RerankPool, k: Int = TopK): DataFrame = {
+  def rerankTopK(emb: DataFrame, pool: Int = RerankPool, k: Int = TopK): DataFrame =
+    rerankTopKFor(emb, defaultQueries(emb), pool, k)
+
+  def rerankTopKFor(emb: DataFrame, queries: DataFrame,
+                    pool: Int = RerankPool, k: Int = TopK,
+                    broadcastQueries: Boolean = true): DataFrame = {
     val all = bucketed(emb)
-    val qs = all.toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q")
-      .filter(col("query_id") % QueryMod === 0)
+    val qsRaw = bucketed(queries)
+      .toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q")
+    val qs = if (broadcastQueries) broadcast(qsRaw) else qsRaw
     val wRetr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    val retrieved = all.join(broadcast(qs),
+    val retrieved = all.join(qs,
         col("tbl") === col("tbl_q") && col("bucket") === col("bucket_q")
           && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"), col("label_q"),

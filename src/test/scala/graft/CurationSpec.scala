@@ -72,6 +72,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sampling realizes the planned per-source factors") {
+    val plan = Curation.qMixture(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(5))).toMap
+    val realized = Curation.qMixtureSample(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("copies"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(realized.keySet.subsetOf(plan.keySet))
+    plan.foreach { case (src, (nDocs, factor)) =>
+      val want = nDocs * factor
+      val got = realized.getOrElse(src, 0L).toDouble
+      // hash-threshold rounding deviates by at most a few docs per source
+      assert(math.abs(got - want) <= math.max(4.0, 0.08 * want),
+        s"$src: planned $want copies, realized $got")
+    }
+    // determinism: a rerun reproduces the identical sample
+    val again = Curation.qMixtureSample(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("copies"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == realized)
+  }
+
   test("binned range join equals the naive theta join") {
     val fast = Relational.qRangeJoin(spark, sf)
     val ev = Tables.events(spark, sf).select(

@@ -136,6 +136,52 @@ class PlanSpec extends AnyFunSuite {
       graft.sources.Tables.embeddings(spark, sf))) <= 2, "rerank plan grew")
   }
 
+  test("external-query ANN never broadcasts the corpus side") {
+    // corpus-sized query set + broadcastQueries=false + auto-broadcast
+    // off: the plan must contain NO broadcast exchange at all (so in
+    // particular the corpus cannot be the build side) and no
+    // quadratic join — the shape that lets query batches grow
+    // unboundedly at 100 TB
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val lsh = operators.Similarity.lshTopKFor(emb, emb, broadcastQueries = false)
+      lsh.collect()
+      val lp = plan(lsh)
+      // LSH has no centroid set: nothing may broadcast at all
+      assert(!lp.contains("BroadcastExchange"),
+        "external-query LSH ANN still hard-broadcasts a side")
+      assert(lp.contains("SortMergeJoin") || lp.contains("ShuffledHashJoin"),
+        "bucket join is not a shuffled equi-join")
+      assert(!lp.contains("CartesianProduct") && !lp.contains("BroadcastNestedLoopJoin"),
+        "external-query LSH ANN degenerated to a quadratic join")
+      val ivf = operators.Similarity.ivfTopKFor(emb, emb, broadcastQueries = false)
+      ivf.collect()
+      val ip = plan(ivf)
+      // IVF broadcasts ONLY the tiny centroid set (its corpus×C and
+      // query×C scoring joins are deliberate broadcast cross joins);
+      // the posting-list join must shuffle both sides on cid
+      assert(ip.contains("SortMergeJoin") || ip.contains("ShuffledHashJoin"),
+        "posting-list join did not shuffle both sides")
+      assert(!ip.contains("CartesianProduct"),
+        "external-query IVF ANN degenerated to an unhinted cross join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    // the default harness path must be unchanged by the refactor
+    val harness = operators.Similarity.lshTopK(emb).collect().toSet
+    val external = operators.Similarity
+      .lshTopKFor(emb, operators.Similarity.defaultQueries(emb)).collect().toSet
+    assert(harness == external)
+    // brute force broadcasts the QUERY side by contract (BuildRight =
+    // the queries argument), never the corpus
+    val brute = operators.Similarity.bruteTopKFor(
+      emb, operators.Similarity.defaultQueries(emb))
+    brute.collect()
+    assert(plan(brute).contains("BuildRight"),
+      "brute-force broadcast side is not the query side")
+  }
+
   test("embedding near-dup blocks on (label, tbl, bucket), not label alone") {
     // label-only blocking is O((n/L)^2) at scale; the LSH bucket must
     // be part of the equi-join key so candidate counts stay
