@@ -45,6 +45,16 @@ object ExtractPipeline {
     extends RuntimeException(
       s"table $table unfinished after ${deadlineMs}ms deadline")
 
+  /** Deterministic table-order shuffle (reference util.py:13-22
+    * filter_shuffle): config files list tables grouped by schema, so
+    * FIFO worker pools would hammer one tablespace/filegroup at a
+    * time on the source DB; a shuffled order spreads concurrent
+    * extracts across storage. Seeded so a rerun processes in the
+    * same order (reproducible logs and deadline behavior).
+    */
+  def shuffleTables(tables: Seq[String], seed: Long): Seq[String] =
+    new scala.util.Random(seed).shuffle(tables)
+
   /** Runs every table through all three stages with per-stage
     * parallelism caps (reference introspect_workers / extract_workers
     * / load_workers). Returns per-table results, failures captured
@@ -60,12 +70,14 @@ object ExtractPipeline {
                    introspectWorkers: Int = 4, extractWorkers: Int = 4,
                    loadWorkers: Int = 4,
                    retry: RetryPolicy = RetryPolicy(),
-                   deadlineMs: Option[Long] = None): Seq[Result[C]] = {
+                   deadlineMs: Option[Long] = None,
+                   shuffleSeed: Option[Long] = None): Seq[Result[C]] = {
+    val ordered = shuffleSeed.fold(tables)(shuffleTables(tables, _))
     val pools = Seq(introspectWorkers, extractWorkers, loadWorkers)
       .map(n => Executors.newFixedThreadPool(n))
     val Seq(ec1, ec2, ec3) = pools.map(ExecutionContext.fromExecutorService)
     try {
-      val futures: Seq[Future[Result[C]]] = tables.map { t =>
+      val futures: Seq[Future[Result[C]]] = ordered.map { t =>
         Future(retry(stages.introspect(t)))(ec1)
           .flatMap(a => Future(retry(stages.extract(a)))(ec2))(ec2)
           .flatMap(b => Future(retry(stages.load(b)))(ec3))(ec3)
@@ -78,7 +90,7 @@ object ExtractPipeline {
         case Some(ms) =>
           try Await.ready(Future.sequence(futures), Duration(ms, "ms"))
           catch { case _: java.util.concurrent.TimeoutException => }
-          tables.zip(futures).map { case (t, f) =>
+          ordered.zip(futures).map { case (t, f) =>
             f.value match {
               case Some(scala.util.Success(r)) => r
               case Some(scala.util.Failure(e)) =>

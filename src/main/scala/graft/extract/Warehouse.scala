@@ -199,5 +199,8 @@ class Warehouse(root: String, spark: SparkSession) {
       try s.sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
       finally s.close()
     }
+    // the session's file-status cache still lists the pre-swap part
+    // files; a later read of this path would fail FILE_NOT_EXIST
+    spark.catalog.refreshByPath(target.toString)
   }
 }

@@ -114,7 +114,14 @@ object Curation {
   val MaxMeanTokenLen = 12.0
   val MaxTopWordShare = 0.20
 
-  def qFilterRules(s: SparkSession, dir: String): DataFrame = {
+  def qFilterRules(s: SparkSession, dir: String): DataFrame =
+    ruleFilter(Tables.documents(s, dir))
+
+  /** The rule cascade over an arbitrary documents DataFrame
+    * (doc_id, text, ...) — shared by the batch query and the
+    * streaming curation pass (DocStreams).
+    */
+  def ruleFilter(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     val charSum = aggregate(transform(toks, t => length(t)),
@@ -122,11 +129,11 @@ object Curation {
     // modal word count per doc: explode + two partial aggs keyed by
     // doc — the only shuffled piece, and it shuffles (doc_id, term)
     // counts, not text
-    val top = Tables.documents(s, dir)
+    val top = docs
       .select(col("doc_id"), explode(toks).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_cnt"))
-    Tables.documents(s, dir)
+    docs
       .withColumn("n_tokens", nTok)
       .withColumn("mean_len", charSum.cast("double") / nTok)
       .join(top, "doc_id")

@@ -50,6 +50,35 @@ object JdbcPartitionedSource {
       case (r, (k, v)) => r.option(k, v)
     }
 
+  /** Source-dialect dispatch for introspection SQL. The reference
+    * ships an MSSQL count_big helper (util.py:25-52) because SQL
+    * Server's COUNT(*) returns INT and overflows past 2^31 rows —
+    * exactly the table size where partitioned extraction matters;
+    * other engines' COUNT(*) is already 64-bit. Dispatch is by JDBC
+    * URL subprotocol so a caller pointing at SQL Server gets the
+    * overflow-safe aggregate without configuration.
+    */
+  sealed trait Dialect { def countExpr: String = "COUNT(*)" }
+  case object MsSqlDialect extends Dialect {
+    override def countExpr: String = "COUNT_BIG(*)"
+  }
+  case object GenericDialect extends Dialect
+
+  def dialectOf(url: String): Dialect =
+    if (url.startsWith("jdbc:sqlserver")) MsSqlDialect else GenericDialect
+
+  /** The introspection statement pushed to the source engine —
+    * exposed as a pure function so specs can pin the per-dialect SQL
+    * without a live server of each flavor.
+    */
+  def introspectSql(t: JdbcTable, key: String): String = {
+    val d = dialectOf(t.url)
+    // aliases quoted: unquoted identifiers fold to upper case
+    s"""SELECT ${d.countExpr} AS "row_cnt", MIN($key) AS "min_key",
+       |  MAX($key) AS "max_key", COUNT(DISTINCT $key) AS "distinct_keys"
+       |FROM ${t.table}""".stripMargin
+  }
+
   /** Introspection pushed into the source DB (the reference runs the
     * same aggregate server-side, pipeline.py:269-330): one row
     * travels over JDBC, never the table.
@@ -57,10 +86,7 @@ object JdbcPartitionedSource {
   def introspect(spark: SparkSession, t: JdbcTable, key: String): DataFrame =
     spark.read.format("jdbc")
       .option("url", t.url)
-      .option("query", // aliases quoted: unquoted identifiers fold to upper case
-        s"""SELECT COUNT(*) AS "row_cnt", MIN($key) AS "min_key",
-           |  MAX($key) AS "max_key", COUNT(DISTINCT $key) AS "distinct_keys"
-           |FROM ${t.table}""".stripMargin)
+      .option("query", introspectSql(t, key))
       .options(t.properties)
       .load()
 

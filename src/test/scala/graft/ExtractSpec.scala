@@ -77,6 +77,21 @@ class ExtractSpec extends AnyFunSuite {
     assert(!p.contains("partitionColumn"))
   }
 
+  test("seeded table shuffle is a reproducible permutation; run honors it") {
+    val tables = (1 to 20).map(i => s"t$i")
+    val once = ExtractPipeline.shuffleTables(tables, seed = 42L)
+    assert(once.sorted == tables.sorted, "shuffle must be a permutation")
+    assert(once != tables, "seed 42 should actually reorder 20 tables")
+    assert(once == ExtractPipeline.shuffleTables(tables, 42L), "same seed, same order")
+    assert(once != ExtractPipeline.shuffleTables(tables, 43L), "different seed, different order")
+    val stages = ExtractPipeline.Stages[String, String, String](
+      identity, identity, identity)
+    val res = ExtractPipeline.run(tables, stages,
+      introspectWorkers = 1, extractWorkers = 1, loadWorkers = 1,
+      shuffleSeed = Some(42L))
+    assert(res.map(_.name) == once, "pipeline must process in shuffled order")
+  }
+
   test("ExtractPipeline overlaps stages, captures failures, retries") {
     val attempts = new java.util.concurrent.atomic.AtomicInteger
     val stages = ExtractPipeline.Stages[String, String, String](

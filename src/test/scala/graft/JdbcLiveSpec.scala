@@ -66,6 +66,20 @@ class JdbcLiveSpec extends AnyFunSuite {
     assert(row.getAs[Number]("distinct_keys").longValue() == loaded)
   }
 
+  test("introspection SQL dispatches by dialect (MSSQL gets COUNT_BIG)") {
+    val mssql = J.JdbcTable("jdbc:sqlserver://host;databaseName=db", "dbo.orders")
+    assert(J.dialectOf(mssql.url) == J.MsSqlDialect)
+    assert(J.introspectSql(mssql, "o_orderkey").contains("COUNT_BIG(*)"),
+      "SQL Server COUNT(*) returns INT and overflows past 2^31 rows")
+    // generic engines keep the standard 64-bit COUNT(*)
+    assert(J.dialectOf(table.url) == J.GenericDialect)
+    val derby = J.introspectSql(table, "o_orderkey")
+    assert(derby.contains("COUNT(*)") && !derby.contains("COUNT_BIG"))
+    // and the generic statement is exactly what the live test runs
+    assert(J.introspect(spark, table, "o_orderkey")
+      .collect()(0).getAs[Number]("row_cnt").longValue() == loaded)
+  }
+
   test("range mode extracts with one task per key stride") {
     assert(loaded == 1500L)
     val df = J.read(spark, table, J.Range("o_orderkey", 0L, 1499L, 4))

@@ -54,6 +54,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(wh.readTable(ref, "events").count() == distinct)
   }
 
+  test("streaming curation equals batch scrub∘rule-filter and replays idempotently") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    val root = java.nio.file.Files.createTempDirectory("graft-wh-cur").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.curated")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runCurationToWarehouse(spark, sf, wh, ref, "corpus", "audit")
+    // counts/sets captured EAGERLY: the replay below swaps the table
+    // directories, so a lazily-held DataFrame would read deleted files
+    val keptCount = wh.readTable(ref, "corpus").count()
+    val auditCount = wh.readTable(ref, "audit").count()
+    // batch equivalence: same keep set and same verdicts
+    val batch = DocStreams.curateBatch(graft.sources.Tables.documents(spark, sf))
+    assert(keptCount == batch.filter(col("keep")).count())
+    assert(auditCount == batch.count())
+    val streamVerdicts = wh.readTable(ref, "audit").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchVerdicts = batch.select(col("doc_id"),
+        coalesce(col("drop_reason"), lit("kept"))).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamVerdicts == batchVerdicts)
+    // drop-reason counts derive from the audit table
+    val counts = DocStreams.dropCounts(wh, ref, "audit").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == batch.count())
+    assert(counts.getOrElse("kept", 0L) == keptCount)
+    // replay: running the whole stream again converges to the same tables
+    DocStreams.runCurationToWarehouse(spark, sf, wh, ref, "corpus", "audit")
+    assert(wh.readTable(ref, "corpus").count() == keptCount)
+    assert(wh.readTable(ref, "audit").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == streamVerdicts)
+  }
+
   test("streaming windowed agg matches the batch plan") {
     val streamed = EventStreams.runToMemory(spark, sf)
       .collect().map(_.toString).sorted
