@@ -113,6 +113,39 @@ class JdbcLiveSpec extends AnyFunSuite {
     assert(J.read(spark, table, J.Single).count() == loaded)
   }
 
+  test("tune mode times the config grid and picks a winner from it") {
+    import graft.extract.TuneJob
+    assert(loaded == 1500L)
+    val grid = Seq(TuneJob.Config(1, 1000), TuneJob.Config(2, 1000),
+      TuneJob.Config(1, 500), TuneJob.Config(2, 500))
+    val res = TuneJob.tune(spark, table, "o_orderkey", grid)
+    assert(res.samples.length == grid.length)
+    assert(res.samples.forall(_.rows == loaded),
+      "every probe must dump the full table")
+    assert(res.samples.forall(_.rowsPerSec > 0))
+    assert(grid.contains(res.best))
+  }
+
+  test("tiny tables extract driver-side without a Spark job") {
+    import graft.extract.TuneJob
+    assert(loaded == 1500L)
+    val df = TuneJob.tinyExtract(spark, table)
+    assert(df.rdd.getNumPartitions <= spark.sparkContext.defaultParallelism)
+    assert(df.count() == loaded)
+    assert(df.columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    // content reconcile against the distributed read
+    val viaJdbc = df.agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
+    val viaSpark = J.read(spark, table, J.Single)
+      .agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
+    assert(viaJdbc == viaSpark)
+    // the guard rail refuses to materialize big tables on the driver
+    intercept[IllegalStateException] {
+      TuneJob.tinyExtract(spark, table, maxRows = 100)
+    }
+  }
+
   test("spark jdbc write round-trips") {
     assert(loaded == 1500L)
     val src = Tables.nation(spark, sf)
