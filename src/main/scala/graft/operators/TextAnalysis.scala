@@ -245,7 +245,58 @@ object TextAnalysis {
     topPairs(pre, "pre").unionAll(topPairs(pairCounts(merged), "post"))
   }
 
+  /** Multi-merge BPE TRAINING (SURVEY §7 r5 pulled forward): learn
+    * BpeTrainSteps merge rules in sequence. Once symbols are
+    * multi-character, plain space-separated strings are unsafe — the
+    * pair ("b","c") would substring-match inside "...ab c..." — and
+    * RE2 (the oracle's regex engine) has no lookbehind to anchor on.
+    * So every symbol is wrapped in U+0001 markers: an occurrence of
+    * "<m>l<m> <m>r<m>" can only align on symbol
+    * boundaries (inner text never contains the marker), leftmost
+    * non-overlapping replace remains exactly greedy merge order, and
+    * both engines agree byte for byte. Each round is vocab-sized
+    * work; the symbol table is checkpointed per round so the loop's
+    * lineage stays flat. Output: the learned rules
+    * (step, lhs, rhs, cnt) — counts provably non-increasing, since a
+    * merge-created symbol's pair counts never exceed its parent's.
+    */
+  val BpeTrainSteps = 8
+  private val Mk = "\u0001"
+
+  private def pairCountsMarked(sym: DataFrame): DataFrame = {
+    val wLead = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("pos"))
+    sym.select(col("w"), col("n"), posexplode(split(col("s"), " ")).as(Seq("pos", "c")))
+      .withColumn("nx", lead(col("c"), 1).over(wLead))
+      .filter(col("nx").isNotNull)
+      .groupBy(translate(col("c"), Mk, "").as("lhs"),
+        translate(col("nx"), Mk, "").as("rhs"))
+      .agg(sum(col("n")).as("cnt"))
+  }
+
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var sym = pin(wordVocab(Tables.documents(s, dir))
+      .withColumn("s", rtrim(regexp_replace(col("w"), "(.)", s"$Mk$$1$Mk "))))
+    var steps: Seq[DataFrame] = Nil
+    for (i <- 1 to BpeTrainSteps) {
+      val top1 = pairCountsMarked(sym)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+      steps = steps :+ top1.select(lit(i).as("step"), col("lhs"), col("rhs"), col("cnt"))
+      sym = pin(sym
+        .crossJoin(broadcast(top1.select(col("lhs").as("m_lhs"), col("rhs").as("m_rhs"))))
+        .withColumn("s", org.apache.spark.sql.functions.replace(col("s"),
+          concat(lit(Mk), col("m_lhs"), lit(Mk + " " + Mk), col("m_rhs"), lit(Mk)),
+          concat(lit(Mk), col("m_lhs"), col("m_rhs"), lit(Mk))))
+        .select(col("w"), col("n"), col("s")))
+    }
+    steps.reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train" -> qBpeTrain _,
     "q_bpe_merge" -> qBpeMerge _,
     "q_vocab" -> qVocab _,
     "q_decontaminate" -> qDecontaminate _,
@@ -292,7 +343,45 @@ object TextAnalysis {
       |  (SELECT *, row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rn FROM post)
       |  WHERE rn <= $BpeTopPairs""".stripMargin
 
+  /** Marker-delimited pair counts of CTE `src` (DuckDB twin of
+    * `pairCountsMarked`): symbols carry chr(1) wrappers in the data,
+    * stripped for the (lhs, rhs) output.
+    */
+  private def bpePairMarkedSql(src: String): String =
+    s"""SELECT p.l AS lhs, p.r AS rhs, sum(n)::BIGINT AS cnt FROM (
+      |    SELECT n, unnest(list_transform(range(1, len(sl)),
+      |      i -> {'l': replace(sl[i], chr(1), ''), 'r': replace(sl[i+1], chr(1), '')})) AS p
+      |    FROM (SELECT n, string_split(s, ' ') AS sl FROM $src))
+      |  GROUP BY 1, 2""".stripMargin
+
+  private val bpeTrainSql = {
+    val rounds = (1 to BpeTrainSteps).flatMap { i =>
+      Seq(
+        s"pc$i AS (${bpePairMarkedSql(s"sym${i - 1}")})",
+        s"top$i AS (SELECT lhs, rhs, cnt FROM pc$i ORDER BY cnt DESC, lhs, rhs LIMIT 1)",
+        s"""sym$i AS (
+          |  SELECT w, n, replace(s,
+          |    chr(1) || t.lhs || chr(1) || ' ' || chr(1) || t.rhs || chr(1),
+          |    chr(1) || t.lhs || t.rhs || chr(1)) AS s
+          |  FROM sym${i - 1}, top$i t)""".stripMargin)
+    }.mkString(",\n")
+    val sel = (1 to BpeTrainSteps)
+      .map(i => s"SELECT $i AS step, lhs, rhs, cnt FROM top$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS (
+      |  SELECT t AS w, count(*) AS n FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      |    FROM documents)
+      |  GROUP BY t),
+      |sym0 AS (SELECT w, n,
+      |  rtrim(regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1) || ' ', 'g')) AS s
+      |  FROM words),
+      |$rounds
+      |$sel""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainSql,
     "q_bpe_merge" -> bpeMergeSql,
     "q_decontaminate" ->
       """WITH sh AS (

@@ -104,6 +104,20 @@ class OperatorsSpec extends AnyFunSuite {
       s"merged symbol $l$r absent from post-merge pairs")
   }
 
+  test("BPE training learns merges in non-increasing count order, reaches multi-char symbols") {
+    val rows = operators.TextAnalysis.qBpeTrain(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == operators.TextAnalysis.BpeTrainSteps)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val cnts = rows.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "a merge-created symbol's pair count exceeded its parent's")
+    // later rounds must consume earlier merges' symbols (the
+    // boundary-safe representation is what makes this correct)
+    assert(rows.exists(r => r.getString(1).length > 1 || r.getString(2).length > 1),
+      "no multi-char symbol ever merged — marker plumbing suspect")
+  }
+
   test("ngram jaccard finds copies at jaccard 1.0") {
     val rows = Dedup.ngramJaccardPairs(Dedup.corpus(spark, sf)).collect()
     val copies = rows.filter(r => r.getLong(1) == r.getLong(0) + Dedup.Shift)
