@@ -110,25 +110,41 @@ object Similarity {
     * integer weights in [-1000, 1000] derived from md5 —
     * reproducible everywhere.
     */
-  lazy val planes: Array[Array[Array[Long]]] =
-    Array.tabulate(NumTables, NumPlanes, Dim) { (t, j, d) =>
+  /** Plane weights for an arbitrary (tables, planes) configuration —
+    * same md5-derived constants for the shared prefix, so the
+    * default table set is a strict sub-family of every sweep point.
+    */
+  def planesFor(tables: Int, planesN: Int): Array[Array[Array[Long]]] =
+    Array.tabulate(tables, planesN, Dim) { (t, j, d) =>
       graft.functions.GraftFunctions.tokenHashLong(s"hp_${t}_${j}_$d") % 2001L - 1000L
     }
 
-  /** Sign-bucket of a quantized vector in LSH table `t`. */
-  def lshBucket(q: org.apache.spark.sql.Column, t: Int): org.apache.spark.sql.Column =
-    (0 until NumPlanes).map { j =>
-      val dot = dotQ(q, typedlit(planes(t)(j).toSeq))
+  lazy val planes: Array[Array[Array[Long]]] = planesFor(NumTables, NumPlanes)
+
+  private def lshBucketWith(q: org.apache.spark.sql.Column,
+                            pl: Array[Array[Long]]): org.apache.spark.sql.Column =
+    pl.indices.map { j =>
+      val dot = dotQ(q, typedlit(pl(j).toSeq))
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** (vec_id, label, q, nq, tbl, bucket) — one row per LSH table. */
-  def bucketed(emb: DataFrame): DataFrame = {
+  /** Sign-bucket of a quantized vector in LSH table `t`. */
+  def lshBucket(q: org.apache.spark.sql.Column, t: Int): org.apache.spark.sql.Column =
+    lshBucketWith(q, planes(t))
+
+  /** (vec_id, label, q, nq, tbl, bucket) — one row per LSH table,
+    * for an arbitrary table/plane configuration.
+    */
+  def bucketedWith(emb: DataFrame, tables: Int, planesN: Int): DataFrame = {
+    val pl = planesFor(tables, planesN)
     val base = quantized(emb)
-      .withColumn("buckets", array((0 until NumTables).map(t => lshBucket(col("q"), t)): _*))
+      .withColumn("buckets", array((0 until tables).map(t => lshBucketWith(col("q"), pl(t))): _*))
     base.select(col("vec_id"), col("label"), col("q"), col("nq"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
   }
+
+  /** (vec_id, label, q, nq, tbl, bucket) — one row per LSH table. */
+  def bucketed(emb: DataFrame): DataFrame = bucketedWith(emb, NumTables, NumPlanes)
 
   /** LSH ANN: candidates = union over tables of same-bucket rows; at
     * scale the bucket equi-join replaces the corpus broadcast/cross —
@@ -458,6 +474,44 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(count(lit(1)).as("n_vecs"),
         round((sum(col("v")) / count(lit(1))).cast("double") / 1e6, 6).as("mean_val"))
+
+  /** LSH parameter sweep — the recall/cost dial an operator reads
+    * before committing a corpus-scale ANN run (the ANN twin of
+    * extract.TuneJob). For each (tables, planes) point: candidate
+    * count after cross-table dedup, and recall@k against the
+    * brute-force ground truth. Deterministic (md5-derived planes,
+    * shared prefix across configs), so the monotonicity facts —
+    * extra tables only add candidates, extra planes only refine
+    * buckets — are exact, not statistical, and spec-pinned.
+    */
+  final case class LshSweepPoint(tables: Int, planes: Int,
+                                 nCandidates: Long, recall: Double)
+
+  def lshSweep(emb: DataFrame, configs: Seq[(Int, Int)],
+               k: Int = TopK): Seq[LshSweepPoint] = {
+    val exact = bruteTopK(emb, k).select(col("query_id"), col("neighbor_id"))
+    val exactN = exact.count().toDouble
+    configs.map { case (tables, planesN) =>
+      val all = bucketedWith(emb, tables, planesN)
+      val qs = all.toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q")
+        .filter(col("query_id") % QueryMod === 0)
+      val cands = all.join(broadcast(qs),
+          col("tbl") === col("tbl_q") && col("bucket") === col("bucket_q")
+            && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("q"), col("nq"),
+          col("q_q"), col("nq_q"))
+        .dropDuplicates("query_id", "vec_id")
+      val n = cands.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      val approx = cands
+        .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
+      LshSweepPoint(tables, planesN, n, hits / exactN)
+    }
+  }
 
   // --- queries --------------------------------------------------------
 

@@ -81,6 +81,21 @@ class OperatorsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("LSH sweep: extra tables only add recall, extra planes only cut candidates") {
+    val emb = Tables.embeddings(spark, sf)
+    val pts = Similarity.lshSweep(emb, Seq((1, 4), (2, 4), (1, 8)))
+      .map(p => (p.tables, p.planes) -> p).toMap
+    // (2,4) strictly contains (1,4)'s candidate set (same first table)
+    assert(pts((2, 4)).recall >= pts((1, 4)).recall)
+    assert(pts((2, 4)).nCandidates >= pts((1, 4)).nCandidates)
+    // 8-plane buckets refine 4-plane buckets (shared hash prefix)
+    assert(pts((1, 8)).nCandidates <= pts((1, 4)).nCandidates)
+    assert(pts.values.forall(p => p.recall >= 0.0 && p.recall <= 1.0))
+    // the production default must sit on the good side of the dial
+    assert(pts((2, 4)).recall > pts((1, 8)).recall,
+      "default (2 tables x 4 planes) no longer beats the 1x8 config it was chosen over")
+  }
+
   test("converged IVF training stops before the iteration bound") {
     val all = Similarity.quantized(Tables.embeddings(spark, sf))
     val (cents, iters) = Similarity.trainCentroidsConvergedWithIters(all)
