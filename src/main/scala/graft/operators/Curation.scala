@@ -197,14 +197,25 @@ object Curation {
     * Thresholds stay integer (floor on the 1e6 grid — floor of a
     * double is representation-stable, round is not).
     */
-  def qMixtureSample(s: SparkSession, dir: String): DataFrame = {
-    val factors = mixtureRaw(Tables.documents(s, dir))
+  /** The per-source sampling factors as integer (base, thr) pairs on
+    * the 1e6 grid — the O(sources) table a sampler applies. Planned
+    * ONCE on a reference corpus snapshot, then applicable to any doc
+    * set (the batch query below, or arriving micro-batches in
+    * streaming.DocStreams).
+    */
+  def mixtureFactors(docs: DataFrame): DataFrame =
+    mixtureRaw(docs)
       .withColumn("f",
         col("wq").cast("double") / col("wq_tot").cast("double") / col("share"))
       .select(col("source"),
         floor(col("f")).cast("long").as("base"),
         floor((col("f") - floor(col("f"))) * 1e6).cast("long").as("thr"))
-    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+
+  /** Apply planned factors to a doc set: deterministic per-doc copy
+    * counts, upsampling exploded as copy_idx rows.
+    */
+  def applyMixture(docs: DataFrame, factors: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
       .join(broadcast(factors), "source")
       .withColumn("n_copies",
         col("base") + when(
@@ -213,6 +224,10 @@ object Curation {
       .withColumn("copy_idx",
         explode(when(col("n_copies") >= 1, sequence(lit(1L), col("n_copies")))))
       .select(col("doc_id"), col("source"), col("n_copies"), col("copy_idx"))
+
+  def qMixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    applyMixture(docs, mixtureFactors(docs))
   }
 
   // --- driver contract -----------------------------------------------

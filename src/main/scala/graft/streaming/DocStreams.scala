@@ -85,4 +85,34 @@ object DocStreams {
   def dropCounts(wh: Warehouse, ref: Warehouse.DatasetRef, auditTable: String): DataFrame =
     wh.readTable(ref, auditTable)
       .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
+
+  /** Streaming mixture application: factors PLANNED ONCE on a
+    * reference corpus snapshot (Curation.mixtureFactors — the
+    * realistic shape: plan on yesterday's corpus, apply to arriving
+    * docs) are applied to every micro-batch, and sampled copies land
+    * in the warehouse keyed by (doc_id, copy_idx) — so replays
+    * converge and a doc's copies never duplicate. The factor table
+    * is O(sources) and broadcasts inside applyMixture.
+    */
+  def runMixtureToWarehouse(spark: SparkSession, dir: String, factors: DataFrame,
+                            wh: Warehouse, ref: Warehouse.DatasetRef,
+                            table: String): Unit = {
+    val local = factors.localCheckpoint() // pin the plan across batches
+    val q = readStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sampled = graft.operators.Curation.applyMixture(batch.toDF(), local)
+          .withColumn("sample_id",
+            concat(col("doc_id").cast("string"), lit("#"), col("copy_idx").cast("string")))
+          .localCheckpoint()
+        val merged =
+          if (wh.tableExists(ref, table))
+            Merge.upsert(wh.readTable(ref, table), sampled, "sample_id")
+          else sampled.dropDuplicates("sample_id")
+        wh.writeTable(merged, ref, table)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

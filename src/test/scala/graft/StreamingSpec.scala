@@ -89,6 +89,28 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet == streamVerdicts)
   }
 
+  test("streaming mixture application equals the batch sample, replays idempotently") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    val root = java.nio.file.Files.createTempDirectory("graft-wh-mix").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.mixed")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val factors = graft.operators.Curation.mixtureFactors(docs)
+    DocStreams.runMixtureToWarehouse(spark, sf, factors, wh, ref, "sample")
+    val streamed = wh.readTable(ref, "sample").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSet
+    val batch = graft.operators.Curation.qMixtureSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+    // replay converges: same sample_id keys, same row count
+    DocStreams.runMixtureToWarehouse(spark, sf, factors, wh, ref, "sample")
+    assert(wh.readTable(ref, "sample").count() == streamed.size)
+  }
+
   test("streaming windowed agg matches the batch plan") {
     val streamed = EventStreams.runToMemory(spark, sf)
       .collect().map(_.toString).sorted
