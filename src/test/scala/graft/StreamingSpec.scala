@@ -89,6 +89,53 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet == streamVerdicts)
   }
 
+  test("streaming incremental dedup indexes uniques, flags copies cross-batch") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    import graft.extract.Warehouse
+    import graft.operators.Dedup
+    import graft.streaming.DocStreams
+    // batch 1: the raw documents; batch 2: exact copies under shifted
+    // ids — every copy must be caught against the PERSISTED index
+    val staged = Files.createTempDirectory("graft-incdedup")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("a_documents.parquet"))
+    val shifted = graft.sources.Tables.documents(spark, sf)
+      .select((col("doc_id") + Dedup.Shift).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val tmpOut = Files.createTempDirectory("graft-incdedup-w")
+    shifted.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = Files.list(tmpOut).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst.get
+    Files.copy(part, staged.resolve("b_copies.parquet"))
+    val root = Files.createTempDirectory("graft-wh-inc").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.dedup")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runIncrementalDedupToWarehouse(
+      spark, staged.toString, wh, ref, "band_index", "dupes")
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    val indexed = wh.readTable(ref, "band_index")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val dupNew = wh.readTable(ref, "dupes")
+      .select("new_doc").distinct().collect().map(_.getLong(0)).toSet
+    // every shifted copy was flagged, none entered the index
+    (0L until nDocs).foreach { i =>
+      assert(dupNew.contains(i + Dedup.Shift), s"copy of $i not flagged")
+      assert(!indexed.contains(i + Dedup.Shift), s"copy of $i entered the index")
+    }
+    // every doc is exactly one of: indexed unique or flagged dup
+    assert((indexed ++ dupNew).size == indexed.size + dupNew.size)
+    assert(indexed.size + dupNew.size == 2 * nDocs)
+    // replay converges
+    val idxCount = wh.readTable(ref, "band_index").count()
+    val dupCount = wh.readTable(ref, "dupes").count()
+    DocStreams.runIncrementalDedupToWarehouse(
+      spark, staged.toString, wh, ref, "band_index", "dupes")
+    assert(wh.readTable(ref, "band_index").count() == idxCount)
+    assert(wh.readTable(ref, "dupes").count() == dupCount)
+  }
+
   test("streaming mixture application equals the batch sample, replays idempotently") {
     import org.apache.spark.sql.functions._
     import graft.extract.Warehouse
