@@ -230,6 +230,34 @@ object Curation {
     applyMixture(docs, mixtureFactors(docs))
   }
 
+  /** Mixture REPLANNING drift: recompute the temperature weights
+    * after a (biased) batch of arrivals lands and report the
+    * per-source weight shift — the monitoring signal that tells a
+    * pipeline when its sampling plan has gone stale. Arrivals here
+    * are the deterministic biased subset doc_id % 3 = 0 re-keyed
+    * past the id space (both engines build the identical union).
+    * Two O(sources) aggregate chains + one tiny join.
+    */
+  def mixtureWeights(docs: DataFrame): DataFrame =
+    mixtureRaw(docs).select(col("source"), col("n_docs"),
+      (col("wq").cast("double") / col("wq_tot").cast("double")).as("weight"))
+
+  def qMixtureDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val arrivals = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val before = mixtureWeights(docs)
+      .toDF("source", "n_docs_before", "w_before")
+    val after = mixtureWeights(docs.unionByName(arrivals))
+      .toDF("source", "n_docs_after", "w_after")
+    before.join(after, "source")
+      .select(col("source"), col("n_docs_before"), col("n_docs_after"),
+        round(col("w_before"), 6).as("weight_before"),
+        round(col("w_after"), 6).as("weight_after"),
+        round(col("w_after") - col("w_before"), 6).as("drift"))
+  }
+
   // --- driver contract -----------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -237,7 +265,8 @@ object Curation {
     "q_chunk_dedup" -> qChunkDedup _,
     "q_filter_rules" -> qFilterRules _,
     "q_mixture" -> qMixture _,
-    "q_mixture_sample" -> qMixtureSample _)
+    "q_mixture_sample" -> qMixtureSample _,
+    "q_mixture_drift" -> qMixtureDrift _)
 
   // single line: interpolating multi-line SQL into a stripMargin
   // string would let the outer stripMargin eat the first | of a ||
@@ -358,5 +387,28 @@ object Curation {
         |  FROM documents d JOIN ff USING (source))
         |SELECT doc_id, source, n_copies,
         |  unnest(range(1, n_copies + 1)) AS copy_idx
-        |FROM cp""".stripMargin)
+        |FROM cp""".stripMargin,
+    "q_mixture_drift" -> {
+      def weights(src: String) =
+        s"""SELECT source, n_docs, w::DOUBLE / w_tot::DOUBLE AS weight FROM (
+          |  SELECT *, (sum(w) OVER ())::BIGINT AS w_tot FROM (
+          |    SELECT *, floor(sqrt(share) * 1e6)::BIGINT AS w FROM (
+          |      SELECT *, n_tokens::DOUBLE
+          |          / (sum(n_tokens) OVER ())::BIGINT::DOUBLE AS share
+          |      FROM (
+          |        SELECT source, count(*) AS n_docs,
+          |          sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT AS n_tokens
+          |        FROM ($src) GROUP BY source))))""".stripMargin
+      s"""WITH before AS (${weights("SELECT * FROM documents")}),
+        |after AS (${weights(
+          """SELECT * FROM documents
+            |        UNION ALL
+            |        SELECT doc_id + 200000, text, lang, source, n_chars
+            |        FROM documents WHERE doc_id % 3 = 0""".stripMargin)})
+        |SELECT b.source, b.n_docs AS n_docs_before, a.n_docs AS n_docs_after,
+        |  round(b.weight, 6) AS weight_before,
+        |  round(a.weight, 6) AS weight_after,
+        |  round(a.weight - b.weight, 6) AS drift
+        |FROM before b JOIN after a USING (source)""".stripMargin
+    })
 }

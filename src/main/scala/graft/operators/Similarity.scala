@@ -513,6 +513,50 @@ object Similarity {
     }
   }
 
+  /** IVF NProbe sweep — same dial as lshSweep for the posting-list
+    * side: candidate count and recall@k per probe depth. Probing p+1
+    * lists strictly contains probing p (the probe ranking is fixed
+    * per query), so recall and candidate count are exactly
+    * monotone in nprobe — spec-pinned, not sampled.
+    */
+  final case class IvfSweepPoint(nprobe: Int, nCandidates: Long, recall: Double)
+
+  def ivfSweep(emb: DataFrame, probes: Seq[Int], k: Int = TopK): Seq[IvfSweepPoint] = {
+    val all = quantized(emb)
+    val cents = seedCentroids(all)
+    val exact = bruteTopK(emb, k).select(col("query_id"), col("neighbor_id"))
+    val exactN = exact.count().toDouble
+    val scored = all.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"),
+        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
+      .join(all, "vec_id").localCheckpoint()
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val rankedProbes = scored.filter(col("vec_id") % QueryMod === 0)
+      .withColumn("crn", row_number().over(wq)).localCheckpoint()
+    probes.map { p =>
+      val pr = rankedProbes.filter(col("crn") <= p)
+        .select(col("vec_id").as("query_id"), col("cid"),
+          col("q").as("q_q"), col("nq").as("nq_q"))
+      val cands = assigned.join(broadcast(pr),
+          assigned("cid") === pr("cid") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("q"), col("nq"),
+          col("q_q"), col("nq_q"))
+        .dropDuplicates("query_id", "vec_id")
+      val n = cands.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      val approx = cands
+        .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
+      IvfSweepPoint(p, n, hits / exactN)
+    }
+  }
+
   // --- queries --------------------------------------------------------
 
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =

@@ -93,6 +93,17 @@ class CurationSpec extends AnyFunSuite {
     assert(again == realized)
   }
 
+  test("mixture drift sums to zero across sources and reacts to biased arrivals") {
+    val rows = Curation.qMixtureDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // weights are distributions before and after: drifts cancel
+    assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4)
+    // the doc_id%3 arrival bias must move at least one source
+    assert(rows.exists(r => math.abs(r.getDouble(5)) > 0.0))
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      "arrivals cannot shrink a source"))
+  }
+
   test("binned range join equals the naive theta join") {
     val fast = Relational.qRangeJoin(spark, sf)
     val ev = Tables.events(spark, sf).select(

@@ -96,6 +96,20 @@ class OperatorsSpec extends AnyFunSuite {
       "default (2 tables x 4 planes) no longer beats the 1x8 config it was chosen over")
   }
 
+  test("IVF sweep: recall and candidates are exactly monotone in nprobe") {
+    val pts = Similarity.ivfSweep(Tables.embeddings(spark, sf), Seq(1, 2, 4))
+    assert(pts.map(_.nprobe) == Seq(1, 2, 4))
+    val rec = pts.map(_.recall)
+    val cnd = pts.map(_.nCandidates)
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: $rec")
+    assert(cnd.zip(cnd.tail).forall { case (a, b) => a <= b },
+      s"candidates not monotone: $cnd")
+    assert(rec.forall(r => r >= 0.0 && r <= 1.0))
+    assert(rec.last > rec.head || rec.head == 1.0,
+      "probing more lists never helped — posting lists suspect")
+  }
+
   test("converged IVF training stops before the iteration bound") {
     val all = Similarity.quantized(Tables.embeddings(spark, sf))
     val (cents, iters) = Similarity.trainCentroidsConvergedWithIters(all)
