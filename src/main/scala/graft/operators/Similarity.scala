@@ -513,6 +513,23 @@ object Similarity {
     }
   }
 
+  /** Recall-targeted auto-configuration: walk the config ladder from
+    * cheapest (finest buckets, fewest tables → fewest candidates)
+    * toward most expensive and return the FIRST configuration whose
+    * measured recall@k meets the floor — evaluated lazily, so
+    * expensive configs are only measured when the cheap ones fail.
+    * None when even the last rung misses the target. The shape an
+    * operator wants before a corpus-scale run: "give me ≥ r recall
+    * at minimum candidate cost".
+    */
+  val DefaultLshLadder: Seq[(Int, Int)] =
+    Seq((1, 8), (2, 8), (1, 4), (2, 4), (3, 4))
+  def autoConfigLsh(emb: DataFrame, targetRecall: Double,
+                    ladder: Seq[(Int, Int)] = DefaultLshLadder,
+                    k: Int = TopK): Option[LshSweepPoint] =
+    ladder.iterator.map(c => lshSweep(emb, Seq(c), k).head)
+      .find(_.recall >= targetRecall)
+
   /** IVF NProbe sweep — same dial as lshSweep for the posting-list
     * side: candidate count and recall@k per probe depth. Probing p+1
     * lists strictly contains probing p (the probe ranking is fixed

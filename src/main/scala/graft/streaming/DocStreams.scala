@@ -144,6 +144,42 @@ object DocStreams {
     q.stop()
   }
 
+  /** Streaming benchmark decontamination: the benchmark's distinct
+    * 5-gram shingle set is computed ONCE (it is small by
+    * construction and broadcasts), and every arriving micro-batch is
+    * screened against it — flagged docs land keyed by doc_id, so the
+    * audit converges under replay. The per-batch cost is one narrow
+    * shingle pass over the batch plus a broadcast join: the
+    * streaming twin of TextAnalysis.qDecontaminate, with the same
+    * scale shape (corpus never shuffles on the benchmark).
+    */
+  def runDecontaminationToWarehouse(spark: SparkSession, dir: String,
+                                    benchShingles: DataFrame,
+                                    wh: Warehouse, ref: Warehouse.DatasetRef,
+                                    auditTable: String): Unit = {
+    import graft.functions.GraftFunctions._
+    val bench = benchShingles.localCheckpoint() // pin across batches
+    val q = readStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val flagged = batch.toDF()
+          .select(col("doc_id"), explode(shingleHashes(tokens(col("text")), 5)).as("h"))
+          .distinct()
+          .join(broadcast(bench), "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared_shingles"))
+          .localCheckpoint()
+        val merged =
+          if (wh.tableExists(ref, auditTable))
+            Merge.upsert(wh.readTable(ref, auditTable), flagged, "doc_id")
+          else flagged
+        wh.writeTable(merged, ref, auditTable)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming mixture application: factors PLANNED ONCE on a
     * reference corpus snapshot (Curation.mixtureFactors — the
     * realistic shape: plan on yesterday's corpus, apply to arriving

@@ -96,6 +96,20 @@ class OperatorsSpec extends AnyFunSuite {
       "default (2 tables x 4 planes) no longer beats the 1x8 config it was chosen over")
   }
 
+  test("auto-config returns the cheapest ladder rung meeting the recall floor") {
+    val emb = Tables.embeddings(spark, sf)
+    // measured ladder recalls at sf0.001: 0.02/0.02/0.12/0.20/0.28 —
+    // a 0.15 floor must skip the three cheap rungs
+    val got = Similarity.autoConfigLsh(emb, targetRecall = 0.15)
+    assert(got.isDefined, "no ladder rung met a 0.15 recall floor")
+    assert(got.get.recall >= 0.15)
+    assert(!Similarity.DefaultLshLadder.take(2)
+      .contains((got.get.tables, got.get.planes)),
+      "a known-bad cheap rung was accepted")
+    // an impossible floor walks the whole ladder and reports failure
+    assert(Similarity.autoConfigLsh(emb, targetRecall = 1.01).isEmpty)
+  }
+
   test("IVF sweep: recall and candidates are exactly monotone in nprobe") {
     val pts = Similarity.ivfSweep(Tables.embeddings(spark, sf), Seq(1, 2, 4))
     assert(pts.map(_.nprobe) == Seq(1, 2, 4))

@@ -136,6 +136,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(wh.readTable(ref, "dupes").count() == dupCount)
   }
 
+  test("streaming decontamination equals the batch screen, replays idempotently") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.functions.GraftFunctions._
+    import graft.streaming.DocStreams
+    val root = java.nio.file.Files.createTempDirectory("graft-wh-decon").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.decon")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+      .select(explode(shingleHashes(tokens(col("text")), 5)).as("h")).distinct()
+    DocStreams.runDecontaminationToWarehouse(spark, sf, bench, wh, ref, "leaks")
+    val streamed = wh.readTable(ref, "leaks").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.TextAnalysis.qDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+    DocStreams.runDecontaminationToWarehouse(spark, sf, bench, wh, ref, "leaks")
+    assert(wh.readTable(ref, "leaks").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == streamed)
+  }
+
   test("streaming mixture application equals the batch sample, replays idempotently") {
     import org.apache.spark.sql.functions._
     import graft.extract.Warehouse
