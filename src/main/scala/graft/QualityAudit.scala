@@ -1,0 +1,41 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Similarity
+
+/** ANN quality audit: the recall/candidate numbers for the LSH
+  * config ladder and the IVF probe depths at SPARK_GRAFT_SF_DIR —
+  * one JSON line + file, mirroring Bench's contract so
+  * tools/recall_compare.py can gate quality regressions per round
+  * exactly the way bench_compare.py gates time regressions.
+  * (Everything here is deterministic — md5-derived planes, seeded
+  * centroids — so any recall change is a CODE change, not noise:
+  * the gate can be exact.)
+  */
+object QualityAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val lsh = Similarity.lshSweep(emb, Similarity.DefaultLshLadder)
+      .map(p => s""""${p.tables}x${p.planes}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
+      .mkString("{", ",", "}")
+    val ivf = Similarity.ivfSweep(emb, Seq(1, 2, 4))
+      .map(p => s""""p${p.nprobe}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
+      .mkString("{", ",", "}")
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"sf":"$sfDir"}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_LAST.json")), line)
+    spark.stop()
+  }
+}

@@ -144,6 +144,20 @@ object DocStreams {
     q.stop()
   }
 
+  /** Band-index compaction: docs deleted upstream (takedowns,
+    * retention expiry) must leave the dedup index, or future
+    * arrivals keep matching ghosts — a re-submitted copy of a
+    * deleted doc should be admitted as new. One left-anti join +
+    * rewrite; the index shrinks, it is never rebuilt from text.
+    */
+  def compactIndex(wh: Warehouse, ref: Warehouse.DatasetRef, indexTable: String,
+                   deletedDocs: DataFrame): Unit = {
+    val kept = wh.readTable(ref, indexTable)
+      .join(deletedDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    wh.writeTable(kept, ref, indexTable)
+  }
+
   /** Streaming benchmark decontamination: the benchmark's distinct
     * 5-gram shingle set is computed ONCE (it is small by
     * construction and broadcasts), and every arriving micro-batch is

@@ -134,6 +134,25 @@ class StreamingSpec extends AnyFunSuite {
       spark, staged.toString, wh, ref, "band_index", "dupes")
     assert(wh.readTable(ref, "band_index").count() == idxCount)
     assert(wh.readTable(ref, "dupes").count() == dupCount)
+    // compaction: deleting doc 0 upstream frees its content — a
+    // re-arriving copy (its shifted twin re-staged alone) now
+    // indexes as new instead of matching a ghost
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    DocStreams.compactIndex(wh, ref, "band_index",
+      Seq(0L).toDF("doc_id"))
+    assert(wh.readTable(ref, "band_index")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0L).count() == 0)
+    val resub = Files.createTempDirectory("graft-incdedup-resub")
+    Files.copy(part, resub.resolve("c_resubmit.parquet"))
+    // every other copy still matches its indexed original; 0+Shift's
+    // only content-mates (doc 0, and any of 0's band-colliders —
+    // all flagged, never indexed) are gone from the index
+    DocStreams.runIncrementalDedupToWarehouse(
+      spark, resub.toString, wh, ref, "band_index", "dupes")
+    assert(wh.readTable(ref, "band_index")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === Dedup.Shift).count() > 0,
+      "re-submitted copy of the deleted doc was not admitted as new")
   }
 
   test("streaming decontamination equals the batch screen, replays idempotently") {
