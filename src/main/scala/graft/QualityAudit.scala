@@ -28,10 +28,15 @@ object QualityAudit {
     val lsh = Similarity.lshSweep(emb, Similarity.DefaultLshLadder)
       .map(p => s""""${p.tables}x${p.planes}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
       .mkString("{", ",", "}")
-    val ivf = Similarity.ivfSweep(emb, Seq(1, 2, 4))
+    def ivfLine(points: Seq[Similarity.IvfSweepPoint]): String = points
       .map(p => s""""p${p.nprobe}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
       .mkString("{", ",", "}")
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"sf":"$sfDir"}"""
+    val ivf = ivfLine(Similarity.ivfSweep(emb, Seq(1, 2, 4)))
+    val ivfTrained = ivfLine(Similarity.ivfSweepWith(emb, Seq(1, 2, 4),
+      all => Similarity.trainCentroids(all)))
+    val ivfConverged = ivfLine(Similarity.ivfSweepWith(emb, Seq(1, 2, 4),
+      all => Similarity.trainCentroidsConverged(all)))
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

@@ -538,9 +538,18 @@ object Similarity {
     */
   final case class IvfSweepPoint(nprobe: Int, nCandidates: Long, recall: Double)
 
-  def ivfSweep(emb: DataFrame, probes: Seq[Int], k: Int = TopK): Seq[IvfSweepPoint] = {
+  def ivfSweep(emb: DataFrame, probes: Seq[Int], k: Int = TopK): Seq[IvfSweepPoint] =
+    ivfSweepWith(emb, probes, seedCentroids, k)
+
+  /** Same sweep over an arbitrary coarse quantizer (seeded, trained,
+    * or converged) — measures what Lloyd training actually buys in
+    * recall at each probe depth.
+    */
+  def ivfSweepWith(emb: DataFrame, probes: Seq[Int],
+                   quantizer: DataFrame => DataFrame,
+                   k: Int = TopK): Seq[IvfSweepPoint] = {
     val all = quantized(emb)
-    val cents = seedCentroids(all)
+    val cents = quantizer(all)
     val exact = bruteTopK(emb, k).select(col("query_id"), col("neighbor_id"))
     val exactN = exact.count().toDouble
     val scored = all.join(broadcast(cents))
