@@ -2,18 +2,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: every SparkEntry query timed at
-  * SPARK_GRAFT_SF_DIR, n runs per query (SPARK_GRAFT_BENCH_N,
-  * default 3) with the MEDIAN reported, so per-round comparisons are
-  * stable against JIT/GC noise. Prints one JSON line; per-query
-  * medians let the judge (and tools/bench_compare.py) gate
-  * regressions query by query.
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Protocol (interference-proof, per r4 verdict): instead of running
+  * all n repetitions of one query back-to-back — which lets a
+  * sustained external-load window poison a whole contiguous stretch
+  * of queries — we run n COMPLETE SWEEPS over all queries (sorted by
+  * name for cross-round stability) and take the POINTWISE MIN across
+  * sweeps. A noisy window now inflates at most one sweep's sample of
+  * each query, and the min across sweeps discards it.
+  *
+  * Output: the full per-query JSON (min + per-sweep samples) goes to
+  * BENCH_LAST.json; stdout's FINAL line is a compact summary (total +
+  * file pointer) small enough for a 2 KB tail parse.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,9 +30,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // Warm codegen/JIT per query plan at the smallest SF so timed
     // runs measure steady-state execution, not compiler startup.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -32,28 +41,34 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val samples = SparkEntry.queries.map { case (name, fn) =>
-      name -> (1 to runs).map(_ => time(fn)).sorted
+    // n interleaved sweeps: sweep s times every query once, in name
+    // order, before any query gets its (s+1)-th sample.
+    val sweepTimes: Seq[Seq[Double]] =
+      (1 to sweeps).map(_ => queries.map { case (_, fn) => time(fn) })
+    val samples: Seq[(String, Seq[Double])] = queries.zipWithIndex.map {
+      case ((name, _), i) => name -> sweepTimes.map(_(i))
     }
-    // Primary stat is the MIN of n runs: this box shows heavy
-    // external interference (unrelated queries swing 2-5x between
-    // bench invocations), and the minimum is the standard
-    // noise-robust estimator of true cost. Medians ship alongside.
-    val results = samples.map { case (k, v) => k -> v.head }
+    // Pointwise min across sweeps — the noise-robust estimator; a
+    // contaminated sweep cannot poison a query that ran clean in any
+    // other sweep. Failed runs (-1) are excluded unless all failed.
+    def best(v: Seq[Double]): Double = {
+      val ok = v.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    val results = samples.map { case (k, v) => k -> best(v) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val med = samples.map { case (k, v) => "\"" + k + "\":" + v(v.length / 2) }
+    val raw = samples.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"medians":$med,"sf":"$sfDir"}"""
-    println(line)
-    // Stdout may get log-prefixed by the harness (r1's driver JSON
-    // parse came back empty); the file copy is prefix-proof and feeds
-    // tools/bench_compare.py.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")), line)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"protocol":"interleaved-pointwise-min","queries":$qs,"samples":$raw,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
+    // Compact FINAL stdout line (~120 bytes): fits the driver's 2 KB
+    // tail even with log prefixes; full per-query detail is in the file.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"nqueries":${results.size},"sf":"$sfDir","file":"$outPath"}""")
     spark.stop()
   }
 }

@@ -57,7 +57,33 @@ object Warehouse {
       description: Option[String] = None)
 }
 
-class Warehouse(root: String, spark: SparkSession) {
+/** The warehouse seam: everything operators and streams need from a
+  * load-stage backend. The local parquet [[Warehouse]] below is one
+  * implementation; a GCS/BigQuery backend (the reference's gcp.py:28-183
+  * surface — datasets with labels/access, load jobs with dispositions,
+  * table reads/writes) would implement this same trait, so swapping
+  * storage is a constructor change for callers, never an operator
+  * change. Deliberately interface-only here: the sandbox has no
+  * network or cloud SDKs, and the contract is what matters.
+  */
+trait WarehouseBackend {
+  import Warehouse._
+  def datasetExists(ref: DatasetRef): Boolean
+  def tableExists(ref: DatasetRef, table: String): Boolean
+  def getDataset(ref: DatasetRef): Option[DatasetMeta]
+  def createDataset(ref: DatasetRef, meta: DatasetMeta, drop: Boolean = false): DatasetMeta
+  def deleteDataset(ref: DatasetRef): Unit
+  def applyLabels(ref: DatasetRef, labels: Map[String, String]): Unit
+  def appendAccessEntries(ref: DatasetRef, entries: Seq[String]): Unit
+  def load(uri: String, schema: org.apache.spark.sql.types.StructType,
+           ref: DatasetRef, table: String,
+           job: LoadJob = LoadJob(), format: String = "json"): LoadResult
+  def readTable(ref: DatasetRef, table: String): org.apache.spark.sql.DataFrame
+  def writeTable(df: org.apache.spark.sql.DataFrame, ref: DatasetRef, table: String): Unit
+  def appendTable(df: org.apache.spark.sql.DataFrame, ref: DatasetRef, table: String): LoadResult
+}
+
+class Warehouse(root: String, spark: SparkSession) extends WarehouseBackend {
   import Warehouse._
 
   private val mapper = new ObjectMapper()
@@ -202,5 +228,44 @@ class Warehouse(root: String, spark: SparkSession) {
     // the session's file-status cache still lists the pre-swap part
     // files; a later read of this path would fail FILE_NOT_EXIST
     spark.catalog.refreshByPath(target.toString)
+  }
+
+  private def partFiles(dir: Path): Map[String, Long] =
+    if (!Files.exists(dir)) Map.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(p => p.getFileName.toString -> Files.size(p)).toMap
+      finally s.close()
+    }
+
+  /** Append-only write into a warehouse table — the streaming-index
+    * primitive. Unlike [[writeTable]] (a full rewrite, O(table) I/O
+    * per call), this lands ONLY the new rows as fresh part files:
+    * per-batch I/O is O(appended), never O(table), which is the
+    * difference between a dedup index that survives 100 TB and one
+    * that rewrites billions of rows per micro-batch. Row uniqueness
+    * must be guaranteed upstream (the dedup stream's left-anti on
+    * already-indexed doc_ids does this); Spark's job-commit protocol
+    * makes the append all-or-nothing, so a crashed batch leaves no
+    * partial files. Returns the appended rows/bytes so callers — and
+    * StreamingSpec's scaling assertion — can verify per-batch write
+    * volume tracks the batch, not the table.
+    */
+  def appendTable(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                  table: String): LoadResult = {
+    if (!datasetExists(ref))
+      throw new IllegalStateException(s"dataset $ref not found")
+    val target = tablePath(ref, table)
+    val before = partFiles(target)
+    df.write.mode(SaveMode.Append).parquet(target.toString)
+    spark.catalog.refreshByPath(target.toString)
+    val fresh = partFiles(target) -- before.keys
+    val rows =
+      if (fresh.isEmpty) 0L
+      else spark.read.parquet(
+        fresh.keys.map(f => target.resolve(f).toString).toSeq: _*).count()
+    LoadResult(rows, fresh.values.sum)
   }
 }

@@ -170,7 +170,7 @@ object EventStreams {
     * once table), the property a production streaming sink needs.
     */
   def runStreamToWarehouse(spark: SparkSession, dir: String,
-                           wh: graft.extract.Warehouse,
+                           wh: graft.extract.WarehouseBackend,
                            ref: graft.extract.Warehouse.DatasetRef,
                            table: String): Unit = {
     val q = readStream(spark, dir)

@@ -112,9 +112,21 @@ class StreamingSpec extends AnyFunSuite {
     val wh = new Warehouse(root, spark)
     val ref = Warehouse.DatasetRef.fromString("proj.dedup")
     wh.createDataset(ref, Warehouse.DatasetMeta())
-    DocStreams.runIncrementalDedupToWarehouse(
+    val appends = DocStreams.runIncrementalDedupToWarehouse(
       spark, staged.toString, wh, ref, "band_index", "dupes")
     val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    // APPEND-SHAPED writes (r4 verdict #1): per-batch written rows
+    // must track the batch, never the index. Batch 1 (all unique)
+    // appends its own bands; batch 2 (all copies) appends NOTHING —
+    // under the old rewrite it would have rewritten the whole
+    // O(index) table. Sum-of-appends == final index is the "no row
+    // was ever written twice" ledger property.
+    assert(appends.length == 2, s"expected 2 micro-batches, got ${appends.length}")
+    assert(appends(1).outputRows == 0,
+      s"all-duplicate batch appended ${appends(1).outputRows} index rows")
+    assert(appends(1).outputBytes < appends(0).outputBytes / 4,
+      "all-duplicate batch wrote index-scale bytes: the append is a rewrite")
+    assert(appends.map(_.outputRows).sum == wh.readTable(ref, "band_index").count())
     val indexed = wh.readTable(ref, "band_index")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     val dupNew = wh.readTable(ref, "dupes")
@@ -127,11 +139,14 @@ class StreamingSpec extends AnyFunSuite {
     // every doc is exactly one of: indexed unique or flagged dup
     assert((indexed ++ dupNew).size == indexed.size + dupNew.size)
     assert(indexed.size + dupNew.size == 2 * nDocs)
-    // replay converges
+    // replay converges — and appends nothing (every doc is already
+    // indexed or re-flagged as a dup; the index never re-writes)
     val idxCount = wh.readTable(ref, "band_index").count()
     val dupCount = wh.readTable(ref, "dupes").count()
-    DocStreams.runIncrementalDedupToWarehouse(
+    val replayAppends = DocStreams.runIncrementalDedupToWarehouse(
       spark, staged.toString, wh, ref, "band_index", "dupes")
+    assert(replayAppends.map(_.outputRows).sum == 0,
+      s"replay appended ${replayAppends.map(_.outputRows).sum} index rows")
     assert(wh.readTable(ref, "band_index").count() == idxCount)
     assert(wh.readTable(ref, "dupes").count() == dupCount)
     // compaction: deleting doc 0 upstream frees its content — a
