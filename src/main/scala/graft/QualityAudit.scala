@@ -25,8 +25,9 @@ object QualityAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
-    val lsh = Similarity.lshSweep(emb, Similarity.DefaultLshLadder)
-      .map(p => s""""${p.tables}x${p.planes}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
+    val lshPoints = Similarity.lshSweep(emb, Similarity.DefaultLshLadder)
+    val lsh = lshPoints
+      .map(p => s""""${p.config.key}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
       .mkString("{", ",", "}")
     def ivfLine(points: Seq[Similarity.IvfSweepPoint]): String = points
       .map(p => s""""p${p.nprobe}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
@@ -36,7 +37,12 @@ object QualityAudit {
       all => Similarity.trainCentroids(all)))
     val ivfConverged = ivfLine(Similarity.ivfSweepWith(emb, Seq(1, 2, 4),
       all => Similarity.trainCentroidsConverged(all)))
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"sf":"$sfDir"}"""
+    // what autoConfigLsh(0.8) would return: first ladder rung meeting
+    // the floor (computed from the sweep above — same semantics,
+    // without re-measuring every rung)
+    val auto = lshPoints.find(_.recall >= 0.8)
+      .map(p => s""""${p.config.key}"""").getOrElse("null")
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"autoconfig_lsh_0.8":$auto,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

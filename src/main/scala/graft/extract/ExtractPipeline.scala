@@ -24,7 +24,64 @@ object ExtractPipeline {
 
   final case class Result[C](name: String, result: Either[Throwable, C])
 
-  final case class RetryPolicy(attempts: Int = 3, backoffMs: Long = 50) {
+  /** The cause chain of a throwable, outermost first (cycle-safe). */
+  def causeChain(t: Throwable): List[Throwable] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Throwable]
+    var cur = t
+    while (cur != null && !out.contains(cur) && out.size < 16) {
+      out += cur
+      cur = cur.getCause
+    }
+    out.toList
+  }
+
+  /** First (SQLState, vendor code) in the cause chain — JDBC drivers
+    * bury these under Spark's wrapper exceptions, and they are what
+    * distinguishes "table vanished" from "connection reset" at 2 a.m.
+    */
+  def sqlState(t: Throwable): Option[(String, Int)] =
+    causeChain(t).collectFirst {
+      case e: java.sql.SQLException if e.getSQLState != null =>
+        (e.getSQLState, e.getErrorCode)
+    }
+
+  /** A table's stage failure with the context an operator needs
+    * (reference TODO.md "Cleanup exception handling — more detail on
+    * Spark exceptions from JDBC"): table, stage, attempts made, the
+    * SQLState/vendor code if any, and the whole cause chain in the
+    * message. The original exception stays attached as the cause.
+    */
+  final case class StageFailed(table: String, stage: String, attempts: Int,
+                               failure: Throwable)
+    extends RuntimeException({
+      val chain = causeChain(failure)
+        .map(e => s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        .mkString(" <- ")
+      val sql = sqlState(failure)
+        .map { case (st, code) => s" [SQLState $st, vendor code $code]" }
+        .getOrElse("")
+      s"table $table failed in stage $stage after $attempts attempt(s)$sql: $chain"
+    }, failure)
+
+  /** Retry gate (reference TODO.md "exclude-from-shutdown"): JVM/
+    * Spark shutdown is not a transient source error — retrying it
+    * just delays the inevitable and muddies the failure report.
+    */
+  def defaultRetryable(t: Throwable): Boolean =
+    !causeChain(t).exists { e =>
+      e.isInstanceOf[InterruptedException] ||
+        Option(e.getMessage).exists(m =>
+          m.contains("SparkContext was shut down") ||
+            m.contains("shutdown in progress") ||
+            m.contains("JVM is shutting down"))
+    }
+
+  final case class RetryPolicy(attempts: Int = 3, backoffMs: Long = 50,
+                               retryable: Throwable => Boolean = defaultRetryable) {
+    /** Runs f with retry; throws RetriesExhausted carrying the attempt
+      * count once attempts run out (or immediately on a non-retryable
+      * failure, with the attempts made so far).
+      */
     def apply[T](f: => T): T = {
       var last: Throwable = null
       var i = 0
@@ -33,13 +90,17 @@ object ExtractPipeline {
         catch {
           case NonFatal(e) =>
             last = e
-            Thread.sleep(backoffMs * (1L << i))
+            i += 1
+            if (!retryable(e) || i >= attempts) throw RetriesExhausted(i, e)
+            Thread.sleep(backoffMs * (1L << (i - 1)))
         }
-        i += 1
       }
-      throw last
+      throw RetriesExhausted(i, last)
     }
   }
+
+  final case class RetriesExhausted(attempts: Int, failure: Throwable)
+    extends RuntimeException(failure)
 
   final case class DeadlineExceeded(table: String, deadlineMs: Long)
     extends RuntimeException(
@@ -77,10 +138,19 @@ object ExtractPipeline {
       .map(n => Executors.newFixedThreadPool(n))
     val Seq(ec1, ec2, ec3) = pools.map(ExecutionContext.fromExecutorService)
     try {
+      // failures surface as StageFailed: table + stage + attempts +
+      // SQLState + cause chain (the reference TODO's "more detail on
+      // Spark exceptions from JDBC")
+      def staged[T](t: String, stage: String)(f: => T): T =
+        try retry(f)
+        catch {
+          case RetriesExhausted(n, e) => throw StageFailed(t, stage, n, e)
+          case NonFatal(e) => throw StageFailed(t, stage, 1, e)
+        }
       val futures: Seq[Future[Result[C]]] = ordered.map { t =>
-        Future(retry(stages.introspect(t)))(ec1)
-          .flatMap(a => Future(retry(stages.extract(a)))(ec2))(ec2)
-          .flatMap(b => Future(retry(stages.load(b)))(ec3))(ec3)
+        Future(staged(t, "introspect")(stages.introspect(t)))(ec1)
+          .flatMap(a => Future(staged(t, "extract")(stages.extract(a)))(ec2))(ec2)
+          .flatMap(b => Future(staged(t, "load")(stages.load(b)))(ec3))(ec3)
           .map(c => Result(t, Right(c): Either[Throwable, C]))(ec3)
           .recover { case NonFatal(e) => Result(t, Left(e): Either[Throwable, C]) }(ec3)
       }

@@ -62,17 +62,31 @@ object TuneJob {
     TuneResult(samples, best)
   }
 
-  /** JDBC→Spark type mapping for the driver-side path (the subset
-    * the extract surface produces; anything else lands as string).
+  /** JDBC→Spark type mapping for the driver-side path. Must agree
+    * with what `spark.read.jdbc` infers for the same table, or a
+    * table extracted tiny gets different column types than the same
+    * table extracted distributed: DECIMAL/NUMERIC keep their
+    * metadata precision/scale as DecimalType and DATE maps to
+    * DateType (not string). Anything outside the extract surface
+    * lands as string.
     */
-  private def fieldType(sqlType: Int): DataType = sqlType match {
-    case java.sql.Types.BIGINT => LongType
-    case java.sql.Types.INTEGER | java.sql.Types.SMALLINT => IntegerType
-    case java.sql.Types.DOUBLE | java.sql.Types.FLOAT => DoubleType
-    case java.sql.Types.TIMESTAMP => TimestampType
-    case java.sql.Types.BOOLEAN => BooleanType
-    case _ => StringType
-  }
+  private def fieldType(md: java.sql.ResultSetMetaData, i: Int): DataType =
+    md.getColumnType(i) match {
+      case java.sql.Types.BIGINT => LongType
+      case java.sql.Types.INTEGER | java.sql.Types.SMALLINT => IntegerType
+      case java.sql.Types.DOUBLE | java.sql.Types.FLOAT => DoubleType
+      case java.sql.Types.DECIMAL | java.sql.Types.NUMERIC =>
+        // precision 0 = driver reports "unknown": Spark's JDBC reader
+        // falls back to the maximum system default the same way
+        val p = md.getPrecision(i)
+        if (p > 0 && p <= DecimalType.MAX_PRECISION)
+          DecimalType(p, math.max(0, math.min(md.getScale(i), p)))
+        else DecimalType.SYSTEM_DEFAULT
+      case java.sql.Types.DATE => DateType
+      case java.sql.Types.TIMESTAMP => TimestampType
+      case java.sql.Types.BOOLEAN => BooleanType
+      case _ => StringType
+    }
 
   /** One-connection driver-side extract. `maxRows` is a guard rail:
     * exceeding it throws rather than silently materializing a big
@@ -80,14 +94,19 @@ object TuneJob {
     */
   def tinyExtract(spark: SparkSession, t: JdbcPartitionedSource.JdbcTable,
                   maxRows: Int = 10000): DataFrame = {
-    val conn = DriverManager.getConnection(t.url)
+    // same credentials/driver options the distributed spark.read.jdbc
+    // path passes — url-only getConnection fails on any authenticated
+    // source (it only ever worked against credential-less Derby)
+    val props = new java.util.Properties()
+    t.properties.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = DriverManager.getConnection(t.url, props)
     try {
       val st = conn.createStatement()
       val rs = st.executeQuery(s"SELECT * FROM ${t.table}")
       val md = rs.getMetaData
       val n = md.getColumnCount
       val schema = StructType((1 to n).map(i =>
-        StructField(md.getColumnLabel(i).toLowerCase, fieldType(md.getColumnType(i)))))
+        StructField(md.getColumnLabel(i).toLowerCase, fieldType(md, i))))
       val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
       while (rs.next()) {
         if (buf.length >= maxRows)
@@ -98,6 +117,8 @@ object TuneJob {
             case LongType => rs.getLong(i)
             case IntegerType => rs.getInt(i)
             case DoubleType => rs.getDouble(i)
+            case _: DecimalType => rs.getBigDecimal(i)
+            case DateType => rs.getDate(i)
             case TimestampType => rs.getTimestamp(i)
             case BooleanType => rs.getBoolean(i)
             case _ => rs.getString(i)

@@ -54,14 +54,23 @@ object Similarity {
     * count drops ~2^NumPlanes/NumTables-fold — the oracle models the
     * identical bucket semantics, so the gate checks this plan, not a
     * quadratic one.
+    *
+    * APPROXIMATE by design (the name says so): ~97% of true
+    * cos ≥ 0.99 pairs are retained at the default config — the ~3%
+    * miss is the price of candidate generation that stays linear in
+    * bucket occupancy instead of quadratic in corpus size. Callers
+    * needing exhaustive guarantees must verify the survivors
+    * downstream; there is deliberately no "exact" flag, because the
+    * exact formulation is the O((n/L)²) label-block this replaced.
+    *
+    * PURE: pairs come only from the input. The oracle harness's
+    * shifted-copy fixture lives in [[corpus]]/[[qEmbedNearDup]], not
+    * here (r4 verdict #2 — mirrors Dedup.corpus).
     */
-  def nearDupPairs(emb: DataFrame, threshold: Double = 0.99): DataFrame = {
+  def approxNearDupPairs(emb: DataFrame, threshold: Double = 0.99): DataFrame = {
     val base = bucketed(emb)
-    val withCopy = base.unionAll(
-      base.select((col("vec_id") + Shift).as("vec_id"), col("label"), col("q"),
-        col("nq"), col("tbl"), col("bucket")))
-    val a = withCopy.toDF("vec_a", "label_a", "q_a", "nq_a", "tbl_a", "bucket_a")
-    val b = withCopy.toDF("vec_b", "label_b", "q_b", "nq_b", "tbl_b", "bucket_b")
+    val a = base.toDF("vec_a", "label_a", "q_a", "nq_a", "tbl_a", "bucket_a")
+    val b = base.toDF("vec_b", "label_b", "q_b", "nq_b", "tbl_b", "bucket_b")
     a.join(b, col("label_a") === col("label_b") && col("tbl_a") === col("tbl_b")
         && col("bucket_a") === col("bucket_b") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("q_a"), col("nq_a"), col("q_b"), col("nq_b"))
@@ -70,6 +79,15 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Oracle-harness fixture (NOT part of the dedup API): the corpus
+    * plus an exact copy of itself under Shift-ed vec_ids, so the gate
+    * has known-true near-dup pairs to find. Mirrors Dedup.corpus —
+    * the doubling belongs to the harness entry, never to the
+    * operator.
+    */
+  def corpus(emb: DataFrame): DataFrame =
+    emb.unionByName(emb.withColumn("vec_id", col("vec_id") + Shift))
 
   /** The oracle harness's query set: every QueryMod-th corpus
     * vector. Every ANN entry point also has a `...For` variant that
@@ -85,20 +103,27 @@ object Similarity {
     * of the corpus, then a per-query top-k window.
     */
   def bruteTopK(emb: DataFrame, k: Int = TopK): DataFrame =
-    bruteTopKFor(emb, defaultQueries(emb), k)
+    bruteTopKFor(emb, defaultQueries(emb), k, excludeSelf = true)
 
   /** External-query brute force. Contract: the query batch is
     * bounded (it broadcasts); the CORPUS side never broadcasts and
     * never shuffles regardless of query-set size — brute force over
     * an unbounded query set is the wrong tool by definition (use
     * lshTopKFor/ivfTopKFor with broadcastQueries=false).
+    *
+    * `excludeSelf` defaults FALSE here: an external query set has its
+    * own id space, and silently dropping the corpus vector whose id
+    * happens to collide with a query id loses a legitimate neighbor.
+    * The harness wrappers (whose queries ARE corpus rows) pass true.
     */
-  def bruteTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK): DataFrame = {
+  def bruteTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
+                   excludeSelf: Boolean = false): DataFrame = {
     val all = quantized(emb)
     val qs = quantized(queries).toDF("query_id", "label_q", "q_q", "nq_q")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    all.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+    all.join(broadcast(qs),
+        if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -152,24 +177,43 @@ object Similarity {
     * bruteTopK is asserted in OperatorsSpec.
     */
   def lshTopK(emb: DataFrame, k: Int = TopK): DataFrame =
-    lshTopKFor(emb, defaultQueries(emb), k)
+    lshTopKFor(emb, defaultQueries(emb), k, excludeSelf = true)
 
   /** External-query LSH ANN. With broadcastQueries=false the bucket
     * join is a plain shuffled equi-join on (tbl, bucket) — neither
     * side broadcasts, so an unbounded query set (e.g. corpus-vs-
-    * corpus) stays horizontal.
+    * corpus) stays horizontal. `excludeSelf` as on [[bruteTopKFor]]:
+    * false for external id spaces, true on the harness wrappers.
     */
   def lshTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
-                 broadcastQueries: Boolean = true): DataFrame = {
-    val all = bucketed(emb)
-    val qsRaw = bucketed(queries)
-      .toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q")
+                 broadcastQueries: Boolean = true,
+                 excludeSelf: Boolean = false): DataFrame =
+    lshTopKWith(emb, queries, LshConfig(NumTables, NumPlanes), k,
+      broadcastQueries, excludeSelf)
+
+  /** LSH ANN under an explicit [[LshConfig]] — the search twin of
+    * [[lshSweep]], so a configuration chosen by [[autoConfigLsh]] is
+    * directly runnable. probeBits > 0 turns on MULTI-PROBE: each
+    * query additionally probes every bucket within Hamming distance
+    * probeBits of its own (flipped plane signs) in each table —
+    * recall rises steeply (a near-miss neighbor usually disagrees on
+    * exactly one plane) while the corpus side stays untouched: only
+    * the query rows fan out ×(1 + planes choose ≤probeBits), the
+    * bucket join stays a pure equi-join.
+    */
+  def lshTopKWith(emb: DataFrame, queries: DataFrame, cfg: LshConfig,
+                  k: Int = TopK, broadcastQueries: Boolean = true,
+                  excludeSelf: Boolean = false): DataFrame = {
+    val all = bucketedWith(emb, cfg.tables, cfg.planes)
+    val qsRaw = multiProbe(bucketedWith(queries, cfg.tables, cfg.planes)
+        .toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q"),
+      cfg.planes, cfg.probeBits)
     val qs = if (broadcastQueries) broadcast(qsRaw) else qsRaw
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     all.join(qs,
         col("tbl") === col("tbl_q") && col("bucket") === col("bucket_q")
-          && col("vec_id") =!= col("query_id"))
+          && (if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)))
       .select(col("query_id"), col("vec_id"), col("q"), col("nq"), col("q_q"), col("nq_q"))
       .dropDuplicates("query_id", "vec_id")
       .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
@@ -177,6 +221,24 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Expand query bucket rows to all buckets within Hamming distance
+    * `probeBits` (0 = no expansion). Pure query-side fan-out — the
+    * probe set per (query, table) is 1 + C(planes,1) + … +
+    * C(planes,probeBits), tiny and bounded.
+    */
+  private def multiProbe(qs: DataFrame, planesN: Int, probeBits: Int): DataFrame = {
+    if (probeBits <= 0) qs
+    else {
+      val masks = (0 until (1 << planesN))
+        .filter(m => java.lang.Integer.bitCount(m) <= probeBits)
+        .map(_.toLong)
+      qs.withColumn("bucket_q",
+          explode(array(masks.map(m => col("bucket_q").bitwiseXOR(lit(m))): _*)))
+        .select(col("query_id"), col("label_q"), col("q_q"), col("nq_q"),
+          col("tbl_q"), col("bucket_q"))
+    }
   }
 
   /** IVF parameters: every SeedMod-th vector is a coarse centroid
@@ -200,15 +262,42 @@ object Similarity {
     searchIvf(all, seedCentroids(all), k)
   }
 
-  /** External-query IVF ANN (seeded quantizer): queries carry the
-    * embeddings schema; with broadcastQueries=false the posting-list
-    * join shuffles both sides on cid — nothing broadcasts but the
-    * (tiny) centroid set, so the query set can be corpus-sized.
+  /** Coarse-quantizer choice for the unified [[ivfTopKFor]].
+    * Measured guidance (bench/RECALL_r4_local.json, deterministic
+    * gate): on this corpus SEEDED wins at equal probe depth —
+    * seeded 0.87 vs converged 0.79 recall at nprobe=1 — because
+    * Lloyd training tightens clusters and pushes boundary neighbors
+    * into lists a shallow probe misses. Default Seeded; if you train,
+    * raise NProbe to buy the recall back.
+    */
+  sealed trait IvfQuantizer
+  case object Seeded extends IvfQuantizer
+  case object Trained extends IvfQuantizer
+  case object Converged extends IvfQuantizer
+
+  /** Centroid set for a quantizer choice over a quantized corpus. */
+  def centroidsFor(all: DataFrame, quantizer: IvfQuantizer): DataFrame =
+    quantizer match {
+      case Seeded => seedCentroids(all)
+      case Trained => trainCentroids(all)
+      case Converged => trainCentroidsConverged(all)
+    }
+
+  /** External-query IVF ANN — ONE entry point, quantizer selected by
+    * parameter (see [[IvfQuantizer]] for the measured seeded-vs-
+    * trained guidance). Queries carry the embeddings schema; with
+    * broadcastQueries=false the posting-list join shuffles both sides
+    * on cid — nothing broadcasts but the (tiny) centroid set, so the
+    * query set can be corpus-sized. `excludeSelf` as on
+    * [[bruteTopKFor]].
     */
   def ivfTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
-                 broadcastQueries: Boolean = true): DataFrame = {
+                 broadcastQueries: Boolean = true,
+                 excludeSelf: Boolean = false,
+                 quantizer: IvfQuantizer = Seeded): DataFrame = {
     val all = quantized(emb)
-    searchIvfFor(all, seedCentroids(all), quantized(queries), k, broadcastQueries)
+    searchIvfFor(all, centroidsFor(all, quantizer), quantized(queries), k,
+      broadcastQueries, excludeSelf)
   }
 
   /** Seed coarse centroids: every SeedMod-th vector. */
@@ -221,13 +310,15 @@ object Similarity {
     * on ivfTopK.
     */
   private def searchIvf(all: DataFrame, cents: DataFrame, k: Int): DataFrame =
-    searchIvfFor(all, cents, all.filter(col("vec_id") % QueryMod === 0), k)
+    searchIvfFor(all, cents, all.filter(col("vec_id") % QueryMod === 0), k,
+      excludeSelf = true)
 
   /** IVF search against an arbitrary centroid set and an arbitrary
     * QUANTIZED query set (vec_id, label, q, nq).
     */
   private def searchIvfFor(all: DataFrame, cents: DataFrame, qsQuant: DataFrame,
-                           k: Int, broadcastQueries: Boolean = true): DataFrame = {
+                           k: Int, broadcastQueries: Boolean = true,
+                           excludeSelf: Boolean = false): DataFrame = {
     val scored = all.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
     // nearest centroid per vector: partial-aggregatable argmax with a
@@ -249,7 +340,8 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     assigned.join(probes,
-        assigned("cid") === probesRaw("cid") && col("vec_id") =!= col("query_id"))
+        assigned("cid") === probesRaw("cid")
+          && (if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)))
       .select(col("query_id"), col("vec_id"), col("q"), col("nq"), col("q_q"), col("nq_q"))
       .dropDuplicates("query_id", "vec_id")
       .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
@@ -327,12 +419,17 @@ object Similarity {
     var done = false
     while (it < maxIters && !done) {
       val next = pin(lloydIter(all, cents))
-      val moved = next
+      val movedRow = next
         .join(cents.select(col("cid"), col("cq").as("cq_old")), "cid")
         .select(expr(
           "aggregate(zip_with(cq, cq_old, (x, y) -> abs(x - y)), 0L, (acc, v) -> greatest(acc, v))")
           .as("m"))
-        .agg(max(col("m")).as("m")).head.getLong(0)
+        .agg(max(col("m")).as("m")).head
+      // max() over zero joined rows is NULL (degenerate corpus where
+      // every seed lost its cluster between iterations): nothing
+      // moved because nothing matched — treat as converged rather
+      // than throwing an opaque NPE out of getLong
+      val moved = if (movedRow.isNullAt(0)) 0L else movedRow.getLong(0)
       cents = next
       it += 1
       done = moved <= epsQ
@@ -359,16 +456,14 @@ object Similarity {
   }
 
   def ivfTrainedTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
-                        broadcastQueries: Boolean = true): DataFrame = {
-    val all = quantized(emb)
-    searchIvfFor(all, trainCentroids(all), quantized(queries), k, broadcastQueries)
-  }
+                        broadcastQueries: Boolean = true,
+                        excludeSelf: Boolean = false): DataFrame =
+    ivfTopKFor(emb, queries, k, broadcastQueries, excludeSelf, Trained)
 
   def ivfConvergedTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
-                          broadcastQueries: Boolean = true): DataFrame = {
-    val all = quantized(emb)
-    searchIvfFor(all, trainCentroidsConverged(all), quantized(queries), k, broadcastQueries)
-  }
+                          broadcastQueries: Boolean = true,
+                          excludeSelf: Boolean = false): DataFrame =
+    ivfTopKFor(emb, queries, k, broadcastQueries, excludeSelf, Converged)
 
   /** Retrieve-then-rerank (SURVEY §7 r3): stage 1 retrieves RerankPool
     * candidates per query from the LSH tables by quantized cosine
@@ -387,11 +482,12 @@ object Similarity {
   // in IEEE doubles, and the oracle writes the literal 0.1.
   val RerankLabelWeight = 0.1
   def rerankTopK(emb: DataFrame, pool: Int = RerankPool, k: Int = TopK): DataFrame =
-    rerankTopKFor(emb, defaultQueries(emb), pool, k)
+    rerankTopKFor(emb, defaultQueries(emb), pool, k, excludeSelf = true)
 
   def rerankTopKFor(emb: DataFrame, queries: DataFrame,
                     pool: Int = RerankPool, k: Int = TopK,
-                    broadcastQueries: Boolean = true): DataFrame = {
+                    broadcastQueries: Boolean = true,
+                    excludeSelf: Boolean = false): DataFrame = {
     val all = bucketed(emb)
     val qsRaw = bucketed(queries)
       .toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q")
@@ -400,7 +496,7 @@ object Similarity {
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     val retrieved = all.join(qs,
         col("tbl") === col("tbl_q") && col("bucket") === col("bucket_q")
-          && col("vec_id") =!= col("query_id"))
+          && (if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)))
       .select(col("query_id"), col("vec_id"), col("label"), col("label_q"),
         col("q"), col("nq"), col("q_q"), col("nq_q"))
       .dropDuplicates("query_id", "vec_id")
@@ -484,17 +580,33 @@ object Similarity {
     * extra tables only add candidates, extra planes only refine
     * buckets — are exact, not statistical, and spec-pinned.
     */
-  final case class LshSweepPoint(tables: Int, planes: Int,
-                                 nCandidates: Long, recall: Double)
+  /** One LSH search configuration: table count, planes per table, and
+    * the multi-probe radius (max Hamming distance of query-side
+    * bucket probes; 0 = classic single-bucket probing). `key` is the
+    * stable identifier the quality gate files use.
+    */
+  final case class LshConfig(tables: Int, planes: Int, probeBits: Int = 0) {
+    def key: String =
+      if (probeBits == 0) s"${tables}x$planes" else s"${tables}x${planes}mp$probeBits"
+  }
 
-  def lshSweep(emb: DataFrame, configs: Seq[(Int, Int)],
+  final case class LshSweepPoint(config: LshConfig,
+                                 nCandidates: Long, recall: Double) {
+    def tables: Int = config.tables
+    def planes: Int = config.planes
+    def probeBits: Int = config.probeBits
+  }
+
+  def lshSweep(emb: DataFrame, configs: Seq[LshConfig],
                k: Int = TopK): Seq[LshSweepPoint] = {
     val exact = bruteTopK(emb, k).select(col("query_id"), col("neighbor_id"))
     val exactN = exact.count().toDouble
-    configs.map { case (tables, planesN) =>
-      val all = bucketedWith(emb, tables, planesN)
-      val qs = all.toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q")
-        .filter(col("query_id") % QueryMod === 0)
+    configs.map { cfg =>
+      val all = bucketedWith(emb, cfg.tables, cfg.planes)
+      val qs = multiProbe(
+        all.toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q")
+          .filter(col("query_id") % QueryMod === 0),
+        cfg.planes, cfg.probeBits)
       val cands = all.join(broadcast(qs),
           col("tbl") === col("tbl_q") && col("bucket") === col("bucket_q")
             && col("vec_id") =!= col("query_id"))
@@ -509,7 +621,7 @@ object Similarity {
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
       val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
-      LshSweepPoint(tables, planesN, n, hits / exactN)
+      LshSweepPoint(cfg, n, hits / exactN)
     }
   }
 
@@ -522,10 +634,20 @@ object Similarity {
     * operator wants before a corpus-scale run: "give me ≥ r recall
     * at minimum candidate cost".
     */
-  val DefaultLshLadder: Seq[(Int, Int)] =
-    Seq((1, 8), (2, 8), (1, 4), (2, 4), (3, 4))
+  /** Cheapest-first config ladder. r4's ladder topped out at 0.345
+    * recall (sf0.1) — unusable for a 0.8 target — so the upper rungs
+    * now climb two dials at once: more tables (recall is exactly
+    * monotone in tables, spec-pinned) and multi-probe (each query
+    * also probes Hamming-1 buckets — a near-miss neighbor usually
+    * disagrees on exactly ONE plane, so mp1 recovers most of it for
+    * a ×(planes+1) query-side fan-out and zero extra corpus work).
+    */
+  val DefaultLshLadder: Seq[LshConfig] = Seq(
+    LshConfig(1, 8), LshConfig(2, 8), LshConfig(1, 4), LshConfig(2, 4),
+    LshConfig(3, 4), LshConfig(4, 4), LshConfig(2, 4, 1), LshConfig(4, 4, 1),
+    LshConfig(8, 4, 1), LshConfig(8, 4, 2))
   def autoConfigLsh(emb: DataFrame, targetRecall: Double,
-                    ladder: Seq[(Int, Int)] = DefaultLshLadder,
+                    ladder: Seq[LshConfig] = DefaultLshLadder,
                     k: Int = TopK): Option[LshSweepPoint] =
     ladder.iterator.map(c => lshSweep(emb, Seq(c), k).head)
       .find(_.recall >= targetRecall)
@@ -585,8 +707,12 @@ object Similarity {
 
   // --- queries --------------------------------------------------------
 
+  /** Harness entry: the Shift-ed corpus-copy fixture (known-true
+    * duplicate pairs) is injected HERE, not in the operator — the
+    * oracle's `base` CTE models the same union.
+    */
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
-    nearDupPairs(Tables.embeddings(s, dir))
+    approxNearDupPairs(corpus(Tables.embeddings(s, dir)))
 
   def qAnnBrute(s: SparkSession, dir: String): DataFrame =
     bruteTopK(Tables.embeddings(s, dir))

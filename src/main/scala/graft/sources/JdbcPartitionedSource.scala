@@ -90,12 +90,35 @@ object JdbcPartitionedSource {
       .options(t.properties)
       .load()
 
-  def read(spark: SparkSession, t: JdbcTable, mode: Mode): DataFrame = mode match {
-    case Predicates(preds) =>
-      val props = new java.util.Properties()
-      t.properties.foreach { case (k, v) => props.setProperty(k, v) }
-      props.setProperty("fetchsize", t.fetchSize.toString)
-      spark.read.jdbc(t.url, t.table, preds.toArray, props)
-    case m => configure(spark.read, t, m).load()
+  /** Human-readable mode summary for failure reports: names the
+    * partition bounds an operator needs to reproduce the failing
+    * slice (reference TODO.md "more detail on Spark exceptions").
+    */
+  def describe(mode: Mode): String = mode match {
+    case Range(c, lo, hi, n) => s"range(column=$c, bounds=[$lo,$hi], partitions=$n)"
+    case Predicates(p) => s"predicates(${p.size} slices, first=${p.headOption.getOrElse("-")})"
+    case Single => "single"
   }
+
+  /** JDBC read failure carrying the table and the extraction mode
+    * (with its partition bounds); the driver/SQLState detail stays in
+    * the cause chain, which ExtractPipeline.StageFailed renders.
+    */
+  final case class JdbcReadFailed(table: String, mode: Mode, failure: Throwable)
+    extends RuntimeException(
+      s"jdbc read of $table failed in mode ${describe(mode)}", failure)
+
+  def read(spark: SparkSession, t: JdbcTable, mode: Mode): DataFrame =
+    try mode match {
+      case Predicates(preds) =>
+        val props = new java.util.Properties()
+        t.properties.foreach { case (k, v) => props.setProperty(k, v) }
+        props.setProperty("fetchsize", t.fetchSize.toString)
+        spark.read.jdbc(t.url, t.table, preds.toArray, props)
+      case m => configure(spark.read, t, m).load()
+    } catch {
+      // the JDBC reader resolves schema eagerly, so connection/auth/
+      // missing-table failures surface here, not at action time
+      case scala.util.control.NonFatal(e) => throw JdbcReadFailed(t.table, mode, e)
+    }
 }

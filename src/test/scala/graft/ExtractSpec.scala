@@ -113,6 +113,59 @@ class ExtractSpec extends AnyFunSuite {
     assert(byName("bad").isLeft)
   }
 
+  test("failed stage Result names the table, stage, attempts, and SQLState") {
+    // the failure shape of a real JDBC extract: Spark wrapper around
+    // a driver SQLException with SQLState + vendor code
+    val stages = ExtractPipeline.Stages[String, String, String](
+      introspect = t => t,
+      extract = {
+        case "bad" => throw new RuntimeException("spark jdbc wrapper",
+          new java.sql.SQLException("Table/View 'LINEITEM' does not exist.", "42X05", 30000))
+        case a => a
+      },
+      load = b => s"$b:done")
+    val res = ExtractPipeline.run(Seq("ok", "bad"), stages,
+      retry = ExtractPipeline.RetryPolicy(attempts = 2, backoffMs = 1))
+    val byName = res.map(r => r.name -> r.result).toMap
+    assert(byName("ok") == Right("ok:done"))
+    byName("bad") match {
+      case Left(e: ExtractPipeline.StageFailed) =>
+        assert(e.table == "bad" && e.stage == "extract" && e.attempts == 2)
+        assert(ExtractPipeline.sqlState(e).contains(("42X05", 30000)))
+        // the rendered message alone must be enough at 2 a.m.
+        assert(e.getMessage.contains("bad") && e.getMessage.contains("extract")
+          && e.getMessage.contains("42X05") && e.getMessage.contains("does not exist"))
+      case other => fail(s"expected StageFailed, got $other")
+    }
+  }
+
+  test("shutdown exceptions are not retried; JDBC read failures carry mode+bounds") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    val stages = ExtractPipeline.Stages[String, String, String](
+      introspect = t => t,
+      extract = { _ =>
+        calls.incrementAndGet()
+        throw new IllegalStateException("Cannot call methods on a stopped SparkContext: SparkContext was shut down")
+      },
+      load = identity)
+    val res = ExtractPipeline.run(Seq("t"), stages,
+      retry = ExtractPipeline.RetryPolicy(attempts = 5, backoffMs = 1))
+    assert(calls.get() == 1, s"shutdown failure was retried ${calls.get()} times")
+    res.head.result match {
+      case Left(e: ExtractPipeline.StageFailed) => assert(e.attempts == 1)
+      case other => fail(s"expected StageFailed, got $other")
+    }
+    // mode + partition bounds in the failure report (JdbcReadFailed
+    // joins the cause chain under StageFailed in a real extract)
+    import graft.sources.JdbcPartitionedSource._
+    val bad = JdbcTable("jdbc:derby:memory:nosuchdb", "lineitem")
+    val mode = Range("l_orderkey", 1L, 60000L, 8)
+    val e = intercept[JdbcReadFailed] { read(SparkSuite.spark, bad, mode) }
+    assert(e.table == "lineitem")
+    assert(e.getMessage.contains("bounds=[1,60000]")
+      && e.getMessage.contains("partitions=8"))
+  }
+
   test("ExtractPipeline deadline fails stragglers, keeps finished results") {
     val stages = ExtractPipeline.Stages[String, String, String](
       introspect = t => t,

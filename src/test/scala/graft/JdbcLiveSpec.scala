@@ -137,9 +137,20 @@ class JdbcLiveSpec extends AnyFunSuite {
         "o_orderdate", "o_orderpriority"))
     // content reconcile against the distributed read
     val viaJdbc = df.agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
-    val viaSpark = J.read(spark, table, J.Single)
+    val distributed = J.read(spark, table, J.Single)
+    val viaSpark = distributed
       .agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
     assert(viaJdbc == viaSpark)
+    // SCHEMA parity with the distributed path: DECIMAL keeps its
+    // precision/scale and DATE stays a date — a table extracted tiny
+    // must type exactly like the same table extracted via spark.read
+    val tinyTypes = df.schema.map(f => f.name -> f.dataType).toMap
+    val sparkTypes = distributed.schema
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    assert(tinyTypes("o_totalprice") == sparkTypes("o_totalprice"),
+      s"decimal diverged: tiny=${tinyTypes("o_totalprice")} spark=${sparkTypes("o_totalprice")}")
+    assert(tinyTypes("o_orderdate") == sparkTypes("o_orderdate"),
+      s"date diverged: tiny=${tinyTypes("o_orderdate")} spark=${sparkTypes("o_orderdate")}")
     // the guard rail refuses to materialize big tables on the driver
     intercept[IllegalStateException] {
       TuneJob.tinyExtract(spark, table, maxRows = 100)

@@ -169,10 +169,20 @@ class PlanSpec extends AnyFunSuite {
         "external-query IVF ANN degenerated to an unhinted cross join")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     // the default harness path must be unchanged by the refactor
+    // (harness queries ARE corpus rows, so self-exclusion is on)
     val harness = operators.Similarity.lshTopK(emb).collect().toSet
     val external = operators.Similarity
-      .lshTopKFor(emb, operators.Similarity.defaultQueries(emb)).collect().toSet
+      .lshTopKFor(emb, operators.Similarity.defaultQueries(emb),
+        excludeSelf = true).collect().toSet
     assert(harness == external)
+    // an EXTERNAL id space must NOT lose the corpus vector whose id
+    // collides with a query id (excludeSelf defaults false): every
+    // query's top-1 is its own corpus twin at cos 1.0
+    val coincident = operators.Similarity
+      .lshTopKFor(emb, operators.Similarity.defaultQueries(emb)).collect()
+    assert(coincident.filter(_.getInt(2) == 1)
+      .forall(r => r.getLong(1) == r.getLong(0) && r.getDouble(3) == 1.0),
+      "external-query path silently dropped id-coincident corpus vectors")
     // brute force broadcasts the QUERY side by contract (BuildRight =
     // the queries argument), never the corpus
     val brute = operators.Similarity.bruteTopKFor(
@@ -186,8 +196,8 @@ class PlanSpec extends AnyFunSuite {
     // label-only blocking is O((n/L)^2) at scale; the LSH bucket must
     // be part of the equi-join key so candidate counts stay
     // data-dependent (r3 verdict's one scale-killer)
-    val df = operators.Similarity.nearDupPairs(
-      graft.sources.Tables.embeddings(spark, sf))
+    val df = operators.Similarity.approxNearDupPairs(operators.Similarity.corpus(
+      graft.sources.Tables.embeddings(spark, sf)))
     df.collect()
     val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
