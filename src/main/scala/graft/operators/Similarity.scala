@@ -71,13 +71,20 @@ object Similarity {
     val base = bucketed(emb)
     val a = base.toDF("vec_a", "label_a", "q_a", "nq_a", "tbl_a", "bucket_a")
     val b = base.toDF("vec_b", "label_b", "q_b", "nq_b", "tbl_b", "bucket_b")
+    // cosine is computed BEFORE the cross-table dedup, in the join
+    // output where both vectors are already co-located — so the
+    // dedup exchange carries only (vec_a, vec_b, cos_sim), not two
+    // ~0.5 KB quantized vectors per candidate (r4 verdict #8: at
+    // 100 TB candidate volumes that's a 30-60x smaller shuffle). The
+    // duplicate dot products this recomputes are bounded by
+    // NumTables per pair — map-side integer CPU, the cheap currency.
+    // The threshold filter also runs pre-dedup: only survivors shuffle.
     a.join(b, col("label_a") === col("label_b") && col("tbl_a") === col("tbl_b")
         && col("bucket_a") === col("bucket_b") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("q_a"), col("nq_a"), col("q_b"), col("nq_b"))
-      .dropDuplicates("vec_a", "vec_b")
       .withColumn("cos", cosine(dotQ(col("q_a"), col("q_b")), col("nq_a"), col("nq_b")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** Oracle-harness fixture (NOT part of the dedup API): the corpus
@@ -211,12 +218,17 @@ object Similarity {
     val qs = if (broadcastQueries) broadcast(qsRaw) else qsRaw
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    // cos computed pre-dedup (vectors co-located in the join output):
+    // the cross-table dedup and top-k window exchanges carry only
+    // (query_id, vec_id, cos) — never the quantized vectors. Dup dot
+    // products are bounded by tables x probes per pair; shuffled
+    // bytes shrink ~30-60x (r4 verdict #8).
     all.join(qs,
         col("tbl") === col("tbl_q") && col("bucket") === col("bucket_q")
           && (if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)))
-      .select(col("query_id"), col("vec_id"), col("q"), col("nq"), col("q_q"), col("nq_q"))
-      .dropDuplicates("query_id", "vec_id")
       .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
@@ -339,12 +351,15 @@ object Similarity {
     val probes = if (broadcastQueries) broadcast(probesRaw) else probesRaw
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    // cos pre-dedup: the cross-list dedup and top-k window exchanges
+    // carry (query_id, vec_id, cos) only — dup dot products bounded
+    // by NProbe per pair (r4 verdict #8 shuffle-payload shape)
     assigned.join(probes,
         assigned("cid") === probesRaw("cid")
           && (if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)))
-      .select(col("query_id"), col("vec_id"), col("q"), col("nq"), col("q_q"), col("nq_q"))
-      .dropDuplicates("query_id", "vec_id")
       .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
@@ -494,20 +509,24 @@ object Similarity {
     val qs = if (broadcastQueries) broadcast(qsRaw) else qsRaw
     val wRetr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    // cos and the label-match feature are both computed pre-dedup in
+    // the join output, so the retrieval dedup/window exchanges carry
+    // four scalars — (query_id, vec_id, cos, label_match) — instead
+    // of two quantized vectors per candidate (r4 verdict #8)
     val retrieved = all.join(qs,
         col("tbl") === col("tbl_q") && col("bucket") === col("bucket_q")
           && (if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)))
-      .select(col("query_id"), col("vec_id"), col("label"), col("label_q"),
-        col("q"), col("nq"), col("q_q"), col("nq_q"))
-      .dropDuplicates("query_id", "vec_id")
       .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+      .withColumn("label_match", (col("label") === col("label_q")).cast("double"))
+      .select(col("query_id"), col("vec_id"), col("cos"), col("label_match"))
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("retrieval_rnk", row_number().over(wRetr))
       .filter(col("retrieval_rnk") <= pool)
     val wRer = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("rscore").desc, col("vec_id"))
     retrieved
       .withColumn("rscore", col("cos") * RerankCosWeight
-        + (col("label") === col("label_q")).cast("double") * RerankLabelWeight)
+        + col("label_match") * RerankLabelWeight)
       .withColumn("rnk", row_number().over(wRer))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
@@ -607,17 +626,18 @@ object Similarity {
         all.toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q")
           .filter(col("query_id") % QueryMod === 0),
         cfg.planes, cfg.probeBits)
+      // cos pre-dedup, scalar-only dedup exchange — the production
+      // lshTopKWith shape, so the sweep measures the real plan
       val cands = all.join(broadcast(qs),
           col("tbl") === col("tbl_q") && col("bucket") === col("bucket_q")
             && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), col("q"), col("nq"),
-          col("q_q"), col("nq_q"))
+        .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+        .select(col("query_id"), col("vec_id"), col("cos"))
         .dropDuplicates("query_id", "vec_id")
       val n = cands.count()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
       val approx = cands
-        .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
       val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
@@ -688,16 +708,16 @@ object Similarity {
       val pr = rankedProbes.filter(col("crn") <= p)
         .select(col("vec_id").as("query_id"), col("cid"),
           col("q").as("q_q"), col("nq").as("nq_q"))
+      // cos pre-dedup — the production searchIvfFor shape
       val cands = assigned.join(broadcast(pr),
           assigned("cid") === pr("cid") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), col("q"), col("nq"),
-          col("q_q"), col("nq_q"))
+        .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+        .select(col("query_id"), col("vec_id"), col("cos"))
         .dropDuplicates("query_id", "vec_id")
       val n = cands.count()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
       val approx = cands
-        .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
       val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()

@@ -192,6 +192,42 @@ class PlanSpec extends AnyFunSuite {
       "brute-force broadcast side is not the query side")
   }
 
+  test("ANN dedup/window exchanges carry no vector payload") {
+    // r4 verdict #8: candidate dedup used to shuffle the ~0.5 KB
+    // quantized vectors per candidate row. cos is now computed
+    // map-side in the join output (vectors already co-located), so
+    // every exchange AFTER candidate generation carries only
+    // (query_id, vec_id, cos)-shaped scalars. Count the exchanges
+    // whose output schema still contains an array: LSH with broadcast
+    // queries must have NONE (bucketing is narrow, the bucket join is
+    // a broadcast join); near-dup and IVF keep only the inherent ones
+    // (the bucket/assignment joins that must co-locate vectors).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    def arrayExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => q +: flatten(q.plan)
+        case _ => pl +: pl.children.flatMap(flatten)
+      }
+      flatten(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeExec => s }
+        .count(_.output.exists(_.dataType.isInstanceOf[ArrayType]))
+    }
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    assert(arrayExchanges(operators.Similarity.lshTopK(emb)) == 0,
+      "LSH ANN shuffles quantized vectors after candidate generation")
+    assert(arrayExchanges(operators.Similarity.rerankTopK(emb)) == 0,
+      "rerank shuffles quantized vectors after retrieval")
+    assert(arrayExchanges(operators.Similarity.qEmbedNearDup(spark, sf)) <= 2,
+      "near-dup pair dedup shuffles vectors beyond the bucket join sides")
+    assert(arrayExchanges(operators.Similarity.ivfTopK(emb)) <= 2,
+      "IVF shuffles vectors beyond the assignment join")
+  }
+
   test("embedding near-dup blocks on (label, tbl, bucket), not label alone") {
     // label-only blocking is O((n/L)^2) at scale; the LSH bucket must
     // be part of the equi-join key so candidate counts stay
