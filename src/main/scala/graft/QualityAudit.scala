@@ -33,6 +33,25 @@ object QualityAudit {
       .map(p => s""""p${p.nprobe}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
       .mkString("{", ",", "}")
     val ivf = ivfLine(Similarity.ivfSweep(emb, Seq(1, 2, 4)))
+    // PQ family: raw ADC top-k and the production ADC-pool + exact-
+    // rerank recipe. "candidates" = pairs the (cheap ADC / exact
+    // rerank) stage scores: corpus x queries for the compressed scan,
+    // pool x queries for the refine.
+    import org.apache.spark.sql.functions.col
+    val exact = Similarity.bruteTopK(emb)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val exactN = exact.count().toDouble
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id")).count() / exactN
+    val nCorpus = emb.count()
+    val nQueries = Similarity.defaultQueries(emb).count()
+    val pqSweep = Similarity.pqPoolSweep(emb, Seq(50, 100, 200, 400))
+    val pq =
+      (s"""{"adc_m${Similarity.PqM}k${Similarity.PqK}":{"recall":${recallOf(Similarity.pqTopK(emb))},"candidates":${nCorpus * nQueries}}""" +:
+        pqSweep.map(p =>
+          s""""rerank_p${p.pool}":{"recall":${p.recall},"candidates":${p.pool * nQueries}}"""))
+        .mkString("", ",", "}")
     val ivfTrained = ivfLine(Similarity.ivfSweepWith(emb, Seq(1, 2, 4),
       all => Similarity.trainCentroids(all)))
     val ivfConverged = ivfLine(Similarity.ivfSweepWith(emb, Seq(1, 2, 4),
@@ -42,7 +61,7 @@ object QualityAudit {
     // without re-measuring every rung)
     val auto = lshPoints.find(_.recall >= 0.8)
       .map(p => s""""${p.config.key}"""").getOrElse("null")
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"autoconfig_lsh_0.8":$auto,"sf":"$sfDir"}"""
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"autoconfig_lsh_0.8":$auto,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

@@ -90,6 +90,47 @@ object Sampling {
           / (col("max_len") * col("n_docs")).cast("double"), 6))
   }
 
+  /** Sequence packing (concat-and-chunk): training examples are
+    * fixed token-budget windows over a deterministic concatenation of
+    * documents — the GPT-style packing step that turns a curated
+    * corpus into equal-length training sequences with no padding.
+    *
+    * Scalable formulation: packing is inherently sequential WITHIN a
+    * concatenation order (each chunk boundary depends on every
+    * earlier length), so parallelism comes from sharding the corpus
+    * into PackStreams independent streams by doc-id hash — a pure
+    * function of the row, so reruns and late arrivals land in the
+    * same stream. Within a stream, docs concatenate in doc_id order;
+    * a window-function running sum assigns each doc the sequence
+    * (window of `budget` tokens) its FIRST token lands in. One
+    * shuffle on the stream key; the per-stream window is the only
+    * sequential section, and streams × reducers is the parallelism
+    * dial (set it to O(cluster cores) in production; docs of one
+    * stream never co-shuffle with another's).
+    *
+    * Output per (stream, seq_id): docs starting in the window, their
+    * token sum, and the doc-id range — the manifest a training-data
+    * writer consumes. A sequence's tokens can exceed `budget` when
+    * its last doc spans the boundary (the spilled tail opens the
+    * next window — concat-and-chunk, not drop-at-boundary).
+    */
+  val SeqBudget = 256L
+  val PackStreams = 8
+  def packSequences(docs: DataFrame, budget: Long = SeqBudget,
+                    streams: Int = PackStreams): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("stream", hashBucket(col("doc_id"), streams))
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"start_off div $budget"))
+      .groupBy(col("stream"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   // --- queries --------------------------------------------------------
 
   def qSplit(s: SparkSession, dir: String): DataFrame =
@@ -110,10 +151,14 @@ object Sampling {
         count(lit(1)).as("cnt"))
   }
 
+  def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split" -> qSplit _,
     "q_split_safe" -> qSplitSafe _,
     "q_length_batches" -> qLengthBatches _,
+    "q_pack_sequences" -> qPackSequences _,
     "q_sample_stratified" -> qSampleStratified _,
     "q_weighted_avg" -> qWeightedAvg _)
 
@@ -157,6 +202,20 @@ object Sampling {
         |  round(1.0 - sum(n_tok)::BIGINT::DOUBLE
         |    / (max(n_tok) * count(*))::DOUBLE, 6) AS pad_frac
         |FROM r GROUP BY 1, 2, 3""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tok,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % $PackStreams AS stream
+        |  FROM documents),
+        |o AS (SELECT *,
+        |  coalesce(sum(n_tok) OVER (PARTITION BY stream ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+        |  FROM d)
+        |SELECT stream, start_off // $SeqBudget AS seq_id, count(*) AS n_docs,
+        |  sum(n_tok)::BIGINT AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM o GROUP BY 1, 2""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT lang AS stratum, count(*) AS n_total,
         |  sum(CASE WHEN $bucketSql < 20 THEN 1 ELSE 0 END)::BIGINT AS n_sampled

@@ -725,6 +725,190 @@ object Similarity {
     }
   }
 
+  // --- product quantization (PQ) --------------------------------------
+
+  /** PQ parameters: Dim is split into PqM subspaces of PqSub dims;
+    * each subspace gets a PqK-entry codebook. A corpus vector is then
+    * PqM small codes instead of Dim longs — at 100 TB the working set
+    * an ADC scan reads shrinks 8x here (64x in a production byte-code
+    * layout), which is the entire point of PQ: the exhaustive scan
+    * becomes memory-bandwidth-cheap enough to run everywhere.
+    */
+  val PqM = 8
+  val PqK = 64
+  val PqSub: Int = Dim / PqM
+  val PqSeedStride = 7L
+
+  /** Unit-normalized quantized vectors (1e6 scale, rounded back to
+    * the integer grid): with unit norms, squared L2 is monotone in
+    * cosine (l2² = 2·(1e12 − dot)), so PQ's L2-based ADC ranking
+    * approximates the SAME similarity every other ANN path ranks by —
+    * without this, PQ recall vs the cosine ground truth would
+    * conflate quantization loss with a metric mismatch.
+    */
+  def normalizedQ(df: DataFrame): DataFrame =
+    quantized(df).withColumn("qn",
+      transform(col("q"), x =>
+        round(x.cast("double") * lit(1000000.0) / sqrt(col("nq").cast("double")), 0)
+          .cast("long")))
+
+  /** Deterministic PQ codebook: centroid k of subspace m is the m-th
+    * subvector of corpus vector k·PqSeedStride (same every-Nth
+    * seeding convention as [[seedCentroids]] — reproducible in both
+    * engines with no training pass; swap in Lloyd-trained codebooks
+    * the way [[centroidsFor]] does for IVF if the corpus warrants
+    * it). Rows: (m, k, cq) — PqM·PqK rows total, always broadcast.
+    */
+  def pqCodebook(norm: DataFrame): DataFrame =
+    norm.filter(col("vec_id") % PqSeedStride === 0
+        && col("vec_id") < PqSeedStride * PqK)
+      .select(expr(s"vec_id div $PqSeedStride").as("k"),
+        posexplode(array((0 until PqM).map(m =>
+          slice(col("qn"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "cq")))
+
+  private def subspaces(norm: DataFrame, idCol: String): DataFrame =
+    norm.select(col("vec_id").as(idCol),
+      posexplode(array((0 until PqM).map(m =>
+        slice(col("qn"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "subq")))
+
+  private def subL2(a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    normQ(a) - lit(2L) * dotQ(a, b) + normQ(b)
+
+  /** Encode the corpus: nearest codebook entry per (vector, subspace)
+    * by exact integer squared L2 (‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² — three
+    * native dots, no intermediate arrays), argmin as a partial-
+    * aggregatable min(struct(l2, k)) with the smallest-k tie-break.
+    * Two narrow shuffles: (vec_id, m)-keyed argmin rows, then the
+    * per-vector code-array rebuild. Output: (vec_id, codes) where
+    * codes[m] ∈ [0, PqK). Encoding runs ONCE per corpus and the codes
+    * table is what search scans — 8 longs per vector, not 64.
+    */
+  def pqEncode(norm: DataFrame, codebook: DataFrame): DataFrame =
+    subspaces(norm, "vec_id")
+      .join(broadcast(codebook), "m")
+      .withColumn("l2", subL2(col("subq"), col("cq")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("l2"), col("k"))).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m").as("m"),
+          col("best").getField("k").as("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** Per-query ADC lookup tables: l2 of every (subspace, code)
+    * centroid against the query's subvector, flattened [m][k] — a
+    * PqM·PqK-long array per query, built from one broadcast join
+    * against the codebook.
+    */
+  def pqLuts(normQueries: DataFrame, codebook: DataFrame): DataFrame =
+    subspaces(normQueries, "query_id")
+      .join(broadcast(codebook), "m")
+      .withColumn("l2", subL2(col("subq"), col("cq")))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m").as("m"), col("k").as("k"),
+          col("l2").as("l2")))),
+        x => x.getField("l2")).as("lut"))
+
+  /** PQ ADC search: the compressed EXHAUSTIVE scan — every corpus
+    * code row is scored against every query via the native lookup-sum
+    * (PqAdcSum, one codegen'd loop of PqM array reads), then per-
+    * query top-k. Contract mirrors [[bruteTopKFor]]: the query side
+    * (codebook-reduced to one lut array per query) broadcasts, the
+    * corpus side never shuffles anything wider than its codes — PQ
+    * trades a ~recall loss for scanning 8x fewer bytes than brute
+    * force. For unbounded query sets or sublinear candidate counts,
+    * compose with IVF instead (posting lists of codes = IVF-PQ).
+    * Returned adc_dist is the exact integer ADC squared-L2 —
+    * ascending order ≙ descending approximate cosine.
+    */
+  def pqTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
+                excludeSelf: Boolean = false): DataFrame = {
+    val norm = normalizedQ(emb)
+    val cb = pqCodebook(norm)
+    val codes = pqEncode(norm, cb)
+    val luts = broadcast(pqLuts(normalizedQ(queries), cb))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    codes.join(luts,
+        if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .withColumn("adc",
+        graft.functions.VecExpressions.pqAdcSum(col("codes"), col("lut"), PqK))
+      .select(col("query_id"), col("vec_id"), col("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("adc").as("adc_dist"))
+  }
+
+  def pqTopK(emb: DataFrame, k: Int = TopK): DataFrame =
+    pqTopKFor(emb, defaultQueries(emb), k, excludeSelf = true)
+
+  /** PQ + exact refine — the production PQ recipe: the compressed ADC
+    * scan retrieves PqPool candidates per query (reading only codes),
+    * then ONLY that short list is re-scored with the exact integer
+    * cosine against the original vectors and the top k kept. Raw ADC
+    * ranking is deliberately crude (16 centroids per subspace —
+    * measured recall@5 ≈ 0.2 on the test corpus); the refine stage
+    * recovers most of it because the true neighbors sit almost
+    * always INSIDE a 10·k ADC pool. Same two-stage shape as
+    * [[rerankTopKFor]]: the expensive exact scorer touches
+    * pool·|queries| rows, never the corpus; the vector re-join for
+    * the pool is an equi-join on vec_id — at 100 TB you page in full
+    * vectors for 50 rows per query instead of scanning 64-long
+    * arrays for every corpus row.
+    */
+  val PqPool = 50
+  def pqRerankTopKFor(emb: DataFrame, queries: DataFrame,
+                      pool: Int = PqPool, k: Int = TopK,
+                      excludeSelf: Boolean = false): DataFrame = {
+    val cand = pqTopKFor(emb, queries, pool, excludeSelf)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val corpus = quantized(emb).select(col("vec_id"), col("q"), col("nq"))
+    val qs = broadcast(quantized(queries)
+      .select(col("vec_id").as("query_id"), col("q").as("q_q"), col("nq").as("nq_q")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.join(corpus, "vec_id").join(qs, "query_id")
+      .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  def pqRerankTopK(emb: DataFrame, k: Int = TopK): DataFrame =
+    pqRerankTopKFor(emb, defaultQueries(emb), PqPool, k, excludeSelf = true)
+
+  /** PQ pool-size sweep — the recall/cost dial for the two-stage
+    * recipe (the PQ twin of ivfSweep's nprobe). Exact shortcut: the
+    * refine stage re-scores the pool with the TRUE cosine, so any
+    * ground-truth neighbor inside the pool is guaranteed to surface
+    * into the reranked top-k — rerank recall@k at pool p IS the
+    * containment |ADC-top-p ∩ brute-top-k| / |brute-top-k|. One ADC
+    * ranking at max(pools) prices every rung; recall is monotone in
+    * pool by prefix nesting (spec-pinned, exact). Measured guidance
+    * (bench/RECALL_r5_local.json, sf0.1): the seeded m8k64 codebook
+    * recalls 0.535/0.68/0.88/0.955 at pools of 50/100/200/400 over a
+    * 2000-vector corpus — size the pool to ADC-ordering quality, not
+    * to k, and train the codebook before growing the pool past ~10%
+    * of the corpus.
+    */
+  final case class PqSweepPoint(pool: Int, recall: Double)
+  def pqPoolSweep(emb: DataFrame, pools: Seq[Int], k: Int = TopK): Seq[PqSweepPoint] = {
+    val adc = pqTopKFor(emb, defaultQueries(emb), pools.max, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"), col("rnk")).localCheckpoint()
+    val exact = bruteTopK(emb, k).select(col("query_id"), col("neighbor_id"))
+    val exactN = exact.count().toDouble
+    pools.map { p =>
+      val hits = adc.filter(col("rnk") <= p)
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+      PqSweepPoint(p, hits / exactN)
+    }
+  }
+
   // --- queries --------------------------------------------------------
 
   /** Harness entry: the Shift-ed corpus-copy fixture (known-true
@@ -756,6 +940,8 @@ object Similarity {
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_trained" -> ((s, dir) => ivfTrainedTopK(Tables.embeddings(s, dir))),
     "q_ann_ivf_converged" -> ((s, dir) => ivfConvergedTopK(Tables.embeddings(s, dir))),
+    "q_ann_pq" -> ((s, dir) => pqTopK(Tables.embeddings(s, dir))),
+    "q_ann_pq_rerank" -> ((s, dir) => pqRerankTopK(Tables.embeddings(s, dir))),
     "q_ann_rerank" -> ((s, dir) => rerankTopK(Tables.embeddings(s, dir))),
     "q_project" -> ((s, dir) => projectTopDims(Tables.embeddings(s, dir))),
     "q_embed_centroids" -> qEmbedCentroids _,
@@ -1067,5 +1253,75 @@ object Similarity {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
         |  round(cos, 6) AS cos_sim
         |FROM p
-        |QUALIFY rnk <= 5""".stripMargin)
+        |QUALIFY rnk <= 5""".stripMargin,
+    // PQ: unit-normalize to the 1e6 grid, slice into PqM subspaces,
+    // codebook = subvectors of every PqSeedStride-th vector, encode by
+    // integer-L2 argmin (smallest-k tie-break via the row_number
+    // ordering), ADC = sum of per-subspace lut entries — all integer-
+    // exact, so the compare is a hash match, not a tolerance
+    "q_ann_pq" ->
+      s"""$pqCtesSql
+        |SELECT query_id, vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rnk,
+        |  adc AS adc_dist
+        |FROM adc
+        |QUALIFY rnk <= $TopK""".stripMargin,
+    // PQ + exact refine: ADC top-PqPool short list, re-scored with
+    // the exact quantized cosine against the original vectors
+    "q_ann_pq_rerank" ->
+      s"""$pqCtesSql,
+        |pool AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS prnk
+        |    FROM adc) WHERE prnk <= $PqPool),
+        |r AS (
+        |  SELECT p.query_id, p.vec_id,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> c.q[i] * qq.q[i]))::DOUBLE
+        |      / (sqrt(c.nq::DOUBLE) * sqrt(qq.nq::DOUBLE)) AS cos
+        |  FROM pool p
+        |  JOIN n c ON c.vec_id = p.vec_id
+        |  JOIN n qq ON qq.vec_id = p.query_id)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk,
+        |  round(cos, 6) AS cos_sim
+        |FROM r
+        |QUALIFY rnk <= $TopK""".stripMargin)
+
+  /** Shared PQ pipeline CTEs: normalize → subspaces → codebook →
+    * per-(vector, subspace, code) distances → encode (argmin) → ADC
+    * distance per (query, vector). Mirrors pqCodebook/pqEncode/
+    * pqLuts/pqTopKFor exactly.
+    */
+  private lazy val pqCtesSql: String =
+    s"""WITH n AS (
+      |  SELECT vec_id, q,
+      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+      |  FROM ($quantSql)),
+      |u AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, ${Dim + 1}),
+      |      i -> round(q[i] * 1000000.0 / sqrt(nq::DOUBLE))::BIGINT) AS qn
+      |  FROM n),
+      |sub AS (
+      |  SELECT vec_id, m, list_slice(qn, m*$PqSub + 1, m*$PqSub + $PqSub) AS subq
+      |  FROM u, range(0, $PqM) r(m)),
+      |cb AS (
+      |  SELECT vec_id // $PqSeedStride AS k, m, subq AS cq
+      |  FROM sub
+      |  WHERE vec_id % $PqSeedStride = 0 AND vec_id < ${PqSeedStride * PqK}),
+      |dist AS (
+      |  SELECT s.vec_id, s.m, c.k,
+      |    list_sum(list_transform(range(1, ${PqSub + 1}),
+      |      i -> (s.subq[i] - c.cq[i]) * (s.subq[i] - c.cq[i])))::BIGINT AS l2
+      |  FROM sub s JOIN cb c ON s.m = c.m),
+      |enc AS (
+      |  SELECT vec_id, m, k AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY l2, k) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |adc AS (
+      |  SELECT l.vec_id AS query_id, e.vec_id, sum(l.l2)::BIGINT AS adc
+      |  FROM enc e
+      |  JOIN (SELECT * FROM dist WHERE vec_id % $QueryMod = 0) l
+      |    ON e.m = l.m AND e.code = l.k AND e.vec_id <> l.vec_id
+      |  GROUP BY 1, 2)""".stripMargin
 }

@@ -25,7 +25,7 @@ import os
 import re
 import sys
 
-FAMILIES = ("lsh", "ivf", "ivf_trained", "ivf_converged")
+FAMILIES = ("lsh", "ivf", "ivf_trained", "ivf_converged", "pq")
 
 
 def load_rounds(root):
