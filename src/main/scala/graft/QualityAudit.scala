@@ -52,6 +52,14 @@ object QualityAudit {
         pqSweep.map(p =>
           s""""rerank_p${p.pool}":{"recall":${p.recall},"candidates":${p.pool * nQueries}}"""))
         .mkString("", ",", "}")
+    // Lloyd-trained codebook (1 pass) at the same pool rungs, plus
+    // the composed IVF-PQ path (sublinear candidates x compressed
+    // payload) — candidates for ivfpq = the refined pool per query
+    val pqTrained = Similarity.pqPoolSweep(emb, Seq(50, 100, 200, 400), trainIters = 1)
+      .map(p => s""""rerank_p${p.pool}":{"recall":${p.recall},"candidates":${p.pool * nQueries}}""")
+      .mkString("{", ",", "}")
+    val ivfpq =
+      s"""{"p${Similarity.NProbe}pool${Similarity.PqPool}":{"recall":${recallOf(Similarity.ivfPqTopK(emb))},"candidates":${Similarity.PqPool * nQueries}}}"""
     val ivfTrained = ivfLine(Similarity.ivfSweepWith(emb, Seq(1, 2, 4),
       all => Similarity.trainCentroids(all)))
     val ivfConverged = ivfLine(Similarity.ivfSweepWith(emb, Seq(1, 2, 4),
@@ -61,7 +69,7 @@ object QualityAudit {
     // without re-measuring every rung)
     val auto = lshPoints.find(_.recall >= 0.8)
       .map(p => s""""${p.config.key}"""").getOrElse("null")
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"autoconfig_lsh_0.8":$auto,"sf":"$sfDir"}"""
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"autoconfig_lsh_0.8":$auto,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

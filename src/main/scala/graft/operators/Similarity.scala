@@ -824,9 +824,10 @@ object Similarity {
     * ascending order ≙ descending approximate cosine.
     */
   def pqTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
-                excludeSelf: Boolean = false): DataFrame = {
+                excludeSelf: Boolean = false, trainIters: Int = 0): DataFrame = {
     val norm = normalizedQ(emb)
-    val cb = pqCodebook(norm)
+    var cb = pqCodebook(norm)
+    for (_ <- 1 to trainIters) cb = pqTrainCodebook(norm, cb).localCheckpoint()
     val codes = pqEncode(norm, cb)
     val luts = broadcast(pqLuts(normalizedQ(queries), cb))
     val w = org.apache.spark.sql.expressions.Window
@@ -849,10 +850,14 @@ object Similarity {
     * scan retrieves PqPool candidates per query (reading only codes),
     * then ONLY that short list is re-scored with the exact integer
     * cosine against the original vectors and the top k kept. Raw ADC
-    * ranking is deliberately crude (16 centroids per subspace —
-    * measured recall@5 ≈ 0.2 on the test corpus); the refine stage
-    * recovers most of it because the true neighbors sit almost
-    * always INSIDE a 10·k ADC pool. Same two-stage shape as
+    * ranking is deliberately crude (measured recall@5 0.165 at sf0.1
+    * with the seeded m8k64 codebook); the refine stage recovers most
+    * of it because the true neighbors sit inside the ADC pool — see
+    * [[pqPoolSweep]] for the measured pool dial and
+    * [[pqTrainCodebook]] for the trained-codebook lift (+0.15 recall
+    * at pool 50 from ONE Lloyd pass — unlike IVF, where training the
+    * coarse quantizer HURT at equal probe depth, training the PQ
+    * codebook purely sharpens the ADC ordering). Same two-stage shape as
     * [[rerankTopKFor]]: the expensive exact scorer touches
     * pool·|queries| rows, never the corpus; the vector re-join for
     * the pool is an equi-join on vec_id — at 100 TB you page in full
@@ -882,6 +887,115 @@ object Similarity {
   def pqRerankTopK(emb: DataFrame, k: Int = TopK): DataFrame =
     pqRerankTopKFor(emb, defaultQueries(emb), PqPool, k, excludeSelf = true)
 
+  /** Lloyd-trained PQ codebook: one assignment pass (pqEncode's
+    * argmin) followed by a per-(subspace, code) component mean,
+    * rounded back to the integer grid — the k-means update step run
+    * independently in every subspace, exactly [[lloydIter]]'s shape
+    * at subvector granularity. Codes whose cluster empties keep their
+    * seed centroid (left join + coalesce), so the codebook never
+    * shrinks. Deterministic and integer-exact; iterate by feeding the
+    * result back in. Measured (quality gate `pq_trained`): training
+    * tightens the ADC ordering, buying recall at equal pool size.
+    */
+  def pqTrainCodebook(norm: DataFrame, codebook: DataFrame): DataFrame = {
+    val assigned = subspaces(norm, "vec_id")
+      .join(broadcast(codebook), "m")
+      .withColumn("l2", subL2(col("subq"), col("cq")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("l2"), col("k"))).as("best"),
+        first(col("subq")).as("subq"))
+      .select(col("m"), col("best").getField("k").as("k"),
+        posexplode(col("subq")).as(Seq("pos", "v")))
+    val means = assigned
+      .groupBy(col("m"), col("k"), col("pos"))
+      .agg(round(sum(col("v")) / count(lit(1)), 0).cast("long").as("cv"))
+      .groupBy(col("m"), col("k"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cq_new"))
+    codebook.join(means, Seq("m", "k"), "left")
+      .select(col("k"), col("m"), coalesce(col("cq_new"), col("cq")).as("cq"))
+  }
+
+  /** Total PQ quantization error (sum over (vector, subspace) of the
+    * min integer L2 to the codebook) — the quantity Lloyd training
+    * monotonically shrinks; the spec pins trained ≤ seeded.
+    */
+  def pqSse(norm: DataFrame, codebook: DataFrame): Long =
+    subspaces(norm, "vec_id")
+      .join(broadcast(codebook), "m")
+      .withColumn("l2", subL2(col("subq"), col("cq")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("l2")).as("l2"))
+      .agg(sum(col("l2"))).head.getLong(0)
+
+  /** IVF-PQ: the composed 100 TB shape — IVF posting lists make the
+    * candidate count sublinear (probe NProbe lists, not the corpus)
+    * and PQ codes make the per-candidate payload 8 longs instead of
+    * 64. The corpus is assigned to coarse centroids ONCE and encoded
+    * ONCE; a query probes its nearest lists via the centroid-id
+    * equi-join, scores only those lists' codes with the native ADC
+    * lookup, and (optionally, the default) exact-refines the ADC
+    * pool. Candidates: corpus/C·NProbe per query; bytes scanned:
+    * 8x less than IVF's raw vectors. Classic Jégou-style IVFADC,
+    * composed from the two audited building blocks.
+    */
+  def ivfPqTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
+                   pool: Int = PqPool, excludeSelf: Boolean = false,
+                   refine: Boolean = true): DataFrame = {
+    val all = quantized(emb)
+    val cents = seedCentroids(all)
+    val norm = normalizedQ(emb)
+    val cb = pqCodebook(norm)
+    // corpus side: coarse assignment + PQ codes, one row per vector
+    val assigned = all.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"),
+        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
+      .join(pqEncode(norm, cb), "vec_id")
+    // query side: NProbe nearest lists + the ADC lut, broadcast
+    val qsQuant = quantized(queries)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val probes = qsQuant.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
+      .withColumn("crn", row_number().over(wq)).filter(col("crn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .join(pqLuts(normalizedQ(queries), cb), "query_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    val cand = assigned.join(broadcast(probes),
+        assigned("cid") === probes("cid")
+          && (if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)))
+      .withColumn("adc",
+        graft.functions.VecExpressions.pqAdcSum(col("codes"), col("lut"), PqK))
+      .select(col("query_id"), col("vec_id"), col("adc"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= (if (refine) pool else k))
+    if (!refine)
+      cand.select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("adc").as("adc_dist"))
+    else {
+      val corpus = all.select(col("vec_id"), col("q"), col("nq"))
+      val qs = broadcast(qsQuant
+        .select(col("vec_id").as("query_id"), col("q").as("q_q"), col("nq").as("nq_q")))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      cand.select(col("query_id"), col("vec_id"))
+        .join(corpus, "vec_id").join(qs, "query_id")
+        .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+        .select(col("query_id"), col("vec_id"), col("cos"))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+          round(col("cos"), 6).as("cos_sim"))
+    }
+  }
+
+  def ivfPqTopK(emb: DataFrame, k: Int = TopK): DataFrame =
+    ivfPqTopKFor(emb, defaultQueries(emb), k, excludeSelf = true)
+
   /** PQ pool-size sweep — the recall/cost dial for the two-stage
     * recipe (the PQ twin of ivfSweep's nprobe). Exact shortcut: the
     * refine stage re-scores the pool with the TRUE cosine, so any
@@ -897,8 +1011,10 @@ object Similarity {
     * of the corpus.
     */
   final case class PqSweepPoint(pool: Int, recall: Double)
-  def pqPoolSweep(emb: DataFrame, pools: Seq[Int], k: Int = TopK): Seq[PqSweepPoint] = {
-    val adc = pqTopKFor(emb, defaultQueries(emb), pools.max, excludeSelf = true)
+  def pqPoolSweep(emb: DataFrame, pools: Seq[Int], k: Int = TopK,
+                  trainIters: Int = 0): Seq[PqSweepPoint] = {
+    val adc = pqTopKFor(emb, defaultQueries(emb), pools.max,
+        excludeSelf = true, trainIters = trainIters)
       .select(col("query_id"), col("neighbor_id"), col("rnk")).localCheckpoint()
     val exact = bruteTopK(emb, k).select(col("query_id"), col("neighbor_id"))
     val exactN = exact.count().toDouble

@@ -311,6 +311,52 @@ class OperatorsSpec extends AnyFunSuite {
       s"sweep containment $swept != measured rerank recall $realRecall")
   }
 
+  test("Lloyd-trained PQ codebook shrinks quantization error, keeps shape") {
+    val norm = Similarity.normalizedQ(Tables.embeddings(spark, sf))
+    val seeded = Similarity.pqCodebook(norm)
+    val trained = Similarity.pqTrainCodebook(norm, seeded)
+    val rows = trained.collect()
+    assert(rows.length == Similarity.PqM * Similarity.PqK,
+      "training must not add or drop codebook entries")
+    assert(rows.forall(_.getSeq[Long](2).length == Similarity.PqSub))
+    // one full Lloyd step (assign + update) never increases total
+    // within-cluster SSE; grid rounding perturbs by O(dims) per
+    // centroid, negligible against 1e12-scale distances
+    val sseSeeded = Similarity.pqSse(norm, seeded)
+    val sseTrained = Similarity.pqSse(norm, trained)
+    assert(sseTrained <= sseSeeded,
+      s"training increased quantization error: $sseSeeded -> $sseTrained")
+    // trained encode still emits valid codes
+    val codes = Similarity.pqEncode(norm, trained).collect()
+    assert(codes.forall(_.getSeq[Long](1).forall(c => c >= 0 && c < Similarity.PqK)))
+  }
+
+  test("IVF-PQ composes posting lists with ADC codes and refines exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = ivfPqRows(emb)
+    val perQuery = out.groupBy(_.getLong(0))
+    assert(perQuery.values.forall(_.length <= Similarity.TopK))
+    assert(perQuery.values.forall(rs =>
+      rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length)),
+      "ranks must be dense 1..n per query")
+    val brute = Similarity.bruteTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    // bounded by IVF's own probe recall (the lists are the candidate
+    // ceiling); must clear the same floor the raw IVF path pins
+    assert(recall >= 0.2, s"IVF-PQ recall $recall collapsed")
+    // refine=false returns the raw ADC ordering over the same lists —
+    // every refined neighbor must come from the unrefined pool
+    val poolIds = Similarity.ivfPqTopKFor(emb, Similarity.defaultQueries(emb),
+        k = Similarity.PqPool, excludeSelf = true, refine = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(poolIds),
+      "refined results must be drawn from the ADC pool")
+  }
+  private def ivfPqRows(emb: org.apache.spark.sql.DataFrame) =
+    Similarity.ivfPqTopK(emb).collect()
+
   test("sequence packing conserves docs/tokens and packs in stable order") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)

@@ -16,7 +16,7 @@ def main(old_path, new_path):
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     failed = []
-    for family in ("lsh", "ivf", "ivf_trained", "ivf_converged", "pq"):
+    for family in ("lsh", "ivf", "ivf_trained", "ivf_converged", "pq", "pq_trained", "ivfpq"):
         for cfg in sorted(set(old.get(family, {})) | set(new.get(family, {}))):
             o = old.get(family, {}).get(cfg)
             n = new.get(family, {}).get(cfg)

@@ -25,7 +25,7 @@ import os
 import re
 import sys
 
-FAMILIES = ("lsh", "ivf", "ivf_trained", "ivf_converged", "pq")
+FAMILIES = ("lsh", "ivf", "ivf_trained", "ivf_converged", "pq", "pq_trained", "ivfpq")
 
 
 def load_rounds(root):
