@@ -42,9 +42,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // n interleaved sweeps: sweep s times every query once, in name
-    // order, before any query gets its (s+1)-th sample.
+    // order, before any query gets its (s+1)-th sample. One extra
+    // UNTIMED sweep runs first at the TARGET scale and is discarded:
+    // back-to-back repetition (the old protocol) measured best-HOT
+    // times, and without this the interleaved sweeps would bill every
+    // query a cold-cache premium the old numbers never paid —
+    // cross-round comparability requires warm-state samples either way.
     val sweepTimes: Seq[Seq[Double]] =
-      (1 to sweeps).map(_ => queries.map { case (_, fn) => time(fn) })
+      (0 to sweeps).map(_ => queries.map { case (_, fn) => time(fn) }).drop(1)
     val samples: Seq[(String, Seq[Double])] = queries.zipWithIndex.map {
       case ((name, _), i) => name -> sweepTimes.map(_(i))
     }

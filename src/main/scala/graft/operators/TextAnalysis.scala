@@ -274,11 +274,14 @@ object TextAnalysis {
       .agg(sum(col("n")).as("cnt"))
   }
 
-  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+  /** The training loop, also returning the FINAL symbol table (the
+    * trained tokenizer applied to the vocabulary) — encode reuses it.
+    */
+  private def bpeTrainLoop(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
     def pin(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    var sym = pin(wordVocab(Tables.documents(s, dir))
+    var sym = pin(wordVocab(docs)
       .withColumn("s", rtrim(regexp_replace(col("w"), "(.)", s"$Mk$$1$Mk "))))
     var steps: Seq[DataFrame] = Nil
     for (i <- 1 to BpeTrainSteps) {
@@ -292,11 +295,42 @@ object TextAnalysis {
           concat(lit(Mk), col("m_lhs"), col("m_rhs"), lit(Mk))))
         .select(col("w"), col("n"), col("s")))
     }
-    steps.reduce(_ unionAll _)
+    (steps, sym)
+  }
+
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainLoop(Tables.documents(s, dir))._1.reduce(_ unionAll _)
+
+  /** BPE ENCODE — apply the trained tokenizer to the corpus and
+    * measure what it bought: per-doc symbol counts and the
+    * chars-per-symbol compression ratio (1.0 = no merges applied,
+    * higher = fewer symbols per character — the number a tokenizer
+    * team actually tracks). Scale shape: the merge rules are applied
+    * to the VOCABULARY (distinct words — vocab-sized work, exactly
+    * the training loop's final symbol table), and per-doc stats come
+    * from one equi-join of exploded doc tokens against that encoded
+    * vocab plus one partial-aggregated rollup — the corpus is never
+    * re-tokenized per rule.
+    */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (_, sym) = bpeTrainLoop(docs)
+    val vocabEnc = sym.select(col("w"),
+      size(split(col("s"), " ")).cast("long").as("n_sym"),
+      length(col("w")).cast("long").as("n_chars"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(vocabEnc, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_sym")).as("n_symbols"),
+        sum(col("n_chars")).as("n_chars"),
+        round(sum(col("n_chars")).cast("double")
+          / sum(col("n_sym")).cast("double"), 6).as("chars_per_symbol"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> qBpeTrain _,
+    "q_bpe_encode" -> qBpeEncode _,
     "q_bpe_merge" -> qBpeMerge _,
     "q_vocab" -> qVocab _,
     "q_decontaminate" -> qDecontaminate _,
@@ -354,7 +388,9 @@ object TextAnalysis {
       |    FROM (SELECT n, string_split(s, ' ') AS sl FROM $src))
       |  GROUP BY 1, 2""".stripMargin
 
-  private val bpeTrainSql = {
+  /** words → sym0 → (pc_i, top_i, sym_i)* CTE chain, shared by the
+    * train and encode oracles. */
+  private val bpeRoundsCtes: String = {
     val rounds = (1 to BpeTrainSteps).flatMap { i =>
       Seq(
         s"pc$i AS (${bpePairMarkedSql(s"sym${i - 1}")})",
@@ -365,9 +401,6 @@ object TextAnalysis {
           |    chr(1) || t.lhs || t.rhs || chr(1)) AS s
           |  FROM sym${i - 1}, top$i t)""".stripMargin)
     }.mkString(",\n")
-    val sel = (1 to BpeTrainSteps)
-      .map(i => s"SELECT $i AS step, lhs, rhs, cnt FROM top$i")
-      .mkString("\nUNION ALL ")
     s"""WITH words AS (
       |  SELECT t AS w, count(*) AS n FROM (
       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
@@ -376,12 +409,31 @@ object TextAnalysis {
       |sym0 AS (SELECT w, n,
       |  rtrim(regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1) || ' ', 'g')) AS s
       |  FROM words),
-      |$rounds
-      |$sel""".stripMargin
+      |$rounds""".stripMargin
   }
+
+  private val bpeTrainSql = {
+    val sel = (1 to BpeTrainSteps)
+      .map(i => s"SELECT $i AS step, lhs, rhs, cnt FROM top$i")
+      .mkString("\nUNION ALL ")
+    s"$bpeRoundsCtes\n$sel"
+  }
+
+  private val bpeEncodeSql =
+    s"""$bpeRoundsCtes,
+      |enc AS (SELECT w, len(string_split(s, ' '))::BIGINT AS n_sym,
+      |  strlen(w)::BIGINT AS n_chars FROM sym$BpeTrainSteps),
+      |tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      |  FROM documents)
+      |SELECT doc_id, count(*) AS n_tokens, sum(e.n_sym)::BIGINT AS n_symbols,
+      |  sum(e.n_chars)::BIGINT AS n_chars,
+      |  round(sum(e.n_chars)::DOUBLE / sum(e.n_sym)::DOUBLE, 6) AS chars_per_symbol
+      |FROM tok t JOIN enc e USING (w)
+      |GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_bpe_merge" -> bpeMergeSql,
     "q_decontaminate" ->
       """WITH sh AS (

@@ -499,6 +499,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact <= 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("real PNG decode recovers exact dimensions and quadrant features") {
+    import graft.operators.Multimodal
+    val media = Multimodal.pngTable(spark, sf)
+    val decoded = Multimodal.decodeImages(media).collect()
+    assert(decoded.nonEmpty)
+    assert(decoded.forall(_.media_type == "image"),
+      "every synthetic PNG must decode through the real path")
+    assert(decoded.forall(r => r.width == 8 && r.height == 6 && r.frames == 1))
+    // PNG is lossless: quadrant means must equal the rendered
+    // two-tone intensities exactly (left halves a, right halves b)
+    decoded.take(50).foreach { r =>
+      val a = ((r.doc_id * 37) % 256) / 255.0
+      val b = ((r.doc_id * 101 + 128) % 256) / 255.0
+      assert(math.abs(r.features(0) - a) < 1e-6 && math.abs(r.features(2) - a) < 1e-6,
+        s"left quadrants off for ${r.doc_id}: ${r.features.toSeq} vs $a")
+      assert(math.abs(r.features(1) - b) < 1e-6 && math.abs(r.features(3) - b) < 1e-6,
+        s"right quadrants off for ${r.doc_id}")
+    }
+    // non-image bytes take the flagged stub fallback, same schema
+    val fallback = Multimodal.decodeImages(Multimodal.mediaTable(spark, sf)).collect()
+    assert(fallback.forall(_.media_type == "undecodable"))
+    assert(fallback.forall(_.features.length == 8))
+  }
+
   test("multimodal resize preserves aspect and never upscales") {
     val decoded = Multimodal.decode(Multimodal.mediaTable(spark, sf))
     val resized = Multimodal.resize(decoded, 320, 240).collect()
