@@ -170,6 +170,71 @@ object DocStreams {
     appends.toSeq
   }
 
+  /** One packed doc: where it landed in its stream's running
+    * concatenation. */
+  final case class PackedDoc(stream: Long, doc_id: Long, n_tok: Long,
+                             start_off: Long, seq_id: Long)
+
+  /** STATEFUL streaming sequence packing — the running token offset
+    * per stream is the ONLY state carried across micro-batches
+    * (`flatMapGroupsWithState`, one Long per stream key): each
+    * arriving doc is assigned the training-sequence window its first
+    * token lands in, exactly [[graft.operators.Sampling.packSequences]]'
+    * concat-and-chunk rule, but over an unbounded arrival stream.
+    * State is O(streams) — bounded and tiny regardless of corpus
+    * size; per-batch work is one narrow pass + the keyed state
+    * exchange on the stream hash.
+    *
+    * ORDER CONTRACT (inherent to packing, stated honestly): packing
+    * is order-sensitive by definition — the stream packs in ARRIVAL
+    * order within each stream key (docs sorted by doc_id inside a
+    * micro-batch for determinism). When arrival order matches batch
+    * order the result EQUALS the batch operator (spec-pinned);
+    * out-of-order delivery packs in delivered order, which is the
+    * correct streaming semantics for an append-only training
+    * manifest.
+    */
+  def packStream(docs: DataFrame, budget: Long = graft.operators.Sampling.SeqBudget,
+                 streams: Int = graft.operators.Sampling.PackStreams): org.apache.spark.sql.Dataset[PackedDoc] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        size(graft.functions.GraftFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+        graft.operators.Sampling.hashBucket(col("doc_id"), streams).as("stream"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (stream: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (docId, nTok, _) =>
+            val p = PackedDoc(stream, docId, nTok, off, off / budget)
+            off += nTok
+            p
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
+  /** Runs the packing stream over a staged directory and returns the
+    * full packed manifest (memory sink — the spec's harness; a
+    * production caller writes the PackedDoc stream to the warehouse
+    * keyed by doc_id).
+    */
+  def runPackStream(spark: SparkSession, stagedDir: String,
+                    queryName: String): DataFrame = {
+    val q = packStream(
+        spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", 1).parquet(stagedDir).toDF())
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Band-index compaction: docs deleted upstream (takedowns,
     * retention expiry) must leave the dedup index, or future
     * arrivals keep matching ghosts — a re-submitted copy of a

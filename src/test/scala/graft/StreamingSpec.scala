@@ -170,6 +170,59 @@ class StreamingSpec extends AnyFunSuite {
       "re-submitted copy of the deleted doc was not admitted as new")
   }
 
+  test("stateful streaming packing equals batch packing, state spans batches") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStreams
+    // two micro-batches split at the doc_id median, delivered in
+    // order — the packing state (per-stream token offset) must carry
+    // across the batch boundary for the result to equal batch mode
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val mid = docs.agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id)"))
+      .head.getDouble(0).toLong
+    val staged = java.nio.file.Files.createTempDirectory("graft-packstream")
+    docs.filter(col("doc_id") <= mid).coalesce(1)
+      .write.parquet(staged.resolve("batch_a").toString)
+    docs.filter(col("doc_id") > mid).coalesce(1)
+      .write.parquet(staged.resolve("batch_b").toString)
+    val flat = java.nio.file.Files.createTempDirectory("graft-packstream-flat")
+    // FileStreamSource orders by MODIFICATION TIME: pin strictly
+    // increasing mtimes so batch_a is always delivered before
+    // batch_b (same-millisecond copies would make arrival order —
+    // and therefore the packing — nondeterministic)
+    var mtime = java.nio.file.Files.getLastModifiedTime(staged).toMillis
+    for (d <- Seq("batch_a", "batch_b");
+         f <- java.nio.file.Files.list(staged.resolve(d)).toArray.map(_.toString)
+           if f.endsWith(".parquet")) {
+      val p = java.nio.file.Paths.get(f)
+      val dst = flat.resolve(s"${d}_${p.getFileName}")
+      java.nio.file.Files.copy(p, dst)
+      mtime += 2000
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val streamed = DocStreams.runPackStream(spark, flat.toString, "packed_t1")
+    // every doc packed exactly once
+    assert(streamed.count() == docs.count())
+    // the per-(stream, seq) manifest equals the batch operator's
+    val manifest = streamed.groupBy(col("stream"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val batch = graft.operators.Sampling.packSequences(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(manifest == batch,
+      "streamed packing diverged from batch packing under in-order delivery")
+    // state really spans batches: at least one sequence must contain
+    // docs from BOTH micro-batches (the boundary window), which can
+    // only happen if the offset survived the batch hop
+    val spanning = streamed.groupBy(col("stream"), col("seq_id"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") <= mid && col("hi") > mid).count()
+    assert(spanning > 0, "no sequence spans the micro-batch boundary")
+  }
+
   test("streaming decontamination equals the batch screen, replays idempotently") {
     import org.apache.spark.sql.functions._
     import graft.extract.Warehouse
