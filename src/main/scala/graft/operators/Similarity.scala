@@ -725,6 +725,35 @@ object Similarity {
     }
   }
 
+  /** Embedding QC gate — the curation pass that runs BEFORE any
+    * similarity indexing: flags vectors whose geometry makes them
+    * unusable or suspicious. Checks: zero norm (cosine undefined —
+    * these crash or silently pollute every downstream ANN path),
+    * non-finite components, and norm outliers outside the exact
+    * [p01, p99] interpolated-percentile fences of the corpus norm
+    * distribution (an embedding-model failure signature: collapsed
+    * or exploded activations). Scale shape: one narrow pass + one
+    * O(1) percentile aggregate broadcast back via cross join — the
+    * corpus never shuffles.
+    */
+  def embedQc(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      exists(col("embedding"), e => isnan(e) || e === Double.PositiveInfinity
+        || e === Double.NegativeInfinity).as("has_nonfinite"),
+      normQ(quantize(col("embedding"))).as("nq"))
+    val fences = base.agg(
+      expr("percentile(nq, 0.01)").as("p01"),
+      expr("percentile(nq, 0.99)").as("p99"))
+    base.crossJoin(broadcast(fences))
+      .select(col("vec_id"), col("nq"),
+        col("has_nonfinite"),
+        (col("nq") === 0L).as("is_zero"),
+        (col("nq").cast("double") < col("p01")
+          || col("nq").cast("double") > col("p99")).as("is_norm_outlier"))
+      .withColumn("keep",
+        !col("has_nonfinite") && !col("is_zero") && !col("is_norm_outlier"))
+  }
+
   // --- product quantization (PQ) --------------------------------------
 
   /** PQ parameters: Dim is split into PqM subspaces of PqSub dims;
@@ -1056,6 +1085,7 @@ object Similarity {
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_trained" -> ((s, dir) => ivfTrainedTopK(Tables.embeddings(s, dir))),
     "q_ann_ivf_converged" -> ((s, dir) => ivfConvergedTopK(Tables.embeddings(s, dir))),
+    "q_embed_qc" -> ((s, dir) => embedQc(Tables.embeddings(s, dir))),
     "q_ann_pq" -> ((s, dir) => pqTopK(Tables.embeddings(s, dir))),
     "q_ann_pq_rerank" -> ((s, dir) => pqRerankTopK(Tables.embeddings(s, dir))),
     "q_ann_rerank" -> ((s, dir) => rerankTopK(Tables.embeddings(s, dir))),
@@ -1370,6 +1400,22 @@ object Similarity {
         |  round(cos, 6) AS cos_sim
         |FROM p
         |QUALIFY rnk <= 5""".stripMargin,
+    "q_embed_qc" ->
+      s"""WITH base AS (
+        |  SELECT vec_id,
+        |    len(list_filter(embedding, e -> isnan(e) OR isinf(e))) > 0 AS has_nonfinite,
+        |    list_sum(list_transform(embedding,
+        |      e -> round(e::DOUBLE * 1000000)::BIGINT * round(e::DOUBLE * 1000000)::BIGINT))::BIGINT AS nq
+        |  FROM embeddings),
+        |fences AS (
+        |  SELECT quantile_cont(nq, 0.01) AS p01, quantile_cont(nq, 0.99) AS p99
+        |  FROM base)
+        |SELECT vec_id, nq, has_nonfinite,
+        |  nq = 0 AS is_zero,
+        |  (nq::DOUBLE < p01 OR nq::DOUBLE > p99) AS is_norm_outlier,
+        |  NOT has_nonfinite AND nq <> 0
+        |    AND NOT (nq::DOUBLE < p01 OR nq::DOUBLE > p99) AS keep
+        |FROM base, fences""".stripMargin,
     // PQ: unit-normalize to the 1e6 grid, slice into PqM subspaces,
     // codebook = subvectors of every PqSeedStride-th vector, encode by
     // integer-L2 argmin (smallest-k tie-break via the row_number

@@ -134,6 +134,13 @@ class PlanSpec extends AnyFunSuite {
       "range-join plan grew")
     assert(shuffles(operators.Similarity.rerankTopK(
       graft.sources.Tables.embeddings(spark, sf))) <= 2, "rerank plan grew")
+    // r5: PQ = encode argmin + code rebuild + lut build + top-k
+    // window (the ADC scan joins against a broadcast, no shuffle);
+    // QC = one percentile aggregate broadcast back over a narrow pass
+    assert(shuffles(operators.Similarity.pqTopK(
+      graft.sources.Tables.embeddings(spark, sf))) <= 5, "PQ plan grew")
+    assert(shuffles(operators.Similarity.embedQc(
+      graft.sources.Tables.embeddings(spark, sf))) <= 2, "embed QC plan grew")
   }
 
   test("external-query ANN never broadcasts the corpus side") {
