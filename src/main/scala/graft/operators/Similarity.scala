@@ -1088,6 +1088,7 @@ object Similarity {
     "q_embed_qc" -> ((s, dir) => embedQc(Tables.embeddings(s, dir))),
     "q_ann_pq" -> ((s, dir) => pqTopK(Tables.embeddings(s, dir))),
     "q_ann_pq_rerank" -> ((s, dir) => pqRerankTopK(Tables.embeddings(s, dir))),
+    "q_ann_ivfpq" -> ((s, dir) => ivfPqTopK(Tables.embeddings(s, dir))),
     "q_ann_rerank" -> ((s, dir) => rerankTopK(Tables.embeddings(s, dir))),
     "q_project" -> ((s, dir) => projectTopDims(Tables.embeddings(s, dir))),
     "q_embed_centroids" -> qEmbedCentroids _,
@@ -1428,6 +1429,7 @@ object Similarity {
         |  adc AS adc_dist
         |FROM adc
         |QUALIFY rnk <= $TopK""".stripMargin,
+    "q_ann_ivfpq" -> ivfPqSql,
     // PQ + exact refine: ADC top-PqPool short list, re-scored with
     // the exact quantized cosine against the original vectors
     "q_ann_pq_rerank" ->
@@ -1449,17 +1451,14 @@ object Similarity {
         |FROM r
         |QUALIFY rnk <= $TopK""".stripMargin)
 
-  /** Shared PQ pipeline CTEs: normalize → subspaces → codebook →
-    * per-(vector, subspace, code) distances → encode (argmin) → ADC
-    * distance per (query, vector). Mirrors pqCodebook/pqEncode/
-    * pqLuts/pqTopKFor exactly.
+  /** PQ encode CTE segment (requires a prior `n` CTE of
+    * (vec_id, q, nq)): normalize → subspaces → codebook →
+    * per-(vector, subspace, code) distances → encode (argmin).
+    * Mirrors normalizedQ/pqCodebook/pqEncode exactly; shared by the
+    * standalone-PQ and IVF-PQ oracles.
     */
-  private lazy val pqCtesSql: String =
-    s"""WITH n AS (
-      |  SELECT vec_id, q,
-      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
-      |  FROM ($quantSql)),
-      |u AS (
+  private lazy val pqEncCtes: String =
+    s"""u AS (
       |  SELECT vec_id,
       |    list_transform(range(1, ${Dim + 1}),
       |      i -> round(q[i] * 1000000.0 / sqrt(nq::DOUBLE))::BIGINT) AS qn
@@ -1479,11 +1478,75 @@ object Similarity {
       |enc AS (
       |  SELECT vec_id, m, k AS code FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY l2, k) AS rn
-      |    FROM dist) WHERE rn = 1),
+      |    FROM dist) WHERE rn = 1)""".stripMargin
+
+  /** Shared PQ pipeline CTEs: `n` + encode segment + the full-scan
+    * ADC distance per (query, vector) — pqTopKFor's shape.
+    */
+  private lazy val pqCtesSql: String =
+    s"""WITH n AS (
+      |  SELECT vec_id, q,
+      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+      |  FROM ($quantSql)),
+      |$pqEncCtes,
       |adc AS (
       |  SELECT l.vec_id AS query_id, e.vec_id, sum(l.l2)::BIGINT AS adc
       |  FROM enc e
       |  JOIN (SELECT * FROM dist WHERE vec_id % $QueryMod = 0) l
       |    ON e.m = l.m AND e.code = l.k AND e.vec_id <> l.vec_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** IVF-PQ oracle: the IVF assignment/probe CTEs feeding a
+    * posting-list-restricted ADC, pooled and exact-refined — the
+    * DuckDB twin of [[ivfPqTopKFor]] with refine on.
+    */
+  private lazy val ivfPqSql: String =
+    s"""WITH n AS (
+      |  SELECT vec_id, q,
+      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+      |  FROM ($quantSql)),
+      |cents AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM n
+      |  WHERE vec_id % $SeedMod = 0),
+      |scored AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+      |      / (sqrt(n.nq::DOUBLE) * sqrt(c.cnq::DOUBLE)) AS ccos
+      |  FROM n CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS arn
+      |    FROM scored)
+      |  WHERE arn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+      |    FROM scored WHERE vec_id % $QueryMod = 0)
+      |  WHERE crn <= $NProbe),
+      |$pqEncCtes,
+      |adc AS (
+      |  SELECT p.query_id, a.vec_id, sum(l.l2)::BIGINT AS adc
+      |  FROM assigned a
+      |  JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id
+      |  JOIN enc e ON e.vec_id = a.vec_id
+      |  JOIN (SELECT vec_id, m, k, l2 FROM dist WHERE vec_id % $QueryMod = 0) l
+      |    ON l.vec_id = p.query_id AND e.m = l.m AND e.code = l.k
+      |  GROUP BY 1, 2),
+      |pool AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS prnk
+      |    FROM adc) WHERE prnk <= $PqPool),
+      |r AS (
+      |  SELECT p.query_id, p.vec_id,
+      |    list_sum(list_transform(range(1, ${Dim + 1}), i -> c.q[i] * qq.q[i]))::DOUBLE
+      |      / (sqrt(c.nq::DOUBLE) * sqrt(qq.nq::DOUBLE)) AS cos
+      |  FROM pool p
+      |  JOIN n c ON c.vec_id = p.vec_id
+      |  JOIN n qq ON qq.vec_id = p.query_id)
+      |SELECT query_id, vec_id AS neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk,
+      |  round(cos, 6) AS cos_sim
+      |FROM r
+      |QUALIFY rnk <= $TopK""".stripMargin
 }
