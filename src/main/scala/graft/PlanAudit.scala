@@ -28,7 +28,7 @@ object PlanAudit {
 
     var cartesian = List.empty[String]
     var unpartWin = List.empty[String]
-    println(f"${"query"}%-22s exch  bhj  smj  bnlj  pushed  codegen  globalwin  cartesian")
+    println(f"${"query"}%-22s exch  bhj  smj  bnlj  pushed  codegen  arrexch  globalwin  cartesian")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -54,11 +54,18 @@ object PlanAudit {
         val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
         val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
         val codegen = nodes.count(_.isInstanceOf[WholeStageCodegenExec])
+        // exchanges whose payload still carries an array column —
+        // at 100 TB these shuffle vectors/collections instead of
+        // scalars; the r5 payload work drove them out of the ANN
+        // dedup/window exchanges, this column keeps them visible
+        val arrExch = nodes.collect { case s: ShuffleExchangeExec => s }
+          .count(_.output.exists(_.dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType]))
         if (hasCart) cartesian ::= name
         if (hasGlobalWin) unpartWin ::= name
         println(f"$name%-22s $shuffles%4d+$reused%-2dr ${n("BroadcastHashJoin")}%4d " +
           f"${n("SortMergeJoin")}%4d ${n("BroadcastNestedLoopJoin")}%5d " +
-          f"${p.contains("PushedFilters: [")}%7s $codegen%8d $hasGlobalWin%10s $hasCart%9s")
+          f"${p.contains("PushedFilters: [")}%7s $codegen%8d $arrExch%8d $hasGlobalWin%10s $hasCart%9s")
       } catch {
         case e: Throwable => println(f"$name%-22s FAILED: ${e.getMessage.take(60)}")
       }

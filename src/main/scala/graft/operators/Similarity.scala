@@ -334,11 +334,17 @@ object Similarity {
     val scored = all.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
     // nearest centroid per vector: partial-aggregatable argmax with a
-    // (cos desc, cid asc) tie-break
+    // (cos desc, cid asc) tie-break. q/nq ride INSIDE the max_by
+    // value struct (constant per vec_id), so the corpus vectors
+    // reach their reducer once through the agg exchange instead of a
+    // separate re-join — one shuffle, not two — while the grouping
+    // key stays the hashable vec_id (an array grouping key would
+    // demote the agg to a sort-based one)
     val assigned = scored.groupBy(col("vec_id"))
-      .agg(max_by(col("cid"),
-        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
-      .join(all, "vec_id")
+      .agg(max_by(struct(col("cid"), col("q"), col("nq")),
+        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("best"))
+      .select(col("vec_id"), col("best").getField("cid").as("cid"),
+        col("best").getField("q").as("q"), col("best").getField("nq").as("nq"))
     // queries probe their NProbe nearest lists; per-query windows are
     // NProbe-deep regardless of query-set size
     val wq = org.apache.spark.sql.expressions.Window
@@ -377,12 +383,14 @@ object Similarity {
     */
   val TrainIters = 2
   private def lloydIter(all: DataFrame, cents: DataFrame): DataFrame = {
+    // q rides inside the max_by value — no assignment re-join
     val assigned = all.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"),
-        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
-      .join(all, "vec_id")
+      .agg(max_by(struct(col("cid"), col("q")),
+        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("best"))
+      .select(col("vec_id"), col("best").getField("cid").as("cid"),
+        col("best").getField("q").as("q"))
     // per-(cluster, position) mean, then rebuild the vector sorted
     // by position (struct sort keys on pos first; pos is unique)
     assigned
@@ -564,12 +572,14 @@ object Similarity {
     val all = quantized(emb)
     val cents = all.filter(col("vec_id") % SeedMod === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+    // q rides inside the max_by value — no assignment re-join
     val assigned = all.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"),
-        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
-      .join(all, "vec_id")
+      .agg(max_by(struct(col("cid"), col("q")),
+        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("best"))
+      .select(col("vec_id"), col("best").getField("cid").as("cid"),
+        col("best").getField("q").as("q"))
     assigned
       .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy(col("cid"), col("pos"))
@@ -697,9 +707,11 @@ object Similarity {
     val scored = all.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
     val assigned = scored.groupBy(col("vec_id"))
-      .agg(max_by(col("cid"),
-        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
-      .join(all, "vec_id").localCheckpoint()
+      .agg(max_by(struct(col("cid"), col("q"), col("nq")),
+        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("best"))
+      .select(col("vec_id"), col("best").getField("cid").as("cid"),
+        col("best").getField("q").as("q"), col("best").getField("nq").as("nq"))
+      .localCheckpoint()
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val rankedProbes = scored.filter(col("vec_id") % QueryMod === 0)
