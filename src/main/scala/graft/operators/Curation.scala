@@ -101,6 +101,57 @@ object Curation {
         round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
   }
 
+  // --- content-defined chunking --------------------------------------
+
+  /** Content-defined chunking (the FastCDC/rsync boundary trick at
+    * token granularity): a token is a cut point when its content
+    * hash ≡ 0 (mod CdcDivisor), so chunk boundaries re-synchronize
+    * after an insertion — unlike [[chunkHashes]]' fixed windows,
+    * where one added word shifts every later chunk and kills their
+    * dedup. The boundary token ENDS its chunk; expected chunk length
+    * is CdcDivisor tokens. Stages: position explode (narrow), a
+    * per-document prefix-sum window for chunk ids (bounded by doc
+    * length), chunk reassembly as one per-(doc, chunk) aggregate,
+    * and a corpus-wide occurrence count keyed on the 48-bit chunk
+    * hash — all linear, no hot keys.
+    */
+  val CdcDivisor = 16
+
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("f", (tokenHash(col("t")) % CdcDivisor === 0).cast("long"))
+      .withColumn("cid", sum(col("f")).over(w) - col("f"))
+    tok.groupBy(col("doc_id"), col("cid"))
+      .agg(count(lit(1)).as("chunk_tokens"),
+        tokenHash(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t")))).as("ch"))
+  }
+
+  /** Per-document CDC dedup rollup — [[qChunkDedup]]'s statistics
+    * over content-defined boundaries.
+    */
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunks(Tables.documents(s, dir))
+    val occ = chunks.groupBy(col("ch")).agg(count(lit(1)).as("n_occ"))
+    chunks.join(occ, "ch")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("ch")).as("n_unique_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("n_unique_chunks"),
+        col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 6)
+          .as("dup_frac"),
+        round(col("n_tokens").cast("double") / col("n_chunks").cast("double"), 6)
+          .as("mean_chunk_tokens"))
+  }
+
   // --- quality rule filter -------------------------------------------
 
   /** Gopher-style keep/drop rule cascade with the FIRST failing rule
@@ -263,6 +314,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scrub" -> qScrub _,
     "q_chunk_dedup" -> qChunkDedup _,
+    "q_cdc_chunks" -> qCdcChunks _,
     "q_filter_rules" -> qFilterRules _,
     "q_mixture" -> qMixture _,
     "q_mixture_sample" -> qMixtureSample _,
@@ -299,6 +351,31 @@ object Curation {
         |  strlen(scrubbed)::BIGINT AS n_chars_scrubbed,
         |  ('0x' || substr(md5(scrubbed), 1, 12))::BIGINT AS scrub_hash
         |FROM s""".stripMargin,
+    "q_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM t),
+        |f AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tk,
+        |    CASE WHEN ('0x' || substr(md5(toks[i]), 1, 12))::BIGINT
+        |      % $CdcDivisor = 0 THEN 1 ELSE 0 END AS fl
+        |  FROM tok),
+        |c AS (SELECT doc_id, pos, tk,
+        |    sum(fl) OVER (PARTITION BY doc_id ORDER BY pos) - fl AS cid
+        |  FROM f),
+        |ch AS (SELECT doc_id, cid, count(*) AS chunk_tokens,
+        |    ('0x' || substr(md5(string_agg(tk, ' ' ORDER BY pos)), 1, 12))::BIGINT
+        |      AS ch
+        |  FROM c GROUP BY doc_id, cid),
+        |occ AS (SELECT ch, count(*) AS n_occ FROM ch GROUP BY ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  count(DISTINCT ch.ch) AS n_unique_chunks,
+        |  sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+        |  round(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS dup_frac,
+        |  round(sum(chunk_tokens)::BIGINT::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS mean_chunk_tokens
+        |FROM ch JOIN occ USING (ch)
+        |GROUP BY doc_id""".stripMargin,
     "q_chunk_dedup" ->
       s"""WITH ch AS ($chunkSql),
         |cc AS (SELECT ch, count(*) AS n_occ FROM ch GROUP BY ch)

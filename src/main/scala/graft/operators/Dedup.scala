@@ -278,6 +278,42 @@ object Dedup {
     vsOld.unionAll(vsNew).distinct()
   }
 
+  /** Exact repeated-substring spans (the suffix-array-style dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): a token position is
+    * "repeated" when the SpanShingle-token shingle starting there
+    * occurs more than once ANYWHERE in the corpus; maximal runs of
+    * consecutive repeated positions are the spans a pipeline would
+    * excise. Where the paper builds one giant suffix array, the
+    * relational form is two content-keyed shuffles — positions
+    * explode once, occurrence counts partial-aggregate on the 48-bit
+    * shingle hash (uniform, no hot keys), and span merging is the
+    * classic pos − row_number() island trick inside per-document
+    * windows (bounded by doc length, never corpus-wide). Every stage
+    * is linear in corpus tokens: the 100 TB shape.
+    */
+  val SpanShingle = 5
+
+  def repeatedSpans(docs: DataFrame): DataFrame = {
+    val positions = docs.select(col("doc_id"),
+      posexplode(shingleHashes(tokens(col("text")), SpanShingle)).as(Seq("pos", "h")))
+    val repeated = positions.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") > 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    positions.join(repeated, "h")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + SpanShingle - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_shingles"),
+        (max(col("pos")) - min(col("pos")) + SpanShingle).cast("long")
+          .as("span_len_tokens"),
+        max(col("n_occ")).as("max_occ"))
+      .drop("grp")
+  }
+
   /** The APPLY step of dedup: resolve near-dup pairs to clusters,
     * keep each cluster's minimum doc_id, and return the surviving
     * corpus — what a curation pipeline actually materializes.
@@ -313,7 +349,11 @@ object Dedup {
     applyDedup(corpus(s, dir), minhashPairs(corpus(s, dir)))
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
 
+  def qRepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    repeatedSpans(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repeated_spans" -> qRepeatedSpans _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
@@ -401,6 +441,28 @@ object Dedup {
       |comps AS (SELECT v, min(r) AS component_id FROM reach GROUP BY v)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_repeated_spans" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        |ex AS (SELECT doc_id,
+        |    unnest(range(1, greatest(len(toks) - ${SpanShingle - 2}, 1))) AS i, toks
+        |  FROM t),
+        |sh AS (SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2],
+        |      toks[i+3], toks[i+4])), 1, 12))::BIGINT AS h
+        |  FROM ex),
+        |rep AS (SELECT h, count(*) AS n_occ FROM sh GROUP BY h
+        |  HAVING count(*) > 1),
+        |j AS (SELECT s.doc_id, s.pos, r.n_occ FROM sh s JOIN rep r USING (h)),
+        |g AS (SELECT doc_id, pos, n_occ,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM j)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |  (max(pos) + ${SpanShingle - 1})::BIGINT AS span_end,
+        |  count(*)::BIGINT AS n_shingles,
+        |  (max(pos) - min(pos) + $SpanShingle)::BIGINT AS span_len_tokens,
+        |  max(n_occ)::BIGINT AS max_occ
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
     "q_dedup_components" ->
       s"""$componentsCtes
         |SELECT v AS doc_id, component_id FROM comps""".stripMargin,

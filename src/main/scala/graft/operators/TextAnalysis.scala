@@ -191,6 +191,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Unigram language-model typicality score — the cheap stand-in
+    * for perplexity filtering (CCNet-style): train the unigram model
+    * on the corpus itself (term → count), then score each document
+    * by the mean corpus frequency of its tokens. Atypical docs (rare
+    * junk tokens, boilerplate alphabets, non-language noise) score
+    * near zero; middle-of-the-distribution prose scores high. All
+    * arithmetic stays exact until one final division per doc (sum of
+    * long counts / (n_tokens · corpus_total)), so the number is
+    * bit-reproducible. Scale shape: one corpus-wide term count
+    * (partial-aggregated), one equi-join of exploded tokens against
+    * it, one per-doc rollup — three shuffles, all content-keyed,
+    * linear in corpus tokens. The rare-token fraction (share of
+    * occurrences whose corpus count is 1) rides the same pass.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("total"))
+    tok.join(tf, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_freq"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_rare"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+        round(col("sum_freq").cast("double") * lit(1000000.0)
+          / col("n_tokens").cast("double") / col("total").cast("double"), 6)
+          .as("typicality_ppm"),
+        round(col("n_rare").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("rare_token_frac"))
+  }
+
+  def qLmScore(s: SparkSession, dir: String): DataFrame =
+    lmScore(Tables.documents(s, dir))
+
   /** One BPE (byte-pair-encoding) training step — the tokenizer-
     * training primitive: corpus-wide adjacent-symbol-pair counts, the
     * most frequent pair chosen as the merge, the merge applied, and
@@ -333,6 +368,7 @@ object TextAnalysis {
     "q_bpe_encode" -> qBpeEncode _,
     "q_bpe_merge" -> qBpeMerge _,
     "q_vocab" -> qVocab _,
+    "q_lm_score" -> qLmScore _,
     "q_decontaminate" -> qDecontaminate _,
     "q_tfidf" -> qTfidf _,
     "q_langid" -> qLangid _,
@@ -450,6 +486,21 @@ object TextAnalysis {
         |SELECT t.doc_id, count(*) AS n_shared_shingles
         |FROM train t JOIN bench b ON t.h = b.h
         |GROUP BY t.doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM tf),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens, sum(f.cnt)::BIGINT AS sum_freq,
+        |    sum(CASE WHEN f.cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_rare
+        |  FROM tok t JOIN tf f USING (term) GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, sum_freq,
+        |  round(sum_freq::DOUBLE * 1000000.0 / n_tokens::DOUBLE / total::DOUBLE, 6)
+        |    AS typicality_ppm,
+        |  round(n_rare::DOUBLE / n_tokens::DOUBLE, 6) AS rare_token_frac
+        |FROM per CROSS JOIN tot""".stripMargin,
     "q_vocab" ->
       """WITH tf AS (
         |  SELECT t AS term, count(*) AS cnt FROM (

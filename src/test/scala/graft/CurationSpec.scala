@@ -57,6 +57,41 @@ class CurationSpec extends AnyFunSuite {
     assert(dups == Set(1L, 2L), "only the docs sharing the 10-word chunk")
   }
 
+  test("CDC chunk boundaries re-sync after an insertion; fixed chunks never do") {
+    import spark.implicits._
+    // 200 distinct tokens → 8 content-defined boundaries (9 chunks);
+    // prepending one token shifts every FIXED window but only the
+    // CDC head chunk — the entire point of content-defined chunking
+    val toks = (1 to 200).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, toks), (2L, "zzz " + toks)).toDF("doc_id", "text")
+    val ch = Curation.cdcChunks(docs)
+    val a = ch.filter($"doc_id" === 1L).select("ch").as[Long].collect().toSet
+    val b = ch.filter($"doc_id" === 2L).select("ch").as[Long].collect().toSet
+    assert(a.size >= 5, "fixture must produce several chunks")
+    assert((a & b).size >= a.size - 1, "all but the head chunk must re-sync")
+    val fixed = docs.select($"doc_id", explode(Curation.chunkHashes("text")).as("ch"))
+    val fa = fixed.filter($"doc_id" === 1L).select("ch").as[Long].collect().toSet
+    val fb = fixed.filter($"doc_id" === 2L).select("ch").as[Long].collect().toSet
+    assert((fa & fb).isEmpty, "fixed windows all shift under a 1-token insert")
+  }
+
+  test("lm typicality separates common-token prose from rare-token noise") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the"),
+      (2L, "the the the the"),
+      (3L, "qq ww ee rr")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.lmScore(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // corpus: 'the' count 8, four singletons; total 12 occurrences
+    assert(r(1L).getAs[Long]("sum_freq") == 32L)
+    assert(r(3L).getAs[Long]("sum_freq") == 4L)
+    assert(r(1L).getAs[Double]("typicality_ppm")
+      > r(3L).getAs[Double]("typicality_ppm"))
+    assert(r(3L).getAs[Double]("rare_token_frac") == 1.0)
+    assert(r(1L).getAs[Double]("rare_token_frac") == 0.0)
+  }
+
   test("mixture weights are a distribution and flatten shares (alpha=1/2)") {
     val rows = Curation.qMixture(spark, sf).collect()
     val wSum = rows.map(_.getAs[Double]("weight")).sum

@@ -555,6 +555,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated spans merge adjacent repeated shingles into maximal spans") {
+    import spark.implicits._
+    // a 9-token run shared by docs 1 and 2 (at different offsets);
+    // doc 3 is entirely unique — every filler token is distinct, so
+    // no shingle crossing a run boundary can repeat
+    val run = (1 to 9).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " aa bb cc dd ee"),
+      (2L, "xx yy zz ww vv " + run),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs)
+    assert(spans.filter($"doc_id" === 3L).count() == 0)
+    val s1 = spans.filter($"doc_id" === 1L).collect()
+    assert(s1.length == 1, "adjacent repeated positions must merge into ONE span")
+    assert(s1.head.getAs[Long]("span_start") == 0L)
+    assert(s1.head.getAs[Long]("span_end") == 8L)
+    assert(s1.head.getAs[Long]("span_len_tokens") == 9L)
+    assert(s1.head.getAs[Long]("n_shingles") == 9L - Dedup.SpanShingle + 1)
+    val s2 = spans.filter($"doc_id" === 2L).collect()
+    assert(s2.length == 1 && s2.head.getAs[Long]("span_start") == 5L)
+    assert(s2.head.getAs[Long]("span_len_tokens") == 9L)
+  }
+
   test("multimodal decode is deterministic, batch-shaped, schema-complete") {
     val media = Multimodal.mediaTable(spark, sf)
     val out1 = Multimodal.decode(media).collect().sortBy(_.doc_id)
