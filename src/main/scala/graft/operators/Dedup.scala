@@ -314,6 +314,42 @@ object Dedup {
       .drop("grp")
   }
 
+  /** The APPLY step of repeated-substring dedup: drop every token
+    * covered by a repeated shingle and return per-document removal
+    * accounting plus a hash of the surviving text. A token t is
+    * covered iff some repeated shingle starts in [t−SpanShingle+1, t]
+    * — computed as a sliding-window max of the per-position repeat
+    * flag (ROWS BETWEEN SpanShingle−1 PRECEDING AND CURRENT ROW),
+    * so the apply costs one extra per-document window over
+    * [[repeatedSpans]]' detection pass; no span materialization, no
+    * range join. Surviving text is reassembled order-exactly inside
+    * the final aggregate (collect_list skips the nulled covered
+    * positions).
+    */
+  def exciseRepeatedSpans(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val sh = docs.select(col("doc_id"),
+      posexplode(shingleHashes(tokens(col("text")), SpanShingle)).as(Seq("pos", "h")))
+    val rep = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") > 1).select(col("h"))
+    val flags = sh.join(rep, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1L).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(SpanShingle - 1), 0)
+    tok.join(flags, Seq("doc_id", "pos"), "left")
+      .withColumn("covered", max(coalesce(col("f"), lit(0L))).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("covered")).as("n_removed"),
+        tokenHash(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("covered") === 0L, struct(col("pos"), col("t"))))),
+            x => x.getField("t")))).as("survivor_hash"))
+  }
+
   /** The APPLY step of dedup: resolve near-dup pairs to clusters,
     * keep each cluster's minimum doc_id, and return the surviving
     * corpus — what a curation pipeline actually materializes.
@@ -352,8 +388,12 @@ object Dedup {
   def qRepeatedSpans(s: SparkSession, dir: String): DataFrame =
     repeatedSpans(Tables.documents(s, dir))
 
+  def qSpanExcise(s: SparkSession, dir: String): DataFrame =
+    exciseRepeatedSpans(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repeated_spans" -> qRepeatedSpans _,
+    "q_span_excise" -> qSpanExcise _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
@@ -463,6 +503,29 @@ object Dedup {
         |  (max(pos) - min(pos) + $SpanShingle)::BIGINT AS span_len_tokens,
         |  max(n_occ)::BIGINT AS max_occ
         |FROM g GROUP BY doc_id, grp""".stripMargin,
+    "q_span_excise" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM t),
+        |tt AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tk FROM tok),
+        |ex AS (SELECT doc_id,
+        |    unnest(range(1, greatest(len(toks) - ${SpanShingle - 2}, 1))) AS i, toks
+        |  FROM t),
+        |sh AS (SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2],
+        |      toks[i+3], toks[i+4])), 1, 12))::BIGINT AS h
+        |  FROM ex),
+        |rep AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+        |fl AS (SELECT s.doc_id, s.pos, 1 AS f FROM sh s JOIN rep USING (h)),
+        |c AS (SELECT tt.doc_id, tt.pos, tt.tk,
+        |    max(coalesce(fl.f, 0)) OVER (PARTITION BY tt.doc_id ORDER BY tt.pos
+        |      ROWS BETWEEN ${SpanShingle - 1} PRECEDING AND CURRENT ROW) AS covered
+        |  FROM tt LEFT JOIN fl ON tt.doc_id = fl.doc_id AND tt.pos = fl.pos)
+        |SELECT doc_id, count(*) AS n_tokens, sum(covered)::BIGINT AS n_removed,
+        |  ('0x' || substr(md5(coalesce(
+        |    string_agg(CASE WHEN covered = 0 THEN tk END, ' ' ORDER BY pos),
+        |    '')), 1, 12))::BIGINT AS survivor_hash
+        |FROM c GROUP BY doc_id""".stripMargin,
     "q_dedup_components" ->
       s"""$componentsCtes
         |SELECT v AS doc_id, component_id FROM comps""".stripMargin,

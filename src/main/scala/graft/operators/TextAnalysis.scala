@@ -191,6 +191,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Bloom-prefiltered decontamination — [[qDecontaminate]]'s scale
+    * path for when the "benchmark" side is itself corpus-sized
+    * (corpus-vs-corpus leakage screens), so its exact distinct
+    * shingle set can no longer broadcast. A Bloom filter over the
+    * benchmark shingles (a few BITS per element — ~1.2 GB for 10⁹
+    * shingles at 1% fpp, still broadcastable) prefilters the
+    * training side MAP-SIDE, so the confirming equi-join shuffles
+    * only the ~fpp·misses + true hits instead of every training
+    * shingle. Bloom filters have no false negatives and the join
+    * removes the false positives, so the output is IDENTICAL to the
+    * exact screen — the spec pins it. The filter lambda is the one
+    * justified UDF in the codebase: Bloom membership has no builtin
+    * Column form, and it sits before the shuffle where it saves more
+    * than codegen would.
+    */
+  def bloomDecontaminate(docs: DataFrame,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val benchSh = docs.filter(col("doc_id") % 100 === 0)
+      .select(explode(shingleHashes(tokens(col("text")), 5)).as("h"))
+      .distinct()
+    val bf = benchSh.stat.bloomFilter("h", expectedItems, fpp)
+    val mightContain = udf((h: Long) => bf.mightContainLong(h))
+    docs.select(col("doc_id"), explode(shingleHashes(tokens(col("text")), 5)).as("h"))
+      .distinct()
+      .filter(mightContain(col("h")))
+      .join(benchSh, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** Unigram language-model typicality score — the cheap stand-in
     * for perplexity filtering (CCNet-style): train the unigram model
     * on the corpus itself (term → count), then score each document

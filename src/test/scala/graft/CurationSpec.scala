@@ -75,6 +75,20 @@ class CurationSpec extends AnyFunSuite {
     assert((fa & fb).isEmpty, "fixed windows all shift under a 1-token insert")
   }
 
+  test("bloom-prefiltered decontamination equals the exact broadcast screen") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val exact = TextAnalysis.qDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bloom false positives must be removed by the confirm join at
+    // ANY fpp — screen with a deliberately sloppy 20% filter too
+    for (fpp <- Seq(0.01, 0.2)) {
+      val bloom = TextAnalysis.bloomDecontaminate(docs, 100000L, fpp).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bloom == exact, s"fpp=$fpp must not change the screen's output")
+    }
+  }
+
   test("lm typicality separates common-token prose from rare-token noise") {
     import spark.implicits._
     val docs = Seq(

@@ -291,6 +291,28 @@ class OperatorsSpec extends AnyFunSuite {
       "exact refine should beat raw ADC ordering")
   }
 
+  test("trained PQ codebook rides the same quantizer dial through rerank and IVF-PQ") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val qs = Similarity.defaultQueries(emb)
+    // rerank over the TRAINED codebook: k rows per query, drawn from
+    // the trained ADC pool (the refine stage never invents candidates)
+    val pool = Similarity.pqTopKFor(emb, qs, Similarity.PqPool,
+        excludeSelf = true, trainIters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rer = Similarity.pqRerankTopKFor(emb, qs,
+      excludeSelf = true, trainIters = 1).collect()
+    assert(rer.nonEmpty)
+    assert(rer.forall(r => pool.contains((r.getLong(0), r.getLong(1)))),
+      "reranked results must come from the trained-codebook pool")
+    // IVF-PQ accepts the same dial and keeps its contract
+    val ivfpq = Similarity.ivfPqTopKFor(emb, qs, excludeSelf = true,
+      pqTrainIters = 1)
+    val perQ = ivfpq.groupBy(col("query_id")).count().collect()
+    assert(perQ.forall(_.getLong(1) <= Similarity.TopK))
+    assert(ivfpq.columns.contains("cos_sim"), "refined output ranks by exact cosine")
+  }
+
   test("PQ pool sweep is exactly monotone and matches the real rerank") {
     val emb = Tables.embeddings(spark, sf)
     val pts = Similarity.pqPoolSweep(emb, Seq(10, 50, 100))
@@ -576,6 +598,18 @@ class OperatorsSpec extends AnyFunSuite {
     val s2 = spans.filter($"doc_id" === 2L).collect()
     assert(s2.length == 1 && s2.head.getAs[Long]("span_start") == 5L)
     assert(s2.head.getAs[Long]("span_len_tokens") == 9L)
+    // the APPLY step removes exactly the covered tokens: the 9-token
+    // run in docs 1 and 2, nothing in doc 3
+    val ex = Dedup.exciseRepeatedSpans(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(ex(1L).getAs[Long]("n_removed") == 9L)
+    assert(ex(2L).getAs[Long]("n_removed") == 9L)
+    assert(ex(3L).getAs[Long]("n_removed") == 0L)
+    // survivors: doc1 keeps "aa bb cc dd ee", doc3 keeps everything
+    import graft.functions.GraftFunctions.tokenHashLong
+    assert(ex(1L).getAs[Long]("survivor_hash") == tokenHashLong("aa bb cc dd ee"))
+    assert(ex(3L).getAs[Long]("survivor_hash")
+      == tokenHashLong((1 to 12).map(i => s"u$i").mkString(" ")))
   }
 
   test("multimodal decode is deterministic, batch-shaped, schema-complete") {
