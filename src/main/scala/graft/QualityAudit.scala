@@ -58,8 +58,27 @@ object QualityAudit {
     val pqTrained = Similarity.pqPoolSweep(emb, Seq(50, 100, 200, 400), trainIters = 1)
       .map(p => s""""rerank_p${p.pool}":{"recall":${p.recall},"candidates":${p.pool * nQueries}}""")
       .mkString("{", ",", "}")
-    val ivfpq =
-      s"""{"p${Similarity.NProbe}pool${Similarity.PqPool}":{"recall":${recallOf(Similarity.ivfPqTopK(emb))},"candidates":${Similarity.PqPool * nQueries}}}"""
+    // pool 50 hides ADC-ordering quality behind the probe ceiling
+    // (the refine recovers everything the probes admit), so both
+    // IVF-PQ families also report a TIGHT pool and the raw ADC
+    // ordering (refine off) — the rungs where codebook quality shows
+    def ivfpqLine(fn: (org.apache.spark.sql.DataFrame, Int, Boolean, Int) => org.apache.spark.sql.DataFrame): String = {
+      val qdef = Similarity.defaultQueries(emb)
+      Seq(
+        s""""adc":{"recall":${recallOf(fn(qdef, Similarity.PqPool, false, 0))},"candidates":${Similarity.TopK * nQueries}}""",
+        s""""pool10":{"recall":${recallOf(fn(qdef, 10, true, 0))},"candidates":${10 * nQueries}}""",
+        s""""pool10_trained":{"recall":${recallOf(fn(qdef, 10, true, 1))},"candidates":${10 * nQueries}}""",
+        s""""p${Similarity.NProbe}pool${Similarity.PqPool}":{"recall":${recallOf(fn(qdef, Similarity.PqPool, true, 0))},"candidates":${Similarity.PqPool * nQueries}}""")
+        .mkString("{", ",", "}")
+    }
+    val ivfpq = ivfpqLine((q, pool, refine, ti) =>
+      Similarity.ivfPqTopKFor(emb, q, excludeSelf = true, pool = pool,
+        refine = refine, pqTrainIters = ti))
+    // residual IVFADC at the same rungs — the lift residual encoding
+    // buys over raw-vector codes, measured not assumed
+    val ivfpqRes = ivfpqLine((q, pool, refine, ti) =>
+      Similarity.ivfPqResTopKFor(emb, q, excludeSelf = true, pool = pool,
+        refine = refine, pqTrainIters = ti))
     val ivfTrained = ivfLine(Similarity.ivfSweepWith(emb, Seq(1, 2, 4),
       all => Similarity.trainCentroids(all)))
     val ivfConverged = ivfLine(Similarity.ivfSweepWith(emb, Seq(1, 2, 4),
@@ -69,7 +88,7 @@ object QualityAudit {
     // without re-measuring every rung)
     val auto = lshPoints.find(_.recall >= 0.8)
       .map(p => s""""${p.config.key}"""").getOrElse("null")
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"autoconfig_lsh_0.8":$auto,"sf":"$sfDir"}"""
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"autoconfig_lsh_0.8":$auto,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

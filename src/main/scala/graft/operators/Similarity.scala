@@ -1043,6 +1043,116 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, k: Int = TopK): DataFrame =
     ivfPqTopKFor(emb, defaultQueries(emb), k, excludeSelf = true)
 
+  /** RESIDUAL IVF-PQ — the full Jégou IVFADC: PQ codes quantize the
+    * residual (vector − its coarse centroid) instead of the raw
+    * vector. The textbook rationale: residuals within a posting list
+    * share the list's locale, so their per-subspace spread shrinks
+    * and the same 8×64 codebook resolves finer. MEASURED RESULT on
+    * this corpus (quality gate `ivfpq_res` vs `ivfpq`, sf0.1): a
+    * wash — pool-10 recall 0.545 vs 0.535 seeded, and 0.515 vs 0.615
+    * after one Lloyd pass (training helps the RAW codebook more than
+    * the residual one here). The embeddings have weak cluster
+    * structure, so residuals barely shrink relative to raw vectors —
+    * the residual win needs locale-concentrated corpora; keep raw
+    * codes + trained codebook as the default on data like this, and
+    * re-measure per corpus (the gate tracks both families every
+    * round). Costs of the residual path: one
+    * extra narrow join to subtract centroids corpus-side (once,
+    * at encode), and the query LUT becomes per-(query, probed list)
+    * — NProbe small tables instead of one, still broadcast. A
+    * (query, vector) candidate appears in at most ONE probed list
+    * (a vector has one home list), so no cross-list dedup exchange
+    * exists on this path at all — structurally leaner than raw
+    * IVF-PQ, which must dedup. All arithmetic stays on the integer
+    * grid (long residuals of 1e6-normalized vectors), so results are
+    * deterministic and cross-engine exact.
+    */
+  def ivfPqResTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
+                      pool: Int = PqPool, excludeSelf: Boolean = false,
+                      refine: Boolean = true, pqTrainIters: Int = 0): DataFrame = {
+    val all = quantized(emb)
+    val cents = seedCentroids(all)
+    val norm = normalizedQ(emb)
+    val centsN = norm.filter(col("vec_id") % SeedMod === 0)
+      .select(col("vec_id").as("cid"), col("qn").as("cqn"))
+    // coarse assignment: same argmax as ivfPqTopKFor, so posting
+    // lists are identical between the raw and residual variants
+    val assigned = all.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"),
+        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("cid"))
+    // corpus residuals, re-labeled qn so the shared PQ building
+    // blocks (codebook seeding, encode) apply unchanged
+    val resid = assigned
+      .join(norm.select(col("vec_id"), col("qn")), "vec_id")
+      .join(broadcast(centsN), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("qn"), col("cqn"), (a, b) => a - b).as("qn"))
+    var cb = pqCodebook(resid)
+    for (_ <- 1 to pqTrainIters) cb = pqTrainCodebook(resid, cb).localCheckpoint()
+    val codes = pqEncode(resid, cb)
+      .join(resid.select(col("vec_id"), col("cid")), "vec_id")
+    // query side: NProbe nearest lists, then one residual LUT per
+    // (query, probed list) — the query's residual differs per list
+    val qsQuant = quantized(queries)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val probes = qsQuant.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
+      .withColumn("crn", row_number().over(wq)).filter(col("crn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val qResid = probes
+      .join(normalizedQ(queries).select(col("vec_id").as("query_id"), col("qn")),
+        "query_id")
+      .join(broadcast(centsN), "cid")
+      .select(col("query_id"), col("cid"),
+        zip_with(col("qn"), col("cqn"), (a, b) => a - b).as("qn"))
+    val luts = qResid.select(col("query_id"), col("cid"),
+        posexplode(array((0 until PqM).map(m =>
+          slice(col("qn"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "subq")))
+      .join(broadcast(cb), "m")
+      .withColumn("l2", subL2(col("subq"), col("cq")))
+      .groupBy(col("query_id"), col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m").as("m"), col("k").as("k"),
+          col("l2").as("l2")))),
+        x => x.getField("l2")).as("lut"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    // posting-list equi-join; a vector has exactly one home list, so
+    // each (query, vector) pair surfaces at most once — no dedup
+    val cand = codes.join(broadcast(luts),
+        codes("cid") === luts("cid")
+          && (if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)))
+      .withColumn("adc",
+        graft.functions.VecExpressions.pqAdcSum(col("codes"), col("lut"), PqK))
+      .select(col("query_id"), col("vec_id"), col("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= (if (refine) pool else k))
+    if (!refine)
+      cand.select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("adc").as("adc_dist"))
+    else {
+      val corpus = all.select(col("vec_id"), col("q"), col("nq"))
+      val qs = broadcast(qsQuant
+        .select(col("vec_id").as("query_id"), col("q").as("q_q"), col("nq").as("nq_q")))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      cand.select(col("query_id"), col("vec_id"))
+        .join(corpus, "vec_id").join(qs, "query_id")
+        .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+        .select(col("query_id"), col("vec_id"), col("cos"))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+          round(col("cos"), 6).as("cos_sim"))
+    }
+  }
+
+  def ivfPqResTopK(emb: DataFrame, k: Int = TopK): DataFrame =
+    ivfPqResTopKFor(emb, defaultQueries(emb), k, excludeSelf = true)
+
   /** PQ pool-size sweep — the recall/cost dial for the two-stage
     * recipe (the PQ twin of ivfSweep's nprobe). Exact shortcut: the
     * refine stage re-scores the pool with the TRUE cosine, so any

@@ -313,6 +313,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfpq.columns.contains("cos_sim"), "refined output ranks by exact cosine")
   }
 
+  test("residual IVF-PQ keeps the IVFADC contract and raw-code parity") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val qs = Similarity.defaultQueries(emb)
+    val res = Similarity.ivfPqResTopKFor(emb, qs, excludeSelf = true)
+    val raw = Similarity.ivfPqTopKFor(emb, qs, excludeSelf = true)
+    val perQ = res.groupBy(col("query_id")).count().collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(1) <= Similarity.TopK))
+    assert(res.columns.contains("cos_sim"), "refined output ranks by exact cosine")
+    // at the default pool the refine recovers the probe ceiling for
+    // both code families (measured equal at sf0.1) — allow slack for
+    // small-corpus ADC ordering noise, catch a collapsed variant
+    val brute = Similarity.bruteTopK(emb)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val n = brute.count().toDouble
+    def rec(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id")).count() / n
+    val (rr, rw) = (rec(res), rec(raw))
+    assert(rr >= rw - 0.1, s"residual recall $rr collapsed vs raw $rw")
+    // the training dial composes with residual codes too
+    val trained = Similarity.ivfPqResTopKFor(emb, qs, excludeSelf = true,
+      pqTrainIters = 1)
+    assert(trained.groupBy(col("query_id")).count().collect()
+      .forall(_.getLong(1) <= Similarity.TopK))
+  }
+
   test("PQ pool sweep is exactly monotone and matches the real rerank") {
     val emb = Tables.embeddings(spark, sf)
     val pts = Similarity.pqPoolSweep(emb, Seq(10, 50, 100))

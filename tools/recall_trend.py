@@ -25,7 +25,8 @@ import os
 import re
 import sys
 
-FAMILIES = ("lsh", "ivf", "ivf_trained", "ivf_converged", "pq", "pq_trained", "ivfpq")
+FAMILIES = ("lsh", "ivf", "ivf_trained", "ivf_converged", "pq", "pq_trained",
+            "ivfpq", "ivfpq_res")
 
 
 def load_rounds(root):
