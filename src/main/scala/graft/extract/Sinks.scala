@@ -89,6 +89,24 @@ object Sinks {
     s"$uri/$name/part-*.parquet"
   }
 
+  /** Hive-partitioned parquet sink — the 100 TB LAYOUT primitive:
+    * `partitionBy` writes one directory per partition-column value,
+    * so any later read filtered on those columns prunes whole
+    * directories at PLANNING time (PartitionFilters in the scan, zero
+    * I/O for pruned values) instead of relying on row-group stats.
+    * Partition columns should be low-cardinality (source, date,
+    * lang); high-cardinality keys belong in z-order or bucketing.
+    * The sidecar-free contract matches writeParquet; SinksSpec pins
+    * the pruning (selected partitions < total) on read-back.
+    */
+  def writePartitioned(df: DataFrame, uri: String, table: String,
+                       partitionCols: Seq[String]): String = {
+    val name = normalizeStr(table)
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(s"$uri/$name")
+    s"$uri/$name"
+  }
+
   /** Total bytes of an extract's output files (drives AdaptiveSizer,
     * reference gcp.get_size_bytes).
     */

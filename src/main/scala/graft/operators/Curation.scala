@@ -202,6 +202,38 @@ object Curation {
       .withColumn("keep", col("drop_reason").isNull)
   }
 
+  /** Per-source corpus report card — the table a curation run ships
+    * to its operators: document/token volume, rule-filter survival,
+    * and the dominant drop reason per source. Rides [[ruleFilter]]'s
+    * per-doc verdicts (already one explode + two partial aggs) plus
+    * one O(sources) rollup and an O(sources × reasons) window — at
+    * 100 TB the report costs the same pass the filter itself does.
+    */
+  def qSourceReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val rf = ruleFilter(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val base = rf.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("drop_rate",
+        round((col("n_docs") - col("n_kept")).cast("double")
+          / col("n_docs").cast("double"), 6))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("rc").desc, col("drop_reason"))
+    val topReason = rf.filter(!col("keep"))
+      .groupBy(col("source"), col("drop_reason")).agg(count(lit(1)).as("rc"))
+      .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+      .select(col("source"), col("drop_reason").as("top_drop_reason"),
+        col("rc").as("top_drop_count"))
+    base.join(topReason, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_kept"),
+        col("drop_rate"),
+        coalesce(col("top_drop_reason"), lit("none")).as("top_drop_reason"),
+        coalesce(col("top_drop_count"), lit(0L)).as("top_drop_count"))
+  }
+
   // --- training-mixture planning -------------------------------------
 
   /** Temperature-sampled mixture weights per source (the standard
@@ -316,6 +348,7 @@ object Curation {
     "q_chunk_dedup" -> qChunkDedup _,
     "q_cdc_chunks" -> qCdcChunks _,
     "q_filter_rules" -> qFilterRules _,
+    "q_source_report" -> qSourceReport _,
     "q_mixture" -> qMixture _,
     "q_mixture_sample" -> qMixtureSample _,
     "q_mixture_drift" -> qMixtureDrift _)
@@ -333,6 +366,36 @@ object Curation {
       |      list_slice(t, i * $ChunkWords + 1, i * $ChunkWords + $ChunkWords), ' ')), 1, 12))::BIGINT)) AS ch
       |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
       |      FROM documents)""".stripMargin
+
+  // shared rule-filter CTE chain + verdict CASE (q_filter_rules and
+  // q_source_report build on the same per-doc verdicts)
+  private val ruleCtes =
+    s"""t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+      |    (list_sum(list_transform(toks, x -> strlen(x)))::BIGINT)::DOUBLE
+      |      / len(toks)::BIGINT AS mean_len
+      |  FROM t),
+      |tw AS (
+      |  SELECT doc_id, max(c) AS top_word_cnt FROM (
+      |    SELECT doc_id, t2, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(toks) AS t2 FROM t)
+      |    GROUP BY doc_id, t2)
+      |  GROUP BY doc_id),
+      |j AS (SELECT * FROM base JOIN tw USING (doc_id))""".stripMargin
+
+  private val ruleCaseSql =
+    s"""CASE
+      |    WHEN n_tokens < $MinTokens THEN 'too_few_tokens'
+      |    WHEN n_tokens > $MaxTokens THEN 'too_many_tokens'
+      |    WHEN mean_len < $MinMeanTokenLen THEN 'mean_token_too_short'
+      |    WHEN mean_len > $MaxMeanTokenLen THEN 'mean_token_too_long'
+      |    WHEN top_word_cnt::DOUBLE > n_tokens::DOUBLE * $MaxTopWordShare
+      |      THEN 'repetitive_top_word'
+      |    ELSE NULL
+      |  END""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_scrub" ->
@@ -387,42 +450,34 @@ object Curation {
         |FROM ch JOIN cc USING (ch)
         |GROUP BY doc_id""".stripMargin,
     "q_filter_rules" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-        |  FROM documents),
-        |base AS (
-        |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-        |    (list_sum(list_transform(toks, x -> strlen(x)))::BIGINT)::DOUBLE
-        |      / len(toks)::BIGINT AS mean_len
-        |  FROM t),
-        |tw AS (
-        |  SELECT doc_id, max(c) AS top_word_cnt FROM (
-        |    SELECT doc_id, t2, count(*) AS c
-        |    FROM (SELECT doc_id, unnest(toks) AS t2 FROM t)
-        |    GROUP BY doc_id, t2)
-        |  GROUP BY doc_id),
-        |j AS (SELECT * FROM base JOIN tw USING (doc_id))
+      s"""WITH $ruleCtes
         |SELECT doc_id, n_tokens, round(mean_len, 6) AS mean_token_len,
         |  top_word_cnt,
-        |  CASE
-        |    WHEN n_tokens < $MinTokens THEN 'too_few_tokens'
-        |    WHEN n_tokens > $MaxTokens THEN 'too_many_tokens'
-        |    WHEN mean_len < $MinMeanTokenLen THEN 'mean_token_too_short'
-        |    WHEN mean_len > $MaxMeanTokenLen THEN 'mean_token_too_long'
-        |    WHEN top_word_cnt::DOUBLE > n_tokens::DOUBLE * $MaxTopWordShare
-        |      THEN 'repetitive_top_word'
-        |    ELSE NULL
-        |  END AS drop_reason,
-        |  (CASE
-        |    WHEN n_tokens < $MinTokens THEN 'too_few_tokens'
-        |    WHEN n_tokens > $MaxTokens THEN 'too_many_tokens'
-        |    WHEN mean_len < $MinMeanTokenLen THEN 'mean_token_too_short'
-        |    WHEN mean_len > $MaxMeanTokenLen THEN 'mean_token_too_long'
-        |    WHEN top_word_cnt::DOUBLE > n_tokens::DOUBLE * $MaxTopWordShare
-        |      THEN 'repetitive_top_word'
-        |    ELSE NULL
-        |  END IS NULL) AS keep
+        |  $ruleCaseSql AS drop_reason,
+        |  ($ruleCaseSql IS NULL) AS keep
         |FROM j""".stripMargin,
+    "q_source_report" ->
+      s"""WITH $ruleCtes,
+        |rf AS (SELECT j.doc_id, d.source, j.n_tokens,
+        |    $ruleCaseSql AS drop_reason
+        |  FROM j JOIN documents d ON j.doc_id = d.doc_id),
+        |agg AS (SELECT source, count(*) AS n_docs,
+        |    sum(n_tokens)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |  FROM rf GROUP BY source),
+        |tr AS (SELECT source, drop_reason AS top_drop_reason,
+        |    rc AS top_drop_count FROM (
+        |    SELECT source, drop_reason, count(*) AS rc,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY count(*) DESC, drop_reason) AS rn
+        |    FROM rf WHERE drop_reason IS NOT NULL
+        |    GROUP BY source, drop_reason)
+        |  WHERE rn = 1)
+        |SELECT b.source, b.n_docs, b.n_tokens, b.n_kept,
+        |  round((b.n_docs - b.n_kept)::DOUBLE / b.n_docs::DOUBLE, 6) AS drop_rate,
+        |  coalesce(t.top_drop_reason, 'none') AS top_drop_reason,
+        |  coalesce(t.top_drop_count, 0)::BIGINT AS top_drop_count
+        |FROM agg b LEFT JOIN tr t USING (source)""".stripMargin,
     "q_mixture" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,

@@ -191,6 +191,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Top-N vocabulary coverage per source — the tokenizer-sizing
+    * number: what share of a source's token OCCURRENCES the top
+    * VocabTopN corpus terms cover (1 − OOV rate under a truncated
+    * vocab). Scale shape: one corpus-wide term count, a TakeOrdered
+    * top-N (never a global window), the tiny vocab BROADCAST back
+    * against the exploded corpus, one per-source rollup — the
+    * corpus shuffles once, on the term key.
+    */
+  val VocabTopN = 10
+
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val topN = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(VocabTopN)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(topN), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+      .select(col("source"), col("n_tokens"), col("n_in_vocab"),
+        round(col("n_in_vocab").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("coverage"),
+        round((col("n_tokens") - col("n_in_vocab")).cast("double")
+          / col("n_tokens").cast("double"), 6).as("oov_rate"))
+  }
+
   /** Bloom-prefiltered decontamination — [[qDecontaminate]]'s scale
     * path for when the "benchmark" side is itself corpus-sized
     * (corpus-vs-corpus leakage screens), so its exact distinct
@@ -399,6 +426,7 @@ object TextAnalysis {
     "q_bpe_encode" -> qBpeEncode _,
     "q_bpe_merge" -> qBpeMerge _,
     "q_vocab" -> qVocab _,
+    "q_vocab_coverage" -> qVocabCoverage _,
     "q_lm_score" -> qLmScore _,
     "q_decontaminate" -> qDecontaminate _,
     "q_tfidf" -> qTfidf _,
@@ -517,6 +545,22 @@ object TextAnalysis {
         |SELECT t.doc_id, count(*) AS n_shared_shingles
         |FROM train t JOIN bench b ON t.h = b.h
         |GROUP BY t.doc_id""".stripMargin,
+    "q_vocab_coverage" ->
+      s"""WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        |  FROM documents),
+        |topn AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+        |  ORDER BY cnt DESC, term LIMIT $VocabTopN),
+        |m AS (SELECT t.source,
+        |    CASE WHEN n.term IS NULL THEN 0 ELSE 1 END AS iv
+        |  FROM tok t LEFT JOIN topn n ON t.term = n.term)
+        |SELECT source, count(*) AS n_tokens, sum(iv)::BIGINT AS n_in_vocab,
+        |  round(sum(iv)::BIGINT::DOUBLE / count(*)::DOUBLE, 6) AS coverage,
+        |  round((count(*) - sum(iv)::BIGINT)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS oov_rate
+        |FROM m GROUP BY source""".stripMargin,
     "q_lm_score" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term

@@ -8,6 +8,35 @@ import graft.sources.Tables
 class SinksSpec extends AnyFunSuite {
   import SparkSuite._
 
+  test("partitioned sink prunes directories at planning time on read-back") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = Tables.documents(spark, sf)
+    val root = Sinks.writePartitioned(docs, dir, "documents", Seq("source"))
+    val nSources = docs.select("source").distinct().count()
+    // hive layout: one directory per source value
+    val parts = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("source="))
+    assert(parts.length == nSources, s"expected $nSources source= dirs")
+    // a filter on the partition column must prune at PLANNING time:
+    // the scan's selected partitions shrink to 1 — not a row filter
+    val one = docs.select("source").head().getString(0)
+    val back = spark.read.parquet(root).filter(col("source") === one)
+    assert(back.count() == docs.filter(col("source") === one).count())
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+    val scan = scans(back.queryExecution.executedPlan).head
+    assert(scan.partitionFilters.nonEmpty, "filter must reach PartitionFilters")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("json.gz sink round-trips with schema.json sidecar") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val src = Tables.nation(spark, sf)
