@@ -82,6 +82,51 @@ object TextAnalysis {
         cast(0 as bigint),
         (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""").as("fingerprint"))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): from each window of WinnowW consecutive
+    * WinnowK-gram hashes, select the minimum (rightmost on ties) —
+    * giving the classic guarantees [[qFingerprint]]'s single prefix
+    * hash lacks: any shared run of WinnowK+WinnowW−1 tokens yields a
+    * shared fingerprint (detection), and selected density is ~2/(w+1)
+    * (compression). The argmin-with-tie-break rides ONE window-min
+    * over a composite integer key `h·2¹⁵ + (2¹⁵−1−pos)` (h is 48-bit
+    * so the product stays inside int64; docs must stay under 32 768
+    * shingles — chunk longer ones upstream). Per-document windows
+    * only — bounded by doc length, horizontal at 100 TB. Docs too
+    * short for a full window fall back to their global minimum, so
+    * every document carries at least one fingerprint.
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+  private val PosField = 32768L
+
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+        posexplode(shingleHashes(tokens(col("text")), WinnowK)).as(Seq("pos", "h")))
+      .withColumn("key", col("h") * PosField + (lit(PosField - 1) - col("pos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(WinnowW - 1), 0)
+    val sel = keyed
+      .withColumn("mk", min(col("key")).over(w))
+      .withColumn("wsz", count(lit(1)).over(w))
+      .filter(col("wsz") === WinnowW)
+      .select(col("doc_id"),
+        (lit(PosField - 1) - col("mk") % PosField).as("sel_pos"),
+        expr(s"mk div $PosField").as("sel_h"))
+      .distinct()
+    val short = keyed.groupBy(col("doc_id"))
+      .agg(min(col("key")).as("mk"), count(lit(1)).as("n"))
+      .filter(col("n") < WinnowW)
+      .select(col("doc_id"),
+        (lit(PosField - 1) - col("mk") % PosField).as("sel_pos"),
+        expr(s"mk div $PosField").as("sel_h"))
+    sel.unionAll(short)
+  }
+
+  def qWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(Tables.documents(s, dir))
+
   /** Multimodal metadata projection: the SQL-checkable face of
     * graft.operators.Multimodal (binary payloads + stubbed decode).
     */
@@ -434,6 +479,7 @@ object TextAnalysis {
     "q_quality" -> qQuality _,
     "q_tokens" -> qTokens _,
     "q_fingerprint" -> qFingerprint _,
+    "q_winnow" -> qWinnow _,
     "q_repetition" -> qRepetition _,
     "q_multimodal" -> qMultimodal _)
 
@@ -545,6 +591,33 @@ object TextAnalysis {
         |SELECT t.doc_id, count(*) AS n_shared_shingles
         |FROM train t JOIN bench b ON t.h = b.h
         |GROUP BY t.doc_id""".stripMargin,
+    "q_winnow" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        |ex AS (SELECT doc_id,
+        |    unnest(range(1, greatest(len(toks) - ${WinnowK - 2}, 1))) AS i, toks
+        |  FROM t),
+        |sh AS (SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2])),
+        |      1, 12))::BIGINT AS h
+        |  FROM ex),
+        |keyed AS (SELECT doc_id, pos, h,
+        |    h * 32768 + (32767 - pos) AS key FROM sh),
+        |wmin AS (SELECT doc_id, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS mk,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wsz
+        |  FROM keyed),
+        |sel AS (SELECT DISTINCT doc_id,
+        |    (32767 - (mk % 32768))::BIGINT AS sel_pos,
+        |    (mk // 32768)::BIGINT AS sel_h
+        |  FROM wmin WHERE wsz = $WinnowW),
+        |short AS (SELECT doc_id,
+        |    (32767 - (min(key) % 32768))::BIGINT AS sel_pos,
+        |    (min(key) // 32768)::BIGINT AS sel_h
+        |  FROM keyed GROUP BY doc_id HAVING count(*) < $WinnowW)
+        |SELECT * FROM sel UNION ALL SELECT * FROM short""".stripMargin,
     "q_vocab_coverage" ->
       s"""WITH tok AS (
         |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term

@@ -106,6 +106,37 @@ class CurationSpec extends AnyFunSuite {
     assert(r(1L).getAs[Double]("rare_token_frac") == 0.0)
   }
 
+  test("winnowing guarantees: every full window covered, shared runs detected") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis._
+    // detection guarantee: two docs sharing a k+w-1 = 6-token run
+    // must share a fingerprint, even at different offsets
+    val run = "m1 m2 m3 m4 m5 m6"
+    val docs = Seq(
+      (1L, run + " x1 x2 x3 x4 x5 x6 x7 x8"),
+      (2L, "y1 y2 y3 y4 y5 " + run),
+      (3L, "z1 z2 z3 z4")).toDF("doc_id", "text")
+    val sel = winnowFingerprints(docs).collect()
+    val byDoc = sel.groupBy(_.getLong(0))
+    val shared = byDoc(1L).map(_.getAs[Long]("sel_h")).toSet
+      .intersect(byDoc(2L).map(_.getAs[Long]("sel_h")).toSet)
+    assert(shared.nonEmpty, "a shared 6-token run must yield a shared fingerprint")
+    // short-doc fallback: doc 3 (2 shingles < w) has no full window
+    // but still gets exactly one fingerprint; docs under K tokens
+    // have no shingles at all and carry none — both engines agree
+    assert(byDoc(3L).length == 1)
+    // coverage guarantee on real data: in every doc, consecutive
+    // selected positions are at most w apart (each full window holds
+    // a selected fingerprint)
+    val real = winnowFingerprints(Tables.documents(spark, sf)).collect()
+    real.groupBy(_.getLong(0)).foreach { case (d, rows) =>
+      val ps = rows.map(_.getAs[Long]("sel_pos")).sorted
+      val gaps = ps.sliding(2).collect { case Array(a, b) => b - a }
+      assert(gaps.forall(_ <= WinnowW),
+        s"doc $d: selected-position gap exceeds the window width")
+    }
+  }
+
   test("mixture weights are a distribution and flatten shares (alpha=1/2)") {
     val rows = Curation.qMixture(spark, sf).collect()
     val wSum = rows.map(_.getAs[Double]("weight")).sum
