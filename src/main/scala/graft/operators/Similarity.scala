@@ -1217,6 +1217,7 @@ object Similarity {
     "q_ann_pq" -> ((s, dir) => pqTopK(Tables.embeddings(s, dir))),
     "q_ann_pq_rerank" -> ((s, dir) => pqRerankTopK(Tables.embeddings(s, dir))),
     "q_ann_ivfpq" -> ((s, dir) => ivfPqTopK(Tables.embeddings(s, dir))),
+    "q_ann_ivfpq_res" -> ((s, dir) => ivfPqResTopK(Tables.embeddings(s, dir))),
     "q_ann_rerank" -> ((s, dir) => rerankTopK(Tables.embeddings(s, dir))),
     "q_project" -> ((s, dir) => projectTopDims(Tables.embeddings(s, dir))),
     "q_embed_centroids" -> qEmbedCentroids _,
@@ -1558,6 +1559,7 @@ object Similarity {
         |FROM adc
         |QUALIFY rnk <= $TopK""".stripMargin,
     "q_ann_ivfpq" -> ivfPqSql,
+    "q_ann_ivfpq_res" -> ivfPqResSql,
     // PQ + exact refine: ADC top-PqPool short list, re-scored with
     // the exact quantized cosine against the original vectors
     "q_ann_pq_rerank" ->
@@ -1628,6 +1630,102 @@ object Similarity {
     * posting-list-restricted ADC, pooled and exact-refined — the
     * DuckDB twin of [[ivfPqTopKFor]] with refine on.
     */
+  /** Residual IVF-PQ oracle: the IVF assignment/probe CTEs, then the
+    * PQ encode segment run over RESIDUALS (qn − home-centroid qn),
+    * with one LUT per (query, probed list) — the DuckDB twin of
+    * [[ivfPqResTopKFor]] with refine on. All integer arithmetic.
+    */
+  private lazy val ivfPqResSql: String =
+    s"""WITH n AS (
+      |  SELECT vec_id, q,
+      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+      |  FROM ($quantSql)),
+      |cents AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM n
+      |  WHERE vec_id % $SeedMod = 0),
+      |scored AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+      |      / (sqrt(n.nq::DOUBLE) * sqrt(c.cnq::DOUBLE)) AS ccos
+      |  FROM n CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS arn
+      |    FROM scored)
+      |  WHERE arn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+      |    FROM scored WHERE vec_id % $QueryMod = 0)
+      |  WHERE crn <= $NProbe),
+      |u AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, ${Dim + 1}),
+      |      i -> round(q[i] * 1000000.0 / sqrt(nq::DOUBLE))::BIGINT) AS qn
+      |  FROM n),
+      |centsu AS (SELECT vec_id AS cid, qn AS cqn FROM u
+      |  WHERE vec_id % $SeedMod = 0),
+      |resid AS (
+      |  SELECT a.vec_id, a.cid,
+      |    list_transform(range(1, ${Dim + 1}), i -> u.qn[i] - cu.cqn[i]) AS rqn
+      |  FROM assigned a JOIN u ON a.vec_id = u.vec_id
+      |  JOIN centsu cu ON a.cid = cu.cid),
+      |rsub AS (
+      |  SELECT vec_id, cid, m,
+      |    list_slice(rqn, m*$PqSub + 1, m*$PqSub + $PqSub) AS subq
+      |  FROM resid, range(0, $PqM) r(m)),
+      |rcb AS (
+      |  SELECT vec_id // $PqSeedStride AS k, m, subq AS cq
+      |  FROM rsub
+      |  WHERE vec_id % $PqSeedStride = 0 AND vec_id < ${PqSeedStride * PqK}),
+      |rdist AS (
+      |  SELECT s.vec_id, s.m, c.k,
+      |    list_sum(list_transform(range(1, ${PqSub + 1}),
+      |      i -> (s.subq[i] - c.cq[i]) * (s.subq[i] - c.cq[i])))::BIGINT AS l2
+      |  FROM rsub s JOIN rcb c ON s.m = c.m),
+      |renc AS (
+      |  SELECT vec_id, m, k AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY l2, k) AS rn
+      |    FROM rdist) WHERE rn = 1),
+      |qresid AS (
+      |  SELECT p.query_id, p.cid,
+      |    list_transform(range(1, ${Dim + 1}), i -> u.qn[i] - cu.cqn[i]) AS rqn
+      |  FROM probes p JOIN u ON p.query_id = u.vec_id
+      |  JOIN centsu cu ON p.cid = cu.cid),
+      |qrsub AS (
+      |  SELECT query_id, cid, m,
+      |    list_slice(rqn, m*$PqSub + 1, m*$PqSub + $PqSub) AS subq
+      |  FROM qresid, range(0, $PqM) r(m)),
+      |lut AS (
+      |  SELECT s.query_id, s.cid, s.m, c.k,
+      |    list_sum(list_transform(range(1, ${PqSub + 1}),
+      |      i -> (s.subq[i] - c.cq[i]) * (s.subq[i] - c.cq[i])))::BIGINT AS l2
+      |  FROM qrsub s JOIN rcb c ON s.m = c.m),
+      |adc AS (
+      |  SELECT l.query_id, a.vec_id, sum(l.l2)::BIGINT AS adc
+      |  FROM assigned a
+      |  JOIN renc e ON e.vec_id = a.vec_id
+      |  JOIN lut l ON l.cid = a.cid AND e.m = l.m AND e.code = l.k
+      |    AND a.vec_id <> l.query_id
+      |  GROUP BY 1, 2),
+      |pool AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS prnk
+      |    FROM adc) WHERE prnk <= $PqPool),
+      |r AS (
+      |  SELECT p.query_id, p.vec_id,
+      |    list_sum(list_transform(range(1, ${Dim + 1}), i -> c.q[i] * qq.q[i]))::DOUBLE
+      |      / (sqrt(c.nq::DOUBLE) * sqrt(qq.nq::DOUBLE)) AS cos
+      |  FROM pool p
+      |  JOIN n c ON c.vec_id = p.vec_id
+      |  JOIN n qq ON qq.vec_id = p.query_id)
+      |SELECT query_id, vec_id AS neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk,
+      |  round(cos, 6) AS cos_sim
+      |FROM r
+      |QUALIFY rnk <= $TopK""".stripMargin
+
   private lazy val ivfPqSql: String =
     s"""WITH n AS (
       |  SELECT vec_id, q,
