@@ -62,6 +62,54 @@ object GraftProps extends Properties("graft") {
       h == ref && h >= 0L && h < (1L << 48)
     }
 
+  // --- winnowing selection rule ---------------------------------------
+
+  /** Textbook winnowing (Schleimer et al.): from every full window
+    * of w consecutive hashes select the minimum, rightmost on ties;
+    * fewer than w hashes → the global minimum.
+    */
+  private def winnowRef(hs: Seq[Long], w: Int): Set[(Int, Long)] =
+    if (hs.isEmpty) Set.empty
+    else if (hs.length < w) {
+      val (h, i) = hs.zipWithIndex.minBy { case (h, i) => (h, -i) }
+      Set((i, h))
+    } else hs.zipWithIndex.sliding(w)
+      .map(_.minBy { case (h, i) => (h, -i) })
+      .map { case (h, i) => (i, h) }.toSet
+
+  /** The relational encoding TextAnalysis.winnowFingerprints runs:
+    * one window-min over the composite key h·2¹⁵ + (2¹⁵−1−pos),
+    * decoded back to (pos, h).
+    */
+  private def winnowKeyed(hs: Seq[Long], w: Int): Set[(Int, Long)] = {
+    val P = 32768L
+    val keys = hs.zipWithIndex.map { case (h, i) => h * P + (P - 1 - i) }
+    val picks =
+      if (hs.isEmpty) Seq.empty
+      else if (hs.length < w) Seq(keys.min)
+      else (w - 1 until hs.length).map(p => keys.slice(p - w + 1, p + 1).min)
+    picks.map(k => ((P - 1 - k % P).toInt, k / P)).toSet
+  }
+
+  private val hashes = Gen.listOf(Gen.choose(0L, 15L)) // tie-heavy
+  private val hashesWide = Gen.listOf(Gen.choose(0L, (1L << 40) - 1))
+
+  property("composite-key winnowing == textbook winnowing (tie-heavy)") =
+    forAll(hashes, Gen.choose(2, 6)) { (hs, w) =>
+      winnowKeyed(hs, w) == winnowRef(hs, w)
+    }
+
+  property("composite-key winnowing == textbook winnowing (wide hashes)") =
+    forAll(hashesWide, Gen.choose(2, 6)) { (hs, w) =>
+      winnowKeyed(hs, w) == winnowRef(hs, w)
+    }
+
+  property("winnowing density: selected positions at most w apart") =
+    forAll(hashesWide, Gen.choose(2, 6)) { (hs, w) =>
+      val ps = winnowKeyed(hs, w).map(_._1).toSeq.sorted
+      Prop(ps.size < 2 || ps.sliding(2).forall { case Seq(a, b) => b - a <= w })
+    }
+
   // --- julienne predicate coverage ------------------------------------
 
   property("julienne-style predicates partition any boundary list") = {
