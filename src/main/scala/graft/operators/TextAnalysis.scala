@@ -273,15 +273,17 @@ object TextAnalysis {
     * only the ~fpp·misses + true hits instead of every training
     * shingle. Bloom filters have no false negatives and the join
     * removes the false positives, so the output is IDENTICAL to the
-    * exact screen — the spec pins it. The filter lambda is the one
+    * exact screen — the spec pins it (the every-100th-doc "benchmark"
+    * split lives in the HARNESS, not here — callers pass any
+    * benchmark corpus). The filter lambda is the one
     * justified UDF in the codebase: Bloom membership has no builtin
     * Column form, and it sits before the shuffle where it saves more
     * than codegen would.
     */
-  def bloomDecontaminate(docs: DataFrame,
+  def bloomDecontaminate(docs: DataFrame, bench: DataFrame,
                          expectedItems: Long = 1000000L,
                          fpp: Double = 0.01): DataFrame = {
-    val benchSh = docs.filter(col("doc_id") % 100 === 0)
+    val benchSh = bench
       .select(explode(shingleHashes(tokens(col("text")), 5)).as("h"))
       .distinct()
     val bf = benchSh.stat.bloomFilter("h", expectedItems, fpp)

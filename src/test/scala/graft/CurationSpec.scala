@@ -82,9 +82,10 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // bloom false positives must be removed by the confirm join at
     // ANY fpp — screen with a deliberately sloppy 20% filter too
+    val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 100 === 0)
     for (fpp <- Seq(0.01, 0.2)) {
-      val bloom = TextAnalysis.bloomDecontaminate(docs, 100000L, fpp).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bloom = TextAnalysis.bloomDecontaminate(docs, bench, 100000L, fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(bloom == exact, s"fpp=$fpp must not change the screen's output")
     }
   }
