@@ -127,6 +127,35 @@ object TextAnalysis {
   def qWinnow(s: SparkSession, dir: String): DataFrame =
     winnowFingerprints(Tables.documents(s, dir))
 
+  /** Winnowing's payoff: document-overlap pairs ranked by how many
+    * selected fingerprints they share — the MOSS report. Fingerprints
+    * selected in more than WinnowHashCap documents are dropped before
+    * pairing (boilerplate/stopword shingles carry no overlap signal
+    * and would make the self-join quadratic in the hot hash —
+    * the same cap discipline as the LSH/simhash buckets); surviving
+    * hashes bound every bucket at WinnowHashCap², and the pair
+    * aggregate shuffles bare (doc_a, doc_b) ids.
+    */
+  val WinnowHashCap = 32
+  val WinnowMinShared = 2
+
+  def winnowOverlapPairs(docs: DataFrame): DataFrame = {
+    val fp = winnowFingerprints(docs)
+      .select(col("doc_id"), col("sel_h")).distinct()
+    val rare = fp.groupBy(col("sel_h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= WinnowHashCap).select(col("sel_h"))
+    val small = fp.join(rare, "sel_h")
+    small.toDF("sel_h", "doc_a")
+      .join(small.toDF("sel_h", "doc_b"), "sel_h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+  }
+
+  def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowOverlapPairs(Tables.documents(s, dir))
+
   /** Multimodal metadata projection: the SQL-checkable face of
     * graft.operators.Multimodal (binary payloads + stubbed decode).
     */
@@ -482,6 +511,7 @@ object TextAnalysis {
     "q_tokens" -> qTokens _,
     "q_fingerprint" -> qFingerprint _,
     "q_winnow" -> qWinnow _,
+    "q_winnow_pairs" -> qWinnowPairs _,
     "q_repetition" -> qRepetition _,
     "q_multimodal" -> qMultimodal _)
 
@@ -574,6 +604,37 @@ object TextAnalysis {
       |FROM tok t JOIN enc e USING (w)
       |GROUP BY doc_id""".stripMargin
 
+  /** Winnowing selection CTE chain, shared by the fingerprint dump
+    * and the overlap-pair report (`sel` = full-window picks,
+    * `short` = short-doc global-min fallback).
+    */
+  private lazy val winnowCtes: String =
+    s"""t AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+      |ex AS (SELECT doc_id,
+      |    unnest(range(1, greatest(len(toks) - ${WinnowK - 2}, 1))) AS i, toks
+      |  FROM t),
+      |sh AS (SELECT doc_id, i - 1 AS pos,
+      |    ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2])),
+      |      1, 12))::BIGINT AS h
+      |  FROM ex),
+      |keyed AS (SELECT doc_id, pos, h,
+      |    h * 32768 + (32767 - pos) AS key FROM sh),
+      |wmin AS (SELECT doc_id, pos,
+      |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS mk,
+      |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wsz
+      |  FROM keyed),
+      |sel AS (SELECT DISTINCT doc_id,
+      |    (32767 - (mk % 32768))::BIGINT AS sel_pos,
+      |    (mk // 32768)::BIGINT AS sel_h
+      |  FROM wmin WHERE wsz = $WinnowW),
+      |short AS (SELECT doc_id,
+      |    (32767 - (min(key) % 32768))::BIGINT AS sel_pos,
+      |    (min(key) // 32768)::BIGINT AS sel_h
+      |  FROM keyed GROUP BY doc_id HAVING count(*) < $WinnowW)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_encode" -> bpeEncodeSql,
@@ -594,32 +655,20 @@ object TextAnalysis {
         |FROM train t JOIN bench b ON t.h = b.h
         |GROUP BY t.doc_id""".stripMargin,
     "q_winnow" ->
-      s"""WITH t AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
-        |ex AS (SELECT doc_id,
-        |    unnest(range(1, greatest(len(toks) - ${WinnowK - 2}, 1))) AS i, toks
-        |  FROM t),
-        |sh AS (SELECT doc_id, i - 1 AS pos,
-        |    ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2])),
-        |      1, 12))::BIGINT AS h
-        |  FROM ex),
-        |keyed AS (SELECT doc_id, pos, h,
-        |    h * 32768 + (32767 - pos) AS key FROM sh),
-        |wmin AS (SELECT doc_id, pos,
-        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS mk,
-        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wsz
-        |  FROM keyed),
-        |sel AS (SELECT DISTINCT doc_id,
-        |    (32767 - (mk % 32768))::BIGINT AS sel_pos,
-        |    (mk // 32768)::BIGINT AS sel_h
-        |  FROM wmin WHERE wsz = $WinnowW),
-        |short AS (SELECT doc_id,
-        |    (32767 - (min(key) % 32768))::BIGINT AS sel_pos,
-        |    (min(key) // 32768)::BIGINT AS sel_h
-        |  FROM keyed GROUP BY doc_id HAVING count(*) < $WinnowW)
+      s"""WITH $winnowCtes
         |SELECT * FROM sel UNION ALL SELECT * FROM short""".stripMargin,
+    "q_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+        |fps AS (SELECT DISTINCT doc_id, sel_h FROM (
+        |  SELECT * FROM sel UNION ALL SELECT * FROM short)),
+        |rare AS (SELECT sel_h FROM fps GROUP BY sel_h
+        |  HAVING count(*) <= $WinnowHashCap),
+        |small AS (SELECT f.doc_id, f.sel_h FROM fps f JOIN rare USING (sel_h))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM small a JOIN small b
+        |  ON a.sel_h = b.sel_h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= $WinnowMinShared""".stripMargin,
     "q_vocab_coverage" ->
       s"""WITH tok AS (
         |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term

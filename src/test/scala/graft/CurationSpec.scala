@@ -138,6 +138,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow overlap report: shared runs pair up, hot hashes are capped out") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis._
+    // a long shared run (>= 2 windows) so the pair clears WinnowMinShared
+    val run = (1 to 16).map(i => s"m$i").mkString(" ")
+    val boiler = "the quick brown fox"
+    val docs = Seq(
+      (1L, run + " a1 a2 a3 a4 a5 a6"),
+      (2L, "b1 b2 b3 b4 b5 " + run)).toDF("doc_id", "text")
+      // boilerplate shingle in > WinnowHashCap docs: its hash must be
+      // dropped before pairing, so the clones yield NO pairs among
+      // themselves despite identical text
+      .unionByName((10L until (12L + WinnowHashCap))
+        .map(i => (i, boiler)).toDF("doc_id", "text"))
+    val pairs = winnowOverlapPairs(docs).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys == Set((1L, 2L)),
+      s"expected only the true-overlap pair, got ${keys.mkString(", ")}")
+    assert(pairs.head.getAs[Long]("n_shared") >= WinnowMinShared)
+  }
+
   test("mixture weights are a distribution and flatten shares (alpha=1/2)") {
     val rows = Curation.qMixture(spark, sf).collect()
     val wSum = rows.map(_.getAs[Double]("weight")).sum
