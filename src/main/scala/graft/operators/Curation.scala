@@ -341,6 +341,106 @@ object Curation {
         round(col("w_after") - col("w_before"), 6).as("drift"))
   }
 
+  // --- cross-source contamination matrix -----------------------------
+
+  /** Pairwise source overlap: for every source pair, the count of
+    * distinct shared 5-token shingle hashes and the Jaccard of the
+    * two shingle sets — the "is my crawl re-ingesting another
+    * source" audit. Volume discipline: everything reduces to
+    * DISTINCT (source, h) FIRST (bounded by distinct corpus
+    * shingles, not occurrences), and the hash join fans out each
+    * hash only to the sources containing it — ≤ S rows per hash
+    * with S the (small, fixed) source count — so pair volume is
+    * O(shingles × S), never corpus². One agg shuffle on the pair
+    * key; the per-source sizes are S rows, broadcast back.
+    */
+  val OverlapShingleN = 5
+
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("source"),
+        explode(shingleHashes(tokens(col("text")), OverlapShingleN)).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.toDF("source_a", "h").join(sh.toDF("source_b", "h"), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.toDF("source_a", "na")), Seq("source_a"))
+      .join(broadcast(sizes.toDF("source_b", "nb")), Seq("source_b"))
+      .withColumn("jaccard", round(col("n_shared").cast("double")
+        / (col("na") + col("nb") - col("n_shared")).cast("double"), 6))
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("jaccard"))
+  }
+
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(s, dir))
+
+  // --- DSIR-style importance weighting --------------------------------
+
+  /** Data selection by importance resampling, hashed-n-gram flavor:
+    * score every document by how target-like its tokens are, where
+    * the TARGET distribution is the `isTarget` docs (the
+    * high-quality corpus you want more of) and the reference is the
+    * full RAW corpus, over hashed unigram features. The published
+    * form sums ln p_t(f)/p_r(f) per token; transcendental log is
+    * not bit-reproducible across engines (same reason qTfidf keeps
+    * BM25 in rational form), so the per-token statistic here is the
+    * exact integer TARGET SHARE of the feature in parts-per-million
+    * — ((ct+1)·1e6) div (cr+1), add-one smoothed — summed over the
+    * doc's tokens (mean- instead of geometric-mean pooling of the
+    * per-feature ratios: per-feature monotone in the true
+    * likelihood ratio, integer-exact in both engines). selected ⇔
+    * the doc's summed share exceeds n_tokens × the corpus-wide
+    * expected share — "more target-affine than the average token".
+    * Scale shape: the count table is ≤ DsirBuckets rows →
+    * broadcast; the totals are one scalar row crossed back in; the
+    * per-doc score is one partial-aggregated shuffle on doc_id.
+    * Integer division is (a - a mod b) / b with both operands
+    * nonnegative, so Spark and the oracle floor identically; the
+    * numerator stays < 2^53.
+    */
+  val DsirBuckets = 1024L
+
+  private def divFloor(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  def dsirScores(docs: DataFrame, isTarget: Column): DataFrame = {
+    val tok = docs.select(col("doc_id"), isTarget.as("is_t"),
+        explode(tokens(col("text"))).as("w"))
+      .withColumn("f", tokenHash(col("w")) % DsirBuckets)
+    val raw = tok.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("is_t")).groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val dist = raw.join(tgt, Seq("f"), "left").na.fill(0L, Seq("ct"))
+      .withColumn("share_ppm",
+        divFloor((col("ct") + 1) * lit(1000000L), col("cr") + 1))
+    val totals = dist.agg(sum(col("cr")).as("r_tot"), sum(col("ct")).as("t_tot"))
+      .withColumn("expected_ppm",
+        divFloor((col("t_tot") + 1) * lit(1000000L), col("r_tot") + 1))
+    tok.join(broadcast(dist), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("share_ppm")).as("dsir_score"))
+      .crossJoin(broadcast(totals.select(col("expected_ppm"))))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_score"),
+        (col("dsir_score") > col("n_tokens") * col("expected_ppm")).as("selected"))
+  }
+
+  /** Harness fixture: the target subset (every 10th doc) gets four
+    * marker tokens appended — a stand-in for the distinctive
+    * vocabulary of a real curated corpus (the synthetic tables draw
+    * all docs from one token distribution, so a metadata-only
+    * target is statistically indistinguishable from raw). Same
+    * augment-in-the-harness pattern as q_scrub's augSql; the oracle
+    * models the identical augmented corpus.
+    */
+  val DsirMarkers = " curated prose reference corpus"
+
+  def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val aug = Tables.documents(s, dir).withColumn("text",
+      when(col("doc_id") % 10 === 0, concat(col("text"), lit(DsirMarkers)))
+        .otherwise(col("text")))
+    dsirScores(aug, col("doc_id") % 10 === 0)
+  }
+
   // --- driver contract -----------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -351,7 +451,9 @@ object Curation {
     "q_source_report" -> qSourceReport _,
     "q_mixture" -> qMixture _,
     "q_mixture_sample" -> qMixtureSample _,
-    "q_mixture_drift" -> qMixtureDrift _)
+    "q_mixture_drift" -> qMixtureDrift _,
+    "q_source_overlap" -> qSourceOverlap _,
+    "q_dsir" -> qDsir _)
 
   // single line: interpolating multi-line SQL into a stripMargin
   // string would let the outer stripMargin eat the first | of a ||
@@ -542,5 +644,50 @@ object Curation {
         |  round(a.weight, 6) AS weight_after,
         |  round(a.weight - b.weight, 6) AS drift
         |FROM before b JOIN after a USING (source)""".stripMargin
-    })
+    },
+    "q_source_overlap" ->
+      s"""WITH sh AS (
+        |  SELECT DISTINCT source, h FROM (
+        |    SELECT source,
+        |      unnest(list_transform(range(1, greatest(len(toks) - ${OverlapShingleN - 2}, 1)),
+        |        i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1],
+        |               toks[i+2], toks[i+3], toks[i+4])), 1, 12))::BIGINT)) AS h
+        |    FROM (SELECT source,
+        |            string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |          FROM documents))),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.n_shared,
+        |  round(p.n_shared::DOUBLE
+        |    / (sa.n + sb.n - p.n_shared)::DOUBLE, 6) AS jaccard
+        |FROM p JOIN sizes sa ON sa.source = p.source_a
+        |       JOIN sizes sb ON sb.source = p.source_b""".stripMargin,
+    "q_dsir" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id, doc_id % 10 = 0 AS is_t,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || '$DsirMarkers'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, is_t,
+        |    ('0x' || substr(md5(w), 1, 12))::BIGINT % $DsirBuckets AS f
+        |  FROM (SELECT doc_id, is_t,
+        |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        |        FROM aug)),
+        |raw AS (SELECT f, count(*) AS cr FROM tok GROUP BY f),
+        |tgt AS (SELECT f, count(*) AS ct FROM tok WHERE is_t GROUP BY f),
+        |dist AS (SELECT raw.f, raw.cr, coalesce(tgt.ct, 0) AS ct,
+        |    ((coalesce(tgt.ct, 0) + 1) * 1000000) // (raw.cr + 1) AS share_ppm
+        |  FROM raw LEFT JOIN tgt USING (f)),
+        |tot AS (SELECT ((sum(ct)::BIGINT + 1) * 1000000)
+        |    // (sum(cr)::BIGINT + 1) AS expected_ppm FROM dist),
+        |per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(share_ppm)::BIGINT AS dsir_score
+        |  FROM tok JOIN dist USING (f) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, dsir_score,
+        |  dsir_score > n_tokens * expected_ppm AS selected
+        |FROM per, tot""".stripMargin)
 }

@@ -87,6 +87,60 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style semantic deduplication (cluster-then-prune over
+    * embeddings): assign every vector to its nearest seed centroid
+    * (the IVF coarse quantizer — broadcast centroids, map-side argmax
+    * collapse), rank cluster members by cosine-to-centroid (ties by
+    * vec_id), and mark as a semantic duplicate any member within
+    * `threshold` cosine of a higher-ranked member of the same
+    * cluster. Scale shape: centroid count grows with the corpus
+    * (SeedMod stride), so expected cluster occupancy stays ~SeedMod
+    * regardless of corpus size and the within-cluster pair join is
+    * linear in the corpus, never corpus² — the same blocking
+    * discipline as the LSH/simhash buckets. The per-cluster rank
+    * window partitions on cid (cardinality ∝ corpus — no
+    * single-task WindowExec), and the dominance rule is one-shot
+    * relational (dup ⇔ ∃ higher-ranked member within threshold)
+    * rather than the sequential greedy sweep of the original
+    * formulation: a chain a≻b≻c where cos(a,c) < threshold drops c
+    * here but keeps it under greedy — a deliberately order-free
+    * over-approximation that needs no per-cluster iteration.
+    * Output: (vec_id, cid, cos_c = cosine to own centroid, keep).
+    */
+  val SemDedupThreshold = 0.95
+  def semDedup(emb: DataFrame, threshold: Double = SemDedupThreshold): DataFrame = {
+    val all = quantized(emb)
+    val cents = seedCentroids(all)
+    // q/nq ride inside the max_by value struct: one agg shuffle, no
+    // assignment re-join (same shape as searchIvfFor's assignment)
+    val assigned = all.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("ccos"), col("q"), col("nq")),
+        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("best"))
+      .select(col("vec_id"), col("best").getField("cid").as("cid"),
+        col("best").getField("ccos").as("ccos"),
+        col("best").getField("q").as("q"), col("best").getField("nq").as("nq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("ccos").desc, col("vec_id"))
+    val ranked = assigned.withColumn("rn", row_number().over(w))
+    val hi = ranked.select(col("cid"), col("rn").as("rn_a"),
+      col("q").as("qa"), col("nq").as("nqa"))
+    val lo = ranked.select(col("cid"), col("vec_id").as("dup_id"),
+      col("rn").as("rn_b"), col("q").as("qb"), col("nq").as("nqb"))
+    // threshold filter runs inside the co-located cluster join; only
+    // bare dup ids reach the distinct exchange (r4 verdict #8 payload
+    // discipline)
+    val dropped = hi.join(lo, Seq("cid"))
+      .filter(col("rn_a") < col("rn_b"))
+      .withColumn("cos", cosine(dotQ(col("qa"), col("qb")), col("nqa"), col("nqb")))
+      .filter(col("cos") >= threshold)
+      .select(col("dup_id").as("vec_id")).distinct()
+    ranked.join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), round(col("ccos"), 6).as("cos_c"),
+        coalesce(col("is_dup"), lit(false)) =!= lit(true) as "keep")
+  }
+
   /** Oracle-harness fixture (NOT part of the dedup API): the corpus
     * plus an exact copy of itself under Shift-ed vec_ids, so the gate
     * has known-true near-dup pairs to find. Mirrors Dedup.corpus —
@@ -1191,6 +1245,13 @@ object Similarity {
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     approxNearDupPairs(corpus(Tables.embeddings(s, dir)))
 
+  /** Harness entry for [[semDedup]] — same Shift-ed clone fixture as
+    * qEmbedNearDup (every clone is a guaranteed semantic dup of its
+    * original; the original outranks it by the vec_id tie-break).
+    */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    semDedup(corpus(Tables.embeddings(s, dir)))
+
   def qAnnBrute(s: SparkSession, dir: String): DataFrame =
     bruteTopK(Tables.embeddings(s, dir))
 
@@ -1208,6 +1269,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNearDup _,
+    "q_semdedup" -> qSemDedup _,
     "q_ann_brute" -> qAnnBrute _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
@@ -1493,6 +1555,40 @@ object Similarity {
         .map(j => s"(${projDotSql(j)})::BIGINT AS p$j").mkString(", ")
       s"SELECT vec_id, label, $cols FROM ($quantSql)"
     },
+    "q_semdedup" ->
+      s"""WITH base AS (
+        |  SELECT vec_id, label, q FROM ($quantSql)
+        |  UNION ALL SELECT vec_id + $Shift, label, q FROM ($quantSql)),
+        |n AS (SELECT vec_id, q,
+        |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+        |  FROM base),
+        |cents AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM n
+        |  WHERE vec_id % $SeedMod = 0),
+        |scored AS (
+        |  SELECT n.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+        |      / (sqrt(n.nq::DOUBLE) * sqrt(c.cnq::DOUBLE)) AS ccos
+        |  FROM n CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, cid, ccos FROM (
+        |    SELECT vec_id, cid, ccos,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS arn
+        |    FROM scored)
+        |  WHERE arn = 1),
+        |ranked AS (
+        |  SELECT vec_id, cid, ccos,
+        |    row_number() OVER (PARTITION BY cid ORDER BY ccos DESC, vec_id) AS rn
+        |  FROM assigned),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.rn < b.rn
+        |    JOIN n x ON x.vec_id = a.vec_id
+        |    JOIN n y ON y.vec_id = b.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(x.q) + 1), i -> x.q[i] * y.q[i]))::DOUBLE
+        |      / (sqrt(x.nq::DOUBLE) * sqrt(y.nq::DOUBLE)) >= $SemDedupThreshold)
+        |SELECT r.vec_id, r.cid, round(r.ccos, 6) AS cos_c,
+        |  d.vec_id IS NULL AS keep
+        |FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH base AS (
         |  SELECT vec_id, label, q FROM ($quantSql)

@@ -159,6 +159,55 @@ class CurationSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Long]("n_shared") >= WinnowMinShared)
   }
 
+  test("semantic dedup drops the clone, keeps the original and the distinct vector") {
+    import spark.implicits._
+    // ids chosen so only vec 0 seeds a centroid (vec_id % SeedMod):
+    // all three land in its cluster; 0 and 1 are identical (cos 1),
+    // 2 is orthogonal. Rank: 0 (tie-break on id), 1, 2 — so 1 is
+    // dominated by 0 and dropped; 2 survives. No fixture injection:
+    // semDedup must see only genuine input rows.
+    val dim = Similarity.Dim
+    val e1 = Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(dim)(i => if (i == 1) 1.0f else 0.0f)
+    val emb = Seq((0L, e1, "a"), (1L, e1, "a"), (2L, e2, "a"))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.semDedup(emb).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    assert(r == Map(0L -> true, 1L -> false, 2L -> true))
+  }
+
+  test("source overlap pairs only sources sharing shingles, with exact jaccard") {
+    import spark.implicits._
+    // A and B share one 5-token run (1 shared 5-gram shingle each
+    // side after distinct); C shares nothing
+    val run = "s1 s2 s3 s4 s5"
+    val docs = Seq(
+      (1L, run + " a1 a2 a3 a4 a5", "srcA"),
+      (2L, "b1 b2 b3 b4 b5 " + run, "srcB"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.sourceOverlap(docs).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "srcA" && r.getString(1) == "srcB")
+    // each doc has 6 distinct shingles; 1 shared -> jaccard 1/11
+    assert(r.getLong(2) == 1L)
+    assert(math.abs(r.getDouble(3) - math.round(1.0 / 11.0 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("dsir scores rank marker-bearing target docs above background") {
+    import spark.implicits._
+    // doc 1 (target) has 3 background tokens + 1 marker; doc 2 is
+    // all background. share(x) = (3+1)*1e6 // (7+1) = 500000;
+    // share(m) = (1+1)*1e6 // (1+1) = 1000000; expected =
+    // (4+1)*1e6 // (8+1) = 555555. Hand-checked integer scores.
+    val docs = Seq((1L, "x x x m"), (2L, "x x x x")).toDF("doc_id", "text")
+    val r = Curation.dsirScores(docs, col("doc_id") === 1L).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(1L) == ((2500000L, true)))
+    assert(r(2L) == ((2000000L, false)))
+  }
+
   test("mixture weights are a distribution and flatten shares (alpha=1/2)") {
     val rows = Curation.qMixture(spark, sf).collect()
     val wSum = rows.map(_.getAs[Double]("weight")).sum
