@@ -34,10 +34,27 @@ object Similarity {
     df.select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
       .withColumn("nq", normQ(col("q")))
 
-  private def cosine(dot: org.apache.spark.sql.Column,
-                     na: org.apache.spark.sql.Column,
-                     nb: org.apache.spark.sql.Column) =
+  private[graft] def cosine(dot: org.apache.spark.sql.Column,
+                            na: org.apache.spark.sql.Column,
+                            nb: org.apache.spark.sql.Column) =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Nearest-centroid assignment over a quantized corpus: the IVF
+    * coarse-quantizer step shared by semDedup, clusterBalancedSample
+    * and the streaming semantic dedup. Broadcast centroids; q/nq
+    * ride inside the max_by value struct so the corpus reaches its
+    * reducer once — one agg shuffle, no assignment re-join. Output:
+    * (vec_id, cid, ccos, q, nq).
+    */
+  def assignClusters(all: DataFrame, cents: DataFrame): DataFrame =
+    all.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("ccos"), col("q"), col("nq")),
+        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("best"))
+      .select(col("vec_id"), col("best").getField("cid").as("cid"),
+        col("best").getField("ccos").as("ccos"),
+        col("best").getField("q").as("q"), col("best").getField("nq").as("nq"))
 
   /** Near-dup pairs (exact cos ≥ threshold verify), blocked on
     * (label, LSH table, LSH bucket). Label alone is NOT a scale-safe
@@ -111,16 +128,7 @@ object Similarity {
   def semDedup(emb: DataFrame, threshold: Double = SemDedupThreshold): DataFrame = {
     val all = quantized(emb)
     val cents = seedCentroids(all)
-    // q/nq ride inside the max_by value struct: one agg shuffle, no
-    // assignment re-join (same shape as searchIvfFor's assignment)
-    val assigned = all.join(broadcast(cents))
-      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cid"), col("ccos"), col("q"), col("nq")),
-        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("best"))
-      .select(col("vec_id"), col("best").getField("cid").as("cid"),
-        col("best").getField("ccos").as("ccos"),
-        col("best").getField("q").as("q"), col("best").getField("nq").as("nq"))
+    val assigned = assignClusters(all, cents)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(col("ccos").desc, col("vec_id"))
     val ranked = assigned.withColumn("rn", row_number().over(w))
@@ -140,6 +148,37 @@ object Similarity {
       .select(col("vec_id"), col("cid"), round(col("ccos"), 6).as("cos_c"),
         coalesce(col("is_dup"), lit(false)) =!= lit(true) as "keep")
   }
+
+  /** Cluster-balanced diversity sampling: cap every embedding
+    * cluster (IVF coarse-quantizer assignment, as in [[semDedup]])
+    * at `perClusterCap` members, chosen by a deterministic md5 rank
+    * within the cluster — stratified sampling where the strata are
+    * LEARNED clusters instead of a metadata column, the standard
+    * counter to near-duplicate-dense regions dominating a training
+    * mix. A hash rank (not cosine-to-centroid) keeps the survivors
+    * spread across the cluster instead of concentrated at its core.
+    * Same scale shape as semDedup minus the pair join: one broadcast
+    * + argmax collapse, one cid-partitioned window (cid cardinality
+    * ∝ corpus), nothing quadratic. Output: every input vector with
+    * its cluster, hash rank, and keep flag.
+    */
+  val ClusterSampleCap = 10
+  def clusterBalancedSample(emb: DataFrame,
+                            perClusterCap: Int = ClusterSampleCap): DataFrame = {
+    val all = quantized(emb)
+    val cents = seedCentroids(all)
+    val assigned = assignClusters(all, cents).select(col("vec_id"), col("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("rh"), col("vec_id"))
+    assigned
+      .withColumn("rh", tokenHash(concat(lit("cs_"), col("vec_id"))))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("vec_id"), col("cid"), col("rnk").cast("long").as("rnk"),
+        (col("rnk") <= perClusterCap).as("keep"))
+  }
+
+  def qClusterSample(s: SparkSession, dir: String): DataFrame =
+    clusterBalancedSample(Tables.embeddings(s, dir))
 
   /** Oracle-harness fixture (NOT part of the dedup API): the corpus
     * plus an exact copy of itself under Shift-ed vec_ids, so the gate
@@ -1270,6 +1309,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_semdedup" -> qSemDedup _,
+    "q_cluster_sample" -> qClusterSample _,
     "q_ann_brute" -> qAnnBrute _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
@@ -1555,6 +1595,32 @@ object Similarity {
         .map(j => s"(${projDotSql(j)})::BIGINT AS p$j").mkString(", ")
       s"SELECT vec_id, label, $cols FROM ($quantSql)"
     },
+    "q_cluster_sample" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, label, q,
+        |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+        |  FROM ($quantSql)),
+        |cents AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM n
+        |  WHERE vec_id % $SeedMod = 0),
+        |scored AS (
+        |  SELECT n.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+        |      / (sqrt(n.nq::DOUBLE) * sqrt(c.cnq::DOUBLE)) AS ccos
+        |  FROM n CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS arn
+        |    FROM scored)
+        |  WHERE arn = 1),
+        |r AS (SELECT vec_id, cid,
+        |    ('0x' || substr(md5('cs_' || vec_id::VARCHAR), 1, 12))::BIGINT AS rh
+        |  FROM assigned)
+        |SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY cid ORDER BY rh, vec_id) AS rnk,
+        |  row_number() OVER (PARTITION BY cid ORDER BY rh, vec_id)
+        |    <= $ClusterSampleCap AS keep
+        |FROM r""".stripMargin,
     "q_semdedup" ->
       s"""WITH base AS (
         |  SELECT vec_id, label, q FROM ($quantSql)

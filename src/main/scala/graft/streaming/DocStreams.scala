@@ -249,6 +249,95 @@ object DocStreams {
     wh.writeTable(kept, ref, indexTable)
   }
 
+  /** Schema of the raw embeddings parquet. */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming semantic dedup — [[graft.operators.Similarity.semDedup]]
+    * incrementalized. The warehouse keeps the KEPT-VECTOR posting
+    * index (vec_id, cid, q, nq) per coarse centroid; the centroid
+    * set is PINNED by the caller (seeded from a reference corpus —
+    * the same pinned-model discipline as streaming
+    * decontamination's shingle set: a model that drifted with the
+    * stream would re-assign history). Each micro-batch:
+    * (a) skips vec_ids already indexed (replay),
+    * (b) assigns fresh vectors to centroids (broadcast + argmax),
+    * (c) matches them against the stored posting lists by cid
+    *     equi-join at cos ≥ threshold — O(batch × list occupancy),
+    *     never O(index²),
+    * (d) applies batch semDedup's rank-dominance rule among the
+    *     fresh vectors themselves,
+    * (e) APPENDS only the survivors to the index (r4 verdict #1
+    *     write shape: per-batch I/O tracks the batch, the index
+    *     never rewrites) and upserts (dup, matched) verdicts keyed
+    *     per pair, so replay converges.
+    */
+  def runSemDedupToWarehouse(spark: SparkSession, stagedDir: String,
+                             cents: DataFrame,
+                             wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                             indexTable: String, dupTable: String,
+                             threshold: Double = graft.operators.Similarity.SemDedupThreshold
+                            ): Seq[Warehouse.LoadResult] = {
+    import graft.operators.Similarity
+    import graft.functions.GraftFunctions.dotQ
+    val appends = scala.collection.mutable.ArrayBuffer.empty[Warehouse.LoadResult]
+    val q = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val idx =
+          if (wh.tableExists(ref, indexTable)) wh.readTable(ref, indexTable)
+          else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField("vec_id", LongType),
+              StructField("cid", LongType),
+              StructField("q", ArrayType(LongType)), StructField("nq", LongType))))
+        val fresh = batch.toDF()
+          .join(idx.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+        val assigned = Similarity.assignClusters(Similarity.quantized(fresh), cents)
+          .localCheckpoint()
+        // vs the persisted keepers: posting-list equi-join on cid;
+        // the threshold filter runs in the join, only bare id pairs
+        // shuffle onward
+        val vsOld = assigned.toDF("new_vec", "cid", "ccos_n", "q_n", "nq_n")
+          .join(idx.toDF("old_vec", "cid", "q_o", "nq_o"), Seq("cid"))
+          .withColumn("cos", Similarity.cosine(
+            dotQ(col("q_n"), col("q_o")), col("nq_n"), col("nq_o")))
+          .filter(col("cos") >= threshold)
+          .select(col("new_vec"), col("old_vec").as("matched_vec"))
+        // among the fresh vectors: batch semDedup's one-shot
+        // rank-dominance rule
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid")).orderBy(col("ccos").desc, col("vec_id"))
+        val ranked = assigned.withColumn("rn", row_number().over(w))
+        val vsNew = ranked.toDF("hi_vec", "cid", "ccos_a", "q_a", "nq_a", "rn_a")
+          .join(ranked.toDF("lo_vec", "cid", "ccos_b", "q_b", "nq_b", "rn_b"), Seq("cid"))
+          .filter(col("rn_a") < col("rn_b"))
+          .withColumn("cos", Similarity.cosine(
+            dotQ(col("q_a"), col("q_b")), col("nq_a"), col("nq_b")))
+          .filter(col("cos") >= threshold)
+          .select(col("lo_vec").as("new_vec"), col("hi_vec").as("matched_vec"))
+        val dupes = vsOld.unionAll(vsNew).distinct().localCheckpoint()
+        val survivors = assigned
+          .join(dupes.select(col("new_vec").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cid"), col("q"), col("nq"))
+        appends += wh.appendTable(survivors, ref, indexTable)
+        val verdicts = dupes.withColumn("dup_key",
+          concat(col("new_vec").cast("string"), lit("#"), col("matched_vec").cast("string")))
+        val merged =
+          if (wh.tableExists(ref, dupTable))
+            Merge.upsert(wh.readTable(ref, dupTable), verdicts, "dup_key")
+          else verdicts.dropDuplicates("dup_key")
+        wh.writeTable(merged, ref, dupTable)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    appends.toSeq
+  }
+
   /** Streaming benchmark decontamination: the benchmark's distinct
     * 5-gram shingle set is computed ONCE (it is small by
     * construction and broadcasts), and every arriving micro-batch is

@@ -195,6 +195,20 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - math.round(1.0 / 11.0 * 1e6) / 1e6) < 1e-9)
   }
 
+  test("cluster-balanced sample caps every cluster and accounts every vector") {
+    val r = Similarity.clusterBalancedSample(Tables.embeddings(spark, sf), 3)
+      .collect()
+    val byCluster = r.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      val kept = rows.count(_.getBoolean(3))
+      assert(kept == math.min(3, rows.length),
+        s"cluster $cid kept $kept of ${rows.length} at cap 3")
+      // ranks are a 1..size permutation within the cluster
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    assert(r.length == Tables.embeddings(spark, sf).count())
+  }
+
   test("dsir scores rank marker-bearing target docs above background") {
     import spark.implicits._
     // doc 1 (target) has 3 background tokens + 1 marker; doc 2 is

@@ -170,6 +170,58 @@ class StreamingSpec extends AnyFunSuite {
       "re-submitted copy of the deleted doc was not admitted as new")
   }
 
+  test("streaming semantic dedup: append-shaped index, clones flagged cross-batch") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    import graft.extract.Warehouse
+    import graft.operators.Similarity
+    import graft.streaming.DocStreams
+    // batch 1: the raw embeddings; batch 2: exact copies under
+    // shifted ids — every copy must be caught against the PERSISTED
+    // posting index under the PINNED centroid set
+    val staged = Files.createTempDirectory("graft-semdedup")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      staged.resolve("a_embeddings.parquet"))
+    val shifted = graft.sources.Tables.embeddings(spark, sf)
+      .select((col("vec_id") + Similarity.Shift).as("vec_id"),
+        col("embedding"), col("label"))
+    val tmpOut = Files.createTempDirectory("graft-semdedup-w")
+    shifted.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = Files.list(tmpOut).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst.get
+    Files.copy(part, staged.resolve("b_copies.parquet"))
+    val root = Files.createTempDirectory("graft-wh-sem").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.semdedup")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    val cents = Similarity.seedCentroids(
+      Similarity.quantized(graft.sources.Tables.embeddings(spark, sf)))
+      .localCheckpoint()
+    val appends = DocStreams.runSemDedupToWarehouse(
+      spark, staged.toString, cents, wh, ref, "vec_index", "sem_dupes")
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    // batch 1 has no natural pairs at the 0.95 threshold (measured
+    // in-cluster max ~0.47), so all vectors survive; batch 2 is all
+    // clones and must append NOTHING — the r4 verdict #1 shape
+    assert(appends.length == 2, s"expected 2 micro-batches, got ${appends.length}")
+    assert(appends(0).outputRows == nVecs)
+    assert(appends(1).outputRows == 0,
+      s"all-clone batch appended ${appends(1).outputRows} index rows")
+    assert(appends.map(_.outputRows).sum == wh.readTable(ref, "vec_index").count())
+    val flagged = wh.readTable(ref, "sem_dupes")
+      .select("new_vec").distinct().collect().map(_.getLong(0)).toSet
+    (0L until nVecs).foreach { i =>
+      assert(flagged.contains(i + Similarity.Shift), s"clone of $i not flagged")
+    }
+    // replay converges and appends nothing
+    val dupCount = wh.readTable(ref, "sem_dupes").count()
+    val replay = DocStreams.runSemDedupToWarehouse(
+      spark, staged.toString, cents, wh, ref, "vec_index", "sem_dupes")
+    assert(replay.map(_.outputRows).sum == 0)
+    assert(wh.readTable(ref, "vec_index").count() == nVecs)
+    assert(wh.readTable(ref, "sem_dupes").count() == dupCount)
+  }
+
   test("stateful streaming packing equals batch packing, state spans batches") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStreams
