@@ -327,14 +327,50 @@ object Dedup {
     * positions).
     */
   def exciseRepeatedSpans(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-    val sh = docs.select(col("doc_id"),
-      posexplode(shingleHashes(tokens(col("text")), SpanShingle)).as(Seq("pos", "h")))
+    val sh = spanShingles(docs)
     val rep = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") > 1).select(col("h"))
     val flags = sh.join(rep, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"), lit(1L).as("f"))
+    coverAndAccount(docs, flags)
+  }
+
+  /** Keep-first variant of [[exciseRepeatedSpans]] — what most
+    * published pipelines actually do: retain ONE copy of each
+    * duplicated span (the globally first occurrence in
+    * (doc_id, pos) order) and excise every later one. The first
+    * occurrence per shingle hash is a partial-aggregatable min of
+    * the composite key doc_id·2^20 + pos (pos bounded by the same
+    * 2^20 encoding budget the winnow key uses), so a pathologically
+    * hot shingle ("the the the…") costs one combiner cell — never a
+    * skewed per-hash window partition.
+    */
+  val SpanPosBits = 20
+
+  def exciseRepeatedSpansKeepFirst(docs: DataFrame): DataFrame = {
+    val sh = spanShingles(docs)
+    val key = col("doc_id") * (1L << SpanPosBits) + col("pos")
+    val firstOcc = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"), min(key).as("fk"))
+      .filter(col("n_occ") > 1)
+      .select(col("h"), col("fk"))
+    val flags = sh.join(firstOcc, Seq("h"))
+      .filter(key =!= col("fk"))
+      .select(col("doc_id"), col("pos"), lit(1L).as("f"))
+    coverAndAccount(docs, flags)
+  }
+
+  private def spanShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(shingleHashes(tokens(col("text")), SpanShingle)).as(Seq("pos", "h")))
+
+  /** Shared excise tail: widen position flags to covered tokens via
+    * the per-document sliding-window max, and account removals plus
+    * a hash of the surviving text.
+    */
+  private def coverAndAccount(docs: DataFrame, flags: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(SpanShingle - 1), 0)
@@ -391,9 +427,13 @@ object Dedup {
   def qSpanExcise(s: SparkSession, dir: String): DataFrame =
     exciseRepeatedSpans(Tables.documents(s, dir))
 
+  def qSpanExciseKeepFirst(s: SparkSession, dir: String): DataFrame =
+    exciseRepeatedSpansKeepFirst(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repeated_spans" -> qRepeatedSpans _,
     "q_span_excise" -> qSpanExcise _,
+    "q_span_excise_keepfirst" -> qSpanExciseKeepFirst _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
@@ -517,6 +557,31 @@ object Dedup {
         |  FROM ex),
         |rep AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
         |fl AS (SELECT s.doc_id, s.pos, 1 AS f FROM sh s JOIN rep USING (h)),
+        |c AS (SELECT tt.doc_id, tt.pos, tt.tk,
+        |    max(coalesce(fl.f, 0)) OVER (PARTITION BY tt.doc_id ORDER BY tt.pos
+        |      ROWS BETWEEN ${SpanShingle - 1} PRECEDING AND CURRENT ROW) AS covered
+        |  FROM tt LEFT JOIN fl ON tt.doc_id = fl.doc_id AND tt.pos = fl.pos)
+        |SELECT doc_id, count(*) AS n_tokens, sum(covered)::BIGINT AS n_removed,
+        |  ('0x' || substr(md5(coalesce(
+        |    string_agg(CASE WHEN covered = 0 THEN tk END, ' ' ORDER BY pos),
+        |    '')), 1, 12))::BIGINT AS survivor_hash
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "q_span_excise_keepfirst" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM t),
+        |tt AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tk FROM tok),
+        |ex AS (SELECT doc_id,
+        |    unnest(range(1, greatest(len(toks) - ${SpanShingle - 2}, 1))) AS i, toks
+        |  FROM t),
+        |sh AS (SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2],
+        |      toks[i+3], toks[i+4])), 1, 12))::BIGINT AS h
+        |  FROM ex),
+        |rep AS (SELECT h, min(doc_id * ${1L << SpanPosBits} + pos) AS fk
+        |  FROM sh GROUP BY h HAVING count(*) > 1),
+        |fl AS (SELECT s.doc_id, s.pos, 1 AS f FROM sh s JOIN rep r USING (h)
+        |  WHERE s.doc_id * ${1L << SpanPosBits} + s.pos <> r.fk),
         |c AS (SELECT tt.doc_id, tt.pos, tt.tk,
         |    max(coalesce(fl.f, 0)) OVER (PARTITION BY tt.doc_id ORDER BY tt.pos
         |      ROWS BETWEEN ${SpanShingle - 1} PRECEDING AND CURRENT ROW) AS covered

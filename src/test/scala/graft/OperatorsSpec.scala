@@ -637,6 +637,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex(1L).getAs[Long]("survivor_hash") == tokenHashLong("aa bb cc dd ee"))
     assert(ex(3L).getAs[Long]("survivor_hash")
       == tokenHashLong((1 to 12).map(i => s"u$i").mkString(" ")))
+    // keep-first variant: doc 1 holds the globally first occurrence
+    // of the run and keeps it; doc 2's later copy is excised
+    val kf = Dedup.exciseRepeatedSpansKeepFirst(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(kf(1L).getAs[Long]("n_removed") == 0L)
+    assert(kf(1L).getAs[Long]("survivor_hash")
+      == tokenHashLong(run + " aa bb cc dd ee"))
+    assert(kf(2L).getAs[Long]("n_removed") == 9L)
+    assert(kf(2L).getAs[Long]("survivor_hash")
+      == tokenHashLong("xx yy zz ww vv"))
+    assert(kf(3L).getAs[Long]("n_removed") == 0L)
   }
 
   test("multimodal decode is deterministic, batch-shaped, schema-complete") {
