@@ -127,7 +127,16 @@ object Similarity {
   val SemDedupThreshold = 0.95
   def semDedup(emb: DataFrame, threshold: Double = SemDedupThreshold): DataFrame = {
     val all = quantized(emb)
-    val cents = seedCentroids(all)
+    semDedupWith(all, seedCentroids(all), threshold)
+  }
+
+  /** [[semDedup]] against a caller-supplied centroid set (seeded,
+    * trained, or external — any (cid, cq, cnq) frame), for callers
+    * whose quantizer is pinned elsewhere (e.g. the streaming path).
+    * Takes the QUANTIZED corpus (vec_id, label, q, nq).
+    */
+  def semDedupWith(all: DataFrame, cents: DataFrame,
+                   threshold: Double = SemDedupThreshold): DataFrame = {
     val assigned = assignClusters(all, cents)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(col("ccos").desc, col("vec_id"))
@@ -166,7 +175,14 @@ object Similarity {
   def clusterBalancedSample(emb: DataFrame,
                             perClusterCap: Int = ClusterSampleCap): DataFrame = {
     val all = quantized(emb)
-    val cents = seedCentroids(all)
+    clusterBalancedSampleWith(all, seedCentroids(all), perClusterCap)
+  }
+
+  /** [[clusterBalancedSample]] against a caller-supplied centroid
+    * set over a QUANTIZED corpus — same seam as [[semDedupWith]].
+    */
+  def clusterBalancedSampleWith(all: DataFrame, cents: DataFrame,
+                                perClusterCap: Int = ClusterSampleCap): DataFrame = {
     val assigned = assignClusters(all, cents).select(col("vec_id"), col("cid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(col("rh"), col("vec_id"))

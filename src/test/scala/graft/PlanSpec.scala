@@ -233,6 +233,27 @@ class PlanSpec extends AnyFunSuite {
       "near-dup pair dedup shuffles vectors beyond the bucket join sides")
     assert(arrayExchanges(operators.Similarity.ivfTopK(emb)) <= 2,
       "IVF shuffles vectors beyond the assignment join")
+    // semDedup: the assignment agg and the cluster pair join carry
+    // vectors (inherent — cosine needs both sides co-located); the
+    // dropped-id distinct and the keep-flag join must not
+    assert(arrayExchanges(operators.Similarity.semDedup(
+      operators.Similarity.corpus(emb))) <= 3,
+      "semDedup shuffles vectors beyond assignment + the cluster pair join")
+    // cluster-balanced sampling never needs a vector past assignment
+    assert(arrayExchanges(operators.Similarity.clusterBalancedSample(emb)) <= 1,
+      "cluster sampling shuffles vectors beyond the assignment agg")
+  }
+
+  test("semDedup ranks inside cid partitions, never a global window") {
+    val df = operators.Similarity.semDedup(operators.Similarity.corpus(
+      graft.sources.Tables.embeddings(spark, sf)))
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "semDedup degenerated to a cartesian pair join")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(l => !l.contains("SinglePartition")),
+      s"semDedup rank window is unpartitioned:\n${winLines.mkString("\n")}")
   }
 
   test("embedding near-dup blocks on (label, tbl, bucket), not label alone") {
