@@ -195,6 +195,37 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - math.round(1.0 / 11.0 * 1e6) / 1e6) < 1e-9)
   }
 
+  test("semantic dedup invariants on real data: τ-separated keepers, justified drops") {
+    import graft.operators.Similarity
+    val emb = Similarity.corpus(Tables.embeddings(spark, sf))
+    val all = Similarity.quantized(emb)
+    val res = Similarity.semDedup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val vecs = all.collect().map(r => r.getLong(0) ->
+      r.getSeq[Long](2).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble)
+        * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    res.groupBy(_._2).foreach { case (_, members) =>
+      val keep = members.filter(_._3).map(_._1)
+      // P1: no two keepers within the threshold — dedup actually
+      // deduplicated (in particular each clone pair lost a member)
+      for (i <- keep.indices; j <- i + 1 until keep.length)
+        assert(cos(vecs(keep(i)), vecs(keep(j))) < Similarity.SemDedupThreshold,
+          s"keepers ${keep(i)} and ${keep(j)} are still near-duplicates")
+      // P2: every drop is justified by a cluster mate within τ
+      members.filterNot(_._3).foreach { case (d, _, _) =>
+        assert(members.exists { case (o, _, _) =>
+          o != d && cos(vecs(d), vecs(o)) >= Similarity.SemDedupThreshold },
+          s"vector $d dropped with no near-duplicate in its cluster")
+      }
+    }
+    assert(res.count(!_._3) == res.length / 2,
+      "the clone fixture must drop exactly half the corpus")
+  }
+
   test("cluster-balanced sample caps every cluster and accounts every vector") {
     val r = Similarity.clusterBalancedSample(Tables.embeddings(spark, sf), 3)
       .collect()

@@ -110,6 +110,35 @@ object GraftProps extends Properties("graft") {
       Prop(ps.size < 2 || ps.sliding(2).forall { case Seq(a, b) => b - a <= w })
     }
 
+  // --- keep-first excise composite key --------------------------------
+
+  /** Dedup.exciseRepeatedSpansKeepFirst encodes "globally first
+    * occurrence" as min(doc_id·2^SpanPosBits + pos); the semantics it
+    * must match is the lexicographic (doc_id, pos) minimum, and the
+    * derived excise flags must agree occurrence-for-occurrence.
+    */
+  private val occs = Gen.nonEmptyListOf(for {
+    d <- Gen.choose(0L, 500000L)
+    p <- Gen.choose(0L, (1L << 20) - 1)
+  } yield (d, p)).map(_.distinct)
+
+  property("composite-key first occurrence == lexicographic (doc, pos) min") =
+    forAll(occs) { os =>
+      val bits = graft.operators.Dedup.SpanPosBits
+      val byKey = os.minBy { case (d, p) => d * (1L << bits) + p }
+      byKey == os.min
+    }
+
+  property("keep-first flags: key rule == reference rule per occurrence") =
+    forAll(occs) { os =>
+      val bits = graft.operators.Dedup.SpanPosBits
+      val fk = os.map { case (d, p) => d * (1L << bits) + p }.min
+      val ref = os.min
+      os.forall { case (d, p) =>
+        (d * (1L << bits) + p != fk) == ((d, p) != ref)
+      }
+    }
+
   // --- julienne predicate coverage ------------------------------------
 
   property("julienne-style predicates partition any boundary list") = {
