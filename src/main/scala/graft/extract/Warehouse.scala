@@ -269,3 +269,107 @@ class Warehouse(root: String, spark: SparkSession) extends WarehouseBackend {
     LoadResult(rows, fresh.values.sum)
   }
 }
+
+/** A second [[WarehouseBackend]] implementation — the seam proof:
+  * every operator and streaming sink that runs against the parquet
+  * [[Warehouse]] runs against this storage-less backend unchanged
+  * (a constructor swap, never an operator change), which is exactly
+  * the property a GCS/BigQuery client implementation needs. Rows
+  * materialize on the driver per write, so this is a TEST/dev
+  * backend by design, not a 100 TB path; `outputBytes` is the UTF-8
+  * size of the rows' rendered form — a deterministic logical
+  * volume, not storage bytes.
+  */
+class InMemoryWarehouse(spark: SparkSession) extends WarehouseBackend {
+  import Warehouse._
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.types.StructType
+
+  private val datasets = scala.collection.concurrent.TrieMap.empty[String, DatasetMeta]
+  private val tables =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (StructType, Vector[Row])]
+
+  private def key(ref: DatasetRef) = s"${ref.project}.${ref.dataset}"
+  private def logicalBytes(rows: Seq[Row]): Long =
+    rows.map(_.mkString(",").getBytes("UTF-8").length.toLong).sum
+
+  def datasetExists(ref: DatasetRef): Boolean = datasets.contains(key(ref))
+  def tableExists(ref: DatasetRef, table: String): Boolean =
+    tables.contains((key(ref), table))
+  def getDataset(ref: DatasetRef): Option[DatasetMeta] = datasets.get(key(ref))
+
+  def createDataset(ref: DatasetRef, meta: DatasetMeta, drop: Boolean = false): DatasetMeta = {
+    val existing = getDataset(ref)
+    if (drop && existing.isDefined) deleteDataset(ref)
+    val merged = existing match {
+      case Some(old) if !drop =>
+        meta.copy(accessEntries =
+          old.accessEntries ++ meta.accessEntries.filterNot(old.accessEntries.contains))
+      case _ => meta
+    }
+    datasets.put(key(ref), merged)
+    merged
+  }
+
+  def deleteDataset(ref: DatasetRef): Unit = {
+    datasets.remove(key(ref))
+    tables.keys.filter(_._1 == key(ref)).foreach(tables.remove)
+  }
+
+  def applyLabels(ref: DatasetRef, labels: Map[String, String]): Unit = {
+    val meta = getDataset(ref).getOrElse(
+      throw new IllegalStateException(s"dataset $ref not found"))
+    datasets.put(key(ref), meta.copy(labels = labels))
+  }
+
+  def appendAccessEntries(ref: DatasetRef, entries: Seq[String]): Unit = {
+    val meta = getDataset(ref).getOrElse(
+      throw new IllegalStateException(s"dataset $ref not found"))
+    datasets.put(key(ref), meta.copy(accessEntries =
+      meta.accessEntries ++ entries.filterNot(meta.accessEntries.contains)))
+  }
+
+  def load(uri: String, schema: StructType, ref: DatasetRef, table: String,
+           job: LoadJob = LoadJob(), format: String = "json"): LoadResult = {
+    if (!datasetExists(ref))
+      throw new IllegalStateException(s"dataset $ref not found")
+    val exists = tableExists(ref, table)
+    job.create match {
+      case CreateNever if !exists =>
+        throw new IllegalStateException(
+          s"table $ref.$table not found and createDisposition=CREATE_NEVER")
+      case _ => ()
+    }
+    if (job.write == WriteEmpty && exists)
+      throw new IllegalStateException(
+        s"table $ref.$table exists and writeDisposition=WRITE_EMPTY")
+    val rows = Sinks.read(spark, uri, format, schema).collect().toVector
+    val merged = job.write match {
+      case WriteAppend if exists => tables((key(ref), table))._2 ++ rows
+      case _ => rows
+    }
+    tables.put((key(ref), table), (schema, merged))
+    LoadResult(rows.length.toLong, logicalBytes(rows))
+  }
+
+  def readTable(ref: DatasetRef, table: String): DataFrame = {
+    val (schema, rows) = tables.getOrElse((key(ref), table),
+      throw new IllegalStateException(s"table $ref.$table not found"))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  def writeTable(df: DataFrame, ref: DatasetRef, table: String): Unit = {
+    if (!datasetExists(ref))
+      throw new IllegalStateException(s"dataset $ref not found")
+    tables.put((key(ref), table), (df.schema, df.collect().toVector))
+  }
+
+  def appendTable(df: DataFrame, ref: DatasetRef, table: String): LoadResult = {
+    if (!datasetExists(ref))
+      throw new IllegalStateException(s"dataset $ref not found")
+    val fresh = df.collect().toVector
+    val prev = tables.get((key(ref), table)).map(_._2).getOrElse(Vector.empty)
+    tables.put((key(ref), table), (df.schema, prev ++ fresh))
+    LoadResult(fresh.length.toLong, logicalBytes(fresh))
+  }
+}

@@ -90,6 +90,48 @@ class WarehouseSpec extends AnyFunSuite {
     assert(ok.outputRows == 2 * nationRows)
   }
 
+  test("backend seam: in-memory backend runs the streaming dedup identically") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    import graft.extract.InMemoryWarehouse
+    import graft.operators.Similarity
+    import graft.streaming.DocStreams
+    val sf = SparkSuite.sf
+    // identical staged stream: raw embeddings, then shifted clones
+    val staged = Files.createTempDirectory("graft-seam")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      staged.resolve("a_embeddings.parquet"))
+    val shifted = Tables.embeddings(spark, sf)
+      .select((col("vec_id") + Similarity.Shift).as("vec_id"),
+        col("embedding"), col("label"))
+    val tmpOut = Files.createTempDirectory("graft-seam-w")
+    shifted.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = Files.list(tmpOut)
+      .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part, staged.resolve("b_copies.parquet"))
+    val cents = Similarity.seedCentroids(
+      Similarity.quantized(Tables.embeddings(spark, sf))).localCheckpoint()
+    // SAME streaming code, two backends — only the constructor differs
+    val whP = new Warehouse(freshRoot(), spark)
+    val whM = new InMemoryWarehouse(spark)
+    val r = DatasetRef.fromString("proj.seam")
+    whP.createDataset(r, DatasetMeta())
+    whM.createDataset(r, DatasetMeta())
+    val appendsP = DocStreams.runSemDedupToWarehouse(
+      spark, staged.toString, cents, whP, r, "vec_index", "dupes")
+    val appendsM = DocStreams.runSemDedupToWarehouse(
+      spark, staged.toString, cents, whM, r, "vec_index", "dupes")
+    assert(appendsP.map(_.outputRows) == appendsM.map(_.outputRows),
+      "per-batch appended row counts diverge across backends")
+    def state(wh: graft.extract.WarehouseBackend) = (
+      wh.readTable(r, "vec_index").select("vec_id")
+        .collect().map(_.getLong(0)).toSet,
+      wh.readTable(r, "dupes").select("new_vec", "matched_vec")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet)
+    assert(state(whP) == state(whM),
+      "final index/verdict state diverges across backends")
+  }
+
   test("load into an unknown dataset fails") {
     val wh = new Warehouse(freshRoot(), spark)
     intercept[IllegalStateException](
