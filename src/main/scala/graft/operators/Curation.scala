@@ -441,6 +441,52 @@ object Curation {
     dsirScores(aug, col("doc_id") % 10 === 0)
   }
 
+  // --- end-to-end curation run ----------------------------------------
+
+  /** The composed pipeline verdict — what one corpus-curation run
+    * actually decides per document, with the stage order a real
+    * pipeline uses and first-fail attribution: exact dedup (keep the
+    * min-doc_id copy of identical text) → quality rules (first
+    * failing rule names the verdict) → benchmark decontamination
+    * (any shared 5-gram shingle with the benchmark set) → kept.
+    * Every stage is a shape already proven at scale on its own
+    * query: one hash agg for the dedup keeper, ruleFilter's explode
+    * + two partial aggs, and the decontamination broadcast
+    * semi-join — composing them adds joins on doc_id, nothing
+    * quadratic and nothing driver-resident.
+    */
+  def curationRun(docs: DataFrame, bench: DataFrame): DataFrame = {
+    val th = docs.select(col("doc_id"), tokenHash(col("text")).as("th"))
+    val keeper = th.groupBy(col("th")).agg(min(col("doc_id")).as("keeper_id"))
+    val dup = th.join(keeper, "th")
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+    val rules = ruleFilter(docs).select(col("doc_id"), col("drop_reason"))
+    val benchSh = bench.select(
+      explode(shingleHashes(tokens(col("text")), OverlapShingleN)).as("h")).distinct()
+    val cont = docs.select(col("doc_id"),
+        explode(shingleHashes(tokens(col("text")), OverlapShingleN)).as("h"))
+      .distinct()
+      .join(broadcast(benchSh), "h").select(col("doc_id")).distinct()
+      .withColumn("is_cont", lit(true))
+    val verdict = when(col("is_dup"), lit("exact_dup"))
+      .when(col("drop_reason").isNotNull, col("drop_reason"))
+      .when(coalesce(col("is_cont"), lit(false)), lit("contaminated"))
+      .otherwise(lit("kept"))
+    dup.join(rules, "doc_id").join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), verdict.as("verdict"),
+        (verdict === "kept").as("keep"))
+  }
+
+  /** Harness: the doubled corpus (known-true exact dups, as in
+    * Dedup.corpus) against the every-100th-doc benchmark split.
+    */
+  def qCurationRun(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    curationRun(doubled, docs.filter(col("doc_id") % 100 === 0))
+  }
+
   // --- driver contract -----------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -453,7 +499,8 @@ object Curation {
     "q_mixture_sample" -> qMixtureSample _,
     "q_mixture_drift" -> qMixtureDrift _,
     "q_source_overlap" -> qSourceOverlap _,
-    "q_dsir" -> qDsir _)
+    "q_dsir" -> qDsir _,
+    "q_curation_run" -> qCurationRun _)
 
   // single line: interpolating multi-line SQL into a stripMargin
   // string would let the outer stripMargin eat the first | of a ||
@@ -689,5 +736,53 @@ object Curation {
         |  FROM tok JOIN dist USING (f) GROUP BY doc_id)
         |SELECT doc_id, n_tokens, dsir_score,
         |  dsir_score > n_tokens * expected_ppm AS selected
-        |FROM per, tot""".stripMargin)
+        |FROM per, tot""".stripMargin,
+    "q_curation_run" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |th AS (SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS h FROM base),
+        |keeper AS (SELECT h, min(doc_id) AS keeper_id FROM th GROUP BY h),
+        |dup AS (SELECT th.doc_id, th.doc_id <> k.keeper_id AS is_dup
+        |  FROM th JOIN keeper k USING (h)),
+        |t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM base),
+        |b AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |    (list_sum(list_transform(toks, x -> strlen(x)))::BIGINT)::DOUBLE
+        |      / len(toks)::BIGINT AS mean_len
+        |  FROM t),
+        |tw AS (SELECT doc_id, max(c) AS top_word_cnt FROM (
+        |    SELECT doc_id, t2, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS t2 FROM t)
+        |    GROUP BY doc_id, t2)
+        |  GROUP BY doc_id),
+        |rules AS (SELECT b.doc_id, CASE
+        |    WHEN n_tokens < $MinTokens THEN 'too_few_tokens'
+        |    WHEN n_tokens > $MaxTokens THEN 'too_many_tokens'
+        |    WHEN mean_len < $MinMeanTokenLen THEN 'mean_token_too_short'
+        |    WHEN mean_len > $MaxMeanTokenLen THEN 'mean_token_too_long'
+        |    WHEN top_word_cnt::DOUBLE > n_tokens::DOUBLE * $MaxTopWordShare
+        |      THEN 'repetitive_top_word'
+        |    ELSE NULL
+        |  END AS drop_reason
+        |  FROM b JOIN tw USING (doc_id)),
+        |sh AS (SELECT DISTINCT doc_id, h FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(toks) - ${OverlapShingleN - 2}, 1)),
+        |      i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1],
+        |             toks[i+2], toks[i+3], toks[i+4])), 1, 12))::BIGINT)) AS h
+        |  FROM t)),
+        |benchsh AS (SELECT DISTINCT h FROM sh
+        |  WHERE doc_id % 100 = 0 AND doc_id < 100000),
+        |cont AS (SELECT DISTINCT doc_id FROM sh JOIN benchsh USING (h)),
+        |v AS (SELECT d.doc_id, CASE
+        |    WHEN d.is_dup THEN 'exact_dup'
+        |    WHEN r.drop_reason IS NOT NULL THEN r.drop_reason
+        |    WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+        |    ELSE 'kept'
+        |  END AS verdict
+        |  FROM dup d JOIN rules r USING (doc_id)
+        |    LEFT JOIN cont c ON c.doc_id = d.doc_id)
+        |SELECT doc_id, verdict, verdict = 'kept' AS keep FROM v""".stripMargin)
 }

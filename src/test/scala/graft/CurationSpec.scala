@@ -253,6 +253,25 @@ class CurationSpec extends AnyFunSuite {
     assert(r(2L) == ((2000000L, false)))
   }
 
+  test("curation run verdicts follow stage priority: dup, then rules, then contamination") {
+    import spark.implicits._
+    val benchRun = "b1 b2 b3 b4 b5"
+    val clean = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, benchRun + " x1"),            // too short AND contaminated -> rule wins
+      (20L, benchRun + " x1"),            // exact copy of 10 -> dup wins over everything
+      (30L, benchRun + " " + (1 to 11).map(i => s"y$i").mkString(" ")), // long, contaminated
+      (40L, clean))                       // long, clean -> kept
+      .toDF("doc_id", "text")
+    val bench = Seq((0L, benchRun)).toDF("doc_id", "text")
+    val v = Curation.curationRun(docs, bench).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(10L) == "too_few_tokens")
+    assert(v(20L) == "exact_dup")
+    assert(v(30L) == "contaminated")
+    assert(v(40L) == "kept")
+  }
+
   test("mixture weights are a distribution and flatten shares (alpha=1/2)") {
     val rows = Curation.qMixture(spark, sf).collect()
     val wSum = rows.map(_.getAs[Double]("weight")).sum
