@@ -483,7 +483,7 @@ object Curation {
   def qCurationRun(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val doubled = docs.unionByName(
-      docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      docs.select((col("doc_id") + Dedup.Shift).as("doc_id"), col("text")))
     curationRun(doubled, docs.filter(col("doc_id") % 100 === 0))
   }
 
@@ -740,7 +740,7 @@ object Curation {
     "q_curation_run" ->
       s"""WITH base AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |  UNION ALL SELECT doc_id + ${Dedup.Shift}, text FROM documents),
         |th AS (SELECT doc_id,
         |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS h FROM base),
         |keeper AS (SELECT h, min(doc_id) AS keeper_id FROM th GROUP BY h),
@@ -774,7 +774,7 @@ object Curation {
         |             toks[i+2], toks[i+3], toks[i+4])), 1, 12))::BIGINT)) AS h
         |  FROM t)),
         |benchsh AS (SELECT DISTINCT h FROM sh
-        |  WHERE doc_id % 100 = 0 AND doc_id < 100000),
+        |  WHERE doc_id % 100 = 0 AND doc_id < ${Dedup.Shift}),
         |cont AS (SELECT DISTINCT doc_id FROM sh JOIN benchsh USING (h)),
         |v AS (SELECT d.doc_id, CASE
         |    WHEN d.is_dup THEN 'exact_dup'

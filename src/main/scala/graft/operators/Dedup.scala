@@ -340,15 +340,19 @@ object Dedup {
     * duplicated span (the globally first occurrence in
     * (doc_id, pos) order) and excise every later one. The first
     * occurrence per shingle hash is a partial-aggregatable min of
-    * the composite key doc_id·2^20 + pos (pos bounded by the same
-    * 2^20 encoding budget the winnow key uses), so a pathologically
+    * the composite key doc_id·2^20 + pos, so a pathologically
     * hot shingle ("the the the…") costs one combiner cell — never a
-    * skewed per-hash window partition.
+    * skewed per-hash window partition. The 2^20 position budget is
+    * ENFORCED at runtime: shingles past position 2^20−1 (docs over
+    * ~1M tokens) are dropped before keying — they neither claim
+    * first-occurrence nor get excised (documented truncation; chunk
+    * million-token docs upstream) — instead of silently colliding
+    * with other documents' keys and mis-attributing "first".
     */
   val SpanPosBits = 20
 
   def exciseRepeatedSpansKeepFirst(docs: DataFrame): DataFrame = {
-    val sh = spanShingles(docs)
+    val sh = spanShingles(docs).filter(col("pos") < (1L << SpanPosBits))
     val key = col("doc_id") * (1L << SpanPosBits) + col("pos")
     val firstOcc = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"), min(key).as("fk"))

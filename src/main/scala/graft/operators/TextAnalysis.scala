@@ -90,19 +90,25 @@ object TextAnalysis {
     * shared fingerprint (detection), and selected density is ~2/(w+1)
     * (compression). The argmin-with-tie-break rides ONE window-min
     * over a composite integer key `h·2¹⁵ + (2¹⁵−1−pos)` (h is 48-bit
-    * so the product stays inside int64; docs must stay under 32 768
-    * shingles — chunk longer ones upstream). Per-document windows
+    * so the product stays inside int64). The 2¹⁵ position budget is
+    * ENFORCED at runtime, not assumed: shingles past position
+    * PosField−1 are dropped before keying, so a >32 768-shingle doc
+    * is fingerprinted over its first 32 768 shingles (documented
+    * truncation — chunk longer docs upstream for full coverage)
+    * instead of silently corrupting keys with negative position
+    * terms. Per-document windows
     * only — bounded by doc length, horizontal at 100 TB. Docs too
     * short for a full window fall back to their global minimum, so
     * every document carries at least one fingerprint.
     */
   val WinnowK = 3
   val WinnowW = 4
-  private val PosField = 32768L
+  val PosField = 32768L
 
   def winnowFingerprints(docs: DataFrame): DataFrame = {
     val keyed = docs.select(col("doc_id"),
         posexplode(shingleHashes(tokens(col("text")), WinnowK)).as(Seq("pos", "h")))
+      .filter(col("pos") < PosField) // enforce the key's position budget
       .withColumn("key", col("h") * PosField + (lit(PosField - 1) - col("pos")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -317,9 +323,13 @@ object TextAnalysis {
       .distinct()
     val bf = benchSh.stat.bloomFilter("h", expectedItems, fpp)
     val mightContain = udf((h: Long) => bf.mightContainLong(h))
+    // the prefilter sits ABOVE the distinct in source order so its
+    // map-side position never depends on Catalyst choosing to push a
+    // UDF predicate below the Aggregate (it does today, but that
+    // pushdown must not be load-bearing — r5 verdict finding #3)
     docs.select(col("doc_id"), explode(shingleHashes(tokens(col("text")), 5)).as("h"))
-      .distinct()
       .filter(mightContain(col("h")))
+      .distinct()
       .join(benchSh, "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_shingles"))

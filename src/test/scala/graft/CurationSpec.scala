@@ -138,6 +138,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing enforces the 2^15 position budget: long docs truncate, never corrupt") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis._
+    // a doc with > PosField shingles: the runtime guard must drop
+    // out-of-budget positions (documented truncation to the first
+    // PosField-1 shingles) instead of producing negative position
+    // terms that collide with other hashes' keys
+    val nTok = PosField.toInt + 200
+    val long = (0 until nTok).map(i => s"w${i % 4999}").mkString(" ")
+    val docs = Seq((1L, long)).toDF("doc_id", "text")
+    val sel = winnowFingerprints(docs).collect()
+    assert(sel.nonEmpty)
+    assert(sel.forall { r =>
+      val p = r.getAs[Long]("sel_pos"); p >= 0 && p < PosField },
+      "selected positions must stay inside the enforced budget")
+    assert(sel.forall(_.getAs[Long]("sel_h") >= 0))
+    // truncation semantics: the long doc fingerprints exactly like
+    // its first PosField+K-1 tokens (= the in-budget shingles,
+    // positions 0..PosField-1)
+    val truncTok = PosField.toInt + WinnowK - 1
+    val trunc = Seq((1L, (0 until truncTok).map(i => s"w${i % 4999}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val expected = winnowFingerprints(trunc).collect()
+      .map(r => (r.getAs[Long]("sel_pos"), r.getAs[Long]("sel_h"))).toSet
+    assert(sel.map(r => (r.getAs[Long]("sel_pos"), r.getAs[Long]("sel_h"))).toSet
+      == expected, "long-doc winnow must equal the truncated doc's winnow")
+  }
+
   test("winnow overlap report: shared runs pair up, hot hashes are capped out") {
     import spark.implicits._
     import graft.operators.TextAnalysis._

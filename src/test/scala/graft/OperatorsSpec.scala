@@ -650,6 +650,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kf(3L).getAs[Long]("n_removed") == 0L)
   }
 
+  test("keep-first span excision enforces the 2^20 position budget on giant docs") {
+    import spark.implicits._
+    // doc 1 carries a repeated run at pos 0 AND again past the 2^20
+    // position budget; doc 2 shares the run. Enforced truncation:
+    // out-of-budget shingles neither claim first-occurrence nor get
+    // excised, so doc 1 keeps both copies (n_removed = 0, its pos-0
+    // copy is globally first) and doc 2's in-budget copy is excised —
+    // no key collision ever mis-attributes "first" to the giant tail
+    val run = (1 to 9).map(i => s"r$i").mkString(" ")
+    val budget = 1L << Dedup.SpanPosBits
+    val filler = Iterator.range(0, budget.toInt + 64).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " " + filler + " " + run),
+      (2L, "xx yy zz " + run)).toDF("doc_id", "text")
+    val kf = Dedup.exciseRepeatedSpansKeepFirst(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(kf(1L).getAs[Long]("n_removed") == 0L,
+      "out-of-budget tail copy must not be excised (documented truncation)")
+    assert(kf(2L).getAs[Long]("n_removed") == 9L,
+      "in-budget later copy must still be excised against the pos-0 first")
+  }
+
   test("multimodal decode is deterministic, batch-shaped, schema-complete") {
     val media = Multimodal.mediaTable(spark, sf)
     val out1 = Multimodal.decode(media).collect().sortBy(_.doc_id)
