@@ -81,6 +81,40 @@ trait WarehouseBackend {
   def readTable(ref: DatasetRef, table: String): org.apache.spark.sql.DataFrame
   def writeTable(df: org.apache.spark.sql.DataFrame, ref: DatasetRef, table: String): Unit
   def appendTable(df: org.apache.spark.sql.DataFrame, ref: DatasetRef, table: String): LoadResult
+
+  /** Hive-partitioned full rewrite: like [[writeTable]] but the table
+    * keeps a `partitionBy` layout so later reads filtered on the
+    * partition columns prune whole directories at planning time. The
+    * streaming indexes' compaction path (the one deliberate rewrite).
+    */
+  def writeTablePartitioned(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                            table: String, partitionCols: Seq[String]): Unit
+
+  /** Hive-partitioned append — [[appendTable]]'s layout-preserving
+    * twin: new rows land as fresh part files INSIDE their partition
+    * directories, so per-call I/O stays O(appended) AND the table
+    * stays prunable on the partition columns.
+    */
+  def appendTablePartitioned(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                             table: String, partitionCols: Seq[String]): LoadResult
+
+  /** Partition-scoped rewrite (dynamic-overwrite semantics): replaces
+    * ONLY the partitions whose values appear in `df`, leaving every
+    * other partition's files untouched — the keyed-upsert primitive
+    * whose per-call I/O is O(touched partitions), never O(table).
+    * Partitions absent from `df` (including emptied ones) survive
+    * unchanged, so callers that delete rows need
+    * [[writeTablePartitioned]] instead.
+    */
+  def overwritePartitions(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                          table: String, partitionCols: Seq[String]): LoadResult
+
+  /** Partition directory names of a file-backed partitioned table —
+    * None when the backend is storage-less or the table is absent.
+    * Lets callers (and specs) ratio partitions-read / partitions-total
+    * without knowing the storage layout.
+    */
+  def listPartitions(ref: DatasetRef, table: String): Option[Seq[String]] = None
 }
 
 class Warehouse(root: String, spark: SparkSession) extends WarehouseBackend {
@@ -211,12 +245,21 @@ class Warehouse(root: String, spark: SparkSession) extends WarehouseBackend {
     * same plan is reading (merge-into-self) corrupts it otherwise.
     */
   def writeTable(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
-                 table: String): Unit = {
+                 table: String): Unit = swapWrite(df, ref, table, Nil)
+
+  def writeTablePartitioned(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                            table: String, partitionCols: Seq[String]): Unit =
+    swapWrite(df, ref, table, partitionCols)
+
+  private def swapWrite(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                        table: String, partitionCols: Seq[String]): Unit = {
     if (!datasetExists(ref))
       throw new IllegalStateException(s"dataset $ref not found")
     val target = tablePath(ref, table)
     val staging = target.resolveSibling(s"$table.staging")
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staging.toString)
     val old = target.resolveSibling(s"$table.old")
     if (Files.exists(target)) Files.move(target, old)
     Files.move(staging, target)
@@ -267,6 +310,71 @@ class Warehouse(root: String, spark: SparkSession) extends WarehouseBackend {
       else spark.read.parquet(
         fresh.keys.map(f => target.resolve(f).toString).toSeq: _*).count()
     LoadResult(rows, fresh.values.sum)
+  }
+
+  /** Part files keyed by path RELATIVE to the table root — the
+    * partitioned layouts nest them under `col=value` directories, so
+    * the append/overwrite ledgers must walk, not list.
+    */
+  private def walkPartFiles(dir: Path): Map[String, Long] =
+    if (!Files.exists(dir)) Map.empty
+    else {
+      val s = Files.walk(dir)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .map(p => dir.relativize(p).toString -> Files.size(p)).toMap
+      finally s.close()
+    }
+
+  private def freshLoad(target: Path, before: Map[String, Long]): LoadResult = {
+    val fresh = walkPartFiles(target) -- before.keys
+    val rows =
+      if (fresh.isEmpty) 0L
+      else spark.read.parquet(
+        fresh.keys.map(f => target.resolve(f).toString).toSeq: _*).count()
+    LoadResult(rows, fresh.values.sum)
+  }
+
+  def appendTablePartitioned(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                             table: String, partitionCols: Seq[String]): LoadResult = {
+    if (!datasetExists(ref))
+      throw new IllegalStateException(s"dataset $ref not found")
+    val target = tablePath(ref, table)
+    val before = walkPartFiles(target)
+    df.write.mode(SaveMode.Append)
+      .partitionBy(partitionCols: _*).parquet(target.toString)
+    spark.catalog.refreshByPath(target.toString)
+    freshLoad(target, before)
+  }
+
+  /** Dynamic partition overwrite: Spark replaces only the partition
+    * directories present in `df` at commit time; every other
+    * partition's files are never touched. Callers upserting INTO the
+    * same table must break lineage (localCheckpoint) first — the
+    * standard read-merge-overwrite discipline.
+    */
+  def overwritePartitions(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                          table: String, partitionCols: Seq[String]): LoadResult = {
+    if (!datasetExists(ref))
+      throw new IllegalStateException(s"dataset $ref not found")
+    val target = tablePath(ref, table)
+    val before = walkPartFiles(target)
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(target.toString)
+    spark.catalog.refreshByPath(target.toString)
+    freshLoad(target, before)
+  }
+
+  override def listPartitions(ref: DatasetRef, table: String): Option[Seq[String]] = {
+    val p = tablePath(ref, table)
+    if (!Files.exists(p)) None
+    else {
+      val s = Files.list(p)
+      try Some(s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.contains("=")).toSeq)
+      finally s.close()
+    }
   }
 }
 
@@ -370,6 +478,34 @@ class InMemoryWarehouse(spark: SparkSession) extends WarehouseBackend {
     val fresh = df.collect().toVector
     val prev = tables.get((key(ref), table)).map(_._2).getOrElse(Vector.empty)
     tables.put((key(ref), table), (df.schema, prev ++ fresh))
+    LoadResult(fresh.length.toLong, logicalBytes(fresh))
+  }
+
+  // the storage-less twins: layout is a no-op here, but the SEMANTICS
+  // (what rows survive each call) must match the parquet backend
+  // exactly — that is the seam property the constructor-swap tests pin
+  def writeTablePartitioned(df: DataFrame, ref: DatasetRef, table: String,
+                            partitionCols: Seq[String]): Unit =
+    writeTable(df, ref, table)
+
+  def appendTablePartitioned(df: DataFrame, ref: DatasetRef, table: String,
+                             partitionCols: Seq[String]): LoadResult =
+    appendTable(df, ref, table)
+
+  def overwritePartitions(df: DataFrame, ref: DatasetRef, table: String,
+                          partitionCols: Seq[String]): LoadResult = {
+    if (!datasetExists(ref))
+      throw new IllegalStateException(s"dataset $ref not found")
+    val fresh = df.collect().toVector
+    val freshIdx = partitionCols.map(df.schema.fieldIndex)
+    val touched = fresh.map(r => freshIdx.map(r.get)).toSet
+    val kept = tables.get((key(ref), table)) match {
+      case Some((prevSchema, prev)) =>
+        val prevIdx = partitionCols.map(prevSchema.fieldIndex)
+        prev.filterNot(r => touched.contains(prevIdx.map(r.get)))
+      case None => Vector.empty
+    }
+    tables.put((key(ref), table), (df.schema, kept ++ fresh))
     LoadResult(fresh.length.toLong, logicalBytes(fresh))
   }
 }

@@ -112,7 +112,7 @@ class StreamingSpec extends AnyFunSuite {
     val wh = new Warehouse(root, spark)
     val ref = Warehouse.DatasetRef.fromString("proj.dedup")
     wh.createDataset(ref, Warehouse.DatasetMeta())
-    val appends = DocStreams.runIncrementalDedupToWarehouse(
+    val stats = DocStreams.runIncrementalDedupToWarehouse(
       spark, staged.toString, wh, ref, "band_index", "dupes")
     val nDocs = graft.sources.Tables.documents(spark, sf).count()
     // APPEND-SHAPED writes (r4 verdict #1): per-batch written rows
@@ -121,12 +121,24 @@ class StreamingSpec extends AnyFunSuite {
     // under the old rewrite it would have rewritten the whole
     // O(index) table. Sum-of-appends == final index is the "no row
     // was ever written twice" ledger property.
-    assert(appends.length == 2, s"expected 2 micro-batches, got ${appends.length}")
-    assert(appends(1).outputRows == 0,
-      s"all-duplicate batch appended ${appends(1).outputRows} index rows")
-    assert(appends(1).outputBytes < appends(0).outputBytes / 4,
+    assert(stats.length == 2, s"expected 2 micro-batches, got ${stats.length}")
+    assert(stats(1).indexAppend.outputRows == 0,
+      s"all-duplicate batch appended ${stats(1).indexAppend.outputRows} index rows")
+    assert(stats(1).idsAppend.outputRows == 0,
+      "all-duplicate batch appended id-sidecar rows")
+    assert(stats(1).indexAppend.outputBytes < stats(0).indexAppend.outputBytes / 4,
       "all-duplicate batch wrote index-scale bytes: the append is a rewrite")
-    assert(appends.map(_.outputRows).sum == wh.readTable(ref, "band_index").count())
+    assert(stats.map(_.indexAppend.outputRows).sum
+      == wh.readTable(ref, "band_index").count())
+    // the id sidecar mirrors the index's doc set exactly
+    assert(wh.readTable(ref, "band_index_ids").select("doc_id").distinct().count()
+      == wh.readTable(ref, "band_index").select("doc_id").distinct().count())
+    // PRUNED reads (r5 verdict #1): batch 2's index read selected
+    // hive partitions (planning-time), bounded by the table total
+    assert(stats(1).indexScan.isDefined && stats(1).idScan.isDefined,
+      "parquet-backed run must report pruned-scan stats")
+    assert(stats(1).indexScan.get.partitionsRead
+      <= stats(1).indexScan.get.partitionsTotal)
     val indexed = wh.readTable(ref, "band_index")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     val dupNew = wh.readTable(ref, "dupes")
@@ -143,12 +155,45 @@ class StreamingSpec extends AnyFunSuite {
     // indexed or re-flagged as a dup; the index never re-writes)
     val idxCount = wh.readTable(ref, "band_index").count()
     val dupCount = wh.readTable(ref, "dupes").count()
-    val replayAppends = DocStreams.runIncrementalDedupToWarehouse(
+    val replayStats = DocStreams.runIncrementalDedupToWarehouse(
       spark, staged.toString, wh, ref, "band_index", "dupes")
-    assert(replayAppends.map(_.outputRows).sum == 0,
-      s"replay appended ${replayAppends.map(_.outputRows).sum} index rows")
+    assert(replayStats.map(_.indexAppend.outputRows).sum == 0,
+      s"replay appended ${replayStats.map(_.indexAppend.outputRows).sum} index rows")
+    assert(replayStats.map(_.idsAppend.outputRows).sum == 0)
     assert(wh.readTable(ref, "band_index").count() == idxCount)
     assert(wh.readTable(ref, "dupes").count() == dupCount)
+    // PRUNING scales with the BATCH (r5 verdict #1): a one-doc batch
+    // of fresh text must read at most its own bands' buckets of the
+    // band index and exactly its one id bucket of the sidecar —
+    // never the whole index — and write only its own rows
+    val tiny = java.nio.file.Files.createTempDirectory("graft-incdedup-tiny")
+    import spark.implicits._
+    Seq((777000L,
+        "zvqx wembl kforp snagle dworp quiblet xanthor prevost " +
+        "glimmer yonder crestfall ombric".*(3), "en", "tiny", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(tiny.resolve("d.parquet").toString)
+    val flatTiny = java.nio.file.Files.createTempDirectory("graft-incdedup-tiny2")
+    java.nio.file.Files.list(tiny.resolve("d.parquet")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.copy(java.nio.file.Paths.get(f),
+        flatTiny.resolve("tiny.parquet")))
+    val tinyStats = DocStreams.runIncrementalDedupToWarehouse(
+      spark, flatTiny.toString, wh, ref, "band_index", "dupes")
+    assert(tinyStats.length == 1)
+    val ts = tinyStats.head
+    assert(ts.indexScan.get.partitionsRead <= Dedup.Bands,
+      s"one doc has ${Dedup.Bands} bands but read " +
+        s"${ts.indexScan.get.partitionsRead} index partitions")
+    assert(ts.indexScan.get.partitionsRead < ts.indexScan.get.partitionsTotal,
+      "one-doc batch scanned the whole band index: the read is unpruned")
+    assert(ts.idScan.get.partitionsRead == 1
+      && ts.idScan.get.partitionsRead < ts.idScan.get.partitionsTotal,
+      "one-doc batch must read exactly its own id bucket")
+    assert(ts.indexAppend.outputRows == Dedup.Bands
+      && ts.idsAppend.outputRows == 1)
+    assert(ts.verdictWrite.outputRows == 0,
+      "a unique doc must not rewrite any verdict partition")
     // compaction: deleting doc 0 upstream frees its content — a
     // re-arriving copy (its shifted twin re-staged alone) now
     // indexes as new instead of matching a ghost
@@ -197,17 +242,24 @@ class StreamingSpec extends AnyFunSuite {
     val cents = Similarity.seedCentroids(
       Similarity.quantized(graft.sources.Tables.embeddings(spark, sf)))
       .localCheckpoint()
-    val appends = DocStreams.runSemDedupToWarehouse(
+    val stats = DocStreams.runSemDedupToWarehouse(
       spark, staged.toString, cents, wh, ref, "vec_index", "sem_dupes")
     val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
     // batch 1 has no natural pairs at the 0.95 threshold (measured
     // in-cluster max ~0.47), so all vectors survive; batch 2 is all
     // clones and must append NOTHING — the r4 verdict #1 shape
-    assert(appends.length == 2, s"expected 2 micro-batches, got ${appends.length}")
-    assert(appends(0).outputRows == nVecs)
-    assert(appends(1).outputRows == 0,
-      s"all-clone batch appended ${appends(1).outputRows} index rows")
-    assert(appends.map(_.outputRows).sum == wh.readTable(ref, "vec_index").count())
+    assert(stats.length == 2, s"expected 2 micro-batches, got ${stats.length}")
+    assert(stats(0).indexAppend.outputRows == nVecs)
+    assert(stats(1).indexAppend.outputRows == 0,
+      s"all-clone batch appended ${stats(1).indexAppend.outputRows} index rows")
+    assert(stats(1).idsAppend.outputRows == 0)
+    assert(stats.map(_.indexAppend.outputRows).sum
+      == wh.readTable(ref, "vec_index").count())
+    // pruned posting read (r5 verdict #1): batch 2's cid join
+    // reported planning-time partition stats on the parquet backend
+    assert(stats(1).indexScan.isDefined && stats(1).idScan.isDefined)
+    assert(stats(1).indexScan.get.partitionsRead
+      <= stats(1).indexScan.get.partitionsTotal)
     val flagged = wh.readTable(ref, "sem_dupes")
       .select("new_vec").distinct().collect().map(_.getLong(0)).toSet
     (0L until nVecs).foreach { i =>
@@ -217,9 +269,35 @@ class StreamingSpec extends AnyFunSuite {
     val dupCount = wh.readTable(ref, "sem_dupes").count()
     val replay = DocStreams.runSemDedupToWarehouse(
       spark, staged.toString, cents, wh, ref, "vec_index", "sem_dupes")
-    assert(replay.map(_.outputRows).sum == 0)
+    assert(replay.map(_.indexAppend.outputRows).sum == 0)
     assert(wh.readTable(ref, "vec_index").count() == nVecs)
     assert(wh.readTable(ref, "sem_dupes").count() == dupCount)
+    // one-vector batch: reads ONE cid-bucket partition of the
+    // posting index and ONE id bucket of the sidecar — the per-batch
+    // scan tracks the batch, not the corpus-sized index
+    import spark.implicits._
+    val one = graft.sources.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .select((org.apache.spark.sql.functions.col("vec_id") + 2L * Similarity.Shift)
+        .as("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("label"))
+    val tinyDir = Files.createTempDirectory("graft-semdedup-tiny")
+    val tinyOut = Files.createTempDirectory("graft-semdedup-tiny-w")
+    one.coalesce(1).write.mode("overwrite").parquet(tinyOut.toString)
+    Files.copy(
+      Files.list(tinyOut).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get,
+      tinyDir.resolve("one.parquet"))
+    val tinyStats = DocStreams.runSemDedupToWarehouse(
+      spark, tinyDir.toString, cents, wh, ref, "vec_index", "sem_dupes")
+    val ts = tinyStats.head
+    assert(ts.indexScan.get.partitionsRead == 1
+      && ts.indexScan.get.partitionsRead < ts.indexScan.get.partitionsTotal,
+      s"one-vec batch read ${ts.indexScan.get.partitionsRead}/" +
+        s"${ts.indexScan.get.partitionsTotal} posting partitions")
+    assert(ts.idScan.get.partitionsRead == 1
+      && ts.idScan.get.partitionsRead < ts.idScan.get.partitionsTotal)
   }
 
   test("stateful streaming packing equals batch packing, state spans batches") {

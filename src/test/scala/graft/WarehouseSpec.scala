@@ -90,6 +90,54 @@ class WarehouseSpec extends AnyFunSuite {
     assert(ok.outputRows == 2 * nationRows)
   }
 
+  test("partition-scoped upsert rewrites ONLY touched partitions, byte-identically elsewhere") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.DocStreams
+    val root = freshRoot()
+    val wh = new Warehouse(root, spark)
+    wh.createDataset(ref, DatasetMeta())
+    // seed a 1000-key verdict table across all hash buckets
+    val base = spark.range(0, 1000)
+      .select(col("id").as("k"), lit("v0").as("v"))
+    val seeded = DocStreams.upsertPartitioned(wh, ref, "verdicts", base, "k")
+    assert(seeded.outputRows == 1000)
+    def fileState(): Map[String, (Long, Long)] = {
+      val dir = java.nio.file.Paths.get(root, ref.project, ref.dataset, "verdicts")
+      val s = java.nio.file.Files.walk(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(p => dir.relativize(p).toString ->
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+      finally s.close()
+    }
+    val before = fileState()
+    // a 3-key update batch: only its buckets' partitions may change
+    val updates = spark.range(0, 3)
+      .select(col("id").as("k"), lit("v1").as("v"))
+    val touched = updates
+      .withColumn("pb", pmod(xxhash64(col("k")), lit(32L)).cast("int"))
+      .select("pb").distinct().collect().map(_.getInt(0)).toSet
+    val up = DocStreams.upsertPartitioned(wh, ref, "verdicts", updates, "k")
+    val after = fileState()
+    // untouched partitions: the very same files, byte-identical
+    val untouchedBefore = before.filterNot { case (f, _) =>
+      touched.exists(b => f.startsWith(s"pbucket=$b/")) }
+    val untouchedAfter = after.filterNot { case (f, _) =>
+      touched.exists(b => f.startsWith(s"pbucket=$b/")) }
+    assert(untouchedBefore == untouchedAfter,
+      "an untouched partition's files changed: the upsert is not partition-scoped")
+    // touched partitions were rewritten (fresh files), values merged
+    assert(up.outputRows < 1000 && up.outputRows >= 3,
+      s"rewrite covered ${up.outputRows} rows — expected only the touched buckets")
+    val readBack = wh.readTable(ref, "verdicts")
+    assert(readBack.count() == 1000)
+    assert(readBack.filter(col("v") === "v1").count() == 3)
+    assert(readBack.filter(col("k") < 3 && col("v") === "v0").count() == 0)
+  }
+
   test("backend seam: in-memory backend runs the streaming dedup identically") {
     import org.apache.spark.sql.functions._
     import java.nio.file.{Files, Paths}
@@ -121,8 +169,15 @@ class WarehouseSpec extends AnyFunSuite {
       spark, staged.toString, cents, whP, r, "vec_index", "dupes")
     val appendsM = DocStreams.runSemDedupToWarehouse(
       spark, staged.toString, cents, whM, r, "vec_index", "dupes")
-    assert(appendsP.map(_.outputRows) == appendsM.map(_.outputRows),
+    assert(appendsP.map(_.indexAppend.outputRows)
+        == appendsM.map(_.indexAppend.outputRows),
       "per-batch appended row counts diverge across backends")
+    assert(appendsP.map(_.idsAppend.outputRows)
+        == appendsM.map(_.idsAppend.outputRows),
+      "per-batch sidecar row counts diverge across backends")
+    assert(appendsP.map(_.verdictWrite.outputRows)
+        == appendsM.map(_.verdictWrite.outputRows),
+      "per-batch verdict rewrite row counts diverge across backends")
     def state(wh: graft.extract.WarehouseBackend) = (
       wh.readTable(r, "vec_index").select("vec_id")
         .collect().map(_.getLong(0)).toSet,
