@@ -42,18 +42,23 @@ object Curation {
     * on the pre-scrub text; the scrubbed text ships as a 48-bit md5
     * hash (md5-prefix parity per the oracle rules).
     */
+  /** The deterministic PII augmentation (shared by qScrub and the
+    * full curation run): every doc gets contact/URL facts derived
+    * from its own key columns, identically in both engines.
+    */
+  private def augText: Column = concat(col("text"),
+    lit(" reach user"), col("doc_id").cast("string"),
+    lit("@mail.example.net ref +1-555-"),
+    lpad((col("doc_id") * 7919 % 10000).cast("string"), 4, "0"),
+    lit(" see https://data.example.org/"), col("source"),
+    lit("/p"), col("doc_id").cast("string"))
+
   def qScrub(s: SparkSession, dir: String): DataFrame = {
-    val aug = concat(col("text"),
-      lit(" reach user"), col("doc_id").cast("string"),
-      lit("@mail.example.net ref +1-555-"),
-      lpad((col("doc_id") * 7919 % 10000).cast("string"), 4, "0"),
-      lit(" see https://data.example.org/"), col("source"),
-      lit("/p"), col("doc_id").cast("string"))
     // regexes go through functions/lit (Java regex verbatim), never
     // through expr() SQL string literals, whose escape processing
     // would strip the backslashes
     Tables.documents(s, dir)
-      .withColumn("aug", aug)
+      .withColumn("aug", augText)
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
@@ -487,6 +492,104 @@ object Curation {
     curationRun(doubled, docs.filter(col("doc_id") % 100 === 0))
   }
 
+  /** Typicality floor for the full run's LM-filter stage: docs whose
+    * unigram typicality (TextAnalysis.lmScore, ppm) falls below this
+    * are "atypical" — the cheap stand-in for a perplexity ceiling.
+    * 32 000 ppm sits just under the synthetic corpus's 1st
+    * percentile with >10 ppm of margin at both test scales, so the
+    * gate fires on a deterministic handful of docs and the
+    * cross-engine hash can never straddle the threshold.
+    */
+  val LmMinTypicalityPpm = 32000L
+
+  /** The FULL published-pipeline composition (r5 verdict next-#4):
+    * exact dedup → NEAR-DUP CLUSTERS (MinHash pairs over the exact
+    * survivors, resolved to connected components, each cluster's
+    * min-id doc survives) → quality rules → LM typicality floor →
+    * benchmark decontamination — first failing stage names the
+    * verdict — plus PII scrub ACCOUNTING (scrubbing transforms
+    * rather than drops, so it rides along as audit columns: PII hits
+    * found and the scrubbed-text hash). Every stage is a shape
+    * already oracle-proven on its own query (q_dedup_exact,
+    * q_dedup_apply, q_filter_rules, q_lm_score, q_decontaminate,
+    * q_scrub); the composition adds only doc_id equi-joins — nothing
+    * quadratic, nothing driver-resident. Near-dup clustering runs on
+    * exact SURVIVORS so copy-pairs don't inflate components; the LM
+    * model trains on the full arriving corpus (dups included), the
+    * realistic order when the filter model predates dedup.
+    */
+  def curationRunFull(docs: DataFrame, bench: DataFrame): DataFrame = {
+    val th = docs.select(col("doc_id"), tokenHash(col("text")).as("th"))
+    val keeper = th.groupBy(col("th")).agg(min(col("doc_id")).as("keeper_id"))
+    val dup = th.join(keeper, "th")
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+    val survivors = docs.select(col("doc_id"), col("text"))
+      .join(dup.filter(!col("is_dup")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val near = Dedup.connectedComponents(Dedup.minhashPairs(survivors))
+      .filter(col("component_id") =!= col("doc_id"))
+      .select(col("doc_id")).withColumn("is_near", lit(true))
+    val rules = ruleFilter(docs).select(col("doc_id"), col("drop_reason"))
+    val lm = TextAnalysis.lmScore(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        (col("typicality_ppm") < LmMinTypicalityPpm.toDouble).as("is_atyp"))
+    val benchSh = bench.select(
+      explode(shingleHashes(tokens(col("text")), OverlapShingleN)).as("h")).distinct()
+    val cont = docs.select(col("doc_id"),
+        explode(shingleHashes(tokens(col("text")), OverlapShingleN)).as("h"))
+      .distinct()
+      .join(broadcast(benchSh), "h").select(col("doc_id")).distinct()
+      .withColumn("is_cont", lit(true))
+    val pii = docs.withColumn("aug", augText).select(col("doc_id"),
+      (size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
+        + size(regexp_extract_all(col("aug"), lit(UrlRe), lit(0)))
+        + size(regexp_extract_all(col("aug"), lit(NumRe), lit(0))))
+        .cast("long").as("n_pii"),
+      tokenHash(scrub(col("aug"))).as("scrub_hash"))
+    val isNear = coalesce(col("is_near"), lit(false))
+    val isCont = coalesce(col("is_cont"), lit(false))
+    val verdict = when(col("is_dup"), lit("exact_dup"))
+      .when(isNear, lit("near_dup"))
+      .when(col("drop_reason").isNotNull, col("drop_reason"))
+      .when(col("is_atyp"), lit("atypical"))
+      .when(isCont, lit("contaminated"))
+      .otherwise(lit("kept"))
+    val stage = when(col("is_dup"), lit(1))
+      .when(isNear, lit(2))
+      .when(col("drop_reason").isNotNull, lit(3))
+      .when(col("is_atyp"), lit(4))
+      .when(isCont, lit(5))
+      .otherwise(lit(0))
+    dup.join(rules, "doc_id").join(lm, "doc_id")
+      .join(near, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(pii, "doc_id")
+      .select(col("doc_id"), verdict.as("verdict"),
+        stage.cast("int").as("stage"), (verdict === "kept").as("keep"),
+        col("n_pii"), col("scrub_hash"))
+  }
+
+  /** Harness: the doubled corpus (with source carried through for
+    * the scrub augmentation) against the every-100th-doc benchmark
+    * split — q_curation_run's fixture, full-pipeline verdicts.
+    */
+  def qCurationRunFull(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val doubled = docs.unionByName(docs.select(
+      (col("doc_id") + Dedup.Shift).as("doc_id"), col("source"), col("text")))
+    curationRunFull(doubled,
+      docs.filter(col("doc_id") % 100 === 0).select(col("doc_id"), col("text")))
+  }
+
+  /** Per-stage drop accounting of the full run — the report a
+    * curation pipeline publishes: docs and PII hits per verdict in
+    * stage order. One partial agg over [[qCurationRunFull]].
+    */
+  def qCurationReport(s: SparkSession, dir: String): DataFrame =
+    qCurationRunFull(s, dir)
+      .groupBy(col("stage"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_pii")).as("pii_total"))
+
   // --- driver contract -----------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -500,7 +603,9 @@ object Curation {
     "q_mixture_drift" -> qMixtureDrift _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_dsir" -> qDsir _,
-    "q_curation_run" -> qCurationRun _)
+    "q_curation_run" -> qCurationRun _,
+    "q_curation_run_full" -> qCurationRunFull _,
+    "q_curation_report" -> qCurationReport _)
 
   // single line: interpolating multi-line SQL into a stripMargin
   // string would let the outer stripMargin eat the first | of a ||
@@ -784,5 +889,103 @@ object Curation {
         |  END AS verdict
         |  FROM dup d JOIN rules r USING (doc_id)
         |    LEFT JOIN cont c ON c.doc_id = d.doc_id)
-        |SELECT doc_id, verdict, verdict = 'kept' AS keep FROM v""".stripMargin)
+        |SELECT doc_id, verdict, verdict = 'kept' AS keep FROM v""".stripMargin,
+    "q_curation_run_full" -> curationFullSql(
+      """SELECT doc_id, verdict, stage, verdict = 'kept' AS keep, n_pii, scrub_hash
+        |FROM v""".stripMargin),
+    "q_curation_report" -> curationFullSql(
+      """SELECT stage, verdict, count(*) AS n_docs, sum(n_pii)::BIGINT AS pii_total
+        |FROM v GROUP BY stage, verdict""".stripMargin))
+
+  /** The full-pipeline oracle chain shared by q_curation_run_full and
+    * q_curation_report: the minhash components chain over the exact
+    * survivors (Dedup.componentsCtesFor — the same CTEs the
+    * q_dedup_components oracle uses), then exact-dup / rules / LM /
+    * contamination / PII CTEs over the doubled corpus, ending at the
+    * per-doc verdict table `v`; `finalSelect` picks the projection.
+    */
+  private def curationFullSql(finalSelect: String): String = {
+    val survivorSrc =
+      s"""SELECT doc_id, text FROM (
+         |      SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |      FROM (SELECT doc_id, text FROM documents
+         |            UNION ALL SELECT doc_id + ${Dedup.Shift}, text FROM documents))
+         |    WHERE doc_id = keeper""".stripMargin
+    s"""${Dedup.componentsCtesFor(survivorSrc)},
+      |base AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL SELECT doc_id + ${Dedup.Shift}, source, text FROM documents),
+      |th AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 12))::BIGINT AS h FROM base),
+      |keeper AS (SELECT h, min(doc_id) AS keeper_id FROM th GROUP BY h),
+      |dup AS (SELECT th.doc_id, th.doc_id <> k.keeper_id AS is_dup
+      |  FROM th JOIN keeper k USING (h)),
+      |near AS (SELECT v AS doc_id FROM comps WHERE component_id <> v),
+      |t AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM base),
+      |b AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+      |    (list_sum(list_transform(toks, x -> strlen(x)))::BIGINT)::DOUBLE
+      |      / len(toks)::BIGINT AS mean_len
+      |  FROM t),
+      |tw AS (SELECT doc_id, max(c) AS top_word_cnt FROM (
+      |    SELECT doc_id, t2, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(toks) AS t2 FROM t)
+      |    GROUP BY doc_id, t2)
+      |  GROUP BY doc_id),
+      |rules AS (SELECT b.doc_id, $ruleCaseSql AS drop_reason
+      |  FROM b JOIN tw USING (doc_id)),
+      |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      |tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+      |tot AS (SELECT sum(cnt)::BIGINT AS total FROM tf),
+      |lmper AS (SELECT t2.doc_id, count(*) AS n_tokens, sum(f.cnt)::BIGINT AS sum_freq
+      |  FROM tok t2 JOIN tf f USING (term) GROUP BY t2.doc_id),
+      |lmx AS (SELECT doc_id,
+      |    round(sum_freq::DOUBLE * 1000000.0 / n_tokens::DOUBLE / total::DOUBLE, 6)
+      |      AS typ
+      |  FROM lmper CROSS JOIN tot),
+      |shing AS (SELECT DISTINCT doc_id, h FROM (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(toks) - ${OverlapShingleN - 2}, 1)),
+      |      i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1],
+      |             toks[i+2], toks[i+3], toks[i+4])), 1, 12))::BIGINT)) AS h
+      |  FROM t)),
+      |benchsh AS (SELECT DISTINCT h FROM shing
+      |  WHERE doc_id % 100 = 0 AND doc_id < ${Dedup.Shift}),
+      |cont AS (SELECT DISTINCT doc_id FROM shing JOIN benchsh USING (h)),
+      |piia AS (SELECT doc_id, ($augSql) AS aug FROM base),
+      |pii AS (SELECT doc_id,
+      |  (len(regexp_extract_all(aug, '$EmailRe'))
+      |   + len(regexp_extract_all(aug, '$UrlRe'))
+      |   + len(regexp_extract_all(aug, '$NumRe')))::BIGINT AS n_pii,
+      |  ('0x' || substr(md5(
+      |    regexp_replace(regexp_replace(regexp_replace(aug,
+      |      '$EmailRe', '<EMAIL>', 'g'),
+      |      '$UrlRe', '<URL>', 'g'),
+      |      '$NumRe', '<NUM>', 'g')), 1, 12))::BIGINT AS scrub_hash
+      |  FROM piia),
+      |v AS (SELECT d.doc_id,
+      |    CASE
+      |      WHEN d.is_dup THEN 'exact_dup'
+      |      WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+      |      WHEN r.drop_reason IS NOT NULL THEN r.drop_reason
+      |      WHEN l.typ < $LmMinTypicalityPpm.0 THEN 'atypical'
+      |      WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+      |      ELSE 'kept'
+      |    END AS verdict,
+      |    CASE
+      |      WHEN d.is_dup THEN 1
+      |      WHEN n.doc_id IS NOT NULL THEN 2
+      |      WHEN r.drop_reason IS NOT NULL THEN 3
+      |      WHEN l.typ < $LmMinTypicalityPpm.0 THEN 4
+      |      WHEN c.doc_id IS NOT NULL THEN 5
+      |      ELSE 0
+      |    END AS stage,
+      |    p.n_pii, p.scrub_hash
+      |  FROM dup d
+      |  JOIN rules r USING (doc_id)
+      |  JOIN lmx l USING (doc_id)
+      |  LEFT JOIN near n ON n.doc_id = d.doc_id
+      |  LEFT JOIN cont c ON c.doc_id = d.doc_id
+      |  JOIN pii p ON p.doc_id = d.doc_id)
+      |$finalSelect""".stripMargin
+  }
 }

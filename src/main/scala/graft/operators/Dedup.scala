@@ -453,8 +453,8 @@ object Dedup {
     }))
 
   private[operators] val corpusSql =
-    """SELECT doc_id, text FROM documents
-      |    UNION ALL SELECT doc_id + 100000, text FROM documents""".stripMargin
+    s"""SELECT doc_id, text FROM documents
+      |    UNION ALL SELECT doc_id + $Shift, text FROM documents""".stripMargin
 
   private val tokSql =
     s"""SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h
@@ -509,10 +509,13 @@ object Dedup {
 
   /** Shared CTE chain: signatures → bands → capped pairs → edges →
     * transitive closure; ends with `comps(v, component_id)`.
+    * Parameterized on the (doc_id, text) source so composed oracles
+    * (the full curation run) can run the SAME chain over a filtered
+    * corpus — the source must be self-contained SQL (no CTE refs).
     */
-  private[operators] val componentsCtes =
+  private[operators] def componentsCtesFor(src: String): String =
     s"""WITH RECURSIVE
-      |sig AS ($sigSql),
+      |sig AS (${sigSqlFor(src)}),
       |bands AS ($bandsSql),
       |$cappedPairsSql,
       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -523,6 +526,8 @@ object Dedup {
       |  UNION
       |  SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.v),
       |comps AS (SELECT v, min(r) AS component_id FROM reach GROUP BY v)""".stripMargin
+
+  private[operators] val componentsCtes = componentsCtesFor(corpusSql)
 
   val oracles: Map[String, String] = Map(
     "q_repeated_spans" ->
@@ -606,7 +611,7 @@ object Dedup {
         |  WHERE comps.v = c.doc_id AND comps.component_id <> c.doc_id)""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH sig_old AS (${sigSqlFor("SELECT doc_id, text FROM documents")}),
-        |sig_new AS (${sigSqlFor("SELECT doc_id + 100000 AS doc_id, text FROM documents")}),
+        |sig_new AS (${sigSqlFor(s"SELECT doc_id + $Shift AS doc_id, text FROM documents")}),
         |bands_old AS (${bandsSqlFor("sig_old")}),
         |bands_new AS (${bandsSqlFor("sig_new")})
         |SELECT DISTINCT new_doc, matched_doc FROM (
