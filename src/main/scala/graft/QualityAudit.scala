@@ -83,12 +83,18 @@ object QualityAudit {
       all => Similarity.trainCentroids(all)))
     val ivfConverged = ivfLine(Similarity.ivfSweepWith(emb, Seq(1, 2, 4),
       all => Similarity.trainCentroidsConverged(all)))
+    // near-dup blocking recall per probe rung vs the exact
+    // label-blocked truth on the doubled-corpus fixture (audit
+    // threshold 0.4 — where plane disagreement actually bites)
+    val neardup = Similarity.nearDupSweep(emb, Seq(0, 1, 2))
+      .map(p => s""""pb${p.probeBits}":{"recall":${p.recall},"candidates":${p.nPairs}}""")
+      .mkString("{", ",", "}")
     // what autoConfigLsh(0.8) would return: first ladder rung meeting
     // the floor (computed from the sweep above — same semantics,
     // without re-measuring every rung)
     val auto = lshPoints.find(_.recall >= 0.8)
       .map(p => s""""${p.config.key}"""").getOrElse("null")
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"autoconfig_lsh_0.8":$auto,"sf":"$sfDir"}"""
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"autoconfig_lsh_0.8":$auto,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

@@ -227,6 +227,31 @@ class OperatorsSpec extends AnyFunSuite {
       s"fixture accounting off: pure=${rows.length} fixture=$withFixture corpus=${ids.size}")
   }
 
+  test("near-dup probe dial: pairs grow monotonically, recall climbs to the truth") {
+    // the probe rung must be a pure superset dial: every pair found
+    // at probeBits=0 survives at 1, and recall vs the exact
+    // label-blocked truth is non-decreasing up the ladder
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(pb: Int) = Similarity
+      .approxNearDupPairs(Similarity.corpus(emb),
+        Similarity.NearDupAuditThreshold, pb)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p0 = pairs(0); val p1 = pairs(1)
+    assert(p0.subsetOf(p1), "probeBits=1 lost pairs probeBits=0 found")
+    val sweep = Similarity.nearDupSweep(emb, Seq(0, 1))
+    assert(sweep.map(_.recall).sliding(2).forall {
+      case Seq(a, b) => b >= a; case _ => true },
+      s"recall ladder not monotone: ${sweep.map(_.recall)}")
+    assert(sweep.head.nTrue > 0, "audit threshold admits no true pairs — no signal")
+    assert(sweep.head.recall < sweep.last.recall,
+      "probe rung bought no recall: the dial is dead at the audit threshold")
+    // production default unchanged: clones still all found at 0.99
+    val clones = Similarity.approxNearDupPairs(Similarity.corpus(emb)).collect()
+      .count(r => r.getLong(1) == r.getLong(0) + Similarity.Shift)
+    assert(clones == emb.count())
+  }
+
   test("brute-force ANN returns k ranked neighbors per query") {
     val rows = Similarity.bruteTopK(Tables.embeddings(spark, sf)).collect()
     val byQuery = rows.groupBy(_.getLong(0))

@@ -26,7 +26,7 @@ import re
 import sys
 
 FAMILIES = ("lsh", "ivf", "ivf_trained", "ivf_converged", "pq", "pq_trained",
-            "ivfpq", "ivfpq_res")
+            "ivfpq", "ivfpq_res", "neardup")
 
 
 def load_rounds(root):
