@@ -1,21 +1,30 @@
 #!/usr/bin/env python3
-"""Cross-round bench trend: accumulate every round's driver medians
-into one file so regressions are visible across rounds, not just
-pairwise.
+"""Cross-round bench trend GATE: accumulate every round's bench
+numbers into one file and exit nonzero on a real regression.
 
-Reads BENCH_r*.json from the repo root (the driver's wrapper format:
-{n, rc, cpus, sf, tail, parsed}), extracts each round's bench JSON
-line (the `parsed` field when the driver managed to parse it, else
-the last parseable line of `tail`), and writes bench/TREND.json:
+Interference protocol (this box has 2-5x ambient swings, so a single
+epoch's number is not evidence):
+  * per round, take the POINTWISE MIN across every available epoch —
+    the driver's BENCH_r{N}.json (medians preferred within an epoch)
+    AND this repo's own bench/BENCH_r{N}_local.json min-of-n
+    snapshot. The min is the least-interfered observation; a query
+    is only as slow as its best measurement.
+  * a fresh BENCH_LAST.json (newer than the newest driver round
+    file) joins as the `latest` epoch, mirroring recall_trend's
+    RECALL_LAST.json.
+  * flag a query only when its latest round exceeds 1.5x its best
+    earlier round (>0.3s absolute — below that is job-overhead
+    noise) AND its implementing code changed since the last round
+    boundary (the driver's `round N: ...` commit). A slowdown in a
+    query whose code did not change is the noise floor by
+    definition — printed as `noise?`, never an exit-1.
 
-    {"rounds": {"r01": {"total": ..., "queries": {...}}, ...}}
+Touched = any changed src/main file names the query literally (the
+registry entry and the oracle both live in the implementing file),
+or a shared-core file (functions/, core/, Tables) changed — the
+conservative direction: core edits make every query gateable.
 
-Medians are preferred over min-of-n when present (rounds >= 2 emit
-both) — medians are the driver's own comparison stat.
-
-Prints a per-query table across rounds and flags queries whose
-LATEST round exceeds 1.5x their best earlier round (>0.3s absolute,
-same noise exemption as bench_compare.py). Exit code 1 on flags.
+Writes bench/TREND.json. Exit 1 only on touched regressions.
 
 Usage: python3 tools/bench_trend.py [repo_root]
 """
@@ -23,15 +32,16 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 
 def extract(path, root):
-    """Best-available per-query stats for one round, in preference
-    order: the driver's `parsed` bench line (rounds with the
-    last-line fix), a parseable line in `tail`, a COMPLETE medians/
-    queries dict regex-recovered from the (2000-char-truncated)
-    tail, this repo's own bench/BENCH_r{N}_local.json snapshot."""
+    """Best-available per-query stats for one driver round file, in
+    preference order: the driver's `parsed` bench line (rounds with
+    the last-line fix), a parseable line in `tail`, a COMPLETE
+    medians/queries dict regex-recovered from the (2000-char-
+    truncated) tail."""
     raw = json.load(open(path))
     if isinstance(raw, dict) and "queries" in raw:
         return raw.get("medians") or raw["queries"]
@@ -53,29 +63,97 @@ def extract(path, root):
         if m:
             return {k: float(v) for k, v in
                     re.findall(r'"([A-Za-z0-9_]+)":([0-9.eE+-]+)', m.group(1))}
-    m = re.search(r"BENCH_r0*(\d+)\.json$", path)
-    if m:
-        local = os.path.join(root, "bench", f"BENCH_r{m.group(1)}_local.json")
-        if os.path.exists(local):
-            raw = json.load(open(local))
-            return raw.get("medians") or raw.get("queries")
     return None
+
+
+def pointwise_min(*epochs):
+    """Per-query min across epochs; a query missing from one epoch
+    keeps its value from the others (absence is not a measurement)."""
+    out = {}
+    for qs in epochs:
+        if not qs:
+            continue
+        for name, v in qs.items():
+            if name not in out or v < out[name]:
+                out[name] = v
+    return out or None
+
+
+def git_lines(root, *args):
+    try:
+        r = subprocess.run(["git", "-C", root] + list(args),
+                           capture_output=True, text=True, timeout=30)
+        if r.returncode == 0:
+            return r.stdout.splitlines()
+    except Exception:
+        pass
+    return None
+
+
+def touched_queries(root, names):
+    """Queries whose implementing code changed since the last round
+    boundary. None (= gate everything) when git state is unreadable —
+    fail strict, not silent."""
+    boundary = git_lines(root, "log", "--grep", r"^round [0-9]*:",
+                         "-1", "--format=%H")
+    if not boundary or not boundary[0].strip():
+        return None
+    changed = git_lines(root, "diff", "--name-only", boundary[0].strip())
+    if changed is None:
+        return None
+    main = [f for f in changed if f.startswith("src/main/")]
+    core = any("/functions/" in f or "/core/" in f or
+               f.endswith("Tables.scala") or f.endswith("GraftSession.scala")
+               for f in main)
+    if core:
+        return set(names)
+    touched = set()
+    for f in main:
+        p = os.path.join(root, f)
+        if not os.path.exists(p):
+            continue
+        body = open(p, errors="replace").read()
+        touched.update(n for n in names if '"%s"' % n in body)
+    return touched
 
 
 def main(root="."):
     rounds = {}
+    newest_driver_mtime = 0.0
     for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
-        m = re.search(r"BENCH_(r\d+)\.json$", path)
+        m = re.search(r"BENCH_r0*(\d+)\.json$", path)
         if not m:
             continue
-        qs = extract(path, root)
+        n = int(m.group(1))
+        epochs = [extract(path, root)]
+        # committed per-round epochs: the builder's min-of-n snapshot
+        # and the driver's own per-query file (Bench writes the full
+        # map to BENCH_LAST.json; the wrapper keeps only the summary
+        # line, so each round's driver map is snapshotted here)
+        for suffix in ("local", "driver"):
+            snap = os.path.join(root, "bench", f"BENCH_r{n}_{suffix}.json")
+            if os.path.exists(snap):
+                raw = json.load(open(snap))
+                epochs.append(raw.get("queries"))
+                epochs.append(raw.get("medians"))
+        qs = pointwise_min(*epochs)
         if not qs:
-            print(f"  {path}: no parseable bench line, skipped")
+            print(f"  {path}: no parseable bench line in any epoch, skipped")
             continue
-        rounds[m.group(1)] = {
+        newest_driver_mtime = max(newest_driver_mtime, os.path.getmtime(path))
+        rounds[f"r{n:02d}"] = {
             "total": sum(v for v in qs.values() if v > 0),
             "queries": qs,
         }
+    last = os.path.join(root, "BENCH_LAST.json")
+    if os.path.exists(last) and os.path.getmtime(last) > newest_driver_mtime:
+        raw = json.load(open(last))
+        qs = pointwise_min(raw.get("queries"), raw.get("medians"))
+        if qs:
+            rounds["latest"] = {
+                "total": sum(v for v in qs.values() if v > 0),
+                "queries": qs,
+            }
     if not rounds:
         print("no BENCH_r*.json found")
         return 1
@@ -84,11 +162,13 @@ def main(root="."):
     json.dump({"rounds": rounds}, open(out, "w"), indent=1, sort_keys=True)
 
     names = sorted(set(q for r in rounds.values() for q in r["queries"]))
-    tags = sorted(rounds)
+    # chronological: r01..rNN, then the fresh latest epoch
+    tags = sorted(rounds, key=lambda t: (t == "latest", t))
     latest = tags[-1]
+    touched = touched_queries(root, names)
     w = max(len(n) for n in names)
     print(f"  {'query':{w}s} " + " ".join(f"{t:>8s}" for t in tags))
-    flagged = []
+    flagged, noise = [], []
     for name in names:
         vals = [rounds[t]["queries"].get(name) for t in tags]
         cells = " ".join(f"{v:8.3f}" if v is not None else f"{'-':>8s}"
@@ -98,15 +178,27 @@ def main(root="."):
         prior = [rounds[t]["queries"][name] for t in tags[:-1]
                  if name in rounds[t]["queries"]]
         if cur is not None and prior and cur > 1.5 * min(prior) and cur > 0.3:
-            flag = "REGRESSED"
-            flagged.append(name)
+            if touched is None or name in touched:
+                flag = "REGRESSED"
+                flagged.append(name)
+            else:
+                flag = "noise? (code untouched)"
+                noise.append(name)
         print(f"  {name:{w}s} {cells}  {flag}")
     print(f"\n  {'total':{w}s} " +
           " ".join(f"{rounds[t]['total']:8.1f}" for t in tags))
+    if touched is not None:
+        print(f"  touched since last round boundary: {len(touched)} queries")
+    else:
+        print("  git state unreadable - gating ALL queries (strict)")
     print(f"  wrote {out}")
+    if noise:
+        print("noise-floor (>1.5x but code untouched):", ", ".join(noise))
     if flagged:
-        print("REGRESSED vs best prior round:", ", ".join(flagged))
+        print("REGRESSED (code-touched, >1.5x best prior):",
+              ", ".join(flagged))
         return 1
+    print("bench trend clean")
     return 0
 
 
