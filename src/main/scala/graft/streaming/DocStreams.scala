@@ -343,6 +343,99 @@ object DocStreams {
       }
   }
 
+  /** State of one packing stream under watermark delay: the running
+    * token offset plus the docs still inside the disorder window —
+    * (doc_id, n_tok, event-time millis) triples awaiting the
+    * watermark. */
+  final case class OrderedPackState(off: Long, buf: Seq[(Long, Long, Long)])
+
+  /** WATERMARK-ORDERED streaming packing (r5 verdict next-#7) — the
+    * published-pipeline shape: instead of packing in arrival order
+    * like [[packStream]], docs buffer inside the watermark window
+    * and emit in EVENT-TIME order, so bounded out-of-order delivery
+    * produces the exact batch packing. `docs` must carry an
+    * event-time `ts` column; `maxDisorder` is the watermark delay =
+    * the disorder bound the caller guarantees.
+    *
+    * Mechanics: a doc whose event time has passed the watermark is
+    * FINAL — Spark drops any later arrival older than the watermark
+    * before the state function sees it — so each invocation emits
+    * the buffered docs with ts <= watermark in (ts, doc_id) order
+    * and re-buffers the rest, arming an event-time timeout so a
+    * quiet key still flushes when the watermark advances past its
+    * buffer.
+    *
+    * State is O(streams + in-flight window): one offset per stream
+    * key plus only the docs younger than the watermark — at an
+    * arrival rate r and delay d, ~r*d/streams triples per key,
+    * independent of corpus size (spec-pinned via `bufferGauge`,
+    * which records every invocation's retained-buffer size).
+    * Equality with [[graft.operators.Sampling.packSequences]] under
+    * disorder <= maxDisorder is spec-pinned; disorder beyond the
+    * bound drops the too-late doc (watermark semantics) rather than
+    * corrupting every later offset.
+    */
+  def packStreamOrdered(docs: DataFrame,
+                        budget: Long = graft.operators.Sampling.SeqBudget,
+                        streams: Int = graft.operators.Sampling.PackStreams,
+                        maxDisorder: String = "60 seconds",
+                        bufferGauge: Option[org.apache.spark.util.CollectionAccumulator[java.lang.Long]] = None)
+      : org.apache.spark.sql.Dataset[PackedDoc] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark("ts", maxDisorder)
+      .select(col("doc_id"),
+        size(graft.functions.GraftFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+        graft.operators.Sampling.hashBucket(col("doc_id"), streams).as("stream"),
+        col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (stream: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[OrderedPackState]) =>
+          val prev = state.getOption.getOrElse(OrderedPackState(0L, Nil))
+          val all = prev.buf ++ rows.map(r => (r._1, r._2, r._4.getTime))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, still) = all.partition(_._3 <= wm)
+          var off = prev.off
+          val out = ready.sortBy(d => (d._3, d._1)).map { case (docId, nTok, _) =>
+            val p = PackedDoc(stream, docId, nTok, off, off / budget)
+            off += nTok
+            p
+          }
+          bufferGauge.foreach(_.add(still.size.toLong))
+          state.update(OrderedPackState(off, still))
+          // wake this key on the next watermark advance even if no
+          // new data arrives, so buffered docs can't strand
+          if (still.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+          out.iterator
+      }
+  }
+
+  /** Runs the ordered packing stream over a staged directory and
+    * returns the packed manifest (memory sink — the spec's harness).
+    * The caller's staged files end with watermark-advancing sentinel
+    * docs (future ts) so the final buffers flush; sentinels
+    * themselves stay buffered and never emit.
+    */
+  def runPackStreamOrdered(spark: SparkSession, stagedDir: String, queryName: String,
+                           maxDisorder: String,
+                           bufferGauge: Option[org.apache.spark.util.CollectionAccumulator[java.lang.Long]] = None)
+      : DataFrame = {
+    val schema = StructType(rawSchema.fields :+ StructField("ts", TimestampType))
+    val q = packStreamOrdered(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stagedDir).toDF(),
+        maxDisorder = maxDisorder, bufferGauge = bufferGauge)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Runs the packing stream over a staged directory and returns the
     * full packed manifest (memory sink — the spec's harness; a
     * production caller writes the PackedDoc stream to the warehouse

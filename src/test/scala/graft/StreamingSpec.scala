@@ -353,6 +353,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(spanning > 0, "no sequence spans the micro-batch boundary")
   }
 
+  test("watermark-ordered packing equals batch packing under bounded disorder, state stays windowed") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStreams
+    import scala.jdk.CollectionConverters._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val n = docs.count()
+    // event time = doc_id seconds; delivery order jittered by up to
+    // 15 positions (= 15 s of disorder), well inside the 45 s
+    // watermark the operator is told to expect
+    val withTs = docs.withColumn("ts",
+      expr("timestamp_seconds(1700000000 + doc_id)"))
+    val schema = withTs.schema
+    val jittered = withTs.withColumn("jrank",
+        col("doc_id") + (col("doc_id") % 7 - lit(3)) * lit(5))
+      .orderBy("jrank").drop("jrank").collect()
+    val staged = java.nio.file.Files.createTempDirectory("graft-packorder")
+    var mtime = System.currentTimeMillis()
+    def writeChunk(rows: Seq[org.apache.spark.sql.Row], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-packorder-tmp")
+      spark.createDataFrame(rows.asJava, schema)
+        .coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val part = java.nio.file.Files.list(tmp.resolve("d")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      val dst = staged.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      mtime += 2000
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    for ((chunk, i) <- jittered.grouped(50).zipWithIndex)
+      writeChunk(chunk.toSeq, f"chunk$i%03d")
+    // two watermark-advancing sentinels: the first pushes the
+    // watermark past every real doc, the second's micro-batch fires
+    // the event-time timeouts that flush the remaining buffers; the
+    // sentinels themselves stay inside the watermark and never emit
+    for (j <- 0 until 2)
+      writeChunk(Seq(org.apache.spark.sql.Row(1000001L + j, "x", "en", "sentinel",
+        1L, new java.sql.Timestamp((1700000000L + 200000 + j) * 1000L))),
+        s"sentinel$j")
+    val gauge = spark.sparkContext.collectionAccumulator[java.lang.Long]("packbuf")
+    val out = DocStreams.runPackStreamOrdered(spark, staged.toString,
+      "packed_ordered_t1", "45 seconds", Some(gauge)).localCheckpoint()
+    // every real doc emitted exactly once, sentinels never
+    assert(out.count() == n, s"emitted ${out.count()} of $n docs")
+    assert(out.select("doc_id").distinct().count() == n)
+    assert(out.filter(col("doc_id") >= 1000000L).count() == 0)
+    // the packed manifest equals the batch operator's despite the
+    // out-of-order delivery — the watermark buffer restored event
+    // order before any offset was assigned
+    val manifest = out.groupBy(col("stream"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val batch = graft.operators.Sampling.packSequences(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(manifest == batch,
+      "ordered streaming packing diverged from batch packing under bounded disorder")
+    // state pin: per-key buffers track the disorder window (delay +
+    // one micro-batch + jitter), never the corpus — every sampled
+    // buffer stays under corpus/streams, the scaling signature of a
+    // windowed buffer rather than an accumulating one
+    val maxBuf = gauge.value.asScala.map(_.longValue).max
+    assert(maxBuf > 0, "gauge never sampled a non-empty buffer")
+    assert(maxBuf < n / graft.operators.Sampling.PackStreams,
+      s"per-key buffer $maxBuf reached corpus scale (${n / graft.operators.Sampling.PackStreams})")
+  }
+
   test("streaming decontamination equals the batch screen, replays idempotently") {
     import org.apache.spark.sql.functions._
     import graft.extract.Warehouse
