@@ -404,10 +404,31 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Soft dedup: DOWNWEIGHT duplicates instead of dropping them —
+    * the published alternative to hard removal (duplicate-aware
+    * sampling; e.g. SoftDeDup, arXiv 2024). Each exact-content
+    * cluster keeps total sampling mass 1: every member gets
+    * weight = 1/dup_count, held INTEGER as ppm (`div`) so the
+    * manifest is bit-reproducible. One content-hash aggregate plus
+    * one equi-join back on the hash — two content-keyed shuffles,
+    * linear at any corpus size, and the training loader consumes
+    * the weights without a second dedup pass.
+    */
+  def softDedupWeights(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(exact(docs), "content_hash")
+      .select(col("doc_id"), col("dup_count"),
+        expr("1000000 div dup_count").as("weight_ppm"),
+        when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)
+          .as("is_canonical"))
+
   // --- queries --------------------------------------------------------
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     exact(Tables.documents(s, dir))
+
+  def qDedupWeights(s: SparkSession, dir: String): DataFrame =
+    softDedupWeights(corpus(s, dir))
 
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     minhashPairs(corpus(s, dir))
@@ -439,6 +460,7 @@ object Dedup {
     "q_span_excise" -> qSpanExcise _,
     "q_span_excise_keepfirst" -> qSpanExciseKeepFirst _,
     "q_dedup_exact" -> qDedupExact _,
+    "q_dedup_weights" -> qDedupWeights _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -646,6 +668,16 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_weights" ->
+      s"""WITH g AS (
+        |  SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |    count(*) AS dup_count
+        |  FROM ($corpusSql) GROUP BY 1)
+        |SELECT c.doc_id, g.dup_count,
+        |  1000000 // g.dup_count AS weight_ppm,
+        |  (CASE WHEN c.doc_id = g.keep_id THEN 1 ELSE 0 END)::BIGINT
+        |    AS is_canonical
+        |FROM ($corpusSql) c JOIN g ON md5(c.text) = g.content_hash""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH sig AS ($sigSql),
         |bands AS ($bandsSql),

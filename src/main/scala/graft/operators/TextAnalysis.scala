@@ -271,6 +271,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Thresholded contamination VERDICT — the PaLM/GPT-4-style
+    * decision rule on top of [[qDecontaminate]]'s evidence: a doc is
+    * `contaminated` when the share of its distinct 5-gram shingles
+    * that also appear in the benchmark reaches ContamTauPpm
+    * (published screens use 50–70% n-gram overlap; 50% here). The
+    * overlap fraction stays INTEGER (ppm via `div`) so the verdict is
+    * bit-reproducible cross-engine. Unlike the inner-join evidence
+    * query, every document gets a row (left join), so the output is a
+    * complete keep/drop manifest. Same scale shape as the screen: the
+    * benchmark shingle set broadcasts, the corpus shuffles only on
+    * its own doc_id rollup.
+    */
+  val ContamTauPpm = 500000L
+
+  def qDecontaminateVerdict(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchSh = docs.filter(col("doc_id") % 100 === 0)
+      .select(explode(shingleHashes(tokens(col("text")), 5)).as("h"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val trainSh = docs
+      .select(col("doc_id"), explode(shingleHashes(tokens(col("text")), 5)).as("h"))
+      .distinct()
+    trainSh.join(broadcast(benchSh), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        expr("(1000000 * n_shared) div n_shingles").as("overlap_ppm"),
+        when(expr("(1000000 * n_shared) div n_shingles") >= ContamTauPpm,
+          "contaminated").otherwise("clean").as("verdict"))
+  }
+
   /** Top-N vocabulary coverage per source — the tokenizer-sizing
     * number: what share of a source's token OCCURRENCES the top
     * VocabTopN corpus terms cover (1 − OOV rate under a truncated
@@ -369,6 +402,64 @@ object TextAnalysis {
 
   def qLmScore(s: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(s, dir))
+
+  /** CCNet-style perplexity bucketing: split the corpus into
+    * head / middle / tail thirds by LM score (here [[lmScore]]'s
+    * typicality — higher = more typical = head), the published recipe
+    * for turning a quality score into training-mixture tiers. Cutoffs
+    * are the exact n/3-th and 2n/3-th largest scores, computed WITHOUT
+    * a corpus-wide sort or global window: one content-keyed aggregate
+    * collapses the corpus to a (score → freq) HISTOGRAM, whose
+    * cumulative counts ride a two-level distributed prefix sum — fine
+    * prefixes via a window PARTITIONED by the integer-ppm coarse
+    * bucket, coarse-bucket prefixes via a broadcast self-join over the
+    * tiny coarse-total table (the juliennePredicates pattern). Every
+    * downstream step is histogram-sized, not corpus-sized; the
+    * per-doc bucket label is one broadcast of the 1-row cutoffs. Ties
+    * at a cutoff all land in the higher bucket (value-threshold
+    * semantics, as CCNet applies them), so bucket sizes are n/3 only
+    * up to ties — the thresholds, not the counts, are the contract.
+    * The score sub-plan feeds both the histogram and the final
+    * labeling; a production pipeline materializes [[lmScore]] once
+    * and runs everything after it histogram-sized.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val scores = lmScore(docs).select(col("doc_id"), col("typicality_ppm").as("t"))
+    val hist = scores.groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      .withColumn("coarse", floor(col("t")).cast("long"))
+    val coarseTot = hist.groupBy(col("coarse")).agg(sum(col("freq")).as("ccnt"))
+    val cPrefix = coarseTot.select(col("coarse"), col("ccnt"))
+      .join(broadcast(coarseTot.select(col("coarse").as("hc"), col("ccnt").as("hn"))),
+        col("hc") > col("coarse"), "left")
+      .groupBy(col("coarse"))
+      .agg(coalesce(sum(col("hn")), lit(0L)).as("cprefix"))
+    val wFine = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("coarse")).orderBy(col("t").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val ranked = hist
+      .withColumn("fprefix", sum(col("freq")).over(wFine))
+      .join(broadcast(cPrefix), "coarse")
+      // rank_end(v) = exact count of docs with score >= v
+      .withColumn("rank_end", col("cprefix") + col("fprefix"))
+    val ks = scores.agg(count(lit(1)).as("n"))
+      .select(expr("n div 3").as("k1"), expr("(2 * n) div 3").as("k2"))
+    // k >= 1 guard: an under-3-doc corpus has k1 = 0 — no cutoff
+    // exists, cuts stay null and every doc lands in "tail"
+    val cuts = ranked.crossJoin(broadcast(ks))
+      .agg(max(when(col("rank_end") >= col("k1") && col("k1") >= 1, col("t")))
+        .as("head_cut"),
+        max(when(col("rank_end") >= col("k2") && col("k2") >= 1, col("t")))
+          .as("tail_cut"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("t").as("typicality_ppm"),
+        col("head_cut"), col("tail_cut"),
+        when(col("t") >= col("head_cut"), "head")
+          .when(col("t") >= col("tail_cut"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  def qPplBuckets(s: SparkSession, dir: String): DataFrame =
+    pplBuckets(Tables.documents(s, dir))
 
   /** One BPE (byte-pair-encoding) training step — the tokenizer-
     * training primitive: corpus-wide adjacent-symbol-pair counts, the
@@ -514,7 +605,9 @@ object TextAnalysis {
     "q_vocab" -> qVocab _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_lm_score" -> qLmScore _,
+    "q_ppl_buckets" -> qPplBuckets _,
     "q_decontaminate" -> qDecontaminate _,
+    "q_decontaminate_verdict" -> qDecontaminateVerdict _,
     "q_tfidf" -> qTfidf _,
     "q_langid" -> qLangid _,
     "q_quality" -> qQuality _,
@@ -645,6 +738,25 @@ object TextAnalysis {
       |    (min(key) // 32768)::BIGINT AS sel_h
       |  FROM keyed GROUP BY doc_id HAVING count(*) < $WinnowW)""".stripMargin
 
+  /** Shared CTE chain for the unigram LM score (typicality `t` is
+    * the round-6 ppm double — proven bit-identical cross-engine by
+    * q_lm_score's hash gate, so thresholds on it compare exactly).
+    */
+  private val lmScoreCtes =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+      |tot AS (SELECT sum(cnt)::BIGINT AS total FROM tf),
+      |per AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens, sum(f.cnt)::BIGINT AS sum_freq,
+      |    sum(CASE WHEN f.cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_rare
+      |  FROM tok t JOIN tf f USING (term) GROUP BY t.doc_id),
+      |scored AS (SELECT doc_id, n_tokens, sum_freq, n_rare,
+      |    round(sum_freq::DOUBLE * 1000000.0 / n_tokens::DOUBLE / total::DOUBLE, 6)
+      |      AS t
+      |  FROM per CROSS JOIN tot)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_encode" -> bpeEncodeSql,
@@ -664,6 +776,27 @@ object TextAnalysis {
         |SELECT t.doc_id, count(*) AS n_shared_shingles
         |FROM train t JOIN bench b ON t.h = b.h
         |GROUP BY t.doc_id""".stripMargin,
+    "q_decontaminate_verdict" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, unnest(hs) AS h FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(1, greatest(len(toks) - 3, 1)),
+        |        i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1],
+        |               toks[i+2], toks[i+3], toks[i+4])), 1, 12))::BIGINT) AS hs
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |          FROM documents))),
+        |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0),
+        |train AS (SELECT DISTINCT doc_id, h FROM sh),
+        |per AS (SELECT t.doc_id, count(*) AS n_shingles,
+        |    sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_shared
+        |  FROM train t LEFT JOIN bench b ON t.h = b.h
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_shingles, n_shared,
+        |  (1000000 * n_shared) // n_shingles AS overlap_ppm,
+        |  CASE WHEN (1000000 * n_shared) // n_shingles >= $ContamTauPpm
+        |    THEN 'contaminated' ELSE 'clean' END AS verdict
+        |FROM per""".stripMargin,
     "q_winnow" ->
       s"""WITH $winnowCtes
         |SELECT * FROM sel UNION ALL SELECT * FROM short""".stripMargin,
@@ -696,20 +829,22 @@ object TextAnalysis {
         |    AS oov_rate
         |FROM m GROUP BY source""".stripMargin,
     "q_lm_score" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
-        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM tf),
-        |per AS (
-        |  SELECT t.doc_id, count(*) AS n_tokens, sum(f.cnt)::BIGINT AS sum_freq,
-        |    sum(CASE WHEN f.cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_rare
-        |  FROM tok t JOIN tf f USING (term) GROUP BY t.doc_id)
-        |SELECT doc_id, n_tokens, sum_freq,
-        |  round(sum_freq::DOUBLE * 1000000.0 / n_tokens::DOUBLE / total::DOUBLE, 6)
-        |    AS typicality_ppm,
+      s"""WITH $lmScoreCtes
+        |SELECT doc_id, n_tokens, sum_freq, t AS typicality_ppm,
         |  round(n_rare::DOUBLE / n_tokens::DOUBLE, 6) AS rare_token_frac
-        |FROM per CROSS JOIN tot""".stripMargin,
+        |FROM scored""".stripMargin,
+    "q_ppl_buckets" ->
+      s"""WITH $lmScoreCtes,
+        |n AS (SELECT count(*) AS n FROM scored),
+        |rn AS (SELECT t, row_number() OVER (ORDER BY t DESC) AS rn FROM scored),
+        |cuts AS (SELECT
+        |    max(CASE WHEN r.rn = n.n // 3 THEN r.t END) AS head_cut,
+        |    max(CASE WHEN r.rn = (2 * n.n) // 3 THEN r.t END) AS tail_cut
+        |  FROM rn r CROSS JOIN n)
+        |SELECT s.doc_id, s.t AS typicality_ppm, c.head_cut, c.tail_cut,
+        |  CASE WHEN s.t >= c.head_cut THEN 'head'
+        |    WHEN s.t >= c.tail_cut THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scored s CROSS JOIN cuts c""".stripMargin,
     "q_vocab" ->
       """WITH tf AS (
         |  SELECT t AS term, count(*) AS cnt FROM (

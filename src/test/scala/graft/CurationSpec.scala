@@ -464,6 +464,74 @@ class CurationSpec extends AnyFunSuite {
       }
   }
 
+  test("ppl buckets: cutoffs are the exact n/3-th and 2n/3-th largest scores") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.pplBuckets(docs).collect()
+    val n = out.length
+    assert(n > 0)
+    val ts = out.map(_.getAs[Double]("typicality_ppm")).sorted(Ordering[Double].reverse)
+    val (k1, k2) = (n / 3, 2 * n / 3)
+    val (headCut, tailCut) =
+      (out.head.getAs[Double]("head_cut"), out.head.getAs[Double]("tail_cut"))
+    assert(headCut == ts(k1 - 1), "head cut = value at sorted position n/3")
+    assert(tailCut == ts(k2 - 1), "tail cut = value at sorted position 2n/3")
+    // value-threshold semantics: bucket follows the cuts exactly
+    out.foreach { r =>
+      val t = r.getAs[Double]("typicality_ppm")
+      val expect = if (t >= headCut) "head" else if (t >= tailCut) "middle" else "tail"
+      assert(r.getAs[String]("bucket") == expect)
+    }
+    // each bucket holds at least its third up to ties at the cut
+    assert(out.count(_.getAs[String]("bucket") == "head") >= k1)
+    assert(out.count(_.getAs[String]("bucket") != "tail") >= k2)
+  }
+
+  test("soft dedup weights: each content cluster keeps total mass one") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "solo text"), (2L, "pair text"), (3L, "pair text"),
+      (4L, "triple text"), (5L, "triple text"), (6L, "triple text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.softDedupWeights(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 6, "every doc gets a weight row")
+    assert(out(1L).getAs[Long]("weight_ppm") == 1000000L)
+    assert(out(2L).getAs[Long]("weight_ppm") == 500000L)
+    assert(out(4L).getAs[Long]("weight_ppm") == 333333L)
+    // exactly one canonical member per cluster, the min doc_id
+    val canon = out.values.filter(_.getAs[Long]("is_canonical") == 1L)
+      .map(_.getLong(0)).toSet
+    assert(canon == Set(1L, 2L, 4L))
+    assert(out.values.map(_.getAs[Long]("dup_count")).toSeq.sorted ==
+      Seq(1L, 2L, 2L, 3L, 3L, 3L))
+  }
+
+  test("decontamination verdict: leaked benchmark docs flagged, evidence matches") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.qDecontaminateVerdict(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.length == docs, "left join keeps a row per document")
+    out.foreach { r =>
+      val ppm = r.getAs[Long]("overlap_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(r.getAs[String]("verdict") ==
+        (if (ppm >= TextAnalysis.ContamTauPpm) "contaminated" else "clean"))
+    }
+    // the seeded leak: every 100th doc IS the benchmark -> 100% overlap
+    out.filter(_.getLong(0) % 100 == 0).foreach { r =>
+      assert(r.getAs[Long]("overlap_ppm") == 1000000L)
+      assert(r.getAs[String]("verdict") == "contaminated")
+    }
+    // shared-shingle evidence agrees with the inner-join screen
+    val evidence = TextAnalysis.qDecontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_shared") == evidence.getOrElse(r.getLong(0), 0L))
+    }
+  }
+
   test("rerank output stays inside the retrieval pool and reranks by score") {
     val out = Similarity.rerankTopK(Tables.embeddings(spark, sf)).collect()
     assert(out.nonEmpty)
