@@ -422,10 +422,80 @@ object Dedup {
         when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)
           .as("is_canonical"))
 
+  /** MinHash FUZZY decontamination — the GPT-3-style fuzzy benchmark
+    * dedup: flag training docs whose estimated Jaccard similarity to
+    * any benchmark doc reaches FuzzyTauPpm, catching paraphrased /
+    * lightly-edited leaks the exact-shingle screen misses. Candidates
+    * come from the same banded LSH equi-join as near-dup detection
+    * (never n²); the benchmark side BANDS and SIGNATURES broadcast
+    * (benchmarks are small by definition), so the training corpus
+    * shuffles only to build its own signatures. The similarity
+    * estimate is the signature agreement fraction held INTEGER
+    * (matching perms · 1e6 div NumPerm) — bit-reproducible. Output is
+    * every candidate pair with its estimate and flag; the caller
+    * anti-joins flagged train ids to scrub.
+    */
+  val FuzzyTauPpm = 800000L
+
+  def fuzzyDecontaminate(train: DataFrame, bench: DataFrame): DataFrame = {
+    val tSig = minhashSignatures(train)
+    val bSig = minhashSignatures(bench)
+    val tBands = minhashBands(tSig)
+      .toDF("train_doc_id", "band_id", "band_hash")
+    val bBands = minhashBands(bSig)
+      .toDF("bench_doc_id", "band_id", "band_hash")
+    val cand = tBands.join(broadcast(bBands), Seq("band_id", "band_hash"))
+      .filter(col("train_doc_id") =!= col("bench_doc_id"))
+      .select(col("train_doc_id"), col("bench_doc_id")).distinct()
+    val tS = tSig.toDF(("train_doc_id" +: (0 until NumPerm).map(k => s"t$k")): _*)
+    val bS = bSig.toDF(("bench_doc_id" +: (0 until NumPerm).map(k => s"b$k")): _*)
+    val agree = (0 until NumPerm)
+      .map(k => when(col(s"t$k") === col(s"b$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(tS, "train_doc_id").join(broadcast(bS), "bench_doc_id")
+      .withColumn("n_matching_perms", agree)
+      .select(col("train_doc_id"), col("bench_doc_id"), col("n_matching_perms"),
+        expr(s"(1000000 * n_matching_perms) div $NumPerm").as("est_jaccard_ppm"))
+      .withColumn("flagged",
+        when(col("est_jaccard_ppm") >= FuzzyTauPpm, 1L).otherwise(0L))
+  }
+
+  /** Analytic LSH parameter tuning (the datasketch `_optimal_param`
+    * rule): among all (bands, rows) with bands·rows ≤ numPerm, pick
+    * the one minimizing weighted false-positive + false-negative
+    * AREA under the S-curve P(match | s) = 1 − (1 − s^rows)^bands —
+    * fp = ∫₀^τ P ds, fn = ∫τ^1 (1 − P) ds — so the banding is chosen
+    * for the caller's Jaccard threshold BEFORE any data is read
+    * (the measured complement is autoConfig's recall ladder). Pure
+    * driver-side arithmetic over a fixed 1e-3 Riemann grid:
+    * deterministic, data-free, O(numPerm² · grid).
+    */
+  def optimalBands(threshold: Double, numPerm: Int = NumPerm,
+                   fpWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
+    val step = 0.001
+    val configs = for {
+      b <- 1 to numPerm; r <- 1 to numPerm; if b * r <= numPerm
+    } yield (b, r)
+    configs.minBy { case (b, r) =>
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      val fp = Iterator.iterate(step / 2)(_ + step).takeWhile(_ < threshold)
+        .map(p).sum * step
+      val fn = Iterator.iterate(threshold + step / 2)(_ + step).takeWhile(_ < 1.0)
+        .map(s => 1.0 - p(s)).sum * step
+      fpWeight * fp + (1.0 - fpWeight) * fn
+    }
+  }
+
   // --- queries --------------------------------------------------------
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     exact(Tables.documents(s, dir))
+
+  def qDedupFuzzyDecon(s: SparkSession, dir: String): DataFrame =
+    fuzzyDecontaminate(corpus(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("text")))
 
   def qDedupWeights(s: SparkSession, dir: String): DataFrame =
     softDedupWeights(corpus(s, dir))
@@ -461,6 +531,7 @@ object Dedup {
     "q_span_excise_keepfirst" -> qSpanExciseKeepFirst _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_weights" -> qDedupWeights _,
+    "q_dedup_fuzzy_decon" -> qDedupFuzzyDecon _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -683,6 +754,24 @@ object Dedup {
         |bands AS ($bandsSql),
         |$cappedPairsSql
         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    "q_dedup_fuzzy_decon" ->
+      s"""WITH tsig AS (${sigSqlFor(corpusSql)}),
+        |bsig AS (${sigSqlFor("SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0")}),
+        |tb AS (${bandsSqlFor("tsig")}),
+        |bb AS (${bandsSqlFor("bsig")}),
+        |cand AS (SELECT DISTINCT t.doc_id AS train_doc_id, b.doc_id AS bench_doc_id
+        |  FROM tb t JOIN bb b ON t.band_id = b.band_id AND t.bh = b.bh
+        |    AND t.doc_id <> b.doc_id),
+        |ag AS (SELECT c.train_doc_id, c.bench_doc_id,
+        |    (${(0 until NumPerm).map(k => s"CASE WHEN ts.h$k = bs.h$k THEN 1 ELSE 0 END").mkString(" + ")})::BIGINT
+        |      AS n_matching_perms
+        |  FROM cand c JOIN tsig ts ON ts.doc_id = c.train_doc_id
+        |    JOIN bsig bs ON bs.doc_id = c.bench_doc_id)
+        |SELECT train_doc_id, bench_doc_id, n_matching_perms,
+        |  (1000000 * n_matching_perms) // $NumPerm AS est_jaccard_ppm,
+        |  (CASE WHEN (1000000 * n_matching_perms) // $NumPerm >= $FuzzyTauPpm
+        |    THEN 1 ELSE 0 END)::BIGINT AS flagged
+        |FROM ag""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH tok AS ($tokSql),
         |bt AS (SELECT doc_id, b,

@@ -461,6 +461,106 @@ object TextAnalysis {
   def qPplBuckets(s: SparkSession, dir: String): DataFrame =
     pplBuckets(Tables.documents(s, dir))
 
+  /** Bigram (conditional) LM typicality — the KenLM-shaped upgrade of
+    * [[lmScore]]: score each document by the mean MLE transition
+    * probability P(b|a) = cnt(a,b)/ctx(a) of its adjacent token
+    * pairs, where ctx(a) counts bigrams STARTING with a (so the
+    * conditional sums to 1 per context). Each per-pair ratio is
+    * quantized to integer ppm BEFORE the per-doc sum — integer sums
+    * are order-independent, so the distributed aggregate is
+    * bit-reproducible where a float sum would depend on partition
+    * order. Also emits the doc's weakest transition (min ppm — the
+    * most surprising token join, a strong junk signal). Scale shape:
+    * pair enumeration is a per-doc window (bounded by doc length),
+    * then two content-keyed count aggregates and two equi-joins back
+    * — linear in corpus tokens, no global ordering anywhere. Docs
+    * under 2 tokens carry no bigram and drop out (both engines
+    * agree).
+    */
+  def lmBigramScore(docs: DataFrame): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "a")))
+      .withColumn("b", lead(col("a"), 1).over(wDoc))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("a"), col("b"))
+    val bi = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ctx = bi.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    pairs.join(bi, Seq("a", "b")).join(ctx, Seq("a"))
+      .withColumn("r", expr("(1000000 * cab) div ca"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("r")).as("sum_ppm"),
+        min(col("r")).as("min_transition_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_ppm div n_bigrams").as("bigram_typicality_ppm"),
+        col("min_transition_ppm"))
+  }
+
+  def qLmBigram(s: SparkSession, dir: String): DataFrame =
+    lmBigramScore(Tables.documents(s, dir))
+
+  /** Gopher-style character-repetition signals (Rae et al. Table A1
+    * as reproduced in the open filtering stacks): per document, the
+    * fraction of characters covered by (a) the most frequent token
+    * n-gram and (b) all n-grams occurring more than once, for
+    * n = 2 and 3. Conventions, stated because the published
+    * description underspecifies them: character mass of an
+    * occurrence = sum of its tokens' lengths (separators excluded);
+    * overlapping occurrences are each counted (no positional union —
+    * matching the common open implementations); the denominator is
+    * the document's total token characters; the "top" n-gram is the
+    * max count with ties broken toward the longer gram. All ratios
+    * are integer ppm. Scale shape per n: one per-doc window pass
+    * (doc-bounded partitions) to enumerate grams, one
+    * (doc, gram)-keyed count, two per-doc rollups — content-keyed
+    * shuffles only, linear in corpus tokens.
+    */
+  private def gramCharStats(docs: DataFrame, n: Int): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t0")))
+    val led = (1 until n).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("t0"), i).over(wDoc))
+    }.filter(col(s"t${n - 1}").isNotNull)
+    val gram = concat_ws("", (0 until n).map(i => col(s"t$i")): _*)
+    val clen = (0 until n).map(i => length(col(s"t$i")).cast("long")).reduce(_ + _)
+    val counts = led.select(col("doc_id"), gram.as("g"), clen.as("clen"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"), min(col("clen")).as("clen"))
+    val perDoc = counts.groupBy(col("doc_id"))
+      .agg(sum(when(col("cnt") >= 2, col("cnt") * col("clen")).otherwise(0L))
+        .as(s"dup${n}_chars"),
+        max(col("cnt")).as("top_cnt"))
+    val topChars = counts
+      .join(perDoc.select(col("doc_id"), col("top_cnt")), Seq("doc_id"))
+      .filter(col("cnt") === col("top_cnt"))
+      .groupBy(col("doc_id")).agg(max(col("clen")).as("top_clen"))
+    perDoc.join(topChars, Seq("doc_id"))
+      .select(col("doc_id"), col(s"dup${n}_chars"),
+        (col("top_cnt") * col("top_clen")).as(s"top${n}_chars"))
+  }
+
+  def qRepChars(s: SparkSession, dir: String): DataFrame =
+    qRepCharsOf(Tables.documents(s, dir))
+
+  def qRepCharsOf(docs: DataFrame): DataFrame = {
+    val docChars = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("t")).cast("long")).as("doc_chars"))
+    docChars
+      .join(gramCharStats(docs, 2), Seq("doc_id"))
+      .join(gramCharStats(docs, 3), Seq("doc_id"))
+      .select(col("doc_id"), col("doc_chars"),
+        expr("(1000000 * top2_chars) div doc_chars").as("top2_frac_ppm"),
+        expr("(1000000 * dup2_chars) div doc_chars").as("dup2_frac_ppm"),
+        expr("(1000000 * top3_chars) div doc_chars").as("top3_frac_ppm"),
+        expr("(1000000 * dup3_chars) div doc_chars").as("dup3_frac_ppm"))
+  }
+
   /** One BPE (byte-pair-encoding) training step — the tokenizer-
     * training primitive: corpus-wide adjacent-symbol-pair counts, the
     * most frequent pair chosen as the merge, the merge applied, and
@@ -605,7 +705,9 @@ object TextAnalysis {
     "q_vocab" -> qVocab _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_lm_score" -> qLmScore _,
+    "q_lm_bigram" -> qLmBigram _,
     "q_ppl_buckets" -> qPplBuckets _,
+    "q_rep_chars" -> qRepChars _,
     "q_decontaminate" -> qDecontaminate _,
     "q_decontaminate_verdict" -> qDecontaminateVerdict _,
     "q_tfidf" -> qTfidf _,
@@ -833,6 +935,60 @@ object TextAnalysis {
         |SELECT doc_id, n_tokens, sum_freq, t AS typicality_ppm,
         |  round(n_rare::DOUBLE / n_tokens::DOUBLE, 6) AS rare_token_frac
         |FROM scored""".stripMargin,
+    "q_lm_bigram" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |pp AS (SELECT doc_id, p.a AS a, p.b AS b FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+        |  FROM t)),
+        |bi AS (SELECT a, b, count(*) AS cab FROM pp GROUP BY 1, 2),
+        |ctx AS (SELECT a, sum(cab)::BIGINT AS ca FROM bi GROUP BY 1),
+        |sc AS (SELECT pp.doc_id, (1000000 * bi.cab) // ctx.ca AS r
+        |  FROM pp JOIN bi USING (a, b) JOIN ctx USING (a))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  (sum(r)::BIGINT) // count(*) AS bigram_typicality_ppm,
+        |  min(r) AS min_transition_ppm
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    "q_rep_chars" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |dc AS (SELECT doc_id, sum(strlen(tk))::BIGINT AS doc_chars FROM (
+        |  SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY doc_id),
+        |g2 AS (SELECT doc_id, p.g AS g, p.c AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'g': toks[i] || toks[i+1],
+        |            'c': strlen(toks[i]) + strlen(toks[i+1])})) AS p FROM t)),
+        |c2 AS (SELECT doc_id, g, count(*) AS cnt, min(c)::BIGINT AS clen
+        |  FROM g2 GROUP BY 1, 2),
+        |d2 AS (SELECT doc_id,
+        |    sum(CASE WHEN cnt >= 2 THEN cnt * clen ELSE 0 END)::BIGINT AS dup2_chars,
+        |    max(cnt) AS top_cnt FROM c2 GROUP BY 1),
+        |t2 AS (SELECT c.doc_id, (max(c.clen) * max(d.top_cnt))::BIGINT AS top2_chars
+        |  FROM c2 c JOIN d2 d ON c.doc_id = d.doc_id AND c.cnt = d.top_cnt
+        |  GROUP BY c.doc_id),
+        |g3 AS (SELECT doc_id, p.g AS g, p.c AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> {'g': toks[i] || toks[i+1] || toks[i+2],
+        |            'c': strlen(toks[i]) + strlen(toks[i+1]) + strlen(toks[i+2])})) AS p
+        |  FROM t)),
+        |c3 AS (SELECT doc_id, g, count(*) AS cnt, min(c)::BIGINT AS clen
+        |  FROM g3 GROUP BY 1, 2),
+        |d3 AS (SELECT doc_id,
+        |    sum(CASE WHEN cnt >= 2 THEN cnt * clen ELSE 0 END)::BIGINT AS dup3_chars,
+        |    max(cnt) AS top_cnt FROM c3 GROUP BY 1),
+        |t3 AS (SELECT c.doc_id, (max(c.clen) * max(d.top_cnt))::BIGINT AS top3_chars
+        |  FROM c3 c JOIN d3 d ON c.doc_id = d.doc_id AND c.cnt = d.top_cnt
+        |  GROUP BY c.doc_id)
+        |SELECT dc.doc_id, dc.doc_chars,
+        |  (1000000 * t2.top2_chars) // dc.doc_chars AS top2_frac_ppm,
+        |  (1000000 * d2.dup2_chars) // dc.doc_chars AS dup2_frac_ppm,
+        |  (1000000 * t3.top3_chars) // dc.doc_chars AS top3_frac_ppm,
+        |  (1000000 * d3.dup3_chars) // dc.doc_chars AS dup3_frac_ppm
+        |FROM dc JOIN d2 ON dc.doc_id = d2.doc_id
+        |  JOIN t2 ON dc.doc_id = t2.doc_id
+        |  JOIN d3 ON dc.doc_id = d3.doc_id
+        |  JOIN t3 ON dc.doc_id = t3.doc_id""".stripMargin,
     "q_ppl_buckets" ->
       s"""WITH $lmScoreCtes,
         |n AS (SELECT count(*) AS n FROM scored),

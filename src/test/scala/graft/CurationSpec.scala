@@ -532,6 +532,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram typicality: hand-checked MLE transitions, integer-exact") {
+    import spark.implicits._
+    // corpus bigrams: ctx(a)=3 {ab,ab,ac}, ctx(b)=2 {ba,ba}
+    // ratios ppm: ab = 2e6 div 3 = 666666, ba = 1e6, ac = 333333
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.lmBigramScore(docs).head()
+    assert(r.getAs[Long]("n_bigrams") == 5L)
+    // sum = 666666*2 + 1000000*2 + 333333 = 3666665; div 5 = 733333
+    assert(r.getAs[Long]("bigram_typicality_ppm") == 733333L)
+    assert(r.getAs[Long]("min_transition_ppm") == 333333L)
+  }
+
+  test("rep chars: duplicated and top n-gram character fractions, hand-checked") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "aa bb aa bb cc")).toDF("doc_id", "text")
+    val r = TextAnalysis.qRepChars(spark, sf).limit(0) // schema smoke at sf
+    assert(r.columns.toSeq == Seq("doc_id", "doc_chars", "top2_frac_ppm",
+      "dup2_frac_ppm", "top3_frac_ppm", "dup3_frac_ppm"))
+    // doc_chars 10; 2-grams: "aa bb"x2 (clen 4), "bb aa", "bb cc" ->
+    // top2 = dup2 = 2*4 = 8 chars = 800000 ppm; 3-grams all unique:
+    // dup3 = 0, top3 = 6 chars = 600000 ppm
+    val docChars = docs
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id")).agg(sum(length(col("t")).cast("long")).as("doc_chars"))
+    assert(docChars.head().getLong(1) == 10L)
+    val out = TextAnalysis.qRepCharsOf(docs).head()
+    assert(out.getAs[Long]("doc_chars") == 10L)
+    assert(out.getAs[Long]("top2_frac_ppm") == 800000L)
+    assert(out.getAs[Long]("dup2_frac_ppm") == 800000L)
+    assert(out.getAs[Long]("top3_frac_ppm") == 600000L)
+    assert(out.getAs[Long]("dup3_frac_ppm") == 0L)
+  }
+
   test("rerank output stays inside the retrieval pool and reranks by score") {
     val out = Similarity.rerankTopK(Tables.embeddings(spark, sf)).collect()
     assert(out.nonEmpty)

@@ -192,6 +192,53 @@ class OperatorsSpec extends AnyFunSuite {
       "no multi-char symbol ever merged — marker plumbing suspect")
   }
 
+  test("fuzzy decontamination flags the leaked copies at estimated jaccard 1.0") {
+    val out = Dedup.qDedupFuzzyDecon(spark, sf).collect()
+    // every shifted copy of a benchmark doc (exact content match,
+    // distinct id) must surface flagged with all perms agreeing
+    val bench = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 100 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val flagged = out.filter(_.getAs[Long]("flagged") == 1L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    bench.foreach { b =>
+      assert(flagged.contains((b + Dedup.Shift, b)),
+        s"shifted copy of benchmark doc $b must be flagged")
+    }
+    out.foreach { r =>
+      val m = r.getAs[Long]("n_matching_perms")
+      assert(m >= 2L, "band-collision candidates share at least one band (2 perms)")
+      assert(r.getAs[Long]("est_jaccard_ppm") == 1000000L * m / Dedup.NumPerm)
+      assert(r.getLong(0) != r.getLong(1), "self pairs excluded")
+    }
+  }
+
+  test("analytic LSH tuning: steeper thresholds buy rows, results are canonical") {
+    // datasketch's published optimum for (0.5, 128) is b=32, r=4 —
+    // pin our 16- and 8-perm scale instead, brute-checked here
+    val configs = for {
+      b <- 1 to Dedup.NumPerm; r <- 1 to Dedup.NumPerm
+      if b * r <= Dedup.NumPerm
+    } yield (b, r)
+    def cost(threshold: Double)(br: (Int, Int)): Double = {
+      val (b, r) = br
+      val step = 0.001
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      val fp = Iterator.iterate(step / 2)(_ + step).takeWhile(_ < threshold)
+        .map(p).sum * step
+      val fn = Iterator.iterate(threshold + step / 2)(_ + step).takeWhile(_ < 1.0)
+        .map(s => 1.0 - p(s)).sum * step
+      0.5 * fp + 0.5 * fn
+    }
+    for (tau <- Seq(0.2, 0.5, 0.8)) {
+      assert(Dedup.optimalBands(tau) == configs.minBy(cost(tau)),
+        s"tuner must return the brute-force optimum at tau=$tau")
+    }
+    // high thresholds demand steeper curves: rows never decrease in tau
+    val rows = Seq(0.2, 0.5, 0.8).map(t => Dedup.optimalBands(t)._2)
+    assert(rows == rows.sorted, s"rows non-decreasing in threshold: $rows")
+  }
+
   test("ngram jaccard finds copies at jaccard 1.0") {
     val rows = Dedup.ngramJaccardPairs(Dedup.corpus(spark, sf)).collect()
     val copies = rows.filter(r => r.getLong(1) == r.getLong(0) + Dedup.Shift)
