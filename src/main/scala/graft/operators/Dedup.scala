@@ -437,9 +437,15 @@ object Dedup {
     */
   val FuzzyTauPpm = 800000L
 
-  def fuzzyDecontaminate(train: DataFrame, bench: DataFrame): DataFrame = {
+  def fuzzyDecontaminate(train: DataFrame, bench: DataFrame): DataFrame =
+    fuzzyDecontaminateAgainst(train, minhashSignatures(bench))
+
+  /** [[fuzzyDecontaminate]] against PRE-COMPUTED benchmark
+    * signatures — the streaming twin pins these once and screens
+    * every micro-batch against them.
+    */
+  def fuzzyDecontaminateAgainst(train: DataFrame, bSig: DataFrame): DataFrame = {
     val tSig = minhashSignatures(train)
-    val bSig = minhashSignatures(bench)
     val tBands = minhashBands(tSig)
       .toDF("train_doc_id", "band_id", "band_hash")
     val bBands = minhashBands(bSig)

@@ -461,6 +461,44 @@ object TextAnalysis {
   def qPplBuckets(s: SparkSession, dir: String): DataFrame =
     pplBuckets(Tables.documents(s, dir))
 
+  /** Quality-tiered training mixture — the published compose of
+    * [[pplBuckets]] with mixture planning (CCNet serves the head
+    * preferentially; quality-tiered sampling in the LLaMA/FineWeb
+    * lineage): per (source, quality-tier) cell, re-weight the
+    * natural token share by a tier multiplier (head ×3, middle ×2,
+    * tail ×1) and emit the target mixture share plus the boost each
+    * cell gets over its natural share. All shares are integer ppm
+    * over exact token counts — no float accumulates anywhere. Scale
+    * shape: the bucketing's histogram machinery plus ONE extra
+    * (source, bucket)-keyed aggregate over the corpus; the cell
+    * table is O(sources × 3) and every join against it broadcasts.
+    */
+  val TierMult: Map[String, Long] = Map("head" -> 3L, "middle" -> 2L, "tail" -> 1L)
+
+  def qTieredMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val buckets = pplBuckets(docs).select(col("doc_id"), col("bucket"))
+    val cells = docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(buckets, Seq("doc_id"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("mult",
+        when(col("bucket") === "head", TierMult("head"))
+          .when(col("bucket") === "middle", TierMult("middle"))
+          .otherwise(TierMult("tail")))
+      .withColumn("wt", col("n_tokens") * col("mult"))
+    val tot = cells.agg(sum(col("wt")).as("tot_wt"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_tokens"),
+        col("mult"),
+        expr("(1000000 * wt) div tot_wt").as("target_ppm"),
+        expr("(1000000 * n_tokens) div tot_tokens").as("natural_ppm"))
+      .withColumn("boost_ppm", expr("(1000000 * target_ppm) div natural_ppm"))
+  }
+
   /** Bigram (conditional) LM typicality — the KenLM-shaped upgrade of
     * [[lmScore]]: score each document by the mean MLE transition
     * probability P(b|a) = cnt(a,b)/ctx(a) of its adjacent token
@@ -707,6 +745,7 @@ object TextAnalysis {
     "q_lm_score" -> qLmScore _,
     "q_lm_bigram" -> qLmBigram _,
     "q_ppl_buckets" -> qPplBuckets _,
+    "q_tiered_mixture" -> qTieredMixture _,
     "q_rep_chars" -> qRepChars _,
     "q_decontaminate" -> qDecontaminate _,
     "q_decontaminate_verdict" -> qDecontaminateVerdict _,
@@ -859,6 +898,22 @@ object TextAnalysis {
       |      AS t
       |  FROM per CROSS JOIN tot)""".stripMargin
 
+  /** [[lmScoreCtes]] extended to the head/middle/tail assignment —
+    * shared by the bucketing query and the tiered-mixture plan.
+    */
+  private val pplBucketCtes =
+    s"""$lmScoreCtes,
+      |n AS (SELECT count(*) AS n FROM scored),
+      |rn AS (SELECT t, row_number() OVER (ORDER BY t DESC) AS rn FROM scored),
+      |cuts AS (SELECT
+      |    max(CASE WHEN r.rn = n.n // 3 THEN r.t END) AS head_cut,
+      |    max(CASE WHEN r.rn = (2 * n.n) // 3 THEN r.t END) AS tail_cut
+      |  FROM rn r CROSS JOIN n),
+      |bucketed AS (SELECT s.doc_id, s.n_tokens, s.t, c.head_cut, c.tail_cut,
+      |    CASE WHEN s.t >= c.head_cut THEN 'head'
+      |      WHEN s.t >= c.tail_cut THEN 'middle' ELSE 'tail' END AS bucket
+      |  FROM scored s CROSS JOIN cuts c)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_encode" -> bpeEncodeSql,
@@ -990,17 +1045,28 @@ object TextAnalysis {
         |  JOIN d3 ON dc.doc_id = d3.doc_id
         |  JOIN t3 ON dc.doc_id = t3.doc_id""".stripMargin,
     "q_ppl_buckets" ->
-      s"""WITH $lmScoreCtes,
-        |n AS (SELECT count(*) AS n FROM scored),
-        |rn AS (SELECT t, row_number() OVER (ORDER BY t DESC) AS rn FROM scored),
-        |cuts AS (SELECT
-        |    max(CASE WHEN r.rn = n.n // 3 THEN r.t END) AS head_cut,
-        |    max(CASE WHEN r.rn = (2 * n.n) // 3 THEN r.t END) AS tail_cut
-        |  FROM rn r CROSS JOIN n)
-        |SELECT s.doc_id, s.t AS typicality_ppm, c.head_cut, c.tail_cut,
-        |  CASE WHEN s.t >= c.head_cut THEN 'head'
-        |    WHEN s.t >= c.tail_cut THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM scored s CROSS JOIN cuts c""".stripMargin,
+      s"""WITH $pplBucketCtes
+        |SELECT doc_id, t AS typicality_ppm, head_cut, tail_cut, bucket
+        |FROM bucketed""".stripMargin,
+    "q_tiered_mixture" ->
+      s"""WITH $pplBucketCtes,
+        |cells AS (SELECT d.source, b.bucket, count(*) AS n_docs,
+        |    sum(b.n_tokens)::BIGINT AS n_tokens
+        |  FROM bucketed b JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |w AS (SELECT source, bucket, n_docs, n_tokens,
+        |    (CASE bucket WHEN 'head' THEN 3 WHEN 'middle' THEN 2 ELSE 1 END)::BIGINT
+        |      AS mult,
+        |    n_tokens * (CASE bucket WHEN 'head' THEN 3 WHEN 'middle' THEN 2 ELSE 1 END)
+        |      AS wt
+        |  FROM cells),
+        |mtot AS (SELECT sum(wt)::BIGINT AS tot_wt,
+        |    sum(n_tokens)::BIGINT AS tot_tokens FROM w)
+        |SELECT source, bucket, n_docs, n_tokens, mult,
+        |  (1000000 * wt) // tot_wt AS target_ppm,
+        |  (1000000 * n_tokens) // tot_tokens AS natural_ppm,
+        |  (1000000 * ((1000000 * wt) // tot_wt))
+        |    // ((1000000 * n_tokens) // tot_tokens) AS boost_ppm
+        |FROM w CROSS JOIN mtot""".stripMargin,
     "q_vocab" ->
       """WITH tf AS (
         |  SELECT t AS term, count(*) AS cnt FROM (

@@ -636,6 +636,41 @@ object DocStreams {
     q.stop()
   }
 
+  /** Streaming FUZZY decontamination: the GPT-3-style fuzzy
+    * benchmark screen ([[graft.operators.Dedup.fuzzyDecontaminate]])
+    * over an arriving corpus. The benchmark's MinHash SIGNATURES are
+    * pinned once (benchmarks are small by definition — signatures
+    * and bands broadcast); each micro-batch computes its own
+    * signatures (content-local, so the union over batches equals the
+    * batch screen exactly), candidates come from the banded
+    * equi-join against the pinned side, and candidate pairs land
+    * keyed by (train, bench) — replay converges. Per-batch cost is
+    * one signature pass over the batch plus broadcast joins; the
+    * stream never shuffles on the benchmark.
+    */
+  def runFuzzyDecontaminationToWarehouse(spark: SparkSession, dir: String,
+                                         bench: DataFrame,
+                                         wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                                         auditTable: String): Unit = {
+    val bSig = graft.operators.Dedup.minhashSignatures(bench)
+      .localCheckpoint() // pin across batches
+    val q = readStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val pairs = graft.operators.Dedup
+          .fuzzyDecontaminateAgainst(batch.toDF(), bSig)
+          .withColumn("pair_id",
+            concat(col("train_doc_id").cast("string"), lit("#"),
+              col("bench_doc_id").cast("string")))
+          .localCheckpoint()
+        upsertPartitioned(wh, ref, auditTable, pairs, "pair_id")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming mixture application: factors PLANNED ONCE on a
     * reference corpus snapshot (Curation.mixtureFactors — the
     * realistic shape: plan on yesterday's corpus, apply to arriving

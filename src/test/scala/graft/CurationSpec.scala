@@ -532,6 +532,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("tiered mixture: shares sum to one, boost tracks the tier multiplier") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.qTieredMixture(spark, sf).collect()
+    assert(out.nonEmpty)
+    val cells = out.length
+    // floor-quantized shares: sum within #cells ulps of 1e6
+    val tgt = out.map(_.getAs[Long]("target_ppm")).sum
+    val nat = out.map(_.getAs[Long]("natural_ppm")).sum
+    assert(tgt <= 1000000L && tgt > 1000000L - cells, s"target sum $tgt")
+    assert(nat <= 1000000L && nat > 1000000L - cells, s"natural sum $nat")
+    // boost is the tier multiplier rescaled by one global constant:
+    // within every source, head >= middle >= tail
+    out.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+      val byTier = rows.map(r => r.getAs[String]("bucket") -> r.getAs[Long]("boost_ppm")).toMap
+      for (hi <- byTier.get("head"); mid <- byTier.get("middle")) assert(hi >= mid)
+      for (mid <- byTier.get("middle"); lo <- byTier.get("tail")) assert(mid >= lo)
+    }
+    out.foreach { r =>
+      assert(Set("head", "middle", "tail")(r.getAs[String]("bucket")))
+      assert(r.getAs[Long]("mult") ==
+        TextAnalysis.TierMult(r.getAs[String]("bucket")))
+    }
+  }
+
   test("bigram typicality: hand-checked MLE transitions, integer-exact") {
     import spark.implicits._
     // corpus bigrams: ctx(a)=3 {ab,ab,ac}, ctx(b)=2 {ba,ba}

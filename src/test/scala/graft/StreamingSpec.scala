@@ -446,6 +446,41 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == streamed)
   }
 
+  test("streaming fuzzy decontamination equals the batch screen, replays idempotently") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    val root = java.nio.file.Files.createTempDirectory("graft-wh-fdecon").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.fdecon")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // benchmark = every 100th doc under EXTERNAL ids (shifted), so
+    // each leaked doc must flag against its benchmark twin at 8/8
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + graft.operators.Dedup.Shift).as("doc_id"), col("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("train_doc_id"), col("bench_doc_id"),
+        col("n_matching_perms"), col("flagged"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    DocStreams.runFuzzyDecontaminationToWarehouse(spark, sf, bench, wh, ref, "fuzzy")
+    val streamed = pairs(wh.readTable(ref, "fuzzy"))
+    // signatures are content-local, so the union over micro-batches
+    // must equal the one-shot batch screen exactly
+    val batch = pairs(graft.operators.Dedup.fuzzyDecontaminate(docs, bench))
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+    val leaked = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    leaked.foreach { d =>
+      assert(streamed.contains((d, d + graft.operators.Dedup.Shift, 8L, 1L)),
+        s"leaked doc $d must flag against its benchmark twin")
+    }
+    DocStreams.runFuzzyDecontaminationToWarehouse(spark, sf, bench, wh, ref, "fuzzy")
+    assert(pairs(wh.readTable(ref, "fuzzy")) == streamed, "replay must converge")
+  }
+
   test("streaming mixture application equals the batch sample, replays idempotently") {
     import org.apache.spark.sql.functions._
     import graft.extract.Warehouse
