@@ -446,6 +446,115 @@ object Curation {
     dsirScores(aug, col("doc_id") % 10 === 0)
   }
 
+  // --- classifier quality gate ----------------------------------------
+
+  /** GPT-3-style classifier quality filtering (reference lineage:
+    * the published pipelines train a linear classifier on curated-
+    * vs-crawl seeds and keep crawl docs the classifier scores
+    * curated-like): a multinomial Naive Bayes over hashed unigram
+    * features, trained on labeled seed documents and applied to the
+    * whole corpus. Log-likelihoods use the integer bit-length log
+    * L(x) = strlen(bin(x²)) = floor(2·log2 x)+1 — a half-bit-
+    * resolution logarithm both engines evaluate bit-identically
+    * (no transcendentals; same cross-engine-exactness discipline as
+    * qDsir's ppm shares). With flat class priors the NB decision
+    * rule becomes: keep ⇔ Σ_w [L(ct+1) − L(cb+1)] >
+    * n_tokens·(L(t_tot+V) − L(b_tot+V)), where ct/cb are the
+    * feature's counts in the hq/lq seed sets, t_tot/b_tot the seed
+    * token totals, and V = QcClassBuckets smoothing mass.
+    * Scale shape: the count table is ≤ QcClassBuckets rows →
+    * broadcast; the totals are one scalar row crossed back in; the
+    * per-doc score is one partial-aggregated shuffle on
+    * (doc_id, role). x² keeps the argument ≤ (corpus tokens)² —
+    * inside int64 up to ~3e9 seed tokens per class; shard classes
+    * beyond that.
+    */
+  val QcClassBuckets = 4096L
+  val HqMarkers = " encyclopedia citation reference archive"
+  val LqMarkers = " click subscribe winner prize"
+
+  /** floor(2·log2 x)+1 for x ≥ 1, as an integer both engines agree on. */
+  private def bitLog(x: Column): Column =
+    length(bin(x * x)).cast("long")
+
+  def nbQualityScores(docs: DataFrame, role: Column): DataFrame = {
+    val tok = docs.select(col("doc_id"), role.as("role"),
+        explode(tokens(col("text"))).as("w"))
+      .withColumn("f", tokenHash(col("w")) % QcClassBuckets)
+    val seed = tok.filter(col("role") =!= "unlabeled")
+    val cnt = seed.groupBy(col("f")).agg(
+      sum(when(col("role") === "hq", 1L).otherwise(0L)).as("ct"),
+      sum(when(col("role") === "lq", 1L).otherwise(0L)).as("cb"))
+    val tot = seed.agg(
+      bitLog(sum(when(col("role") === "hq", 1L).otherwise(0L)) + QcClassBuckets).as("nt"),
+      bitLog(sum(when(col("role") === "lq", 1L).otherwise(0L)) + QcClassBuckets).as("nb"))
+    tok.join(broadcast(cnt), Seq("f"), "left")
+      .na.fill(0L, Seq("ct", "cb"))
+      .groupBy(col("doc_id"), col("role"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(bitLog(col("ct") + 1) - bitLog(col("cb") + 1)).as("tok_score"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("role"), col("n_tokens"),
+        (col("tok_score") - col("n_tokens") * (col("nt") - col("nb")))
+          .as("nb_score"))
+      .withColumn("keep", col("nb_score") > 0)
+  }
+
+  /** Harness fixture: every 7th doc is an hq seed (curated-corpus
+    * marker vocabulary appended), the next residue an lq seed
+    * (boilerplate-spam markers) — the augment-in-the-harness pattern
+    * of qDsir/qScrub, because the synthetic tables draw every doc
+    * from one token distribution. The classifier trains on the seeds
+    * and scores ALL docs, seeds included (their markers make them
+    * sanity anchors: hq seeds must score positive, lq negative).
+    */
+  def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val aug = Tables.documents(s, dir).withColumn("text",
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(HqMarkers)))
+        .when(col("doc_id") % 7 === 1, concat(col("text"), lit(LqMarkers)))
+        .otherwise(col("text")))
+    val role = when(col("doc_id") % 7 === 0, lit("hq"))
+      .when(col("doc_id") % 7 === 1, lit("lq"))
+      .otherwise(lit("unlabeled"))
+    nbQualityScores(aug, role)
+  }
+
+  // --- per-domain caps -------------------------------------------------
+
+  /** RefinedWeb-style per-domain document cap: at web scale a few
+    * hosts contribute millions of near-boilerplate pages, so corpus
+    * builders cap the documents any one domain may contribute.
+    * Selection within a domain is by a deterministic hash rank (a
+    * fixed permutation of doc_ids), so the kept subset is stable
+    * under re-runs and independent of input order — the published
+    * pipelines' "random but reproducible" sample. The window is
+    * PARTITIONED BY domain: per-partition state is one counter, and
+    * a pathological mega-domain degrades to one partition's sort of
+    * its own rows, never a global sort. Output: every doc with its
+    * domain, hash rank, and kept verdict.
+    */
+  val DomainMod = 7L
+  val DomainCap = 3
+
+  def domainCap(docs: DataFrame, domain: Column, cap: Int = DomainCap): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("rk"), col("doc_id"))
+    docs.select(col("doc_id"), domain.as("domain"))
+      .withColumn("rk", pmod(col("doc_id") * 7919L, lit(104729L)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("domain"), col("rn"),
+        (col("rn") <= cap).as("kept"))
+  }
+
+  /** Harness: the synthetic corpus has no URL column, so the domain
+    * is derived deterministically as source × (doc_id mod DomainMod)
+    * — ~DomainMod pseudo-hosts per source, a few docs over the cap
+    * in each at every test scale.
+    */
+  def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    domainCap(Tables.documents(s, dir),
+      concat(col("source"), lit("-"), (col("doc_id") % DomainMod).cast("string")))
+
   // --- end-to-end curation run ----------------------------------------
 
   /** The composed pipeline verdict — what one corpus-curation run
@@ -603,6 +712,8 @@ object Curation {
     "q_mixture_drift" -> qMixtureDrift _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_dsir" -> qDsir _,
+    "q_quality_classifier" -> qQualityClassifier _,
+    "q_domain_cap" -> qDomainCap _,
     "q_curation_run" -> qCurationRun _,
     "q_curation_run_full" -> qCurationRunFull _,
     "q_curation_report" -> qCurationReport _)
@@ -842,6 +953,53 @@ object Curation {
         |SELECT doc_id, n_tokens, dsir_score,
         |  dsir_score > n_tokens * expected_ppm AS selected
         |FROM per, tot""".stripMargin,
+    "q_quality_classifier" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'hq'
+        |         WHEN doc_id % 7 = 1 THEN 'lq'
+        |         ELSE 'unlabeled' END AS role,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || '$HqMarkers'
+        |         WHEN doc_id % 7 = 1 THEN text || '$LqMarkers'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, role,
+        |    ('0x' || substr(md5(w), 1, 12))::BIGINT % $QcClassBuckets AS f
+        |  FROM (SELECT doc_id, role,
+        |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        |        FROM aug)),
+        |cnt AS (
+        |  SELECT f,
+        |    count(*) FILTER (WHERE role = 'hq')::BIGINT AS ct,
+        |    count(*) FILTER (WHERE role = 'lq')::BIGINT AS cb
+        |  FROM tok WHERE role <> 'unlabeled' GROUP BY f),
+        |tot AS (
+        |  SELECT
+        |    strlen(bin((count(*) FILTER (WHERE role = 'hq')::BIGINT + $QcClassBuckets)
+        |      * (count(*) FILTER (WHERE role = 'hq')::BIGINT + $QcClassBuckets)))::BIGINT AS nt,
+        |    strlen(bin((count(*) FILTER (WHERE role = 'lq')::BIGINT + $QcClassBuckets)
+        |      * (count(*) FILTER (WHERE role = 'lq')::BIGINT + $QcClassBuckets)))::BIGINT AS nb
+        |  FROM tok WHERE role <> 'unlabeled'),
+        |sc AS (
+        |  SELECT t.doc_id, t.role, count(*)::BIGINT AS n_tokens,
+        |    sum(strlen(bin((coalesce(c.ct, 0) + 1) * (coalesce(c.ct, 0) + 1)))::BIGINT
+        |      - strlen(bin((coalesce(c.cb, 0) + 1) * (coalesce(c.cb, 0) + 1)))::BIGINT
+        |      )::BIGINT AS tok_score
+        |  FROM tok t LEFT JOIN cnt c USING (f)
+        |  GROUP BY t.doc_id, t.role)
+        |SELECT doc_id, role, n_tokens,
+        |  tok_score - n_tokens * (nt - nb) AS nb_score,
+        |  tok_score - n_tokens * (nt - nb) > 0 AS keep
+        |FROM sc, tot""".stripMargin,
+    "q_domain_cap" ->
+      s"""SELECT doc_id, domain, rn, rn <= $DomainCap AS kept FROM (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY (doc_id * 7919) % 104729, doc_id)::BIGINT AS rn
+        |  FROM (SELECT doc_id,
+        |          source || '-' || (doc_id % $DomainMod)::VARCHAR AS domain
+        |        FROM documents))""".stripMargin,
     "q_curation_run" ->
       s"""WITH base AS (
         |  SELECT doc_id, text FROM documents

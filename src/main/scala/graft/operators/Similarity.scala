@@ -315,6 +315,51 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  // --- semantic decontamination ---------------------------------------
+
+  /** Embedding-space benchmark decontamination — the published
+    * complement of the n-gram screens (exact 5-gram overlap, bloom-
+    * prefiltered, MinHash-fuzzy): flag a training vector when its
+    * cosine against ANY benchmark vector reaches `thr`, catching
+    * paraphrase-level contamination that shares no shingles. The
+    * benchmark set is bounded by definition → broadcast; the corpus
+    * is scanned once, the per-vector max folds map-side inside the
+    * (vec_id) partial agg, and only scalars reach the exchange —
+    * the bruteTopKFor discipline with a verdict instead of a top-k.
+    * Output: one row per corpus vector (max_cos, match count,
+    * contaminated verdict).
+    */
+  val SemDeconThr = 0.9
+  val BenchMod = 25L
+
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            thr: Double = SemDeconThr): DataFrame = {
+    val all = quantized(corpus)
+    val bs = quantized(bench).select(col("vec_id").as("bench_id"),
+      col("q").as("q_b"), col("nq").as("nq_b"))
+    all.join(broadcast(bs), lit(true))
+      .withColumn("cos", cosine(dotQ(col("q"), col("q_b")), col("nq"), col("nq_b")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("mc"),
+        sum(when(col("cos") >= thr, 1L).otherwise(0L)).as("n_matches"))
+      .select(col("vec_id"), round(col("mc"), 6).as("max_cos"),
+        col("n_matches"), (col("mc") >= thr).as("contaminated"))
+  }
+
+  /** Harness: every BenchMod-th vector is the held-out benchmark;
+    * the training corpus is the rest PLUS exact re-id'd copies of
+    * the benchmark under Shift-ed vec_ids — known-true semantic
+    * contamination, the Dedup.corpus doubling pattern (the fixture
+    * lives here, never in the operator).
+    */
+  def qDeconSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.filter(col("vec_id") % BenchMod === 0)
+    val corpus = emb.filter(col("vec_id") % BenchMod =!= 0)
+      .unionByName(bench.withColumn("vec_id", col("vec_id") + Shift))
+    semanticDecontaminate(corpus, bench)
+  }
+
   /** Deterministic pseudo-random hyperplanes per (table, plane):
     * integer weights in [-1000, 1000] derived from md5 —
     * reproducible everywhere.
@@ -1392,6 +1437,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNearDup _,
+    "q_decon_semantic" -> qDeconSemantic _,
     "q_semdedup" -> qSemDedup _,
     "q_cluster_sample" -> qClusterSample _,
     "q_ann_brute" -> qAnnBrute _,
@@ -1776,6 +1822,25 @@ object Similarity {
         |  round(cos, 6) AS cos_sim
         |FROM p
         |QUALIFY rnk <= 5""".stripMargin,
+    "q_decon_semantic" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, q,
+        |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+        |  FROM ($quantSql)),
+        |bench AS (SELECT vec_id AS bench_id, q AS q_b, nq AS nq_b
+        |  FROM n WHERE vec_id % $BenchMod = 0),
+        |corp AS (
+        |  SELECT vec_id, q, nq FROM n WHERE vec_id % $BenchMod <> 0
+        |  UNION ALL SELECT bench_id + $Shift, q_b, nq_b FROM bench),
+        |p AS (
+        |  SELECT c.vec_id,
+        |    list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * b.q_b[i]))::DOUBLE
+        |      / (sqrt(c.nq::DOUBLE) * sqrt(b.nq_b::DOUBLE)) AS cos
+        |  FROM corp c CROSS JOIN bench b)
+        |SELECT vec_id, round(max(cos), 6) AS max_cos,
+        |  sum(CASE WHEN cos >= $SemDeconThr THEN 1 ELSE 0 END)::BIGINT AS n_matches,
+        |  max(cos) >= $SemDeconThr AS contaminated
+        |FROM p GROUP BY vec_id""".stripMargin,
     "q_embed_qc" ->
       s"""WITH base AS (
         |  SELECT vec_id,

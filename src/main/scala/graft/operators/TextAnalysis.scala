@@ -736,9 +736,73 @@ object TextAnalysis {
           / sum(col("n_sym")).cast("double"), 6).as("chars_per_symbol"))
   }
 
+  /** Integer floor division for nonnegative operands (both engines
+    * floor identically; the ppm discipline of qDsir/qLmScore).
+    */
+  private def divFloor(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Tokenizer fertility audit — the per-source table a tokenizer
+    * team tracks when validating a vocabulary against a corpus mix:
+    * FERTILITY (BPE symbols emitted per whitespace word, ppm) and
+    * the chars-per-symbol compression it buys. High-fertility
+    * sources (symbol-hungry scripts, noisy text) inflate training
+    * cost per effective token and skew mixture math that was planned
+    * in document counts. Scale shape: identical to qBpeEncode —
+    * the trained symbol table is VOCAB-sized work, per-source stats
+    * are one equi-join of exploded tokens against the encoded vocab
+    * plus one partial-aggregated rollup on source; ratios stay in
+    * exact integer ppm.
+    */
+  def qFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (_, sym) = bpeTrainLoop(docs)
+    val vocabEnc = sym.select(col("w"),
+      size(split(col("s"), " ")).cast("long").as("n_sym"),
+      length(col("w")).cast("long").as("n_chars"))
+    docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+      .join(vocabEnc, "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_symbols"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_symbols"), col("n_chars"),
+        divFloor(col("n_symbols") * 1000000L, col("n_words")).as("fertility_ppm"),
+        divFloor(col("n_chars") * 1000000L, col("n_symbols")).as("chars_per_symbol_ppm"))
+  }
+
+  /** N-gram diversity audit — the templated-text / mode-collapse
+    * detector corpus reports publish per source: type-token ratio
+    * and distinct-bigram ratio (the bigram side over 48-bit shingle
+    * hashes, so the distinct count is a hash-set size both engines
+    * agree on exactly). Low TTR at normal length flags boilerplate
+    * farms; low bigram diversity with normal TTR flags template
+    * text that permutes a fixed vocabulary. Scale shape: two
+    * partial-aggregated count-distinct shuffles keyed on source —
+    * Spark plans count(DISTINCT) as a two-stage partial dedup, so
+    * no per-source token list ever materializes.
+    */
+  def qDiversity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+    val uni = tok.groupBy(col("source")).agg(
+      count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_types"))
+    val bi = docs.select(col("source"),
+        explode(shingleHashes(tokens(col("text")), 2)).as("b"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_bigrams"), countDistinct(col("b")).as("n_bigram_types"))
+    uni.join(bi, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        divFloor(col("n_types") * 1000000L, col("n_tokens")).as("ttr_ppm"),
+        col("n_bigrams"), col("n_bigram_types"),
+        divFloor(col("n_bigram_types") * 1000000L, col("n_bigrams")).as("bigram_ttr_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> qBpeTrain _,
     "q_bpe_encode" -> qBpeEncode _,
+    "q_fertility" -> qFertility _,
+    "q_diversity" -> qDiversity _,
     "q_bpe_merge" -> qBpeMerge _,
     "q_vocab" -> qVocab _,
     "q_vocab_coverage" -> qVocabCoverage _,
@@ -918,6 +982,36 @@ object TextAnalysis {
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_bpe_merge" -> bpeMergeSql,
+    "q_fertility" ->
+      s"""$bpeRoundsCtes,
+        |enc AS (SELECT w, len(string_split(s, ' '))::BIGINT AS n_sym,
+        |  strlen(w)::BIGINT AS n_chars FROM sym$BpeTrainSteps),
+        |tok AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        |  FROM documents),
+        |per AS (SELECT source, count(*)::BIGINT AS n_words,
+        |    sum(e.n_sym)::BIGINT AS n_symbols, sum(e.n_chars)::BIGINT AS n_chars
+        |  FROM tok t JOIN enc e USING (w)
+        |  GROUP BY source)
+        |SELECT source, n_words, n_symbols, n_chars,
+        |  (n_symbols * 1000000) // n_words AS fertility_ppm,
+        |  (n_chars * 1000000) // n_symbols AS chars_per_symbol_ppm
+        |FROM per""".stripMargin,
+    "q_diversity" ->
+      """WITH t AS (SELECT source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |tok AS (SELECT source, unnest(toks) AS w FROM t),
+        |uni AS (SELECT source, count(*)::BIGINT AS n_tokens,
+        |    count(DISTINCT w)::BIGINT AS n_types FROM tok GROUP BY source),
+        |bi AS (SELECT source, count(*)::BIGINT AS n_bigrams,
+        |    count(DISTINCT b)::BIGINT AS n_bigram_types FROM (
+        |    SELECT source, unnest(list_transform(range(1, len(toks)),
+        |      i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1])), 1, 12))::BIGINT)) AS b
+        |    FROM t) GROUP BY source)
+        |SELECT source, n_tokens, n_types,
+        |  (n_types * 1000000) // n_tokens AS ttr_ppm,
+        |  n_bigrams, n_bigram_types,
+        |  (n_bigram_types * 1000000) // n_bigrams AS bigram_ttr_ppm
+        |FROM uni JOIN bi USING (source)""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(hs) AS h FROM (

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the TPC-H-ish test tables (see TESTDATA.md).
   *
@@ -16,15 +16,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads
-    * via `spark.sql.legacy.parquet.nanosAsLong=true` (set in every
-    * graft session); convert to a micros timestamp here (matching
-    * the truncation other engines apply to nanos).
+  /** events.ts has shipped as two parquet flavors across testdata
+    * generations: TIMESTAMP(NANOS) (readable only via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in every graft
+    * session — convert to micros here, matching the truncation other
+    * engines apply to nanos) and naive micros (read as
+    * TIMESTAMP_NTZ by Spark 4 — cast to the session-zone TIMESTAMP;
+    * the session zone is pinned to UTC, so the instant equals the
+    * oracle's naive reading). Downstream operators always see
+    * TIMESTAMP, never a flavor-dependent type.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 

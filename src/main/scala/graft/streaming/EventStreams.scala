@@ -17,29 +17,38 @@ import graft.functions.GraftFunctions._
   */
 object EventStreams {
 
-  /** Schema of the raw events parquet (ts arrives as nanos int64
-    * under nanosAsLong).
+  /** Schema of the raw events parquet with `ts` as the given flavor
+    * (nanos int64 under nanosAsLong, or naive-micros TIMESTAMP_NTZ —
+    * see [[graft.sources.Tables.apply]] for the two testdata
+    * generations).
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** FileStreamSource requires a directory; the test data ships one
     * parquet file per table, so stage a symlink in a temp dir (the
     * production shape is a directory of arriving files anyway).
+    * A one-file batch probe picks the ts flavor (footer-only read);
+    * both flavors normalize to session-zone TIMESTAMP, as in
+    * [[graft.sources.Tables.apply]].
     */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     val staged = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.createSymbolicLink(
       staged.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    spark.readStream.schema(rawSchema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream.schema(rawSchema(tsType)).parquet(staged.toString)
+    if (tsType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** 1-hour tumbling windows with a 1-hour watermark. */

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Relational, Similarity}
+import graft.operators.{Curation, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Round-3 surface: curation ops (scrub / chunk dedup / mixture),
@@ -588,6 +588,85 @@ class CurationSpec extends AnyFunSuite {
     assert(out.getAs[Long]("dup2_frac_ppm") == 800000L)
     assert(out.getAs[Long]("top3_frac_ppm") == 600000L)
     assert(out.getAs[Long]("dup3_frac_ppm") == 0L)
+  }
+
+  test("nb quality classifier: seeds classify to their own side, scores integer") {
+    val out = Curation.qQualityClassifier(spark, sf).collect()
+    val hq = out.filter(_.getAs[String]("role") == "hq")
+    val lq = out.filter(_.getAs[String]("role") == "lq")
+    val un = out.filter(_.getAs[String]("role") == "unlabeled")
+    assert(hq.nonEmpty && lq.nonEmpty && un.nonEmpty)
+    // marker vocabulary dominates the per-token noise: seeds must
+    // land on their own side of the boundary
+    assert(hq.count(_.getAs[Boolean]("keep")).toDouble / hq.length >= 0.9,
+      "hq seeds score curated-like")
+    assert(lq.count(!_.getAs[Boolean]("keep")).toDouble / lq.length >= 0.9,
+      "lq seeds score spam-like")
+    // the unlabeled pool splits — the gate is not degenerate
+    assert(un.exists(_.getAs[Boolean]("keep")) || un.exists(!_.getAs[Boolean]("keep")))
+    // decision rule consistency: keep ⇔ nb_score > 0
+    out.foreach(r => assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("nb_score") > 0)))
+  }
+
+  test("domain cap: at most Cap kept per domain, selection is hash-deterministic") {
+    val out = Curation.qDomainCap(spark, sf).collect()
+    val byDomain = out.groupBy(_.getAs[String]("domain"))
+    byDomain.values.foreach { rows =>
+      val kept = rows.filter(_.getAs[Boolean]("kept"))
+      assert(kept.length == math.min(Curation.DomainCap, rows.length),
+        "kept count is min(cap, domain size)")
+      // ranks are a permutation 1..n within the domain
+      assert(rows.map(_.getAs[Long]("rn")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+    // deterministic under re-evaluation
+    val again = Curation.qDomainCap(spark, sf).collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[Boolean]("kept"))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getAs[Boolean]("kept"))).sortBy(_._1).toSeq)
+  }
+
+  test("semantic decontamination: planted benchmark copies flagged, natural corpus clean") {
+    val out = Similarity.qDeconSemantic(spark, sf).collect()
+    val planted = out.filter(_.getLong(0) >= Similarity.Shift)
+    val natural = out.filter(_.getLong(0) < Similarity.Shift)
+    assert(planted.nonEmpty && natural.nonEmpty)
+    // every planted copy is an exact benchmark duplicate: cos = 1
+    planted.foreach { r =>
+      assert(r.getAs[Boolean]("contaminated"))
+      assert(math.abs(r.getAs[Double]("max_cos") - 1.0) < 1e-6)
+    }
+    // the synthetic corpus has no natural paraphrases of the bench
+    natural.foreach(r => assert(!r.getAs[Boolean]("contaminated")))
+    // verdict consistency with the match count
+    out.foreach(r =>
+      assert(r.getAs[Boolean]("contaminated") == (r.getAs[Long]("n_matches") > 0)))
+  }
+
+  test("fertility: symbols per word >= 1, chars per symbol >= 1, every source rated") {
+    val out = TextAnalysis.qFertility(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(out.length == nSources, "one fertility row per source")
+    out.foreach { r =>
+      // a word is at least one symbol; merges never exceed chars
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L)
+      assert(r.getAs[Long]("chars_per_symbol_ppm") >= 1000000L)
+      assert(r.getAs[Long]("n_symbols") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("n_symbols") >= r.getAs[Long]("n_words"))
+    }
+  }
+
+  test("diversity: ratios bounded by construction, every source audited") {
+    val out = TextAnalysis.qDiversity(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(out.length == nSources)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_bigram_types") <= r.getAs[Long]("n_bigrams"))
+      assert(r.getAs[Long]("ttr_ppm") <= 1000000L)
+      assert(r.getAs[Long]("bigram_ttr_ppm") <= 1000000L)
+      // bigrams of an n-token doc stream: one fewer than tokens per doc
+      assert(r.getAs[Long]("n_bigrams") < r.getAs[Long]("n_tokens"))
+    }
   }
 
   test("rerank output stays inside the retrieval pool and reranks by score") {
