@@ -360,6 +360,56 @@ object Similarity {
     semanticDecontaminate(corpus, bench)
   }
 
+  // --- greedy k-center diversity selection -----------------------------
+
+  /** Greedy k-center (Gonzalez) coreset selection — the diversity-
+    * maximizing exemplar subset data-selection pipelines use when a
+    * fixed budget of spread-out representatives is wanted (the
+    * facility-location/coreset family, complementing
+    * clusterBalancedSample's occupancy-proportional draw): start
+    * from the lowest vec_id, then repeatedly take the point FARTHEST
+    * from the selected set (max-min distance ⇔ min-max cosine; ties
+    * → lowest vec_id). K−1 rounds, each one broadcast of the ≤K
+    * selected vectors + one partial-aggregated min-max pass over the
+    * corpus; the driver holds only the K selected rows — that O(K)
+    * set IS the output (the kmeans-convergence discipline: scalars
+    * cross the driver boundary, corpus data never does). Output:
+    * (step, vec_id, far_cos) in selection order, far_cos = the max
+    * cosine of the chosen point to the PRIOR selection (its coverage
+    * radius at selection time; NULL for the seed).
+    */
+  val KCenterK = 8
+
+  def kcenterSelect(emb: DataFrame, k: Int = KCenterK): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val all = quantized(emb).select(col("vec_id"), col("q"), col("nq"))
+    val seed = all.orderBy(col("vec_id")).limit(1).collect()(0)
+    var sel = Vector[(Long, Array[Long], Long, Option[Double])](
+      (seed.getLong(0), seed.getSeq[Long](1).toArray, seed.getLong(2), None))
+    for (_ <- 2 to k) {
+      val selDf = sel.map(t => (t._1, t._2, t._3)).toDF("sid", "sq", "snq")
+      val ids = sel.map(_._1)
+      val far = all.filter(!col("vec_id").isInCollection(ids))
+        .join(broadcast(selDf), lit(true))
+        .withColumn("cos", cosine(dotQ(col("q"), col("sq")), col("nq"), col("snq")))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cos")).as("mc"))
+        .orderBy(col("mc"), col("vec_id")).limit(1).collect()(0)
+      val qrow = all.filter(col("vec_id") === far.getLong(0)).collect()(0)
+      sel = sel :+ ((far.getLong(0), qrow.getSeq[Long](1).toArray,
+        qrow.getLong(2), Some(far.getDouble(1))))
+    }
+    sel.zipWithIndex
+      .map { case ((id, _, _, mc), i) => ((i + 1).toLong, id, mc) }
+      .toDF("step", "vec_id", "far_cos_raw")
+      .select(col("step"), col("vec_id"),
+        round(col("far_cos_raw"), 6).as("far_cos"))
+  }
+
+  def qKcenter(s: SparkSession, dir: String): DataFrame =
+    kcenterSelect(Tables.embeddings(s, dir))
+
   /** Deterministic pseudo-random hyperplanes per (table, plane):
     * integer weights in [-1000, 1000] derived from md5 —
     * reproducible everywhere.
@@ -1438,6 +1488,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_decon_semantic" -> qDeconSemantic _,
+    "q_kcenter" -> qKcenter _,
     "q_semdedup" -> qSemDedup _,
     "q_cluster_sample" -> qClusterSample _,
     "q_ann_brute" -> qAnnBrute _,
@@ -1454,6 +1505,43 @@ object Similarity {
     "q_project" -> ((s, dir) => projectTopDims(Tables.embeddings(s, dir))),
     "q_embed_centroids" -> qEmbedCentroids _,
     "q_kmeans_step" -> qKmeansStep _)
+
+  /** DuckDB twin of the greedy k-center loop, in the INCREMENTAL
+    * min-distance form (the classic Gonzalez bookkeeping): m_t keeps
+    * every unselected point's running max cosine to the selection so
+    * far, each round folds in the cosine to the ONE new center via
+    * greatest(), and s_{t+1} is m_t's (min mc, min vec_id) row. The
+    * fold computes the same max-over-set as the Spark side's
+    * max-aggregate (max is associative), so both engines take
+    * identical IEEE doubles through identical comparisons and the
+    * selection sequence is bit-reproducible. MATERIALIZED pins each
+    * CTE to one evaluation — the chained references would otherwise
+    * re-expand exponentially.
+    */
+  private def kcenterSql: String = {
+    def cosS(c: String, s: String) =
+      s"list_sum(list_transform(range(1, len($c.q) + 1), i -> $c.q[i] * $s.q[i]))::DOUBLE" +
+        s" / (sqrt($c.nq::DOUBLE) * sqrt($s.nq::DOUBLE))"
+    val parts = Seq(
+      "s1 AS MATERIALIZED (SELECT vec_id, q, nq, NULL::DOUBLE AS mc FROM n ORDER BY vec_id LIMIT 1)",
+      s"m1 AS MATERIALIZED (SELECT c.vec_id, c.q, c.nq, ${cosS("c", "s")} AS mc" +
+        " FROM n c CROSS JOIN s1 s WHERE c.vec_id <> s.vec_id)") ++
+      (2 to KCenterK).flatMap { t =>
+        Seq(s"s$t AS MATERIALIZED (SELECT vec_id, q, nq, mc FROM m${t - 1} ORDER BY mc, vec_id LIMIT 1)") ++
+          (if (t < KCenterK)
+            Seq(s"m$t AS MATERIALIZED (SELECT c.vec_id, c.q, c.nq, greatest(c.mc, ${cosS("c", "s")}) AS mc" +
+              s" FROM m${t - 1} c CROSS JOIN s$t s WHERE c.vec_id <> s.vec_id)")
+          else Nil)
+      }
+    s"""WITH n AS MATERIALIZED (
+      |  SELECT vec_id, q,
+      |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+      |  FROM ($quantSql)),
+      |${parts.mkString(",\n")}
+      |${(1 to KCenterK).map(t =>
+        s"SELECT $t::BIGINT AS step, vec_id, round(mc, 6) AS far_cos FROM s$t")
+        .mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   private val quantSql =
     """SELECT vec_id, label,
@@ -1841,6 +1929,7 @@ object Similarity {
         |  sum(CASE WHEN cos >= $SemDeconThr THEN 1 ELSE 0 END)::BIGINT AS n_matches,
         |  max(cos) >= $SemDeconThr AS contaminated
         |FROM p GROUP BY vec_id""".stripMargin,
+    "q_kcenter" -> kcenterSql,
     "q_embed_qc" ->
       s"""WITH base AS (
         |  SELECT vec_id,

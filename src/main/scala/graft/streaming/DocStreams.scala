@@ -343,6 +343,66 @@ object DocStreams {
       }
   }
 
+  final case class DomainCapped(domain: String, doc_id: Long,
+                                arrival_rank: Long, kept: Boolean)
+
+  /** STREAMING per-domain caps — the arrival-order twin of
+    * [[graft.operators.Curation.domainCap]]: one admission counter
+    * per domain carried across micro-batches
+    * (`flatMapGroupsWithState`, one Long per domain key — state is
+    * O(domains), never O(docs)); the first `cap` docs a domain
+    * delivers keep, every later arrival drops. Per-batch work is one
+    * narrow pass plus the keyed state exchange on domain.
+    *
+    * SELECTION CONTRACT (stated honestly, like packStream's order
+    * contract): the batch operator selects by deterministic hash
+    * rank over the WHOLE corpus; an unbounded stream cannot rank
+    * globally, so the streaming form admits FIRST-K-BY-ARRIVAL —
+    * the published throttling semantics for live ingestion. Docs
+    * sort by the same hash-rank key within each micro-batch, so
+    * when cross-batch arrival respects the rank order (a replayed
+    * rank-sorted corpus) the kept set EQUALS the batch operator's
+    * (spec-pinned).
+    */
+  def domainCapStream(docs: DataFrame,
+                      cap: Int = graft.operators.Curation.DomainCap): org.apache.spark.sql.Dataset[DomainCapped] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("domain"), col("doc_id"),
+        pmod(col("doc_id") * 7919L, lit(104729L)).as("rk"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(t => (t._3, t._2)).map { case (_, docId, _) =>
+            n += 1
+            DomainCapped(domain, docId, n, n <= cap)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
+  /** Memory-sink runner for [[domainCapStream]] over a staged
+    * documents dir (file-per-trigger micro-batches), deriving the
+    * harness domain the same way Curation.qDomainCap does.
+    */
+  def runDomainCapStream(spark: SparkSession, stagedDir: String,
+                         queryName: String): DataFrame = {
+    val q = domainCapStream(
+        spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", 1).parquet(stagedDir).toDF()
+          .withColumn("domain", concat(col("source"), lit("-"),
+            pmod(col("doc_id"), lit(graft.operators.Curation.DomainMod)).cast("string"))))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** State of one packing stream under watermark delay: the running
     * token offset plus the docs still inside the disorder window —
     * (doc_id, n_tok, event-time millis) triples awaiting the

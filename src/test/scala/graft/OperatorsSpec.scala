@@ -755,4 +755,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out1.forall(r => r.features.length == 8 && r.width >= 1 && r.frames >= 1))
     assert(out1.map(_.media_type).toSet.subsetOf(Set("image", "audio", "video")))
   }
+
+  test("k-center selection matches a driver-side greedy replay, radius monotone") {
+    val out = Similarity.qKcenter(spark, sf).collect().sortBy(_.getLong(0))
+    assert(out.length == Similarity.KCenterK)
+    assert(out.map(_.getLong(1)).distinct.length == out.length, "centers distinct")
+    assert(out.head.isNullAt(2), "seed has no prior selection")
+    // covering max-cos is non-decreasing: each new center is the
+    // farthest remaining point, and distances only shrink as the
+    // selection grows
+    val radii = out.tail.map(_.getDouble(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a <= b })
+    // driver-side greedy replay over the same quantized vectors
+    val vecs = Similarity.quantized(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("q"), col("nq")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    def cos(a: (Long, Array[Long], Long), b: (Long, Array[Long], Long)): Double =
+      a._2.zip(b._2).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(a._3.toDouble) * math.sqrt(b._3.toDouble))
+    var selected = Vector(vecs.head)
+    var remaining = vecs.tail.map(v => (v, cos(v, vecs.head))).toVector
+    var expect = Vector(vecs.head._1)
+    for (_ <- 2 to Similarity.KCenterK) {
+      val pick = remaining.minBy { case (v, mc) => (mc, v._1) }
+      expect = expect :+ pick._1._1
+      selected = selected :+ pick._1
+      remaining = remaining.filterNot(_._1._1 == pick._1._1)
+        .map { case (v, mc) => (v, math.max(mc, cos(v, pick._1))) }
+    }
+    assert(out.map(_.getLong(1)).toSeq == expect, "selection order matches greedy replay")
+  }
 }

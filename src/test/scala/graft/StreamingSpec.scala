@@ -353,6 +353,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(spanning > 0, "no sequence spans the micro-batch boundary")
   }
 
+  test("streaming domain cap equals batch cap under rank-ordered replay, state spans batches") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStreams
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // replay the corpus in hash-rank order split over three
+    // micro-batches: per-domain arrival order then matches the batch
+    // operator's rank order, so kept sets must coincide — and only
+    // if the per-domain admission counter survives the batch hops
+    val ranked = docs.withColumn("rk", pmod(col("doc_id") * 7919L, lit(104729L)))
+    val n = ranked.count()
+    val cuts = ranked.orderBy(col("rk"), col("doc_id")).select("doc_id", "rk")
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+    val (c1, c2) = (cuts((n / 3).toInt), cuts((2 * n / 3).toInt))
+    val staged = java.nio.file.Files.createTempDirectory("graft-domcap")
+    def below(lim: (Long, Long)) =
+      col("rk") < lim._1 || (col("rk") === lim._1 && col("doc_id") < lim._2)
+    val parts = Seq(
+      ranked.filter(below(c1)),
+      ranked.filter(!below(c1) && below(c2)),
+      ranked.filter(!below(c2)))
+    var mtime = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val d = staged.resolve(s"part_$i")
+      p.select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(d.toString)
+      for (f <- java.nio.file.Files.list(d).toArray.map(_.toString)
+             if f.endsWith(".parquet")) {
+        mtime += 2000
+        val src = java.nio.file.Paths.get(f)
+        val dst = staged.resolve(s"b${i}_${src.getFileName}")
+        java.nio.file.Files.copy(src, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+    }
+    val streamed = DocStreams.runDomainCapStream(spark, staged.toString, "domcap_t1")
+    assert(streamed.count() == n, "every doc receives a verdict")
+    val streamKept = streamed.filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batchKept = graft.operators.Curation.qDomainCap(spark, sf)
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamKept == batchKept,
+      "rank-ordered replay must reproduce the batch hash-rank selection")
+    // per-domain admission never exceeds the cap even across batches
+    val over = streamed.filter(col("kept"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("k"))
+      .filter(col("k") > graft.operators.Curation.DomainCap).count()
+    assert(over == 0, "cap enforced across micro-batch boundaries")
+  }
+
   test("watermark-ordered packing equals batch packing under bounded disorder, state stays windowed") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStreams
