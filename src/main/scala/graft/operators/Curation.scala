@@ -519,6 +519,32 @@ object Curation {
     nbQualityScores(aug, role)
   }
 
+  /** Stochastic classifier acceptance — the published web-corpus
+    * filtering rule keeps a document when a Pareto noise draw beats
+    * the classifier's deficit (`pareto(α) > 1 − score`), so strong
+    * scorers are near-certain keeps while a slice of weak scorers
+    * still survives (a soft boundary instead of a cliff, preserving
+    * tail diversity). Deterministic twin: the per-doc draw is a
+    * hash-derived integer threshold t ∈ [−SampleSpread,
+    * +SampleSpread]; accept ⇔ nb_score > t. Acceptance probability
+    * stays monotone in the score with the same soft-boundary shape,
+    * and is bit-reproducible across engines and re-runs (the same
+    * derandomization discipline as the LSH planes and MinHash
+    * permutation constants). One narrow projection over
+    * [[nbQualityScores]].
+    */
+  val SampleSpread = 64L
+
+  def classifierSample(scored: DataFrame): DataFrame =
+    scored.withColumn("t_doc",
+        pmod(tokenHash(concat(lit("cs_"), col("doc_id").cast("string"))),
+          lit(2 * SampleSpread + 1)) - SampleSpread)
+      .select(col("doc_id"), col("role"), col("nb_score"), col("t_doc"),
+        (col("nb_score") > col("t_doc")).as("accepted"))
+
+  def qClassifierSample(s: SparkSession, dir: String): DataFrame =
+    classifierSample(qQualityClassifier(s, dir))
+
   // --- per-domain caps -------------------------------------------------
 
   /** RefinedWeb-style per-domain document cap: at web scale a few
@@ -713,10 +739,51 @@ object Curation {
     "q_source_overlap" -> qSourceOverlap _,
     "q_dsir" -> qDsir _,
     "q_quality_classifier" -> qQualityClassifier _,
+    "q_classifier_sample" -> qClassifierSample _,
     "q_domain_cap" -> qDomainCap _,
     "q_curation_run" -> qCurationRun _,
     "q_curation_run_full" -> qCurationRunFull _,
     "q_curation_report" -> qCurationReport _)
+
+  /** Shared NB-classifier CTE chain (fixture + counts + totals +
+    * per-doc scores) — q_quality_classifier and q_classifier_sample
+    * read identical `sc, tot` relations so the two can never drift.
+    */
+  private val nbClassifierCtes =
+    s"""aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'hq'
+      |         WHEN doc_id % 7 = 1 THEN 'lq'
+      |         ELSE 'unlabeled' END AS role,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || '$HqMarkers'
+      |         WHEN doc_id % 7 = 1 THEN text || '$LqMarkers'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, role,
+      |    ('0x' || substr(md5(w), 1, 12))::BIGINT % $QcClassBuckets AS f
+      |  FROM (SELECT doc_id, role,
+      |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      |        FROM aug)),
+      |cnt AS (
+      |  SELECT f,
+      |    count(*) FILTER (WHERE role = 'hq')::BIGINT AS ct,
+      |    count(*) FILTER (WHERE role = 'lq')::BIGINT AS cb
+      |  FROM tok WHERE role <> 'unlabeled' GROUP BY f),
+      |tot AS (
+      |  SELECT
+      |    strlen(bin((count(*) FILTER (WHERE role = 'hq')::BIGINT + $QcClassBuckets)
+      |      * (count(*) FILTER (WHERE role = 'hq')::BIGINT + $QcClassBuckets)))::BIGINT AS nt,
+      |    strlen(bin((count(*) FILTER (WHERE role = 'lq')::BIGINT + $QcClassBuckets)
+      |      * (count(*) FILTER (WHERE role = 'lq')::BIGINT + $QcClassBuckets)))::BIGINT AS nb
+      |  FROM tok WHERE role <> 'unlabeled'),
+      |sc AS (
+      |  SELECT t.doc_id, t.role, count(*)::BIGINT AS n_tokens,
+      |    sum(strlen(bin((coalesce(c.ct, 0) + 1) * (coalesce(c.ct, 0) + 1)))::BIGINT
+      |      - strlen(bin((coalesce(c.cb, 0) + 1) * (coalesce(c.cb, 0) + 1)))::BIGINT
+      |      )::BIGINT AS tok_score
+      |  FROM tok t LEFT JOIN cnt c USING (f)
+      |  GROUP BY t.doc_id, t.role)""".stripMargin
 
   // single line: interpolating multi-line SQL into a stripMargin
   // string would let the outer stripMargin eat the first | of a ||
@@ -954,44 +1021,19 @@ object Curation {
         |  dsir_score > n_tokens * expected_ppm AS selected
         |FROM per, tot""".stripMargin,
     "q_quality_classifier" ->
-      s"""WITH aug AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0 THEN 'hq'
-        |         WHEN doc_id % 7 = 1 THEN 'lq'
-        |         ELSE 'unlabeled' END AS role,
-        |    CASE WHEN doc_id % 7 = 0 THEN text || '$HqMarkers'
-        |         WHEN doc_id % 7 = 1 THEN text || '$LqMarkers'
-        |         ELSE text END AS text
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id, role,
-        |    ('0x' || substr(md5(w), 1, 12))::BIGINT % $QcClassBuckets AS f
-        |  FROM (SELECT doc_id, role,
-        |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-        |        FROM aug)),
-        |cnt AS (
-        |  SELECT f,
-        |    count(*) FILTER (WHERE role = 'hq')::BIGINT AS ct,
-        |    count(*) FILTER (WHERE role = 'lq')::BIGINT AS cb
-        |  FROM tok WHERE role <> 'unlabeled' GROUP BY f),
-        |tot AS (
-        |  SELECT
-        |    strlen(bin((count(*) FILTER (WHERE role = 'hq')::BIGINT + $QcClassBuckets)
-        |      * (count(*) FILTER (WHERE role = 'hq')::BIGINT + $QcClassBuckets)))::BIGINT AS nt,
-        |    strlen(bin((count(*) FILTER (WHERE role = 'lq')::BIGINT + $QcClassBuckets)
-        |      * (count(*) FILTER (WHERE role = 'lq')::BIGINT + $QcClassBuckets)))::BIGINT AS nb
-        |  FROM tok WHERE role <> 'unlabeled'),
-        |sc AS (
-        |  SELECT t.doc_id, t.role, count(*)::BIGINT AS n_tokens,
-        |    sum(strlen(bin((coalesce(c.ct, 0) + 1) * (coalesce(c.ct, 0) + 1)))::BIGINT
-        |      - strlen(bin((coalesce(c.cb, 0) + 1) * (coalesce(c.cb, 0) + 1)))::BIGINT
-        |      )::BIGINT AS tok_score
-        |  FROM tok t LEFT JOIN cnt c USING (f)
-        |  GROUP BY t.doc_id, t.role)
+      s"""WITH $nbClassifierCtes
         |SELECT doc_id, role, n_tokens,
         |  tok_score - n_tokens * (nt - nb) AS nb_score,
         |  tok_score - n_tokens * (nt - nb) > 0 AS keep
         |FROM sc, tot""".stripMargin,
+    "q_classifier_sample" ->
+      s"""WITH $nbClassifierCtes
+        |SELECT doc_id, role, nb_score, t_doc, nb_score > t_doc AS accepted FROM (
+        |  SELECT doc_id, role,
+        |    tok_score - n_tokens * (nt - nb) AS nb_score,
+        |    ('0x' || substr(md5('cs_' || doc_id::VARCHAR), 1, 12))::BIGINT
+        |      % ${2 * SampleSpread + 1} - $SampleSpread AS t_doc
+        |  FROM sc, tot) z""".stripMargin,
     "q_domain_cap" ->
       s"""SELECT doc_id, domain, rn, rn <= $DomainCap AS kept FROM (
         |  SELECT doc_id, domain,

@@ -81,6 +81,45 @@ object Dedup {
         col("band.band_hash").as("band_hash"))
   }
 
+  /** Mergeable per-source MinHash sketch — the sketch-algebra
+    * property that makes MinHash a 100 TB primitive: a signature
+    * component is an elementwise MIN, so doc → shard → source
+    * sketches fold associatively inside partial aggregation. One
+    * narrow shingle explode + ONE partial-agg shuffle keyed by
+    * source; no doc-level signature ever materializes on the way to
+    * the source roll-up.
+    */
+  def minhashSourceSketch(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+        explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+      .select(col("source"), (col("h") % HashP).as("hp"))
+    val sigs = (0 until NumPerm).map(k =>
+      min((col("hp") * A(k) + B(k)) % HashP).as(s"h$k"))
+    tok.groupBy(col("source")).agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** Pairwise source similarity from the sketches: the component
+    * agreement rate is the classic unbiased estimate of the
+    * SOURCE-level shingle-set Jaccard — the sketch twin of the
+    * exact `q_source_overlap` matrix at a fraction of its cost
+    * (sources² pairs over a sources-sized sketch table; both sides
+    * broadcast-trivial).
+    */
+  def sourceSketchOverlap(docs: DataFrame): DataFrame = {
+    val sk = minhashSourceSketch(docs)
+    val aCols = sk.columns.map(c => col(c).as(if (c == "source") "src_a" else s"a_$c"))
+    val bCols = sk.columns.map(c => col(c).as(if (c == "source") "src_b" else s"b_$c"))
+    val agree = (0 until NumPerm).map(k =>
+      when(col(s"a_h$k") === col(s"b_h$k"), 1L).otherwise(0L)).reduce(_ + _)
+    sk.select(aCols.toSeq: _*)
+      .join(broadcast(sk.select(bCols.toSeq: _*)), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), agree.as("n_agree"),
+        (agree * lit(1000000L / NumPerm)).as("est_jaccard_ppm"))
+  }
+
+  def qSketchOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceSketchOverlap(graft.sources.Tables.documents(s, dir))
+
   /** Candidate near-dup pairs: equi-join on (band_id, band_hash) —
     * the Broder LSH scheme; shuffle is keyed on band hash, never n².
     *
@@ -532,6 +571,7 @@ object Dedup {
     exciseRepeatedSpansKeepFirst(Tables.documents(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_overlap" -> qSketchOverlap _,
     "q_repeated_spans" -> qRepeatedSpans _,
     "q_span_excise" -> qSpanExcise _,
     "q_span_excise_keepfirst" -> qSpanExciseKeepFirst _,
@@ -629,6 +669,26 @@ object Dedup {
   private[operators] val componentsCtes = componentsCtesFor(corpusSql)
 
   val oracles: Map[String, String] = Map(
+    "q_sketch_overlap" -> {
+      val mins = (0 until NumPerm)
+        .map(k => s"min((${A(k)} * hp + ${B(k)}) % 1000000007) AS h$k").mkString(", ")
+      val agree = (0 until NumPerm)
+        .map(k => s"(CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+        |  SELECT source, h % 1000000007 AS hp FROM (
+        |    SELECT source, unnest(hs) AS h FROM (
+        |      SELECT source,
+        |        list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |          i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2])), 1, 12))::BIGINT)
+        |          AS hs
+        |      FROM (SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |            FROM documents)))),
+        |sig AS (SELECT source, $mins FROM tok GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  ($agree)::BIGINT AS n_agree,
+        |  (($agree) * ${1000000L / NumPerm})::BIGINT AS est_jaccard_ppm
+        |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
+    },
     "q_repeated_spans" ->
       s"""WITH t AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),

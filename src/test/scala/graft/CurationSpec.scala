@@ -608,6 +608,26 @@ class CurationSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("nb_score") > 0)))
   }
 
+  test("classifier sample: soft boundary accepts strong scorers, thresholds bounded") {
+    val out = Curation.qClassifierSample(spark, sf).collect()
+    out.foreach { r =>
+      val t = r.getAs[Long]("t_doc")
+      assert(t >= -Curation.SampleSpread && t <= Curation.SampleSpread)
+      assert(r.getAs[Boolean]("accepted") == (r.getAs[Long]("nb_score") > t))
+    }
+    // scores beyond the noise spread are deterministic verdicts
+    assert(out.filter(_.getAs[Long]("nb_score") > Curation.SampleSpread)
+      .forall(_.getAs[Boolean]("accepted")), "strong scorers always accepted")
+    assert(out.filter(_.getAs[Long]("nb_score") < -Curation.SampleSpread)
+      .forall(!_.getAs[Boolean]("accepted")), "weak scorers always dropped")
+    // the soft boundary actually softens: acceptance differs from the
+    // hard keep verdict for at least one doc inside the spread
+    val hard = Curation.qQualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(out.exists(r => r.getAs[Boolean]("accepted") != hard(r.getLong(0))),
+      "noisy threshold must flip some near-boundary doc")
+  }
+
   test("domain cap: at most Cap kept per domain, selection is hash-deterministic") {
     val out = Curation.qDomainCap(spark, sf).collect()
     val byDomain = out.groupBy(_.getAs[String]("domain"))

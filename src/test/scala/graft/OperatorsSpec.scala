@@ -756,6 +756,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out1.map(_.media_type).toSet.subsetOf(Set("image", "audio", "video")))
   }
 
+  test("source sketch merges doc signatures elementwise, overlap bounded") {
+    val docs = Tables.documents(spark, sf)
+    val sketch = Dedup.minhashSourceSketch(docs).collect()
+      .map(r => r.getString(0) -> (0 until Dedup.NumPerm).map(k => r.getAs[Long](s"h$k")))
+      .toMap
+    // mergeability: the source sketch equals the elementwise min of
+    // its docs' signatures — fold doc-level sketches and compare
+    val docSigs = Dedup.minhashSignatures(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val folded = docSigs.groupBy(col("source"))
+      .agg(min(col("h0")).as("h0"), (1 until Dedup.NumPerm).map(k => min(col(s"h$k")).as(s"h$k")): _*)
+      .collect()
+      .map(r => r.getString(0) -> (0 until Dedup.NumPerm).map(k => r.getAs[Long](s"h$k")))
+      .toMap
+    assert(sketch == folded, "source sketch must equal folded doc sketches")
+    val pairs = Dedup.qSketchOverlap(spark, sf).collect()
+    val n = sketch.size
+    assert(pairs.length == n * (n - 1) / 2, "one row per unordered source pair")
+    pairs.foreach { r =>
+      val agree = r.getAs[Long]("n_agree")
+      assert(agree >= 0 && agree <= Dedup.NumPerm)
+      assert(r.getAs[Long]("est_jaccard_ppm") == agree * (1000000L / Dedup.NumPerm))
+    }
+  }
+
   test("k-center selection matches a driver-side greedy replay, radius monotone") {
     val out = Similarity.qKcenter(spark, sf).collect().sortBy(_.getLong(0))
     assert(out.length == Similarity.KCenterK)
