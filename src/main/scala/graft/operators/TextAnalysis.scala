@@ -798,7 +798,41 @@ object TextAnalysis {
         divFloor(col("n_bigram_types") * 1000000L, col("n_bigrams")).as("bigram_ttr_ppm"))
   }
 
+  /** Cross-corpus n-gram novelty — the memorization-risk profile a
+    * corpus report tracks per document: the fraction of a doc's
+    * 3-gram shingles that are COMMON corpus-wide (document frequency
+    * above CommonDf). A high common fraction marks boilerplate-heavy
+    * text the model will see many times (memorization risk, low
+    * marginal value); a low fraction marks novel content. This is
+    * the cross-document complement of qRepetition (within-doc) and
+    * qChunkDedup (passage granularity). Scale shape: the shingle
+    * document-frequency table comes from one distinct + partial agg
+    * keyed on the 48-bit shingle hash; the join back is a
+    * shingle-keyed equi-join (never broadcast — the DF table is
+    * corpus-sized); the per-doc rollup is one partial-agg shuffle.
+    * Fractions in exact integer ppm.
+    */
+  val NoveltyShingleN = 3
+  val CommonDf = 3L
+
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingleHashes(tokens(col("text")), NoveltyShingleN)).as("h"))
+    val dfTab = sh.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfTab, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > CommonDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        divFloor(col("n_common") * 1000000L, col("n_shingles")).as("common_frac_ppm"))
+  }
+
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty" -> qNgramNovelty _,
     "q_bpe_train" -> qBpeTrain _,
     "q_bpe_encode" -> qBpeEncode _,
     "q_fertility" -> qFertility _,
@@ -982,6 +1016,24 @@ object TextAnalysis {
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_bpe_merge" -> bpeMergeSql,
+    "q_ngram_novelty" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, unnest(hs) AS h FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |        i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2])), 1, 12))::BIGINT)
+        |        AS hs
+        |    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |          FROM documents))),
+        |dft AS (SELECT h, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, h FROM sh)
+        |  GROUP BY h),
+        |per AS (SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+        |    sum(CASE WHEN d.df > $CommonDf THEN 1 ELSE 0 END)::BIGINT AS n_common
+        |  FROM sh s JOIN dft d USING (h)
+        |  GROUP BY s.doc_id)
+        |SELECT doc_id, n_shingles, n_common,
+        |  (n_common * 1000000) // n_shingles AS common_frac_ppm
+        |FROM per""".stripMargin,
     "q_fertility" ->
       s"""$bpeRoundsCtes,
         |enc AS (SELECT w, len(string_split(s, ' '))::BIGINT AS n_sym,

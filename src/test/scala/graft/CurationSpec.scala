@@ -675,6 +675,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram novelty: shared trigrams flagged common, unique docs score zero") {
+    import spark.implicits._
+    val docs = ((1L to 5L).map(i => (i, s"x y z only$i a$i b$i")) :+ ((6L, "p q r s t u")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // docs 1-5: 6 tokens -> 4 shingles; only "x y z" has df 5 > CommonDf
+    (1L to 5L).foreach { i =>
+      assert(out(i).getAs[Long]("n_shingles") == 4L)
+      assert(out(i).getAs[Long]("n_common") == 1L)
+      assert(out(i).getAs[Long]("common_frac_ppm") == 250000L)
+    }
+    assert(out(6L).getAs[Long]("common_frac_ppm") == 0L)
+    val real = TextAnalysis.qNgramNovelty(spark, sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Long]("n_common") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Long]("common_frac_ppm") <= 1000000L)
+    }
+  }
+
   test("diversity: ratios bounded by construction, every source audited") {
     val out = TextAnalysis.qDiversity(spark, sf).collect()
     val nSources = Tables.documents(spark, sf).select("source").distinct().count()

@@ -139,6 +139,36 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  // --- integer bit-length log (NB classifier) --------------------------
+
+  // the classifier's L(x) = strlen(bin(x²)): check the encoding law
+  // the operator's cross-engine exactness rests on — L is the bit
+  // length of x² (2^(L-1) <= x² < 2^L, i.e. floor(2·log2 x)+1) and
+  // monotone, over the full domain the docstring bounds (x² < 2^63)
+  private val posLong = Gen.choose(1L, 3000000000L)
+
+  property("bit-length log is the exact bit count of x^2 and monotone") =
+    forAll(posLong, posLong) { (x, y) =>
+      def bl(v: Long) = java.lang.Long.toBinaryString(v * v).length
+      val exactBits = 64 - java.lang.Long.numberOfLeadingZeros(x * x)
+      (bl(x) == exactBits) && (x > (1L << 31) ||
+        (BigInt(2).pow(bl(x) - 1) <= BigInt(x) * x && BigInt(x) * x < BigInt(2).pow(bl(x)))) &&
+        (x > y || bl(x) <= bl(y))
+    }
+
+  // --- minhash sketch algebra ------------------------------------------
+
+  private val hpList = Gen.nonEmptyListOf(Gen.choose(0L, 1000000006L))
+
+  property("minhash sketch of a union is the componentwise min of part sketches") =
+    forAll(hpList, hpList) { (a, b) =>
+      import graft.operators.Dedup.{A, B, NumPerm}
+      val p = graft.functions.GraftFunctions.HashP
+      def sig(hs: List[Long]): Seq[Long] =
+        (0 until NumPerm).map(k => hs.map(h => (h * A(k) + B(k)) % p).min)
+      sig(a ++ b) == sig(a).lazyZip(sig(b)).map(math.min)
+    }
+
   // --- julienne predicate coverage ------------------------------------
 
   property("julienne-style predicates partition any boundary list") = {
