@@ -271,6 +271,50 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Contamination attribution BY BENCHMARK DOC — the report the
+    * evaluation owner reads: for each benchmark document, how many
+    * training docs share 5-gram shingles with it, how many of its
+    * own distinct shingles are hit, and the hit share in ppm — the
+    * decision input for "is this benchmark still usable, or is it
+    * compromised corpus-wide?" (the reverse direction of
+    * qDecontaminate, which attributes per TRAINING doc). Scale
+    * shape: identical to the forward screen — the benchmark shingle
+    * table (now keyed by bench doc) is bounded and BROADCASTS; the
+    * training corpus scans once, and the rollup keys on bench_id,
+    * so cost scales with the corpus, never corpus × benchmark.
+    */
+  def deconByBench(docs: DataFrame, bench: DataFrame): DataFrame = {
+    val benchSh = bench
+      .select(col("doc_id").as("bench_id"),
+        explode(shingleHashes(tokens(col("text")), 5)).as("h"))
+      .distinct()
+    val benchSize = benchSh.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_bench_shingles"))
+    val trainSh = docs
+      .select(col("doc_id"), explode(shingleHashes(tokens(col("text")), 5)).as("h"))
+      .distinct()
+    val hits = trainSh.join(broadcast(benchSh), "h")
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("doc_id")).as("n_leaking_docs"),
+        countDistinct(col("h")).as("n_hit_shingles"))
+    benchSize.join(hits, Seq("bench_id"), "left")
+      .na.fill(0L, Seq("n_leaking_docs", "n_hit_shingles"))
+      .select(col("bench_id"), col("n_bench_shingles"),
+        col("n_leaking_docs"), col("n_hit_shingles"),
+        divFloor(col("n_hit_shingles") * 1000000L, col("n_bench_shingles"))
+          .as("hit_frac_ppm"))
+  }
+
+  /** Harness: same split as qDecontaminate — every 100th doc is the
+    * benchmark, trivially leaked into the corpus, so every benchmark
+    * row provably reports full coverage (its own copy hits all its
+    * shingles).
+    */
+  def qDeconByBench(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    deconByBench(docs, docs.filter(col("doc_id") % 100 === 0))
+  }
+
   /** Thresholded contamination VERDICT — the PaLM/GPT-4-style
     * decision rule on top of [[qDecontaminate]]'s evidence: a doc is
     * `contaminated` when the share of its distinct 5-gram shingles
@@ -847,6 +891,7 @@ object TextAnalysis {
     "q_rep_chars" -> qRepChars _,
     "q_decontaminate" -> qDecontaminate _,
     "q_decontaminate_verdict" -> qDecontaminateVerdict _,
+    "q_decon_by_bench" -> qDeconByBench _,
     "q_tfidf" -> qTfidf _,
     "q_langid" -> qLangid _,
     "q_quality" -> qQuality _,
@@ -1079,6 +1124,30 @@ object TextAnalysis {
         |SELECT t.doc_id, count(*) AS n_shared_shingles
         |FROM train t JOIN bench b ON t.h = b.h
         |GROUP BY t.doc_id""".stripMargin,
+    "q_decon_by_bench" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(hs) AS h FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(1, greatest(len(toks) - 3, 1)),
+        |        i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1],
+        |               toks[i+2], toks[i+3], toks[i+4])), 1, 12))::BIGINT) AS hs
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(lower(trim(text)), '\s+') AS toks
+        |          FROM documents))),
+        |bsh AS (SELECT DISTINCT doc_id AS bench_id, h FROM sh WHERE doc_id % 100 = 0),
+        |bsz AS (SELECT bench_id, count(*)::BIGINT AS n_bench_shingles
+        |  FROM bsh GROUP BY bench_id),
+        |train AS (SELECT DISTINCT doc_id, h FROM sh),
+        |hits AS (SELECT b.bench_id,
+        |    count(DISTINCT t.doc_id)::BIGINT AS n_leaking_docs,
+        |    count(DISTINCT t.h)::BIGINT AS n_hit_shingles
+        |  FROM train t JOIN bsh b ON t.h = b.h
+        |  GROUP BY b.bench_id)
+        |SELECT bench_id, n_bench_shingles,
+        |  coalesce(n_leaking_docs, 0) AS n_leaking_docs,
+        |  coalesce(n_hit_shingles, 0) AS n_hit_shingles,
+        |  (coalesce(n_hit_shingles, 0) * 1000000) // n_bench_shingles AS hit_frac_ppm
+        |FROM bsz LEFT JOIN hits USING (bench_id)""".stripMargin,
     "q_decontaminate_verdict" ->
       s"""WITH sh AS (
         |  SELECT doc_id, unnest(hs) AS h FROM (

@@ -675,6 +675,20 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("decon by bench: self-leaked benchmarks report full coverage") {
+    val out = TextAnalysis.qDeconByBench(spark, sf).collect()
+    val nBench = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 100 === 0).count()
+    assert(out.length == nBench, "one report row per benchmark doc")
+    out.foreach { r =>
+      // the benchmark is a corpus subset, so its own copy hits every
+      // shingle: full coverage and at least one leaking doc
+      assert(r.getAs[Long]("hit_frac_ppm") == 1000000L)
+      assert(r.getAs[Long]("n_leaking_docs") >= 1L)
+      assert(r.getAs[Long]("n_hit_shingles") == r.getAs[Long]("n_bench_shingles"))
+    }
+  }
+
   test("ngram novelty: shared trigrams flagged common, unique docs score zero") {
     import spark.implicits._
     val docs = ((1L to 5L).map(i => (i, s"x y z only$i a$i b$i")) :+ ((6L, "p q r s t u")))
