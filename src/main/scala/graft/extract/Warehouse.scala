@@ -79,6 +79,15 @@ trait WarehouseBackend {
            ref: DatasetRef, table: String,
            job: LoadJob = LoadJob(), format: String = "json"): LoadResult
   def readTable(ref: DatasetRef, table: String): org.apache.spark.sql.DataFrame
+
+  /** Read with format-level options (e.g. parquet filter knobs for an
+    * index lookup). Storage-less backends have no format layer, so the
+    * default ignores the options — semantics never depend on them.
+    */
+  def readTable(ref: DatasetRef, table: String,
+                options: Map[String, String]): org.apache.spark.sql.DataFrame =
+    readTable(ref, table)
+
   def writeTable(df: org.apache.spark.sql.DataFrame, ref: DatasetRef, table: String): Unit
   def appendTable(df: org.apache.spark.sql.DataFrame, ref: DatasetRef, table: String): LoadResult
 
@@ -90,6 +99,12 @@ trait WarehouseBackend {
   def writeTablePartitioned(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
                             table: String, partitionCols: Seq[String]): Unit
 
+  /** Rewrite with format-level write options (see the append twin). */
+  def writeTablePartitioned(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                            table: String, partitionCols: Seq[String],
+                            options: Map[String, String]): Unit =
+    writeTablePartitioned(df, ref, table, partitionCols)
+
   /** Hive-partitioned append — [[appendTable]]'s layout-preserving
     * twin: new rows land as fresh part files INSIDE their partition
     * directories, so per-call I/O stays O(appended) AND the table
@@ -97,6 +112,15 @@ trait WarehouseBackend {
     */
   def appendTablePartitioned(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
                              table: String, partitionCols: Seq[String]): LoadResult
+
+  /** Append with format-level write options (e.g. per-column parquet
+    * bloom filters on an index's lookup key). Storage-less backends
+    * ignore them — layout hints, never semantics.
+    */
+  def appendTablePartitioned(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                             table: String, partitionCols: Seq[String],
+                             options: Map[String, String]): LoadResult =
+    appendTablePartitioned(df, ref, table, partitionCols)
 
   /** Partition-scoped rewrite (dynamic-overwrite semantics): replaces
     * ONLY the partitions whose values appear in `df`, leaving every
@@ -239,6 +263,10 @@ class Warehouse(root: String, spark: SparkSession) extends WarehouseBackend {
   def readTable(ref: DatasetRef, table: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(tablePath(ref, table).toString)
 
+  override def readTable(ref: DatasetRef, table: String,
+                         options: Map[String, String]): org.apache.spark.sql.DataFrame =
+    spark.read.options(options).parquet(tablePath(ref, table).toString)
+
   /** Direct DataFrame write into a warehouse table (the streaming
     * foreachBatch path). Writes land in a staging directory first
     * and swap in atomically — overwriting a parquet dir that the
@@ -251,13 +279,19 @@ class Warehouse(root: String, spark: SparkSession) extends WarehouseBackend {
                             table: String, partitionCols: Seq[String]): Unit =
     swapWrite(df, ref, table, partitionCols)
 
+  override def writeTablePartitioned(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                                     table: String, partitionCols: Seq[String],
+                                     options: Map[String, String]): Unit =
+    swapWrite(df, ref, table, partitionCols, options)
+
   private def swapWrite(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
-                        table: String, partitionCols: Seq[String]): Unit = {
+                        table: String, partitionCols: Seq[String],
+                        options: Map[String, String] = Map.empty): Unit = {
     if (!datasetExists(ref))
       throw new IllegalStateException(s"dataset $ref not found")
     val target = tablePath(ref, table)
     val staging = target.resolveSibling(s"$table.staging")
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = df.write.mode(SaveMode.Overwrite).options(options)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staging.toString)
     val old = target.resolveSibling(s"$table.old")
@@ -336,12 +370,17 @@ class Warehouse(root: String, spark: SparkSession) extends WarehouseBackend {
   }
 
   def appendTablePartitioned(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
-                             table: String, partitionCols: Seq[String]): LoadResult = {
+                             table: String, partitionCols: Seq[String]): LoadResult =
+    appendTablePartitioned(df, ref, table, partitionCols, Map.empty[String, String])
+
+  override def appendTablePartitioned(df: org.apache.spark.sql.DataFrame, ref: DatasetRef,
+                                      table: String, partitionCols: Seq[String],
+                                      options: Map[String, String]): LoadResult = {
     if (!datasetExists(ref))
       throw new IllegalStateException(s"dataset $ref not found")
     val target = tablePath(ref, table)
     val before = walkPartFiles(target)
-    df.write.mode(SaveMode.Append)
+    df.write.mode(SaveMode.Append).options(options)
       .partitionBy(partitionCols: _*).parquet(target.toString)
     spark.catalog.refreshByPath(target.toString)
     freshLoad(target, before)

@@ -56,11 +56,48 @@ object DocStreams {
     * and posting indexes partition on a key-hash bucket so per-batch
     * reads prune to the buckets the batch touches, and verdict
     * tables partition the same way so upserts rewrite only touched
-    * partitions. 32 here (matching local[32] / the test corpus);
-    * production sizes it so one bucket ≈ one comfortable task —
-    * the constant is the only knob.
+    * partitions.
+    *
+    * CONFIG-DRIVEN (r6 verdict #1): `graft.streaming.indexBuckets`,
+    * default 1024. The bucket count caps the partition-prune factor —
+    * a micro-batch whose key spread exceeds the bucket count touches
+    * every bucket and partition pruning alone degrades to O(index) —
+    * so production sizes it well above the per-batch key spread
+    * (one bucket ≈ one comfortable task). Pruning's second level,
+    * the key-set pushdown in [[indexLookup]], bounds the read even
+    * PAST saturation. Like Spark bucketing, a table's bucket count
+    * is fixed at creation: changing the conf across an existing
+    * table's lifetime mis-routes lookups — compact/rebuild instead.
     */
-  val IndexBuckets = 32
+  val IndexBucketsConf = "graft.streaming.indexBuckets"
+  val DefaultIndexBuckets = 1024
+  def indexBuckets(spark: SparkSession): Int =
+    spark.conf.get(IndexBucketsConf, DefaultIndexBuckets.toString).toInt
+
+  /** Cap on the per-batch distinct-key set collected to the driver
+    * and pushed into the index scan as an In filter. Below the cap,
+    * parquet row-group filters (bloom + dictionary + stats) skip
+    * non-matching row groups, so per-batch read bytes track the
+    * MATCHED row groups even when the batch's bucket spread
+    * saturates partition pruning; past it, the lookup falls back to
+    * bucket pruning alone (the key set itself would bloat the plan).
+    */
+  val LookupPushdownConf = "graft.streaming.lookupPushdownMax"
+  val DefaultLookupPushdownMax = 100000
+  def lookupPushdownMax(spark: SparkSession): Int =
+    spark.conf.get(LookupPushdownConf, DefaultLookupPushdownMax.toString).toInt
+
+  /** Lineage cut for foreachBatch intermediates (r6 verdict #5,
+    * mirroring Dedup.connectedComponents): RELIABLE checkpoints —
+    * HDFS-durable, executor-loss-safe — whenever the context has a
+    * checkpoint dir configured; executor-memory localCheckpoint as
+    * the single-box fallback. On a cluster the difference is
+    * re-doing a lost batch's work inside the streaming retry (safe
+    * but wasteful: replay + idempotent upserts) vs not losing it.
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 
   /** Key-hash partition column for [[upsertPartitioned]] /
     * the streaming indexes: int-typed (hive partition-value
@@ -69,17 +106,46 @@ object DocStreams {
     * building them last keeps both warehouse backends' column order
     * identical — the seam property).
     */
-  private def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(c), lit(IndexBuckets.toLong)).cast("int")
+  private def bucketOf(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(n.toLong)).cast("int")
+
+  /** Parquet write options for an index append: a bloom filter on
+    * the lookup-key column sized to the rows actually landing per
+    * file, so later lookups skip row groups without reading them.
+    * Min/max stats can't help a uniformly-hashed key (every row
+    * group spans the whole domain) and dictionaries fall back to
+    * plain encoding at production chunk sizes — the bloom filter is
+    * the mechanism that still works at 100 TB. Explicit NDV rather
+    * than parquet's adaptive mode: adaptive candidates bottom out at
+    * maxBytes/16 (64 KB), which would dwarf a small append file.
+    */
+  def bloomWriteOptions(keyCol: String, expectedNdv: Long): Map[String, String] = Map(
+    s"parquet.bloom.filter.enabled#$keyCol" -> "true",
+    s"parquet.bloom.filter.expected.ndv#$keyCol" -> math.max(64L, expectedNdv).toString)
+
+  /** Read options for a hash-keyed index lookup: dictionary-page
+    * row-group filtering off. The bloom filter answers the same
+    * membership question from a far smaller structure; leaving
+    * dictionary filtering on would read the key column's dictionary
+    * page (the bulk of a dictionary-encoded chunk) for every
+    * candidate row group just to skip it.
+    */
+  val HashIndexReadOptions: Map[String, String] =
+    Map("parquet.filter.dictionary.enabled" -> "false")
 
   /** Planning-time scan accounting for one pruned read: how many
-    * hive partitions the filtered scan actually selects vs the
-    * table's total — the SinksSpec plan-inspection trick, exposed so
-    * StreamingSpec can assert per-batch reads scale with the BATCH's
-    * touched buckets, not the index size. None when the backend is
-    * storage-less (nothing to prune) or the plan has no file scan.
+    * hive partitions — and how many files / bytes — the filtered
+    * scan actually selects vs the table's total — the SinksSpec
+    * plan-inspection trick, exposed so StreamingSpec can assert
+    * per-batch reads scale with the BATCH's touched buckets, not the
+    * index size. `filesSelected`/`bytesSelected` are the post-
+    * partition-pruning planning numbers; row-group skipping inside
+    * them is runtime behavior, measured by the specs via task input
+    * metrics. None when the backend is storage-less (nothing to
+    * prune) or the plan has no file scan.
     */
-  final case class ScanStats(partitionsRead: Int, partitionsTotal: Int)
+  final case class ScanStats(partitionsRead: Int, partitionsTotal: Int,
+                             filesSelected: Long, bytesSelected: Long)
 
   private def prunedScan(df: DataFrame, total: Option[Int]): Option[ScanStats] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -93,7 +159,56 @@ object DocStreams {
     for {
       t <- total
       s <- scans(df.queryExecution.executedPlan).headOption
-    } yield ScanStats(s.selectedPartitions.partitionCount, t)
+    } yield ScanStats(s.selectedPartitions.partitionCount, t,
+      s.selectedPartitions.totalNumberOfFiles,
+      s.selectedPartitions.totalFileSize)
+  }
+
+  /** One pruned index lookup — the streaming indexes' read primitive,
+    * two pruning levels deep:
+    *
+    *  1. PARTITION pruning: `bucketCol isin touchedBuckets` prunes
+    *     hive partitions at planning time — prune factor up to the
+    *     table's bucket count.
+    *  2. KEY-SET pushdown: the batch's distinct lookup keys go down
+    *     as an In filter that reaches parquet's row-group filters
+    *     (bloom/stats — written by [[bloomWriteOptions]]), so when
+    *     the batch's bucket spread SATURATES level 1 (key spread ≥
+    *     bucket count — routine for a production micro-batch), the
+    *     bytes actually read still track the matched row groups,
+    *     not the index. Skipped past [[lookupPushdownMax]] keys.
+    *
+    * Returns the filtered frame plus planning-time [[ScanStats]]
+    * (None on storage-less backends).
+    */
+  def indexLookup(wh: WarehouseBackend, ref: Warehouse.DatasetRef, table: String,
+                  bucketCol: String, touchedBuckets: Seq[Int],
+                  keyCol: String, keys: Seq[Any],
+                  readOptions: Map[String, String] = Map.empty)
+      : (DataFrame, Option[ScanStats]) = {
+    val pruned = lookupFilters(wh.readTable(ref, table, readOptions),
+      bucketCol, touchedBuckets, keyCol, keys)
+    (pruned, prunedScan(pruned, wh.listPartitions(ref, table).map(_.length)))
+  }
+
+  /** The two [[indexLookup]] pruning filters on an already-opened
+    * frame — split out so the byte-accounting spec can apply the
+    * EXACT production filter construction to a read it can meter.
+    *
+    * NOTE on spark.sql.parquet.pushdown.inFilterThreshold (default
+    * 10): key sets BELOW it push as an OR-of-equals chain, ABOVE it
+    * as a parquet-native In predicate — the form the row-group
+    * bloom/dictionary/stats evaluators handle at any set size. A
+    * real batch's key set is always above it; never raise the
+    * threshold (a thousands-deep OR chain overflows the stack).
+    */
+  def lookupFilters(base: DataFrame, bucketCol: String, touchedBuckets: Seq[Int],
+                    keyCol: String, keys: Seq[Any]): DataFrame = {
+    val max = lookupPushdownMax(base.sparkSession)
+    val bucketPruned = base.filter(col(bucketCol).isin(touchedBuckets: _*))
+    if (keys.nonEmpty && keys.size <= max)
+      bucketPruned.filter(col(keyCol).isin(keys: _*))
+    else bucketPruned
   }
 
   /** Partition-scoped keyed upsert — the streaming verdict-table
@@ -112,7 +227,8 @@ object DocStreams {
   def upsertPartitioned(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
                         table: String, updates: DataFrame,
                         key: String): Warehouse.LoadResult = {
-    val up = updates.withColumn("pbucket", bucketOf(col(key))).localCheckpoint()
+    val up = updates.withColumn("pbucket",
+      bucketOf(col(key), indexBuckets(updates.sparkSession))).transform(cut)
     val touched = up.select("pbucket").distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) Warehouse.LoadResult(0L, 0L)
     else {
@@ -122,7 +238,7 @@ object DocStreams {
             wh.readTable(ref, table).filter(col("pbucket").isin(touched: _*)),
             up, key)
         else up.dropDuplicates(key)
-      wh.overwritePartitions(merged.localCheckpoint(), ref, table, Seq("pbucket"))
+      wh.overwritePartitions(merged.transform(cut), ref, table, Seq("pbucket"))
     }
   }
 
@@ -143,7 +259,7 @@ object DocStreams {
     val q = readStream(spark, dir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val curated = curateBatch(batch.toDF()).localCheckpoint()
+        val curated = curateBatch(batch.toDF()).transform(cut)
         upsertPartitioned(wh, ref, corpusTable,
           curated.filter(col("keep"))
             .select(col("doc_id"), col("source"), col("lang"), col("n_tokens")),
@@ -221,38 +337,45 @@ object DocStreams {
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nBuckets = indexBuckets(spark)
+        val pushMax = lookupPushdownMax(spark)
         // replay skip: which of the batch's doc_ids are already
         // indexed? Served by the id sidecar pruned to the batch's
         // id buckets — never by scanning the band index
         val batchIds = batch.toDF().select(col("doc_id")).distinct()
-          .withColumn("id_bucket", bucketOf(col("doc_id")))
-          .localCheckpoint()
+          .withColumn("id_bucket", bucketOf(col("doc_id"), nBuckets))
+          .transform(cut)
         val touchedIdB = batchIds.select("id_bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
+        val batchDocIds = batchIds.select("doc_id").limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
         val (seen, idScan) =
           if (wh.tableExists(ref, idsTable)) {
-            val pruned = wh.readTable(ref, idsTable)
-              .filter(col("id_bucket").isin(touchedIdB: _*))
-            (pruned.select(col("doc_id")),
-              prunedScan(pruned, wh.listPartitions(ref, idsTable).map(_.length)))
+            val (pruned, scan) = indexLookup(wh, ref, idsTable,
+              "id_bucket", touchedIdB, "doc_id", batchDocIds, HashIndexReadOptions)
+            (pruned.select(col("doc_id")), scan)
           } else
             (spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
               StructType(Seq(StructField("doc_id", LongType)))), None)
         val fresh = batch.toDF().select(col("doc_id"), col("text"))
           .join(seen, Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+          .transform(cut)
         val bands = Dedup.minhashBands(Dedup.minhashSignatures(fresh))
-          .withColumn("bucket", bucketOf(col("band_hash")))
-          .localCheckpoint()
-        // band match vs the persisted index: read only the buckets
-        // this batch's bands hash to (planning-time pruning)
+          .withColumn("bucket", bucketOf(col("band_hash"), nBuckets))
+          .transform(cut)
+        // band match vs the persisted index: partition-prune to the
+        // buckets this batch's bands hash to, and push the band-hash
+        // set itself down to parquet's row-group filters — the level
+        // that still bounds the read when the batch's band spread
+        // saturates the bucket count
         val touchedB = bands.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
+        val batchHashes = bands.select("band_hash").distinct().limit(pushMax + 1)
+          .collect().map(_.getString(0)).toSeq
         val (idx, idxScan) =
           if (wh.tableExists(ref, indexTable)) {
-            val pruned = wh.readTable(ref, indexTable)
-              .filter(col("bucket").isin(touchedB: _*))
-            (pruned, prunedScan(pruned, wh.listPartitions(ref, indexTable).map(_.length)))
+            indexLookup(wh, ref, indexTable,
+              "bucket", touchedB, "band_hash", batchHashes, HashIndexReadOptions)
           } else
             (spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
               StructType(Seq(StructField("doc_id", LongType),
@@ -268,21 +391,34 @@ object DocStreams {
             col("band_a") === col("band_b") && col("hash_a") === col("hash_b")
               && col("doc_a") < col("doc_b"))
           .select(col("doc_b").as("new_doc"), col("doc_a").as("matched_doc"))
-        val dupes = vsOld.unionAll(vsNew).distinct().localCheckpoint()
+        val dupes = vsOld.unionAll(vsNew).distinct().transform(cut)
         val newDups = dupes.select(col("new_doc").as("doc_id")).distinct()
+        // append shape: one file per touched bucket (repartition on
+        // the bucket), rows sorted by the lookup key inside it, and a
+        // bloom filter on the key — the layout later lookups skip on
         val uniqueBands = bands
           .join(newDups, Seq("doc_id"), "left_anti")
           .dropDuplicates("doc_id", "band_id")
           .select(col("doc_id"), col("band_id"), col("band_hash"), col("bucket"))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("band_hash"))
+        // bloom NDV per append FILE = batch bands / touched buckets
+        // (the append lands one file per touched bucket)
+        val bandNdv = bands.count() / math.max(1, touchedB.size)
         val idxAppend =
-          wh.appendTablePartitioned(uniqueBands, ref, indexTable, Seq("bucket"))
+          wh.appendTablePartitioned(uniqueBands, ref, indexTable, Seq("bucket"),
+            bloomWriteOptions("band_hash", bandNdv))
         // the sidecar mirrors the index's doc set exactly: fresh
         // uniques only (dup docs stay unindexed so replays re-flag)
         val uniqueIds = batchIds
           .join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .join(newDups, Seq("doc_id"), "left_anti")
+          .repartition(col("id_bucket"))
+          .sortWithinPartitions(col("id_bucket"), col("doc_id"))
         val idsAppend =
-          wh.appendTablePartitioned(uniqueIds, ref, idsTable, Seq("id_bucket"))
+          wh.appendTablePartitioned(uniqueIds, ref, idsTable, Seq("id_bucket"),
+            bloomWriteOptions("doc_id",
+              batchIds.count() / math.max(1, touchedIdB.size)))
         val verdicts = dupes.withColumn("dup_key",
           concat(col("new_doc").cast("string"), lit("#"), col("matched_doc").cast("string")))
         val verdictWrite = upsertPartitioned(wh, ref, dupTable, verdicts, "dup_key")
@@ -525,16 +661,30 @@ object DocStreams {
     */
   def compactIndex(wh: WarehouseBackend, ref: Warehouse.DatasetRef, indexTable: String,
                    deletedDocs: DataFrame): Unit = {
+    // LSM-style re-cluster on rewrite: range-partition on
+    // (bucket, key) then sort, so each post-compaction file covers a
+    // NARROW contiguous key subrange of its bucket — per-append
+    // files necessarily span their bucket's whole key domain
+    // (uniform hashes), which is why fresh appends lean on bloom
+    // filters; compaction is where min/max stats become sharp again
     val kept = wh.readTable(ref, indexTable)
       .join(deletedDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    wh.writeTablePartitioned(kept, ref, indexTable, Seq("bucket"))
+      .transform(cut)
+      .repartitionByRange(col("bucket"), col("band_hash"))
+      .sortWithinPartitions(col("bucket"), col("band_hash"))
+    wh.writeTablePartitioned(kept, ref, indexTable, Seq("bucket"),
+      bloomWriteOptions("band_hash",
+        kept.count() / math.max(1, kept.rdd.getNumPartitions)))
     val idsTable = s"${indexTable}_ids"
     if (wh.tableExists(ref, idsTable)) {
       val keptIds = wh.readTable(ref, idsTable)
         .join(deletedDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      wh.writeTablePartitioned(keptIds, ref, idsTable, Seq("id_bucket"))
+        .transform(cut)
+        .repartitionByRange(col("id_bucket"), col("doc_id"))
+        .sortWithinPartitions(col("id_bucket"), col("doc_id"))
+      wh.writeTablePartitioned(keptIds, ref, idsTable, Seq("id_bucket"),
+        bloomWriteOptions("doc_id",
+          keptIds.count() / math.max(1, keptIds.rdd.getNumPartitions)))
     }
   }
 
@@ -583,32 +733,40 @@ object DocStreams {
       .option("maxFilesPerTrigger", 1).parquet(stagedDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nBuckets = indexBuckets(spark)
+        val pushMax = lookupPushdownMax(spark)
         val batchIds = batch.toDF().select(col("vec_id")).distinct()
-          .withColumn("id_bucket", bucketOf(col("vec_id")))
-          .localCheckpoint()
+          .withColumn("id_bucket", bucketOf(col("vec_id"), nBuckets))
+          .transform(cut)
         val touchedIdB = batchIds.select("id_bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
+        val batchVecIds = batchIds.select("vec_id").limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
         val (seen, idScan) =
           if (wh.tableExists(ref, idsTable)) {
-            val pruned = wh.readTable(ref, idsTable)
-              .filter(col("id_bucket").isin(touchedIdB: _*))
-            (pruned.select(col("vec_id")),
-              prunedScan(pruned, wh.listPartitions(ref, idsTable).map(_.length)))
+            val (pruned, scan) = indexLookup(wh, ref, idsTable,
+              "id_bucket", touchedIdB, "vec_id", batchVecIds, HashIndexReadOptions)
+            (pruned.select(col("vec_id")), scan)
           } else
             (spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
               StructType(Seq(StructField("vec_id", LongType)))), None)
         val fresh = batch.toDF().join(seen, Seq("vec_id"), "left_anti")
         val assigned = Similarity.assignClusters(Similarity.quantized(fresh), cents)
           .withColumn("bucket",
-            pmod(col("cid"), lit(IndexBuckets.toLong)).cast("int"))
-          .localCheckpoint()
+            pmod(col("cid"), lit(nBuckets.toLong)).cast("int"))
+          .transform(cut)
         val touchedB = assigned.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
+        // posting-list lookup key is the cid itself: the batch's cid
+        // set is O(centroids), and appends sort on cid, so min/max +
+        // dictionary row-group filters prune inside touched buckets
+        // (no bloom needed for a low-cardinality clustered key)
+        val batchCids = assigned.select("cid").distinct().limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
         val (idx, idxScan) =
           if (wh.tableExists(ref, indexTable)) {
-            val pruned = wh.readTable(ref, indexTable)
-              .filter(col("bucket").isin(touchedB: _*))
-            (pruned, prunedScan(pruned, wh.listPartitions(ref, indexTable).map(_.length)))
+            indexLookup(wh, ref, indexTable,
+              "bucket", touchedB, "cid", batchCids)
           } else
             (spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
               StructType(Seq(StructField("vec_id", LongType),
@@ -638,19 +796,25 @@ object DocStreams {
             dotQ(col("q_a"), col("q_b")), col("nq_a"), col("nq_b")))
           .filter(col("cos") >= threshold)
           .select(col("lo_vec").as("new_vec"), col("hi_vec").as("matched_vec"))
-        val dupes = vsOld.unionAll(vsNew).distinct().localCheckpoint()
+        val dupes = vsOld.unionAll(vsNew).distinct().transform(cut)
         val newDups = dupes.select(col("new_vec").as("vec_id")).distinct()
         val survivors = assigned
           .join(newDups, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("cid"), col("q"), col("nq"), col("bucket"))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("cid"))
         val idxAppend =
           wh.appendTablePartitioned(survivors, ref, indexTable, Seq("bucket"))
         // sidecar mirrors the index's vec set: survivors only
         val uniqueIds = batchIds
           .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_semi")
           .join(newDups, Seq("vec_id"), "left_anti")
+          .repartition(col("id_bucket"))
+          .sortWithinPartitions(col("id_bucket"), col("vec_id"))
         val idsAppend =
-          wh.appendTablePartitioned(uniqueIds, ref, idsTable, Seq("id_bucket"))
+          wh.appendTablePartitioned(uniqueIds, ref, idsTable, Seq("id_bucket"),
+            bloomWriteOptions("vec_id",
+              batchIds.count() / math.max(1, touchedIdB.size)))
         val verdicts = dupes.withColumn("dup_key",
           concat(col("new_vec").cast("string"), lit("#"), col("matched_vec").cast("string")))
         val verdictWrite = upsertPartitioned(wh, ref, dupTable, verdicts, "dup_key")
@@ -677,7 +841,7 @@ object DocStreams {
                                     wh: WarehouseBackend, ref: Warehouse.DatasetRef,
                                     auditTable: String): Unit = {
     import graft.functions.GraftFunctions._
-    val bench = benchShingles.localCheckpoint() // pin across batches
+    val bench = benchShingles.transform(cut) // pin across batches
     val q = readStream(spark, dir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -687,7 +851,7 @@ object DocStreams {
           .join(broadcast(bench), "h")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_shared_shingles"))
-          .localCheckpoint()
+          .transform(cut)
         upsertPartitioned(wh, ref, auditTable, flagged, "doc_id")
         ()
       }
@@ -713,7 +877,7 @@ object DocStreams {
                                          wh: WarehouseBackend, ref: Warehouse.DatasetRef,
                                          auditTable: String): Unit = {
     val bSig = graft.operators.Dedup.minhashSignatures(bench)
-      .localCheckpoint() // pin across batches
+      .transform(cut) // pin across batches
     val q = readStream(spark, dir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -722,7 +886,7 @@ object DocStreams {
           .withColumn("pair_id",
             concat(col("train_doc_id").cast("string"), lit("#"),
               col("bench_doc_id").cast("string")))
-          .localCheckpoint()
+          .transform(cut)
         upsertPartitioned(wh, ref, auditTable, pairs, "pair_id")
         ()
       }
@@ -742,14 +906,14 @@ object DocStreams {
   def runMixtureToWarehouse(spark: SparkSession, dir: String, factors: DataFrame,
                             wh: WarehouseBackend, ref: Warehouse.DatasetRef,
                             table: String): Unit = {
-    val local = factors.localCheckpoint() // pin the plan across batches
+    val local = factors.transform(cut) // pin the plan across batches
     val q = readStream(spark, dir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sampled = graft.operators.Curation.applyMixture(batch.toDF(), local)
           .withColumn("sample_id",
             concat(col("doc_id").cast("string"), lit("#"), col("copy_idx").cast("string")))
-          .localCheckpoint()
+          .transform(cut)
         upsertPartitioned(wh, ref, table, sampled, "sample_id")
         ()
       }

@@ -89,6 +89,37 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet == streamVerdicts)
   }
 
+  test("foreachBatch lineage cuts run in reliable-checkpoint mode too (r6 verdict #5)") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    // with a checkpoint dir configured, every cut() inside the
+    // streaming sinks becomes a RELIABLE (disk-durable) checkpoint —
+    // same results, and the checkpoint dir actually receives state
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-reliable-ck")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-wh-relck").toString
+      val wh = new Warehouse(root, spark)
+      val ref = Warehouse.DatasetRef.fromString("proj.relck")
+      wh.createDataset(ref, Warehouse.DatasetMeta())
+      DocStreams.runCurationToWarehouse(spark, sf, wh, ref, "corpus", "audit")
+      val batch = DocStreams.curateBatch(graft.sources.Tables.documents(spark, sf))
+      assert(wh.readTable(ref, "corpus").count() == batch.filter(col("keep")).count())
+      assert(wh.readTable(ref, "audit").count() == batch.count())
+      val ckFiles = {
+        val s = java.nio.file.Files.walk(ckpt)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      }
+      assert(ckFiles > 0, "reliable mode must write checkpoint state to the configured dir")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty,
+        "checkpoint dir must clear so later suites stay in local mode")
+    }
+  }
+
   test("streaming incremental dedup indexes uniques, flags copies cross-batch") {
     import org.apache.spark.sql.functions._
     import java.nio.file.{Files, Paths}
@@ -373,9 +404,14 @@ class StreamingSpec extends AnyFunSuite {
       ranked.filter(below(c1)),
       ranked.filter(!below(c1) && below(c2)),
       ranked.filter(!below(c2)))
+    // write each batch's parquet into a SEPARATE temp dir and copy
+    // only the staged file into the streamed directory (r6 advice:
+    // nested write dirs inside the monitored path relied on
+    // FileStreamSource never listing them)
+    val work = java.nio.file.Files.createTempDirectory("graft-domcap-w")
     var mtime = System.currentTimeMillis()
     parts.zipWithIndex.foreach { case (p, i) =>
-      val d = staged.resolve(s"part_$i")
+      val d = work.resolve(s"part_$i")
       p.select("doc_id", "text", "lang", "source", "n_chars")
         .coalesce(1).write.parquet(d.toString)
       for (f <- java.nio.file.Files.list(d).toArray.map(_.toString)
@@ -551,6 +587,120 @@ class StreamingSpec extends AnyFunSuite {
     // replay converges: same sample_id keys, same row count
     DocStreams.runMixtureToWarehouse(spark, sf, factors, wh, ref, "sample")
     assert(wh.readTable(ref, "sample").count() == streamed.size)
+  }
+
+  /** Actual bytes read from storage by one action over `df`, via the
+    * metered `cfs://` scheme ([[CountingFileSystem]]). This is the
+    * number parquet row-group skipping changes; planning-time
+    * ScanStats can't see inside a file.
+    */
+  private def measuredBytes(df: org.apache.spark.sql.DataFrame): Long = {
+    CountingFileSystem.bytesRead.set(0L)
+    df.write.format("noop").mode("overwrite").save()
+    CountingFileSystem.bytesRead.get
+  }
+
+  test("index lookup bounds bytes read past bucket-prune saturation (r6 verdict #1)") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    import graft.extract.Warehouse
+    import graft.operators.Dedup
+    import graft.streaming.DocStreams
+    // the saturation regime: bucket count dialed down to 2, so any
+    // real batch's band spread exceeds it and PARTITION pruning
+    // degrades to a full-index read — the r6 verdict failure mode.
+    // The key-set pushdown level must bound the BYTES read anyway.
+    val prevBuckets = spark.conf.get(DocStreams.IndexBucketsConf)
+    spark.conf.set(DocStreams.IndexBucketsConf, "2")
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      val staged = Files.createTempDirectory("graft-satdedup")
+      var mtime = System.currentTimeMillis()
+      // 6 micro-batches of UNIQUE docs (id-shifted, every WORD salted
+      // with the copy tag so no shingle survives across copies and
+      // nothing dedups away) -> 6 append files per bucket: enough
+      // row groups that skipping is measurable
+      for (i <- 0 until 6) {
+        val copy = docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\w+)", s"c$i" + "$1").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        val tmp = Files.createTempDirectory(s"graft-satdedup-w$i")
+        copy.coalesce(1).write.parquet(tmp.resolve("d").toString)
+        val part = Files.list(tmp.resolve("d")).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dst = staged.resolve(f"c$i%02d.parquet")
+        Files.copy(Paths.get(part), dst)
+        mtime += 2000
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val root = Files.createTempDirectory("graft-wh-sat").toString
+      val wh = new Warehouse(root, spark)
+      val ref = Warehouse.DatasetRef.fromString("proj.satdedup")
+      wh.createDataset(ref, Warehouse.DatasetMeta())
+      DocStreams.runIncrementalDedupToWarehouse(
+        spark, staged.toString, wh, ref, "band_index", "dupes")
+      // every copy indexes independently (a few docs are natural
+      // near-dups WITHIN each copy — same fraction per batch)
+      val nDocs = docs.count()
+      val indexed = wh.readTable(ref, "band_index").select("doc_id").distinct().count()
+      assert(indexed > 5 * nDocs,
+        s"salted copies collapsed: only $indexed of ${6 * nDocs} docs indexed")
+      // probe batch: 20 fresh docs, 80 distinct band hashes — spread
+      // >> 2 buckets, so both hive partitions are touched w.h.p.
+      import spark.implicits._
+      val probe = (0 until 20).map(i => (900000000L + i,
+        s"probe$i qwerzap$i flumix$i drandle$i vopril$i skentor$i " +
+          s"blarnok$i twizzle$i graphem$i ostrunkel$i",
+        "en", "probe", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val probeHashes = Dedup.minhashBands(Dedup.minhashSignatures(probe))
+        .select("band_hash").distinct().collect().map(_.getString(0)).toSeq
+      val buckets = Seq(0, 1)
+      val (_, scan) = DocStreams.indexLookup(wh, ref, "band_index",
+        "bucket", buckets, "band_hash", probeHashes, DocStreams.HashIndexReadOptions)
+      // level 1 IS saturated: every partition selected, every byte
+      // selected at planning time — partition pruning alone would
+      // re-read the whole index per batch
+      assert(scan.get.partitionsRead == scan.get.partitionsTotal,
+        "probe spread must saturate the bucket count for this rung")
+      val indexBytes = scan.get.bytesSelected
+      assert(indexBytes > 0 && scan.get.filesSelected >= 12,
+        s"expected >=12 append files, got ${scan.get.filesSelected}")
+      // metered reads: same files, same options, same production
+      // filter construction (lookupFilters), through cfs://
+      val idxPath = java.nio.file.Paths.get(root, "proj", "satdedup", "band_index")
+      def metered = spark.read.options(DocStreams.HashIndexReadOptions)
+        .parquet(CountingFileSystem.route(spark, idxPath.toString))
+      // measurement sanity: an unfiltered read really costs ~the index
+      val fullBytes = measuredBytes(metered)
+      assert(fullBytes > indexBytes / 2,
+        s"byte-metering harness broken: full read measured $fullBytes of $indexBytes")
+      // level 2 holds: the pushed band-hash set lets parquet's
+      // row-group filters (bloom; dictionary read-off) skip the data
+      // pages, so a fresh batch reads a small fraction of the index
+      val lookup = DocStreams.lookupFilters(metered,
+        "bucket", buckets, "band_hash", probeHashes)
+      val lookupBytes = measuredBytes(lookup)
+      info(s"index=$indexBytes B, full read=$fullBytes B, " +
+        s"saturated fresh lookup=$lookupBytes B")
+      assert(lookupBytes < indexBytes / 3,
+        s"saturated lookup read $lookupBytes of $indexBytes index bytes — " +
+          "row-group skipping is not engaging")
+      assert(lookup.count() == 0, "fresh probe hashes must match nothing")
+      // and a lookup for ONE indexed doc reads its matching row
+      // groups, not the index: correct rows back, bounded bytes
+      val oneDoc = wh.readTable(ref, "band_index")
+        .filter(col("doc_id") === lit(7L)).select("band_hash")
+        .collect().map(_.getString(0)).toSeq
+      val hitLookup = DocStreams.lookupFilters(metered,
+        "bucket", buckets, "band_hash", oneDoc)
+      val hitBytes = measuredBytes(hitLookup)
+      info(s"single-doc hit lookup=$hitBytes B")
+      assert(hitBytes < indexBytes / 3,
+        s"single-doc lookup read $hitBytes of $indexBytes index bytes")
+      assert(hitLookup.filter(col("doc_id") === 7L).count() == Dedup.Bands)
+    } finally spark.conf.set(DocStreams.IndexBucketsConf, prevBuckets)
   }
 
   test("streaming windowed agg matches the batch plan") {
