@@ -485,9 +485,14 @@ object Curation {
     val cnt = seed.groupBy(col("f")).agg(
       sum(when(col("role") === "hq", 1L).otherwise(0L)).as("ct"),
       sum(when(col("role") === "lq", 1L).otherwise(0L)).as("cb"))
-    val tot = seed.agg(
-      bitLog(sum(when(col("role") === "hq", 1L).otherwise(0L)) + QcClassBuckets).as("nt"),
-      bitLog(sum(when(col("role") === "lq", 1L).otherwise(0L)) + QcClassBuckets).as("nb"))
+      .localCheckpoint()
+    // seed totals derive from the ≤QcClassBuckets-row count table —
+    // NOT by re-tokenizing the seed docs (r6 advice: `tot` was a
+    // third full tokenize pass; now tokenization runs twice — once
+    // into cnt, once in the scoring join — and cnt materializes once)
+    val tot = cnt.agg(
+      bitLog(coalesce(sum(col("ct")), lit(0L)) + QcClassBuckets).as("nt"),
+      bitLog(coalesce(sum(col("cb")), lit(0L)) + QcClassBuckets).as("nb"))
     tok.join(broadcast(cnt), Seq("f"), "left")
       .na.fill(0L, Seq("ct", "cb"))
       .groupBy(col("doc_id"), col("role"))

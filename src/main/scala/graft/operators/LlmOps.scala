@@ -6,9 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Sampling.queries ++ Layout.queries ++ Curation.queries
+      Sampling.queries ++ Layout.queries ++ Curation.queries ++
+      Multimodal.queries
 
   val oracles: Map[String, String] =
     Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Sampling.oracles ++ Layout.oracles ++ Curation.oracles
+      Sampling.oracles ++ Layout.oracles ++ Curation.oracles ++
+      Multimodal.oracles
 }

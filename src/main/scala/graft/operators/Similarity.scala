@@ -369,11 +369,14 @@ object Similarity {
     * clusterBalancedSample's occupancy-proportional draw): start
     * from the lowest vec_id, then repeatedly take the point FARTHEST
     * from the selected set (max-min distance ⇔ min-max cosine; ties
-    * → lowest vec_id). K−1 rounds, each one broadcast of the ≤K
-    * selected vectors + one partial-aggregated min-max pass over the
-    * corpus; the driver holds only the K selected rows — that O(K)
-    * set IS the output (the kmeans-convergence discipline: scalars
-    * cross the driver boundary, corpus data never does). Output:
+    * → lowest vec_id). K−1 rounds, each EXACTLY ONE partial-
+    * aggregated pass over the cached quantized corpus: the ≤K
+    * selected vectors enter as literals, max-cos is a projection,
+    * and min_by carries the winner's vector out of the argmin — the
+    * driver holds only the K selected rows, that O(K) set IS the
+    * output (the kmeans-convergence discipline: scalars and one
+    * vector cross the driver boundary, corpus data never does).
+    * Output:
     * (step, vec_id, far_cos) in selection order, far_cos = the max
     * cosine of the chosen point to the PRIOR selection (its coverage
     * radius at selection time; NULL for the seed).
@@ -383,28 +386,41 @@ object Similarity {
   def kcenterSelect(emb: DataFrame, k: Int = KCenterK): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val all = quantized(emb).select(col("vec_id"), col("q"), col("nq"))
-    val seed = all.orderBy(col("vec_id")).limit(1).collect()(0)
-    var sel = Vector[(Long, Array[Long], Long, Option[Double])](
-      (seed.getLong(0), seed.getSeq[Long](1).toArray, seed.getLong(2), None))
-    for (_ <- 2 to k) {
-      val selDf = sel.map(t => (t._1, t._2, t._3)).toDF("sid", "sq", "snq")
-      val ids = sel.map(_._1)
-      val far = all.filter(!col("vec_id").isInCollection(ids))
-        .join(broadcast(selDf), lit(true))
-        .withColumn("cos", cosine(dotQ(col("q"), col("sq")), col("nq"), col("snq")))
-        .groupBy(col("vec_id"))
-        .agg(max(col("cos")).as("mc"))
-        .orderBy(col("mc"), col("vec_id")).limit(1).collect()(0)
-      val qrow = all.filter(col("vec_id") === far.getLong(0)).collect()(0)
-      sel = sel :+ ((far.getLong(0), qrow.getSeq[Long](1).toArray,
-        qrow.getLong(2), Some(far.getDouble(1))))
-    }
-    sel.zipWithIndex
-      .map { case ((id, _, _, mc), i) => ((i + 1).toLong, id, mc) }
-      .toDF("step", "vec_id", "far_cos_raw")
-      .select(col("step"), col("vec_id"),
-        round(col("far_cos_raw"), 6).as("far_cos"))
+    // one materialization of the quantized corpus, reused by every
+    // round (r6 advice: the loop re-derived it per iteration)
+    val all = quantized(emb).select(col("vec_id"), col("q"), col("nq")).persist()
+    try {
+      val seed = all.orderBy(col("vec_id")).limit(1).collect()(0)
+      var sel = Vector[(Long, Array[Long], Long, Option[Double])](
+        (seed.getLong(0), seed.getSeq[Long](1).toArray, seed.getLong(2), None))
+      for (_ <- 2 to k) {
+        // the ≤K selected vectors ride into the scan as LITERALS, so
+        // max-cos-to-selection is one projection (no join, no
+        // per-vec_id agg), and min_by carries the winner's (q, nq)
+        // out of the SAME argmin pass — one corpus scan per round
+        // (r6 verdict #2: the old second fetch-the-vector scan)
+        val mc = sel.map { case (_, sq, snq, _) =>
+          cosine(dotQ(col("q"), typedlit(sq.toSeq)), col("nq"), lit(snq))
+        } match {
+          case Seq(one) => one
+          case cs => greatest(cs: _*)
+        }
+        val ids = sel.map(_._1)
+        val w = all.filter(!col("vec_id").isInCollection(ids))
+          .select(col("vec_id"), col("q"), col("nq"), mc.as("mc"))
+          .agg(min_by(struct(col("vec_id"), col("q"), col("nq"), col("mc")),
+            struct(col("mc"), col("vec_id"))).as("w"))
+          .select(col("w.vec_id"), col("w.q"), col("w.nq"), col("w.mc"))
+          .collect()(0)
+        sel = sel :+ ((w.getLong(0), w.getSeq[Long](1).toArray,
+          w.getLong(2), Some(w.getDouble(3))))
+      }
+      sel.zipWithIndex
+        .map { case ((id, _, _, mc), i) => ((i + 1).toLong, id, mc) }
+        .toDF("step", "vec_id", "far_cos_raw")
+        .select(col("step"), col("vec_id"),
+          round(col("far_cos_raw"), 6).as("far_cos"))
+    } finally { all.unpersist(); () }
   }
 
   def qKcenter(s: SparkSession, dir: String): DataFrame =

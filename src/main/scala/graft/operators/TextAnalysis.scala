@@ -89,36 +89,57 @@ object TextAnalysis {
     * hash lacks: any shared run of WinnowK+WinnowW−1 tokens yields a
     * shared fingerprint (detection), and selected density is ~2/(w+1)
     * (compression). The argmin-with-tie-break rides ONE window-min
-    * over a composite integer key `h·2¹⁵ + (2¹⁵−1−pos)` (h is 48-bit
-    * so the product stays inside int64). The 2¹⁵ position budget is
-    * ENFORCED at runtime, not assumed: shingles past position
-    * PosField−1 are dropped before keying, so a >32 768-shingle doc
-    * is fingerprinted over its first 32 768 shingles (documented
-    * truncation — chunk longer docs upstream for full coverage)
-    * instead of silently corrupting keys with negative position
-    * terms. Per-document windows
-    * only — bounded by doc length, horizontal at 100 TB. Docs too
-    * short for a full window fall back to their global minimum, so
-    * every document carries at least one fingerprint.
+    * over a composite integer key `h·2¹⁵ + (2¹⁵−1−lpos)` (h is 48-bit
+    * so the product stays inside int64).
+    *
+    * LONG DOCS — chunk-and-rekey, never truncate (r6 verdict #3):
+    * the 2¹⁵ position budget is per SEGMENT, not per document. Docs
+    * segment at stride = PosField − (WinnowW−1) with an overlap of
+    * WinnowW−1 shingles, so every window of WinnowW consecutive
+    * shingles lies wholly inside EXACTLY ONE segment (ownership is
+    * contiguous and disjoint: segment i owns windows ending at
+    * global positions [i·stride + W−1, (i+1)·stride + W−1) — the
+    * arithmetic PropertySpec pins; precondition PosField ≥ 2·W−1 so
+    * a segment overlaps only its immediate successor). Per-segment
+    * selection with local
+    * positions therefore equals unbounded-budget winnowing of the
+    * whole doc (CurationSpec pins the equality on a >2¹⁵-shingle
+    * doc), and the MOSS detection guarantee holds corpus-wide with
+    * the same key arithmetic. Per-(doc, segment) windows only —
+    * bounded by PosField, horizontal at 100 TB. Docs too short for a
+    * full window fall back to their global minimum, so every
+    * document carries at least one fingerprint.
     */
   val WinnowK = 3
   val WinnowW = 4
   val PosField = 32768L
+  val WinnowStride = PosField - (WinnowW - 1)
 
   def winnowFingerprints(docs: DataFrame): DataFrame = {
-    val keyed = docs.select(col("doc_id"),
-        posexplode(shingleHashes(tokens(col("text")), WinnowK)).as(Seq("pos", "h")))
-      .filter(col("pos") < PosField) // enforce the key's position budget
-      .withColumn("key", col("h") * PosField + (lit(PosField - 1) - col("pos")))
+    val s = WinnowStride
+    val base = docs.select(col("doc_id"),
+      posexplode(shingleHashes(tokens(col("text")), WinnowK)).as(Seq("pos", "h")))
+    // primary residence + the segment-overlap copies: the last W−1
+    // positions of each segment re-appear at the head of the next
+    // segment's window context (local positions ≥ stride)
+    val primary = base.select(col("doc_id"),
+      expr(s"pos div $s").cast("long").as("seg"),
+      (col("pos") % s).cast("long").as("lpos"), col("h"))
+    val overlap = base.filter(col("pos") % s < WinnowW - 1 && col("pos") >= s)
+      .select(col("doc_id"),
+        (expr(s"pos div $s") - 1).cast("long").as("seg"),
+        (col("pos") % s + s).cast("long").as("lpos"), col("h"))
+    val keyed = primary.unionAll(overlap)
+      .withColumn("key", col("h") * PosField + (lit(PosField - 1) - col("lpos")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .partitionBy(col("doc_id"), col("seg")).orderBy(col("lpos"))
       .rowsBetween(-(WinnowW - 1), 0)
     val sel = keyed
       .withColumn("mk", min(col("key")).over(w))
       .withColumn("wsz", count(lit(1)).over(w))
       .filter(col("wsz") === WinnowW)
       .select(col("doc_id"),
-        (lit(PosField - 1) - col("mk") % PosField).as("sel_pos"),
+        (col("seg") * s + lit(PosField - 1) - col("mk") % PosField).as("sel_pos"),
         expr(s"mk div $PosField").as("sel_h"))
       .distinct()
     val short = keyed.groupBy(col("doc_id"))
@@ -161,6 +182,31 @@ object TextAnalysis {
 
   def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
     winnowOverlapPairs(Tables.documents(s, dir))
+
+  /** Long-doc winnow fixture (r6 verdict #3): a synthetic
+    * 40 000-token doc (39 998 shingles > PosField = 32 768) rides
+    * with a corpus slice, so selection spans two segments. Output is
+    * a compact exact summary per doc: max_sel_pos > PosField for the
+    * long doc is the tail-coverage proof (the pre-chunking code
+    * dropped every shingle past the budget), and the checksum pins
+    * the full selected set value-exactly against the oracle.
+    */
+  val WinnowLongId = 4000001L
+  val WinnowLongPattern =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+  val WinnowLongReps = 4000
+
+  def qWinnowLong(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+    val long = s.range(1).select(lit(WinnowLongId).as("doc_id"),
+      repeat(lit(WinnowLongPattern), WinnowLongReps).as("text"))
+    winnowFingerprints(base.unionAll(long))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        max(col("sel_pos")).as("max_sel_pos"),
+        sum((col("sel_h") % 1000003L) * 131L + col("sel_pos")).as("fp_checksum"))
+  }
 
   /** Multimodal metadata projection: the SQL-checkable face of
     * graft.operators.Multimodal (binary payloads + stubbed decode).
@@ -387,10 +433,10 @@ object TextAnalysis {
     * removes the false positives, so the output is IDENTICAL to the
     * exact screen — the spec pins it (the every-100th-doc "benchmark"
     * split lives in the HARNESS, not here — callers pass any
-    * benchmark corpus). The filter lambda is the one
-    * justified UDF in the codebase: Bloom membership has no builtin
-    * Column form, and it sits before the shuffle where it saves more
-    * than codegen would.
+    * benchmark corpus). The membership test is the native
+    * [[graft.functions.BloomExpressions.bloomMightContainLong]]
+    * expression (r6 verdict #4): it runs inside whole-stage codegen
+    * on the full-corpus-scan side — no per-row boxing, no UDF.
     */
   def bloomDecontaminate(docs: DataFrame, bench: DataFrame,
                          expectedItems: Long = 1000000L,
@@ -399,13 +445,12 @@ object TextAnalysis {
       .select(explode(shingleHashes(tokens(col("text")), 5)).as("h"))
       .distinct()
     val bf = benchSh.stat.bloomFilter("h", expectedItems, fpp)
-    val mightContain = udf((h: Long) => bf.mightContainLong(h))
     // the prefilter sits ABOVE the distinct in source order so its
-    // map-side position never depends on Catalyst choosing to push a
-    // UDF predicate below the Aggregate (it does today, but that
+    // map-side position never depends on Catalyst choosing to push
+    // the predicate below the Aggregate (it does today, but that
     // pushdown must not be load-bearing — r5 verdict finding #3)
     docs.select(col("doc_id"), explode(shingleHashes(tokens(col("text")), 5)).as("h"))
-      .filter(mightContain(col("h")))
+      .filter(graft.functions.BloomExpressions.bloomMightContainLong(col("h"), bf))
       .distinct()
       .join(benchSh, "h")
       .groupBy(col("doc_id"))
@@ -898,6 +943,7 @@ object TextAnalysis {
     "q_tokens" -> qTokens _,
     "q_fingerprint" -> qFingerprint _,
     "q_winnow" -> qWinnow _,
+    "q_winnow_long" -> qWinnowLong _,
     "q_winnow_pairs" -> qWinnowPairs _,
     "q_repetition" -> qRepetition _,
     "q_multimodal" -> qMultimodal _)
@@ -996,30 +1042,42 @@ object TextAnalysis {
     * `short` = short-doc global-min fallback).
     */
   private lazy val winnowCtes: String =
+    winnowCtesFor("SELECT doc_id, text FROM documents")
+
+  /** Same chunk-and-rekey segmentation as [[winnowFingerprints]]:
+    * stride-overlap duplication, per-(doc, seg) window min on local
+    * positions, global positions restored on decode.
+    */
+  private def winnowCtesFor(src: String): String =
     s"""t AS (SELECT doc_id,
-      |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
-      |ex AS (SELECT doc_id,
-      |    unnest(range(1, greatest(len(toks) - ${WinnowK - 2}, 1))) AS i, toks
-      |  FROM t),
-      |sh AS (SELECT doc_id, i - 1 AS pos,
-      |    ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2])),
-      |      1, 12))::BIGINT AS h
-      |  FROM ex),
-      |keyed AS (SELECT doc_id, pos, h,
-      |    h * 32768 + (32767 - pos) AS key FROM sh),
-      |wmin AS (SELECT doc_id, pos,
-      |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM ($src)),
+      |shl AS (SELECT doc_id, list_transform(
+      |    range(1, greatest(len(toks) - ${WinnowK - 2}, 1)),
+      |    i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2])),
+      |      1, 12))::BIGINT) AS hs FROM t),
+      |sh AS (SELECT doc_id, unnest(hs) AS h,
+      |    unnest(range(1, len(hs) + 1)) - 1 AS pos FROM shl),
+      |segd AS (SELECT doc_id, pos // $WinnowStride AS seg,
+      |    pos % $WinnowStride AS lpos, h FROM sh
+      |  UNION ALL
+      |  SELECT doc_id, pos // $WinnowStride - 1 AS seg,
+      |    pos % $WinnowStride + $WinnowStride AS lpos, h FROM sh
+      |  WHERE pos % $WinnowStride < ${WinnowW - 1} AND pos >= $WinnowStride),
+      |keyed AS (SELECT doc_id, seg, lpos, h,
+      |    h * $PosField + (${PosField - 1} - lpos) AS key FROM segd),
+      |wmin AS (SELECT doc_id, seg, lpos,
+      |    min(key) OVER (PARTITION BY doc_id, seg ORDER BY lpos
       |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS mk,
-      |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |    count(*) OVER (PARTITION BY doc_id, seg ORDER BY lpos
       |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wsz
       |  FROM keyed),
       |sel AS (SELECT DISTINCT doc_id,
-      |    (32767 - (mk % 32768))::BIGINT AS sel_pos,
-      |    (mk // 32768)::BIGINT AS sel_h
+      |    (seg * $WinnowStride + ${PosField - 1} - (mk % $PosField))::BIGINT AS sel_pos,
+      |    (mk // $PosField)::BIGINT AS sel_h
       |  FROM wmin WHERE wsz = $WinnowW),
       |short AS (SELECT doc_id,
-      |    (32767 - (min(key) % 32768))::BIGINT AS sel_pos,
-      |    (min(key) // 32768)::BIGINT AS sel_h
+      |    (${PosField - 1} - (min(key) % $PosField))::BIGINT AS sel_pos,
+      |    (min(key) // $PosField)::BIGINT AS sel_h
       |  FROM keyed GROUP BY doc_id HAVING count(*) < $WinnowW)""".stripMargin
 
   /** Shared CTE chain for the unigram LM score (typicality `t` is
@@ -1172,6 +1230,15 @@ object TextAnalysis {
     "q_winnow" ->
       s"""WITH $winnowCtes
         |SELECT * FROM sel UNION ALL SELECT * FROM short""".stripMargin,
+    "q_winnow_long" ->
+      s"""WITH ${winnowCtesFor(
+             s"SELECT doc_id, text FROM documents WHERE doc_id < 10 " +
+             s"UNION ALL SELECT $WinnowLongId AS doc_id, " +
+             s"repeat('$WinnowLongPattern', $WinnowLongReps) AS text")},
+        |u AS (SELECT * FROM sel UNION ALL SELECT * FROM short)
+        |SELECT doc_id, count(*) AS n_fp, max(sel_pos) AS max_sel_pos,
+        |  sum((sel_h % 1000003) * 131 + sel_pos)::BIGINT AS fp_checksum
+        |FROM u GROUP BY doc_id""".stripMargin,
     "q_winnow_pairs" ->
       s"""WITH $winnowCtes,
         |fps AS (SELECT DISTINCT doc_id, sel_h FROM (

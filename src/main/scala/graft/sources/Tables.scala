@@ -16,23 +16,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts has shipped as two parquet flavors across testdata
-    * generations: TIMESTAMP(NANOS) (readable only via
+  /** Timestamp columns have shipped as two parquet flavors across
+    * testdata generations: TIMESTAMP(NANOS) (readable only via
     * `spark.sql.legacy.parquet.nanosAsLong=true`, set in every graft
-    * session — convert to micros here, matching the truncation other
-    * engines apply to nanos) and naive micros (read as
-    * TIMESTAMP_NTZ by Spark 4 — cast to the session-zone TIMESTAMP;
-    * the session zone is pinned to UTC, so the instant equals the
-    * oracle's naive reading). Downstream operators always see
-    * TIMESTAMP, never a flavor-dependent type.
+    * session — convert events.ts to micros here, matching the
+    * truncation other engines apply to nanos) and naive micros (read
+    * as TIMESTAMP_NTZ by Spark 4 — cast EVERY such column, any
+    * table, to the session-zone TIMESTAMP; the session zone is
+    * pinned to UTC, so the instant equals the oracle's naive
+    * reading). Downstream operators always see TIMESTAMP, never a
+    * flavor-dependent type — r6 advice: the NTZ cast was events-only
+    * while orders.o_orderdate had flipped flavor too, leaving a
+    * session-zone-sensitive type to leak downstream.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
-      df.withColumn("ts", col("ts").cast(TimestampType))
-    else df
+    val legacyNanos =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    legacyNanos.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(legacyNanos) { (d, f) =>
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
+      }
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")

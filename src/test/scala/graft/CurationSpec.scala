@@ -138,32 +138,41 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
-  test("winnowing enforces the 2^15 position budget: long docs truncate, never corrupt") {
+  test("chunked winnowing equals unbounded winnowing on >2^15-shingle docs (r6 verdict #3)") {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.operators.TextAnalysis._
-    // a doc with > PosField shingles: the runtime guard must drop
-    // out-of-budget positions (documented truncation to the first
-    // PosField-1 shingles) instead of producing negative position
-    // terms that collide with other hashes' keys
+    import graft.functions.GraftFunctions._
+    // a doc with > PosField shingles: chunk-and-rekey must select
+    // EXACTLY what a budget-free winnow of the whole doc selects —
+    // including fingerprints past the old truncation cliff
     val nTok = PosField.toInt + 200
     val long = (0 until nTok).map(i => s"w${i % 4999}").mkString(" ")
     val docs = Seq((1L, long)).toDF("doc_id", "text")
     val sel = winnowFingerprints(docs).collect()
-    assert(sel.nonEmpty)
-    assert(sel.forall { r =>
-      val p = r.getAs[Long]("sel_pos"); p >= 0 && p < PosField },
-      "selected positions must stay inside the enforced budget")
-    assert(sel.forall(_.getAs[Long]("sel_h") >= 0))
-    // truncation semantics: the long doc fingerprints exactly like
-    // its first PosField+K-1 tokens (= the in-budget shingles,
-    // positions 0..PosField-1)
-    val truncTok = PosField.toInt + WinnowK - 1
-    val trunc = Seq((1L, (0 until truncTok).map(i => s"w${i % 4999}").mkString(" ")))
-      .toDF("doc_id", "text")
-    val expected = winnowFingerprints(trunc).collect()
       .map(r => (r.getAs[Long]("sel_pos"), r.getAs[Long]("sel_h"))).toSet
-    assert(sel.map(r => (r.getAs[Long]("sel_pos"), r.getAs[Long]("sel_h"))).toSet
-      == expected, "long-doc winnow must equal the truncated doc's winnow")
+    // budget-free reference: the same argmin-with-tie-break as a
+    // lexicographic struct over global positions (no key packing,
+    // no segmentation — only viable because this is one small doc)
+    val keyed = docs.select(col("doc_id"),
+        posexplode(shingleHashes(tokens(col("text")), WinnowK)).as(Seq("pos", "h")))
+      .withColumn("k", struct(col("h"), (lit(Int.MaxValue) - col("pos")).as("rp")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(WinnowW - 1), 0)
+    val ref = keyed
+      .withColumn("mk", min(col("k")).over(w))
+      .withColumn("wsz", count(lit(1)).over(w))
+      .filter(col("wsz") === WinnowW)
+      .select((lit(Int.MaxValue) - col("mk.rp")).cast("long").as("sel_pos"),
+        col("mk.h").as("sel_h"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("sel_pos"), r.getAs[Long]("sel_h"))).toSet
+    assert(sel == ref,
+      s"chunked-only=${(sel -- ref).take(3)} ref-only=${(ref -- sel).take(3)}")
+    // tail coverage: fingerprints ARE selected past the old budget
+    assert(sel.exists(_._1 >= PosField),
+      "no fingerprint selected past the old 2^15 truncation cliff")
   }
 
   test("winnow overlap report: shared runs pair up, hot hashes are capped out") {

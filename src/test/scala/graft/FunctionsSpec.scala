@@ -54,4 +54,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one[Double](round(lit(2.5), 0)) == 3.0)
     assert(one[Double](round(lit(-2.5), 0)) == -3.0)
   }
+
+  test("native bloomMightContainLong == sketch mightContainLong, codegen and interpreted") {
+    import spark.implicits._
+    import graft.functions.BloomExpressions
+    // sketch trained on 5k longs; probe 20k (half members, half not)
+    val members = (0L until 5000L).map(i => i * 2654435761L % 1000003L)
+    val bf = members.toDF("h").stat.bloomFilter("h", 5000L, 0.01)
+    val probes = (0L until 20000L).map(i => i * 1099511628211L % 2000003L)
+    val got = probes.toDF("h")
+      .select(col("h"), BloomExpressions.bloomMightContainLong(col("h"), bf).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    probes.foreach { p =>
+      assert(got(p) == bf.mightContainLong(p),
+        s"probe $p: expr=${got(p)} sketch=${bf.mightContainLong(p)}")
+    }
+    // interpreted path (no codegen) must agree bit-for-bit too
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = probes.toDF("h")
+        .select(col("h"), BloomExpressions.bloomMightContainLong(col("h"), bf).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(interp == got)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
 }

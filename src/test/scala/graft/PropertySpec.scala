@@ -110,32 +110,52 @@ object GraftProps extends Properties("graft") {
       Prop(ps.size < 2 || ps.sliding(2).forall { case Seq(a, b) => b - a <= w })
     }
 
-  // --- keep-first excise composite key --------------------------------
+  // --- winnow chunk-and-rekey segment arithmetic ----------------------
 
-  /** Dedup.exciseRepeatedSpansKeepFirst encodes "globally first
-    * occurrence" as min(doc_id·2^SpanPosBits + pos); the semantics it
-    * must match is the lexicographic (doc_id, pos) minimum, and the
-    * derived excise flags must agree occurrence-for-occurrence.
+  /** TextAnalysis.winnowFingerprints segments long docs at stride
+    * F − (W−1) with a W−1 overlap; the correctness of chunked ==
+    * unbounded winnowing rests on two laws checked here over the
+    * whole (F, W, S) space: every global window of W consecutive
+    * positions lies wholly inside EXACTLY ONE segment (ownership is
+    * a partition of the window set), and the primary+overlap
+    * duplication rule places exactly the rows each segment's windows
+    * need.
     */
-  private val occs = Gen.nonEmptyListOf(for {
-    d <- Gen.choose(0L, 500000L)
-    p <- Gen.choose(0L, (1L << 20) - 1)
-  } yield (d, p)).map(_.distinct)
+  /** F ≥ 2W−1 ⇔ stride ≥ W−1: the single-neighbor duplication rule
+    * is only sound when a segment overlaps at most its immediate
+    * successor (the generator found the violation below 2W−1 — the
+    * production constants sit at F = 32768 ≫ 2W−1 = 7, and the
+    * operator docstring states the precondition).
+    */
+  private val fws = for {
+    w <- Gen.choose(2, 6)
+    f <- Gen.choose(2 * w - 1, 64)
+    s <- Gen.choose(1, 400)
+  } yield (f.toLong, w, s)
 
-  property("composite-key first occurrence == lexicographic (doc, pos) min") =
-    forAll(occs) { os =>
-      val bits = graft.operators.Dedup.SpanPosBits
-      val byKey = os.minBy { case (d, p) => d * (1L << bits) + p }
-      byKey == os.min
+  property("winnow segmentation: every window owned by exactly one segment") =
+    forAll(fws) { case (f, w, nPos) =>
+      val stride = f - (w - 1)
+      val owners = (w - 1 until nPos).map { p =>
+        // segments whose range [i*stride, i*stride+f) contains the
+        // whole window [p-w+1, p]
+        (0 to nPos / stride.toInt + 1).count(i =>
+          i * stride <= p - w + 1 && p < i * stride + f)
+      }
+      Prop(owners.forall(_ == 1))
     }
 
-  property("keep-first flags: key rule == reference rule per occurrence") =
-    forAll(occs) { os =>
-      val bits = graft.operators.Dedup.SpanPosBits
-      val fk = os.map { case (d, p) => d * (1L << bits) + p }.min
-      val ref = os.min
-      os.forall { case (d, p) =>
-        (d * (1L << bits) + p != fk) == ((d, p) != ref)
+  property("winnow segmentation: duplication rule == segment row needs") =
+    forAll(fws) { case (f, w, nPos) =>
+      val stride = f - (w - 1)
+      (0 until nPos).forall { p =>
+        val primary = Set(p / stride.toInt)
+        val overlap =
+          if (p % stride < w - 1 && p >= stride) Set(p / stride.toInt - 1)
+          else Set.empty[Int]
+        val needed = (0 to nPos / stride.toInt + 1)
+          .filter(i => i * stride <= p && p < i * stride + f).toSet
+        (primary ++ overlap) == needed
       }
     }
 
