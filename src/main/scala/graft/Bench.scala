@@ -41,6 +41,27 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Environment fingerprint (r6 verdict #7): loadavg + cpu count +
+    // a ~1 s spin-calibration constant, recorded per epoch so a
+    // uniformly-inflated epoch (external load, a slower machine) is
+    // machine-attributable from the JSON instead of inferred from
+    // untouched-query drift. spin1s = iterations of a fixed integer
+    // LCG loop in one second — a relative machine-speed constant
+    // under the same protocol every epoch.
+    def fingerprint(): String = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val deadline = System.nanoTime() + 1000000000L
+      var it = 0L
+      var x = 123456789L
+      while (System.nanoTime() < deadline) {
+        var i = 0
+        while (i < 10000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        it += 1
+      }
+      // fold x in so the spin loop cannot be optimized away
+      s"""{"loadavg":${os.getSystemLoadAverage},"cpus":${Runtime.getRuntime.availableProcessors},"spin1s":${it ^ (x & 1L)}}"""
+    }
+    val envFp = fingerprint()
     // n interleaved sweeps: sweep s times every query once, in name
     // order, before any query gets its (s+1)-th sample. One extra
     // UNTIMED sweep runs first at the TARGET scale and is discarded:
@@ -68,12 +89,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"protocol":"interleaved-pointwise-min","queries":$qs,"samples":$raw,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"protocol":"interleaved-pointwise-min","env":$envFp,"queries":$qs,"samples":$raw,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
     // Compact FINAL stdout line (~120 bytes): fits the driver's 2 KB
     // tail even with log prefixes; full per-query detail is in the file.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"nqueries":${results.size},"sf":"$sfDir","file":"$outPath"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"nqueries":${results.size},"env":$envFp,"sf":"$sfDir","file":"$outPath"}""")
     spark.stop()
   }
 }

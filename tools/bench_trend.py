@@ -66,6 +66,27 @@ def extract(path, root):
     return None
 
 
+def extract_env(path):
+    """Per-epoch environment fingerprint (loadavg/cpus/spin1s), written
+    by Bench since r7 — lets a uniformly-inflated epoch be machine-
+    attributed instead of inferred from untouched-query drift."""
+    try:
+        raw = json.load(open(path))
+    except Exception:
+        return None
+    for cand in (raw, raw.get("parsed") if isinstance(raw, dict) else None):
+        if isinstance(cand, dict) and isinstance(cand.get("env"), dict):
+            return cand["env"]
+    tail = raw.get("tail", "") if isinstance(raw, dict) else ""
+    m = re.search(r'"env":\{([^}]*)\}', tail)
+    if m:
+        try:
+            return json.loads("{" + m.group(1) + "}")
+        except json.JSONDecodeError:
+            return None
+    return None
+
+
 def pointwise_min(*epochs):
     """Per-query min across epochs; a query missing from one epoch
     keeps its value from the others (absence is not a measurement)."""
@@ -141,18 +162,29 @@ def main(root="."):
             print(f"  {path}: no parseable bench line in any epoch, skipped")
             continue
         newest_driver_mtime = max(newest_driver_mtime, os.path.getmtime(path))
+        envs = {}
+        for tag, p in [("driver_round", path)] + [
+                (s, os.path.join(root, "bench", f"BENCH_r{n}_{s}.json"))
+                for s in ("local", "driver")]:
+            if os.path.exists(p):
+                e = extract_env(p)
+                if e:
+                    envs[tag] = e
         rounds[f"r{n:02d}"] = {
             "total": sum(v for v in qs.values() if v > 0),
             "queries": qs,
+            **({"env": envs} if envs else {}),
         }
     last = os.path.join(root, "BENCH_LAST.json")
     if os.path.exists(last) and os.path.getmtime(last) > newest_driver_mtime:
         raw = json.load(open(last))
         qs = pointwise_min(raw.get("queries"), raw.get("medians"))
         if qs:
+            env = extract_env(last)
             rounds["latest"] = {
                 "total": sum(v for v in qs.values() if v > 0),
                 "queries": qs,
+                **({"env": {"local": env}} if env else {}),
             }
     if not rounds:
         print("no BENCH_r*.json found")
