@@ -277,10 +277,18 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Fixture capped at doc_id < 2000 (the whole corpus at the small
+    * SFs): rendering+hashing is ~512 md5 pixels per doc, so an
+    * uncapped fixture scales its cost with the SF while proving
+    * nothing extra — the operator itself is exercised identically.
+    */
+  val PhashFixtureCap = 2000L
+
   def phashFixtureTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
+      .filter(_ < PhashFixtureCap)
       .flatMap(id => Seq(
         MediaRow(id, syntheticGridPng(id, twin = false)),
         MediaRow(id + PhashShift, syntheticGridPng(id, twin = true))))
@@ -289,34 +297,69 @@ object Multimodal {
   def qImagePhash(s: SparkSession, dir: String): DataFrame =
     phashPairs(imagePhash(phashFixtureTable(s, dir)).toDF())
 
+  /** Image DEDUP RESOLUTION — the text-dedup discipline on images:
+    * phash near-dup pairs → connected components, so each duplicate
+    * image cluster keeps one canonical id (the minimum). Reuses
+    * Dedup.connectedComponents unchanged (min-label propagation,
+    * scalar-agg convergence, reliable-checkpoint lineage cuts) —
+    * dedup resolution is modality-agnostic once pairs exist.
+    */
+  def qImageDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      phashPairs(imagePhash(phashFixtureTable(s, dir)).toDF())
+        .select(col("doc_a"), col("doc_b")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_image_phash" -> qImagePhash _)
+    "q_image_phash" -> qImagePhash _,
+    "q_image_dedup" -> qImageDedup _)
+
+  /** Shared oracle CTE chain ending in `h(doc_id, phash)` — the
+    * pure-arithmetic twin of render→decode→sample→dHash over the
+    * md5-closed-form fixture.
+    */
+  private val phashCtes: String =
+    s"""base AS (SELECT doc_id FROM documents WHERE doc_id < $PhashFixtureCap),
+      |ids AS (SELECT doc_id, 0 AS tw FROM base
+      |  UNION ALL SELECT doc_id + $PhashShift, 1 FROM base),
+      |g AS (SELECT i.doc_id, sy.y AS sy, sx.x AS sx,
+      |    ('0x' || substr(md5('ph_' ||
+      |        (i.doc_id - CASE WHEN i.tw = 1 THEN $PhashShift ELSE 0 END) ||
+      |        '_' || ((sx.x * $PhashImgSize) // $PhashCols) ||
+      |        '_' || ((sy.y * $PhashImgSize) // $PhashRows)),
+      |      1, 12))::BIGINT % 201
+      |    + CASE WHEN i.tw = 1
+      |        AND ((sx.x * $PhashImgSize) // $PhashCols) = $PhashTwinPx
+      |        AND ((sy.y * $PhashImgSize) // $PhashRows) = $PhashTwinPy
+      |      THEN 30 ELSE 0 END AS gv
+      |  FROM ids i, range(0, $PhashRows) sy(y), range(0, $PhashCols) sx(x)),
+      |b AS (SELECT doc_id, sy, sx,
+      |    CASE WHEN gv > lead(gv) OVER (PARTITION BY doc_id, sy ORDER BY sx)
+      |      THEN 1 ELSE 0 END AS bit
+      |  FROM g),
+      |h AS (SELECT doc_id,
+      |    bit_or(CASE WHEN sx < ${PhashCols - 1} AND sy * 8 + sx < 63
+      |      THEN bit::BIGINT << (sy * 8 + sx) ELSE 0 END) AS phash
+      |  FROM b GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_image_phash" ->
-      s"""WITH ids AS (SELECT doc_id, 0 AS tw FROM documents
-        |  UNION ALL SELECT doc_id + $PhashShift, 1 FROM documents),
-        |g AS (SELECT i.doc_id, sy.y AS sy, sx.x AS sx,
-        |    ('0x' || substr(md5('ph_' ||
-        |        (i.doc_id - CASE WHEN i.tw = 1 THEN $PhashShift ELSE 0 END)
-        |        || '_' || ((sx.x * $PhashImgSize) // $PhashCols)
-        |        || '_' || ((sy.y * $PhashImgSize) // $PhashRows)),
-        |      1, 12))::BIGINT % 201
-        |    + CASE WHEN i.tw = 1
-        |        AND ((sx.x * $PhashImgSize) // $PhashCols) = $PhashTwinPx
-        |        AND ((sy.y * $PhashImgSize) // $PhashRows) = $PhashTwinPy
-        |      THEN 30 ELSE 0 END AS gv
-        |  FROM ids i, range(0, $PhashRows) sy(y), range(0, $PhashCols) sx(x)),
-        |b AS (SELECT doc_id, sy, sx,
-        |    CASE WHEN gv > lead(gv) OVER (PARTITION BY doc_id, sy ORDER BY sx)
-        |      THEN 1 ELSE 0 END AS bit
-        |  FROM g),
-        |h AS (SELECT doc_id,
-        |    bit_or(CASE WHEN sx < ${PhashCols - 1} AND sy * 8 + sx < 63
-        |      THEN bit::BIGINT << (sy * 8 + sx) ELSE 0 END) AS phash
-        |  FROM b GROUP BY doc_id)
+      s"""WITH $phashCtes
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHam""".stripMargin)
+        |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHam""".stripMargin,
+    "q_image_dedup" ->
+      s"""WITH RECURSIVE $phashCtes,
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHam),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.v),
+        |comps AS (SELECT v, min(r) AS component_id FROM reach GROUP BY v)
+        |SELECT v AS doc_id, component_id FROM comps""".stripMargin)
 }

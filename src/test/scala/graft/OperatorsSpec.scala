@@ -747,7 +747,9 @@ class OperatorsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val media = Multimodal.phashFixtureTable(spark, sf)
     val ph = Multimodal.imagePhash(media).toDF().localCheckpoint()
-    val nDocs = Tables.documents(spark, sf).count()
+    val nDocs = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < Multimodal.PhashFixtureCap)
+      .count()
     // every fixture image decodes (real PNG bytes) to a 63-bit hash
     assert(ph.count() == 2 * nDocs)
     assert(ph.filter(col("phash") < 0).count() == 0, "bit 63 must stay clear")

@@ -703,6 +703,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.set(DocStreams.IndexBucketsConf, prevBuckets)
   }
 
+  test("index lookup falls back to bucket pruning past the key-set cap, same results") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    // the key-set pushdown is an OPTIMIZATION level: with the cap
+    // dialed to 1 every batch exceeds it, the In filter is skipped,
+    // and the dedup outcome must be byte-identical to the pushed run
+    val prevMax = spark.conf.getOption(DocStreams.LookupPushdownConf)
+    val staged = Files.createTempDirectory("graft-capdedup")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("a_documents.parquet"))
+    def run(tag: String): (Long, Long) = {
+      val root = Files.createTempDirectory(s"graft-wh-cap$tag").toString
+      val wh = new Warehouse(root, spark)
+      val ref = Warehouse.DatasetRef.fromString("proj.capdedup")
+      wh.createDataset(ref, Warehouse.DatasetMeta())
+      DocStreams.runIncrementalDedupToWarehouse(
+        spark, staged.toString, wh, ref, "band_index", "dupes")
+      // replay immediately: the second pass exercises the pruned
+      // index READ path (table exists now)
+      DocStreams.runIncrementalDedupToWarehouse(
+        spark, staged.toString, wh, ref, "band_index", "dupes")
+      (wh.readTable(ref, "band_index").count(),
+        wh.readTable(ref, "dupes").count())
+    }
+    val pushed = run("a")
+    spark.conf.set(DocStreams.LookupPushdownConf, "1")
+    try {
+      val fallback = run("b")
+      assert(pushed == fallback,
+        s"pushdown cap changed the dedup outcome: $pushed vs $fallback")
+    } finally prevMax match {
+      case Some(v) => spark.conf.set(DocStreams.LookupPushdownConf, v)
+      case None => spark.conf.unset(DocStreams.LookupPushdownConf)
+    }
+  }
+
   test("streaming windowed agg matches the batch plan") {
     val streamed = EventStreams.runToMemory(spark, sf)
       .collect().map(_.toString).sorted
