@@ -1,0 +1,410 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables
+
+/** Corpus-scale statistics and retrieval primitives for
+  * training-data pipelines: sketch-then-confirm heavy hitters,
+  * BM25 query-time retrieval, URL canonicalization (the first stage
+  * of every published web-corpus pipeline), and exact embedding
+  * covariance (the PCA input).
+  *
+  * Scale postures, per operator:
+  *  - heavy hitters: one narrow sketch pass (Misra-Gries, bounded
+  *    memory per partition) + one exact recount restricted to the
+  *    sketch's candidates — never a full-vocabulary shuffle.
+  *  - BM25: corpus-side stats are partial-agg shuffles on term; the
+  *    query set is the broadcast side everywhere.
+  *  - URL ops: pure per-row string transforms (narrow, codegen'd)
+  *    plus one window partitioned by canonical URL for dup ranking.
+  *  - covariance: per-partition integer accumulation into a d(d+1)/2
+  *    triangle, merged on the driver — O(d^2) state, zero shuffles
+  *    of per-row data.
+  */
+object CorpusOps {
+
+  // --- heavy hitters ----------------------------------------------------
+
+  /** Misra-Gries counter budget. The merged union of per-partition
+    * sketches retains every item with global count > N/MgK (summed
+    * estimates undercount by at most N/MgK), so with the report
+    * threshold at share >= 1/HhShare and MgK > HhShare the candidate
+    * set provably covers the exact frequent set.
+    */
+  val MgK = 2048
+  val HhShare = 1024
+
+  /** One Misra-Gries pass over an iterator: at most k live counters;
+    * admitting an item with all k slots full decrements every
+    * counter instead (evicting zeros) — the classic frequent-items
+    * summary (Misra & Gries 1982).
+    */
+  def misraGries(items: Iterator[String], k: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    items.foreach { t =>
+      if (m.contains(t)) m(t) += 1L
+      else if (m.size < k) m(t) = 1L
+      else {
+        val dead = m.iterator.collect { case (key, c) if c == 1L => key }.toList
+        m.mapValuesInPlace((_, c) => c - 1L)
+        dead.foreach(m.remove)
+      }
+    }
+    m.toMap
+  }
+
+  /** Word bigrams joined with a single space (the heavy-hitter item
+    * domain — large enough that the sketch actually evicts).
+    */
+  def bigrams(toks: Column): Column =
+    filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - 2,
+          concat_ws(" ", slice(toks, i + lit(1), lit(2))))),
+      _.isNotNull)
+
+  /** Exact frequent bigrams (share >= 1/HhShare) via sketch-then-
+    * confirm: (1) per-partition Misra-Gries sketches, merged by
+    * summing estimates — a guaranteed SUPERSET of the frequent set,
+    * at most partitions*MgK rows; (2) an exact recount restricted to
+    * those candidates (broadcast semi-join), thresholded against the
+    * exact stream length. The output is EXACT — the sketch only
+    * prices candidate generation — which is what makes the two-pass
+    * form the scalable exact top-share algorithm at 100 TB (a full
+    * groupBy on a web-scale n-gram vocabulary shuffles billions of
+    * groups; the candidate set stays tiny regardless of corpus size).
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Tables.documents(s, dir)
+      .select(explode(bigrams(tokens(col("text")))).as("term"))
+    // Sentinel row "" carries the partition's exact stream length out
+    // of the same pass (bigrams always contain a space, so the empty
+    // key cannot collide); the sketch table is <= partitions*(MgK+1)
+    // rows, so persisting it for the two tiny branches below is free
+    // and keeps the whole operator at two corpus scans.
+    val sketches = terms.as[String].mapPartitions { it =>
+      var np = 0L
+      val m = misraGries(it.map { t => np += 1; t }, MgK)
+      m.iterator ++ Iterator("" -> np)
+    }.toDF("term", "est")
+      .groupBy("term").agg(sum("est").as("est"))
+      .persist()
+    val nTotal = broadcast(
+      sketches.where(col("term") === "").select(col("est").as("n_total")))
+    val candidates = broadcast(sketches.where(col("term") =!= "").select("term"))
+    terms.join(candidates, Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(nTotal)
+      .where(col("cnt") * HhShare >= col("n_total"))
+      .select(col("term"), col("cnt"),
+        expr("cnt * 1000000 div n_total").as("share_ppm"))
+  }
+
+  // --- BM25 retrieval ---------------------------------------------------
+
+  /** Fixed query workload (query-time retrieval is parameterized by
+    * an external query set; these exercise the corpus vocabulary).
+    */
+  val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark join filter",
+    2 -> "window sort merge",
+    3 -> "customer table scan",
+    4 -> "vector batch stream")
+  val Bm25TopK = 10
+
+  /** BM25 top-k retrieval: rational idf ((N - df + 0.5)/(df + 0.5),
+    * the same Robertson form q_tfidf uses — no transcendental ln, so
+    * both engines agree bit-for-bit) and the standard saturation
+    * tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)) with k1 = 1.2,
+    * b = 0.75. The query set broadcasts; corpus stats (tf, dl, df)
+    * are term/doc partial-agg shuffles; top-k is a window partitioned
+    * by query id — parallelism = number of queries on the final
+    * ranking only, with the scored candidate set already restricted
+    * to docs containing at least one query term.
+    */
+  def qBm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qterms = Bm25Queries.toDF("qid", "qtext")
+      .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val stats = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_docs")).crossJoin(
+        dl.agg(sum("dl").cast("double").as("tot_dl")))
+    val sat = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val idf = (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))
+    // Per-term contributions quantize to integer ppm BEFORE the
+    // per-(query, doc) sum — the q_lm_bigram idiom: the distributed
+    // aggregate is then order-independent and cross-engine exact.
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq.join(broadcast(qterms.select("term").distinct), Seq("term"))),
+        Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl") / col("n_docs"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(round(idf * sat * lit(1000000.0), 0).cast("long")).as("score_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_ppm").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= Bm25TopK)
+      .select(col("qid"), col("doc_id"), col("score_ppm"), col("rnk"))
+  }
+
+  // --- URL canonicalization --------------------------------------------
+
+  /** Hosts dropped by the blocklist filter (the curation-pipeline
+    * domain blocklist stage; real pipelines broadcast a list of
+    * millions — the comparison stays a broadcast hash lookup).
+    */
+  val HostBlocklist: Seq[String] = Seq("src3.example.com", "src5.example.com")
+
+  /** Synthetic raw URL per document (the documents fixture carries no
+    * URL column): deliberately messy — mixed-case scheme/host,
+    * explicit default port, www prefix, tracking params, fragment —
+    * and many-to-one on the canonical form (path keyed by
+    * doc_id % 64, so mirror fetches of the same page exist at every
+    * SF). Pure arithmetic, replicated verbatim by the oracle.
+    */
+  def rawUrl: Column =
+    concat(lit("HttpS://WwW."), col("source"), lit(".ExAmple.COM:443/"),
+      col("lang"), lit("/doc/"), col("doc_id") % 64,
+      lit("?utm_source=feed&ref=r"), col("doc_id") % 7,
+      lit("&page="), col("doc_id") % 64, lit("#s"), col("doc_id") % 5)
+
+  /** URL canonicalization + host extraction + blocklist verdict +
+    * canonical-URL dup ranking — stage one of RefinedWeb/FineWeb-
+    * style web curation. Canonical form: lowercase scheme and host,
+    * strip the https default port and the www prefix, drop the
+    * fragment, drop tracking query params (utm_*, ref), keep the
+    * rest of the path+query verbatim. Every step is a per-row
+    * regexp (narrow, codegen'd); the only shuffle is the dup-rank
+    * window keyed by canonical URL — exactly the URL-dedup shuffle,
+    * on the key it must use.
+    */
+  def qUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val hostport = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1))
+    val host = regexp_replace(regexp_replace(hostport, ":443$", ""), "^www\\.", "")
+    val pathq = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^#]*)", 1)
+    val cleanPathq = regexp_replace(
+      regexp_replace(pathq, "(?:utm_[a-z_]+|ref)=[^&#]*&?", ""), "[?&]$", "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canon_url")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), rawUrl.as("url"))
+      .withColumn("host", host)
+      .withColumn("canon_url",
+        concat(lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)),
+          lit("://"), col("host"), cleanPathq))
+      .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("blocked", col("host").isin(HostBlocklist: _*))
+      .withColumn("dup_rank", row_number().over(w))
+      .select(col("doc_id"), col("url"), col("canon_url"), col("host"),
+        col("domain"), col("blocked"), col("dup_rank"))
+  }
+
+  // --- embedding covariance / PCA --------------------------------------
+
+  val Dim = 64
+
+  /** Exact covariance accumulation state: upper triangle of sum
+    * q_i*q_j, the per-dim sums, and the row count, all int64 —
+    * order-independent exact integer arithmetic (the established
+    * quantize idiom), so the result is bit-stable across partition
+    * schedules AND engines. At the 1e6 quantize scale the triangle
+    * sums stay in int64 up to ~1e5 unit-norm rows per stat; larger
+    * corpora lower the quantize scale (the dial trades 3 decimal
+    * digits per 1000x rows).
+    */
+  private def covAccumulate(rows: Iterator[Seq[Long]], d: Int): Array[Long] = {
+    val tri = Array.ofDim[Long](d * (d + 1) / 2 + d + 1)
+    rows.foreach { q =>
+      var i = 0
+      var off = 0
+      while (i < d) {
+        val qi = q(i)
+        var j = i
+        while (j < d) { tri(off + j - i) += qi * q(j); j += 1 }
+        off += d - i
+        tri(d * (d + 1) / 2 + i) += qi
+        i += 1
+      }
+      tri(tri.length - 1) += 1L
+    }
+    tri
+  }
+
+  /** Exact embedding covariance matrix (the PCA/whitening input) —
+    * quantized integer accumulation per partition, O(d^2) merged
+    * state on the driver, zero per-row shuffles. Output: one row per
+    * (i <= j) with the covariance of the ORIGINAL float scale,
+    * computed from the exact integer sums by a fixed IEEE expression
+    * both engines evaluate identically.
+    */
+  def qEmbedCov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables.embeddings(s, dir)
+      .select(quantize(col("embedding")).as("q")).as[Seq[Long]]
+      .mapPartitions(it => Iterator.single(covAccumulate(it, Dim)))
+      .collect()
+    val tri = parts.transpose.map(_.sum)
+    val nTri = Dim * (Dim + 1) / 2
+    val n = tri.last
+    val rows = for {
+      i <- 0 until Dim
+      j <- i until Dim
+    } yield Row(i, j, tri(offset(i, j)), tri(nTri + i), tri(nTri + j), n)
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("j", IntegerType),
+      StructField("s_ij", LongType), StructField("s_i", LongType),
+      StructField("s_j", LongType), StructField("n", LongType)))
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), schema)
+      .select(col("i"), col("j"),
+        // + 0.0 canonicalizes IEEE signed zero (DuckDB's round keeps
+        // -0.0 for tiny negatives; BigDecimal HALF_UP does not).
+        (round((col("s_ij").cast("double") / col("n")
+          - (col("s_i").cast("double") / col("n"))
+            * (col("s_j").cast("double") / col("n"))) / lit(1e12), 6)
+          + lit(0.0)).as("cov"))
+  }
+
+  private def offset(i: Int, j: Int): Int =
+    i * Dim - i * (i - 1) / 2 + (j - i)
+
+  /** Deterministic power iteration for the top principal component
+    * of a d x d covariance matrix (driver-side — the matrix is
+    * O(d^2) regardless of corpus size). Fixed start vector and
+    * iteration count; normalization by max-abs entry avoids a
+    * driver-side sqrt until the final unit scaling.
+    */
+  def powerIteration(cov: Array[Array[Double]], iters: Int = 200): Array[Double] = {
+    val d = cov.length
+    var v = Array.tabulate(d)(i => 1.0 / (i + 1))
+    for (_ <- 0 until iters) {
+      val nv = Array.tabulate(d)(i => cov(i).indices.map(j => cov(i)(j) * v(j)).sum)
+      val m = nv.map(math.abs).max
+      v = if (m == 0.0) nv else nv.map(_ / m)
+    }
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / norm)
+  }
+
+  /** Rayleigh quotient v'Cv / v'v — the eigenvalue estimate the
+    * power-iteration spec pins against the projection variance.
+    */
+  def rayleigh(cov: Array[Array[Double]], v: Array[Double]): Double = {
+    val cv = cov.indices.map(i => cov(i).indices.map(j => cov(i)(j) * v(j)).sum)
+    cov.indices.map(i => v(i) * cv(i)).sum / v.map(x => x * x).sum
+  }
+
+  /** Covariance matrix as a dense driver-side array (spec/PCA input). */
+  def covMatrix(s: SparkSession, dir: String): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](Dim, Dim)
+    qEmbedCov(s, dir).collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c
+      m(j)(i) = c
+    }
+    m
+  }
+
+  // --- registry ---------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> qHeavyHitters _,
+    "q_bm25_search" -> qBm25Search _,
+    "q_url_normalize" -> qUrlNormalize _,
+    "q_embed_cov" -> qEmbedCov _)
+
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT $toksSql AS t FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS term FROM tok),
+        |n AS (SELECT count(*) AS n FROM bg),
+        |c AS (SELECT term, count(*)::BIGINT AS cnt FROM bg GROUP BY term)
+        |SELECT c.term, c.cnt, (c.cnt * 1000000) // n.n AS share_ppm
+        |FROM c CROSS JOIN n WHERE c.cnt * $HhShare >= n.n""".stripMargin,
+    "q_bm25_search" -> {
+      val qvals = Bm25Queries
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""WITH q AS (SELECT * FROM (VALUES $qvals) AS v(qid, qtext)),
+        |qt AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+        |tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS dfreq FROM tf GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+        |  (SELECT sum(dl)::DOUBLE FROM dl) AS tot_dl),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    sum(round(((st.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5))
+        |      * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+        |          / (st.tot_dl / st.n_docs)))) * 1000000.0, 0)::BIGINT)::BIGINT
+        |      AS score_ppm
+        |  FROM tf JOIN qt ON tf.term = qt.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN dfreq df ON tf.term = df.term
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score_ppm,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score_ppm DESC, doc_id) AS rnk
+        |  FROM scored)
+        |SELECT qid, doc_id, score_ppm, rnk
+        |FROM r WHERE rnk <= $Bm25TopK""".stripMargin
+    },
+    "q_url_normalize" -> {
+      val blocked = HostBlocklist.map(h => s"'$h'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id,
+        |    'HttpS://WwW.' || source || '.ExAmple.COM:443/' || lang || '/doc/'
+        |      || (doc_id % 64) || '?utm_source=feed&ref=r' || (doc_id % 7)
+        |      || '&page=' || (doc_id % 64) || '#s' || (doc_id % 5) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+        |      ':443$$', ''), '^www\\.', '') AS host
+        |  FROM u),
+        |c AS (SELECT doc_id, url, host,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' || host ||
+        |      regexp_replace(regexp_replace(
+        |        regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+        |        '(?:utm_[a-z_]+|ref)=[^&#]*&?', '', 'g'), '[?&]$$', '') AS canon_url
+        |  FROM h)
+        |SELECT doc_id, url, canon_url, host,
+        |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+        |  host IN ($blocked) AS blocked,
+        |  row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) AS dup_rank
+        |FROM c""".stripMargin
+    },
+    "q_embed_cov" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      e -> round(e::DOUBLE * 1000000.0, 0)::BIGINT) AS q
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, i, q[i + 1] AS qi
+        |  FROM q CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |s AS (SELECT a.i AS i, b.i AS j,
+        |    sum(a.qi * b.qi)::BIGINT AS s_ij
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2),
+        |m AS (SELECT i, sum(qi)::BIGINT AS s_i, count(*)::BIGINT AS n
+        |  FROM ex GROUP BY i)
+        |SELECT s.i::INT AS i, s.j::INT AS j,
+        |  round((s.s_ij::DOUBLE / mi.n
+        |    - (mi.s_i::DOUBLE / mi.n) * (mj.s_i::DOUBLE / mj.n)) / 1e12, 6)
+        |    + 0.0 AS cov
+        |FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i""".stripMargin)
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+import graft.operators.CorpusOps
+import graft.sources.Tables
+
+/** Corpus-stats operators: sketch-confirm heavy hitters vs brute
+  * force, BM25 retrieval invariants, URL canonicalization law, and
+  * the PCA power-iteration eigenpair over the exact covariance.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("heavy hitters == brute-force exact frequent set") {
+    val got = CorpusOps.qHeavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val terms = Tables.documents(spark, sf)
+      .select(explode(CorpusOps.bigrams(tokens(col("text")))).as("term"))
+    val n = terms.count()
+    val want = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * CorpusOps.HhShare >= n)
+      .select(col("term"), col("cnt"), expr(s"cnt * 1000000 div ${n}L"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("heavy hitters confirm pass broadcasts the candidate set") {
+    val plan = CorpusOps.qHeavyHitters(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast confirm join, got:\n$plan")
+  }
+
+  test("bm25: hits contain a query term, ranks dense, scores ordered") {
+    val hits = CorpusOps.qBm25Search(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(hits.nonEmpty)
+    val docTerms = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet)
+    val qterms = CorpusOps.Bm25Queries.toMap.view
+      .mapValues(_.split(" ").toSet)
+    hits.foreach { case (qid, doc, _, _) =>
+      assert(docTerms(doc).intersect(qterms(qid)).nonEmpty,
+        s"doc $doc hit for query $qid without any query term")
+    }
+    hits.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rows.length).toSeq,
+        s"ranks not dense for qid $qid")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq,
+        s"scores not non-increasing for qid $qid")
+    }
+  }
+
+  test("url canonicalization strips tracking, port, www, fragment") {
+    val rows = CorpusOps.qUrlNormalize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (canon, host, domain, blocked) =
+        (r.getString(2), r.getString(3), r.getString(4), r.getBoolean(5))
+      assert(canon.startsWith("https://"), canon)
+      Seq("utm_", "ref=", "#", ":443", "WwW", "ExAmple").foreach(bad =>
+        assert(!canon.contains(bad), s"$bad survived in $canon"))
+      assert(host == host.toLowerCase && !host.startsWith("www."), host)
+      assert(domain == "example.com", domain)
+      assert(blocked == CorpusOps.HostBlocklist.contains(host))
+    }
+    // mirror fetches exist and rank deterministically within a group
+    val groups = rows.groupBy(_.getString(2))
+    assert(groups.exists(_._2.length > 1), "no canonical-URL dup groups")
+    groups.values.foreach { g =>
+      val byDoc = g.sortBy(_.getLong(0))
+      assert(byDoc.map(_.getInt(6)).toSeq == (1 to g.length).toSeq)
+    }
+  }
+
+  test("power iteration finds the top eigenpair of the covariance") {
+    val cov = CorpusOps.covMatrix(spark, sf)
+    assert(cov.indices.forall(i => cov.indices.forall(j =>
+      math.abs(cov(i)(j) - cov(j)(i)) < 1e-12)), "covariance not symmetric")
+    val v = CorpusOps.powerIteration(cov)
+    val lambda = CorpusOps.rayleigh(cov, v)
+    val maxDiag = cov.indices.map(i => cov(i)(i)).max
+    assert(lambda >= maxDiag - 1e-9,
+      s"top eigenvalue $lambda below max variance $maxDiag")
+    val cv = cov.indices.map(i => cov(i).indices.map(j => cov(i)(j) * v(j)).sum)
+    val residual = math.sqrt(
+      cov.indices.map(i => math.pow(cv(i) - lambda * v(i), 2)).sum)
+    assert(residual <= 5e-3 * math.abs(lambda),
+      s"eigen residual $residual vs lambda $lambda")
+    // projecting the corpus onto v reproduces the eigenvalue as the
+    // population variance of the projection (quantization-tolerant)
+    val vLit = array(v.map(lit): _*)
+    val proj = Tables.embeddings(spark, sf)
+      .select(aggregate(
+        zip_with(col("embedding").cast("array<double>"), vLit, _ * _),
+        lit(0.0), _ + _).as("p"))
+    val variance = proj.agg(var_pop(col("p"))).head.getDouble(0)
+    assert(math.abs(variance - lambda) <= 0.01 * math.abs(lambda) + 1e-9,
+      s"projection variance $variance vs eigenvalue $lambda")
+  }
+}

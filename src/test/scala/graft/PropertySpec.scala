@@ -189,6 +189,48 @@ object GraftProps extends Properties("graft") {
       sig(a ++ b) == sig(a).lazyZip(sig(b)).map(math.min)
     }
 
+  // --- Misra-Gries heavy-hitter sketch --------------------------------
+
+  // Skewed streams over a small alphabet with k << alphabet, so the
+  // eviction path (the part the fixture corpus never exercises at
+  // MgK = 2048) runs on every generated case.
+  private val mgStream: Gen[List[String]] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.const("hot"),
+      4 -> Gen.oneOf("warm1", "warm2"),
+      1 -> Gen.choose(0, 200).map(i => s"cold$i")))
+
+  property("misra-gries estimates undercount by at most n/k") =
+    forAll(mgStream, Gen.choose(2, 8)) { (xs, k) =>
+      val est = graft.operators.CorpusOps.misraGries(xs.iterator, k)
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      Prop(est.size <= k) :| "at most k counters" &&
+        Prop(est.forall { case (t, e) =>
+          val c = exact.getOrElse(t, 0L)
+          e <= c && c - e <= xs.size.toLong / k
+        }) :| "each estimate in [exact - n/k, exact]"
+    }
+
+  property("misra-gries keeps every item with count > n/k") =
+    forAll(mgStream, Gen.choose(2, 8)) { (xs, k) =>
+      val est = graft.operators.CorpusOps.misraGries(xs.iterator, k)
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.forall { case (t, c) => c * k <= xs.size || est.contains(t) }
+    }
+
+  property("merged partition sketches cover the global frequent set") =
+    forAll(mgStream, mgStream, mgStream, Gen.choose(2, 8)) { (a, b, c, k) =>
+      // union-sum of per-partition sketches: summed estimate >=
+      // C - N/k, so any item with global count > N/k survives — the
+      // exact superset guarantee qHeavyHitters' confirm pass rests on
+      val parts = List(a, b, c)
+      val n = parts.map(_.size.toLong).sum
+      val merged = parts.map(p => graft.operators.CorpusOps.misraGries(p.iterator, k))
+        .flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      val exact = parts.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.forall { case (t, cnt) => cnt * k <= n || merged.getOrElse(t, 0L) > 0L }
+    }
+
   // --- julienne predicate coverage ------------------------------------
 
   property("julienne-style predicates partition any boundary list") = {
