@@ -57,6 +57,21 @@ object CorpusOps {
     m.toMap
   }
 
+  /** Merge-compression for summed sketch tables (the mergeable-
+    * summaries result, Agarwal et al. 2012): subtract the (k+1)-th
+    * largest counter from all and drop the non-positive — at most k
+    * survivors, each still an UNDERestimate, and one compression of
+    * exact counts loses at most N/(k+1) per item (k+1 counters are
+    * >= the subtracted value, so it cannot exceed N/(k+1)). Keeps
+    * the streaming sketch table's compaction bound honest.
+    */
+  def compressMg(counts: Map[String, Long], k: Int): Map[String, Long] =
+    if (counts.size <= k) counts
+    else {
+      val t = counts.values.toSeq.sortBy(-_).apply(k)
+      counts.collect { case (key, c) if c - t > 0 => key -> (c - t) }
+    }
+
   /** Word bigrams joined with a single space (the heavy-hitter item
     * domain — large enough that the sketch actually evicts).
     */
@@ -80,8 +95,12 @@ object CorpusOps {
     */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // tokenize into a BOUND column first: a HOF lambda re-evaluates
+    // unbound subtrees (the split) per ELEMENT — O(tokens^2) per doc
+    // if bigrams() is applied to the split expression directly
     val terms = Tables.documents(s, dir)
-      .select(explode(bigrams(tokens(col("text")))).as("term"))
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(bigrams(col("toks"))).as("term"))
     // Sentinel row "" carries the partition's exact stream length out
     // of the same pass (bigrams always contain a space, so the empty
     // key cannot collide); the sketch table is <= partitions*(MgK+1)
@@ -213,6 +232,29 @@ object CorpusOps {
         col("domain"), col("blocked"), col("dup_rank"))
   }
 
+  // --- banned-word filter ----------------------------------------------
+
+  /** Word blocklist (C4-style banned-word stage: a document with ANY
+    * hit is dropped outright). Production lists hold thousands of
+    * entries and still broadcast; matching stays a per-row set probe.
+    */
+  val BannedWords: Seq[String] = Seq("dup", "stale", "zzznope")
+
+  /** Per-doc banned-word audit: hit count, first offending token in
+    * document order, and the keep/drop verdict. A narrow codegen'd
+    * scan — no shuffle at all; the verdict column composes with the
+    * rule-filter report the same way Gopher rules do.
+    */
+  def qWordBlocklist(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => t.isin(BannedWords: _*)).as("hits"))
+      .select(
+        col("doc_id"),
+        size(col("hits")).cast("long").as("n_hits"),
+        try_element_at(col("hits"), lit(1)).as("first_bad"),
+        (size(col("hits")) === 0).as("kept"))
+
   // --- embedding covariance / PCA --------------------------------------
 
   val Dim = 64
@@ -324,6 +366,7 @@ object CorpusOps {
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_bm25_search" -> qBm25Search _,
     "q_url_normalize" -> qUrlNormalize _,
+    "q_word_blocklist" -> qWordBlocklist _,
     "q_embed_cov" -> qEmbedCov _)
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -388,6 +431,15 @@ object CorpusOps {
         |  host IN ($blocked) AS blocked,
         |  row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) AS dup_rank
         |FROM c""".stripMargin
+    },
+    "q_word_blocklist" -> {
+      val banned = BannedWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+        |    list_filter($toksSql, t -> t IN ($banned)) AS hits
+        |  FROM documents)
+        |SELECT doc_id, len(hits)::BIGINT AS n_hits, hits[1] AS first_bad,
+        |  len(hits) = 0 AS kept
+        |FROM t""".stripMargin
     },
     "q_embed_cov" ->
       """WITH q AS (SELECT vec_id,

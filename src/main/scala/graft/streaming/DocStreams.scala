@@ -921,4 +921,135 @@ object DocStreams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** STREAMING heavy hitters — the incremental twin of
+    * [[graft.operators.CorpusOps.qHeavyHitters]]: the warehouse
+    * holds per-batch Misra-Gries sketch rows (batch_key, term, est)
+    * plus the same doc-id sidecar replay screen the dedup indexes
+    * use. Each micro-batch sketches only its FRESH docs (doc-level
+    * left-anti against the pruned sidecar), upserts its sketch rows
+    * under a CONTENT-derived batch key — redelivery of the same doc
+    * set replaces rather than double-counts, whatever batch boundary
+    * it arrives under — and appends the fresh ids.
+    *
+    * The union-sum over per-batch sketches is itself a valid
+    * Misra-Gries summary of the whole stream (mergeable-summaries
+    * property, ScalaCheck-pinned): summed estimates undercount by at
+    * most N/MgK, so candidates(est > 0) cover every term with share
+    * > 1/MgK. State = O(batches × MgK) rows, bounded again by
+    * [[compactSketches]]; the exact-confirm pass stays a batch job
+    * over the archived corpus (sketches locate candidates — they
+    * never replace the recount).
+    */
+  def runHeavyHitterStream(spark: SparkSession, stagedDir: String,
+                           wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                           sketchTable: String): Unit = {
+    import graft.operators.CorpusOps
+    import graft.functions.GraftFunctions.tokens
+    val idsTable = s"${sketchTable}_ids"
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import batch.sparkSession.implicits._
+        val nBuckets = indexBuckets(spark)
+        val pushMax = lookupPushdownMax(spark)
+        val batchIds = batch.toDF().select(col("doc_id")).distinct()
+          .withColumn("id_bucket", bucketOf(col("doc_id"), nBuckets))
+          .transform(cut)
+        val touchedIdB = batchIds.select("id_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val batchDocIds = batchIds.select("doc_id").limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
+        val seen =
+          if (wh.tableExists(ref, idsTable))
+            indexLookup(wh, ref, idsTable, "id_bucket", touchedIdB,
+              "doc_id", batchDocIds, HashIndexReadOptions)._1.select(col("doc_id"))
+          else
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("doc_id", LongType))))
+        val fresh = batch.toDF().select(col("doc_id"), col("text"))
+          .join(seen, Seq("doc_id"), "left_anti")
+          .transform(cut)
+        if (fresh.isEmpty) ()
+        else {
+          // content-derived batch identity: any redelivery of the
+          // same fresh-doc set lands on the same key and the upsert
+          // replaces its own rows
+          val keyRow = fresh.agg(min(col("doc_id")), max(col("doc_id")),
+            count(lit(1))).head
+          val batchKey = s"${keyRow.getLong(0)}-${keyRow.getLong(1)}-${keyRow.getLong(2)}"
+          val sketch = fresh
+            .select(tokens(col("text")).as("toks"))
+            .select(explode(CorpusOps.bigrams(col("toks"))).as("term"))
+            .as[String].mapPartitions { it =>
+              var np = 0L
+              val m = CorpusOps.misraGries(it.map { t => np += 1; t }, CorpusOps.MgK)
+              m.iterator ++ Iterator("" -> np)
+            }.toDF("term", "est")
+            .groupBy("term").agg(sum("est").as("est"))
+            .select(concat(lit(batchKey), lit("#"), col("term")).as("sk_key"),
+              lit(batchKey).as("batch_key"), col("term"), col("est"))
+          upsertPartitioned(wh, ref, sketchTable, sketch, "sk_key")
+          val freshIds = batchIds
+            .join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .repartition(col("id_bucket"))
+            .sortWithinPartitions(col("id_bucket"), col("doc_id"))
+          wh.appendTablePartitioned(freshIds, ref, idsTable, Seq("id_bucket"),
+            bloomWriteOptions("doc_id",
+              batchIds.count() / math.max(1, touchedIdB.size)))
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Merged heavy-hitter candidates from the sketch table: per-term
+    * union-sum estimate, the exact stream length (sentinel rows),
+    * and the worst-case undercount bound N/MgK. A tiny read —
+    * O(batches × MgK) rows — feeding either a report or the exact
+    * confirm join over the archived corpus.
+    */
+  def heavyHitterCandidates(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                            sketchTable: String): DataFrame = {
+    val all = wh.readTable(ref, sketchTable)
+      .groupBy(col("term")).agg(sum(col("est")).as("est"))
+    val n = all.filter(col("term") === "")
+      .select(col("est").as("n_total"))
+    all.filter(col("term") =!= "").crossJoin(broadcast(n))
+      .select(col("term"), col("est"), col("n_total"),
+        (col("n_total") / graft.operators.CorpusOps.MgK).cast("long").as("err_bound"))
+  }
+
+  /** Sketch-table compaction (the LSM discipline, sketch edition):
+    * fold every per-batch sketch into ONE summary of at most k
+    * terms via the mergeable-summaries compression — subtract the
+    * (k+1)-th largest summed estimate, drop the non-positive
+    * (CorpusOps.compressMg). Error after compaction stays the
+    * additive MG bound; the sentinel stream-length row is preserved
+    * exactly. The one deliberate full rewrite of the table.
+    */
+  def compactSketches(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                      sketchTable: String,
+                      k: Int = graft.operators.CorpusOps.MgK): Unit = {
+    val merged = wh.readTable(ref, sketchTable)
+      .groupBy(col("term")).agg(sum(col("est")).as("est"))
+    val nTotal = merged.filter(col("term") === "").head.getLong(1)
+    // the merged table is O(batches × k) — small enough to compress
+    // driver-side (a distributed top-(k+1) threshold works the same
+    // way if batches × k ever outgrows the driver)
+    val counts = merged.filter(col("term") =!= "").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = graft.operators.CorpusOps.compressMg(counts, k).toSeq
+    val spark = merged.sparkSession
+    import spark.implicits._
+    val compacted = (kept :+ ("" -> nTotal)).toDF("term", "est")
+      .select(concat(lit("compact#"), col("term")).as("sk_key"),
+        lit("compact").as("batch_key"), col("term"), col("est"))
+      .withColumn("pbucket",
+        pmod(xxhash64(col("sk_key")), lit(indexBuckets(spark).toLong)).cast("int"))
+    wh.writeTablePartitioned(compacted, ref, sketchTable, Seq("pbucket"))
+  }
 }

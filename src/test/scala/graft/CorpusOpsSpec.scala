@@ -18,7 +18,8 @@ class CorpusOpsSpec extends AnyFunSuite {
     val got = CorpusOps.qHeavyHitters(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val terms = Tables.documents(spark, sf)
-      .select(explode(CorpusOps.bigrams(tokens(col("text")))).as("term"))
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(CorpusOps.bigrams(col("toks"))).as("term"))
     val n = terms.count()
     val want = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * CorpusOps.HhShare >= n)

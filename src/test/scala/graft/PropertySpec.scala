@@ -231,6 +231,18 @@ object GraftProps extends Properties("graft") {
       exact.forall { case (t, cnt) => cnt * k <= n || merged.getOrElse(t, 0L) > 0L }
     }
 
+  property("compressMg keeps <= k items, underestimates, bounded loss") =
+    forAll(mgStream, Gen.choose(2, 8)) { (xs, k) =>
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = xs.size.toLong
+      val z = graft.operators.CorpusOps.compressMg(exact, k)
+      Prop(z.size <= k) :| "at most k" &&
+        Prop(z.forall { case (t, e) => e <= exact(t) }) :| "underestimates" &&
+        Prop(exact.forall { case (t, c) =>
+          c * (k + 1) <= n || z.contains(t)
+        }) :| "items with count > n/(k+1) survive compression"
+    }
+
   // --- julienne predicate coverage ------------------------------------
 
   property("julienne-style predicates partition any boundary list") = {

@@ -589,6 +589,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(wh.readTable(ref, "sample").count() == streamed.size)
   }
 
+  test("streaming heavy hitters: merged sketch covers the exact frequent set, replays idempotently") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.operators.CorpusOps
+    import graft.streaming.DocStreams
+    import graft.functions.GraftFunctions.tokens
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-hh")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // staging: the file stream lists top-level FILES, so write each
+    // batch to a scratch dir and copy its part file in (the
+    // incremental-dedup staging idiom)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-hh-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, staged.resolve(s"$name.parquet"))
+    }
+    // two disjoint halves -> two micro-batches; then a full replay file
+    stage(docs.filter(col("doc_id") % 2 === 0), "a_even")
+    stage(docs.filter(col("doc_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-hh").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.hh")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runHeavyHitterStream(spark, staged.toString, wh, ref, "sketch")
+    val exact = docs
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(CorpusOps.bigrams(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    def checkCandidates(): Unit = {
+      val cand = DocStreams.heavyHitterCandidates(wh, ref, "sketch").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(cand.nonEmpty)
+      assert(cand.forall(_._3 == n), "sentinel stream length != exact bigram count")
+      val est = cand.map(c => c._1 -> c._2).toMap
+      // merged-sketch guarantees: underestimates, bounded undercount,
+      // and coverage of everything above the 1/MgK share line (which
+      // at MgK = 2048 >> vocab means full coverage here)
+      assert(est.forall { case (t, e) => e <= exact(t) })
+      assert(exact.forall { case (t, c) =>
+        c - est.getOrElse(t, 0L) <= n / CorpusOps.MgK
+      })
+      assert(exact.forall { case (t, c) =>
+        c * CorpusOps.MgK <= n || est.getOrElse(t, 0L) > 0L
+      })
+    }
+    checkCandidates()
+    // full replay: every doc screens at the sidecar; state unchanged
+    val before = wh.readTable(ref, "sketch").count()
+    stage(docs, "c_replay")
+    DocStreams.runHeavyHitterStream(spark, staged.toString, wh, ref, "sketch")
+    assert(wh.readTable(ref, "sketch").count() == before, "replay grew the sketch table")
+    checkCandidates()
+    // compaction folds batches into one summary, bounds intact
+    DocStreams.compactSketches(wh, ref, "sketch")
+    assert(wh.readTable(ref, "sketch").count() <= CorpusOps.MgK + 1)
+    checkCandidates()
+  }
+
   /** Actual bytes read from storage by one action over `df`, via the
     * metered `cfs://` scheme ([[CountingFileSystem]]). This is the
     * number parquet row-group skipping changes; planning-time
