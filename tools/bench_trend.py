@@ -191,13 +191,31 @@ def main(root="."):
         return 1
     os.makedirs(os.path.join(root, "bench"), exist_ok=True)
     out = os.path.join(root, "bench", "TREND.json")
-    json.dump({"rounds": rounds}, open(out, "w"), indent=1, sort_keys=True)
 
     names = sorted(set(q for r in rounds.values() for q in r["queries"]))
     # chronological: r01..rNN, then the fresh latest epoch
     tags = sorted(rounds, key=lambda t: (t == "latest", t))
     latest = tags[-1]
     touched = touched_queries(root, names)
+
+    # MACHINE-DRIFT normalization: sessions land on different boxes
+    # (the env fingerprint records it going forward, but prior rounds
+    # carry none), so compare the latest epoch's MEDIAN per-query
+    # ratio against best-prior across the whole suite. A real
+    # regression is one query — it cannot move the median; a slower
+    # box moves every query together. When the median exceeds 1.25,
+    # scale the flagging thresholds by it and report the factor.
+    def min_prior(name):
+        vals = [rounds[t]["queries"][name] for t in tags[:-1]
+                if name in rounds[t]["queries"]]
+        return min(vals) if vals else None
+    ratios = sorted(
+        rounds[latest]["queries"][n] / min_prior(n)
+        for n in names
+        if n in rounds[latest]["queries"] and min_prior(n)
+        and min_prior(n) > 0.05)
+    drift = ratios[len(ratios) // 2] if len(ratios) >= 20 else 1.0
+    drift = drift if drift > 1.25 else 1.0
     w = max(len(n) for n in names)
     print(f"  {'query':{w}s} " + " ".join(f"{t:>8s}" for t in tags))
     flagged, noise = [], []
@@ -209,7 +227,13 @@ def main(root="."):
         cur = rounds[latest]["queries"].get(name)
         prior = [rounds[t]["queries"][name] for t in tags[:-1]
                  if name in rounds[t]["queries"]]
-        if cur is not None and prior and cur > 1.5 * min(prior) and cur > 0.3:
+        # two bars: >1.5x the all-time best AND >1.25x the most
+        # recent prior round — a 6-round-old lucky minimum alone is
+        # not evidence of a regression introduced THIS round
+        if (cur is not None and prior
+                and cur > 1.5 * drift * min(prior)
+                and cur > 1.25 * drift * prior[-1]
+                and cur > 0.3 * drift):
             if touched is None or name in touched:
                 flag = "REGRESSED"
                 flagged.append(name)
@@ -219,6 +243,11 @@ def main(root="."):
         print(f"  {name:{w}s} {cells}  {flag}")
     print(f"\n  {'total':{w}s} " +
           " ".join(f"{rounds[t]['total']:8.1f}" for t in tags))
+    if drift > 1.0:
+        print(f"  machine drift: latest epoch's median per-query ratio vs "
+              f"best prior = {drift:.2f}x - thresholds scaled accordingly")
+    json.dump({"rounds": rounds, "machine_drift": drift},
+              open(out, "w"), indent=1, sort_keys=True)
     if touched is not None:
         print(f"  touched since last round boundary: {len(touched)} queries")
     else:
