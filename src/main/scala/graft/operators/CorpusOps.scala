@@ -153,7 +153,10 @@ object CorpusOps {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl and df both derive from tf — one shuffle of the raw token
+    // stream total; everything downstream aggregates the (much
+    // smaller) per-doc term table
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val stats = Tables.documents(s, dir)
       .agg(count(lit(1)).as("n_docs")).crossJoin(
@@ -268,7 +271,7 @@ object CorpusOps {
     * corpora lower the quantize scale (the dial trades 3 decimal
     * digits per 1000x rows).
     */
-  private def covAccumulate(rows: Iterator[Seq[Long]], d: Int): Array[Long] = {
+  def covAccumulate(rows: Iterator[Seq[Long]], d: Int): Array[Long] = {
     val tri = Array.ofDim[Long](d * (d + 1) / 2 + d + 1)
     rows.foreach { q =>
       var i = 0
@@ -299,7 +302,14 @@ object CorpusOps {
       .select(quantize(col("embedding")).as("q")).as[Seq[Long]]
       .mapPartitions(it => Iterator.single(covAccumulate(it, Dim)))
       .collect()
-    val tri = parts.transpose.map(_.sum)
+    covFromTriangle(s, parts.transpose.map(_.sum))
+  }
+
+  /** The covariance DataFrame from a merged integer triangle — one
+    * fixed IEEE expression shared by the batch operator and the
+    * streaming state reader, so both serve identical cells.
+    */
+  def covFromTriangle(s: SparkSession, tri: Array[Long]): DataFrame = {
     val nTri = Dim * (Dim + 1) / 2
     val n = tri.last
     val rows = for {
@@ -387,7 +397,7 @@ object CorpusOps {
         |qt AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
         |tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
         |dfreq AS (SELECT term, count(*)::BIGINT AS dfreq FROM tf GROUP BY 1),
         |st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
         |  (SELECT sum(dl)::DOUBLE FROM dl) AS tot_dl),

@@ -1023,6 +1023,253 @@ object DocStreams {
         (col("n_total") / graft.operators.CorpusOps.MgK).cast("long").as("err_bound"))
   }
 
+  /** STREAMING search index — incremental inverted-index maintenance
+    * (the retrieval twin of [[graft.operators.CorpusOps.qBm25Search]]):
+    * the warehouse keeps
+    *
+    *  - `<t>`         postings (term, doc_id, tf), hive-partitioned
+    *                  on hash(term) buckets, term-sorted + term-bloom
+    *                  per append file — the layout query-time lookups
+    *                  prune on (the dedup indexes' read discipline,
+    *                  keyed by term instead of band hash);
+    *  - `<t>_docstats` (doc_id, dl) keyed upserts — corpus size and
+    *                  length normalization derive from it exactly;
+    *  - `<t>_ids`     the doc-id replay screen.
+    *
+    * A doc's postings never change once written (append-only, like
+    * bands); the screen guarantees each doc contributes exactly once,
+    * so df/cf/N/dl read from the index are EXACT — bm25FromIndex is
+    * gate-pinned equal to the batch scorer, not approximately so.
+    */
+  def runSearchIndexStream(spark: SparkSession, stagedDir: String,
+                           wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                           indexTable: String): Unit = {
+    import graft.functions.GraftFunctions.tokens
+    val idsTable = s"${indexTable}_ids"
+    val statsTable = s"${indexTable}_docstats"
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nBuckets = indexBuckets(spark)
+        val pushMax = lookupPushdownMax(spark)
+        val batchIds = batch.toDF().select(col("doc_id")).distinct()
+          .withColumn("id_bucket", bucketOf(col("doc_id"), nBuckets))
+          .transform(cut)
+        val touchedIdB = batchIds.select("id_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val batchDocIds = batchIds.select("doc_id").limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
+        val seen =
+          if (wh.tableExists(ref, idsTable))
+            indexLookup(wh, ref, idsTable, "id_bucket", touchedIdB,
+              "doc_id", batchDocIds, HashIndexReadOptions)._1.select(col("doc_id"))
+          else
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("doc_id", LongType))))
+        val fresh = batch.toDF().select(col("doc_id"), col("text"))
+          .join(seen, Seq("doc_id"), "left_anti")
+          .transform(cut)
+        if (fresh.isEmpty) ()
+        else {
+          val tf = fresh
+            .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+            .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+            .transform(cut)
+          val postings = tf
+            .withColumn("bucket", bucketOf(col("term"), nBuckets))
+            .repartition(col("bucket"))
+            .sortWithinPartitions(col("bucket"), col("term"))
+          val touched = tf.select(bucketOf(col("term"), nBuckets)).distinct().count()
+          wh.appendTablePartitioned(postings, ref, indexTable, Seq("bucket"),
+            bloomWriteOptions("term", tf.count() / math.max(1L, touched)))
+          val docStats = tf.groupBy(col("doc_id")).agg(sum("tf").as("dl"))
+          upsertPartitioned(wh, ref, statsTable, docStats, "doc_id")
+          val freshIds = batchIds
+            .join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .repartition(col("id_bucket"))
+            .sortWithinPartitions(col("id_bucket"), col("doc_id"))
+          wh.appendTablePartitioned(freshIds, ref, idsTable, Seq("id_bucket"),
+            bloomWriteOptions("doc_id",
+              batchIds.count() / math.max(1, touchedIdB.size)))
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Query-time BM25 over the streamed index: the query terms prune
+    * the postings read (term-hash partition pruning + the term set
+    * pushed to the per-file blooms — only the query terms' posting
+    * lists are touched, never the corpus); df derives from the pruned
+    * postings, N/avgdl from the docstats table (metadata-sized), and
+    * the scoring expression is IDENTICAL to the batch scorer — exact
+    * equality, spec-gated. Returns the scores plus the postings-read
+    * [[ScanStats]] so the spec can assert the lookup pruned.
+    */
+  def bm25FromIndex(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                    indexTable: String,
+                    queries: Seq[(Int, String)] = graft.operators.CorpusOps.Bm25Queries,
+                    topK: Int = graft.operators.CorpusOps.Bm25TopK)
+      : (DataFrame, Option[ScanStats]) = {
+    val spark = wh.readTable(ref, s"${indexTable}_docstats").sparkSession
+    import spark.implicits._
+    import graft.functions.GraftFunctions.tokens
+    val nBuckets = indexBuckets(spark)
+    val qterms = queries.toDF("qid", "qtext")
+      .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
+    val termList = queries.flatMap(_._2.split(" ")).distinct
+    val touched = termList
+      .map(t => Math.floorMod(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType, 42L), nBuckets.toLong).toInt)
+      .distinct
+    val (postings, scan) = indexLookup(wh, ref, indexTable,
+      "bucket", touched, "term", termList, HashIndexReadOptions)
+    val docStats = wh.readTable(ref, s"${indexTable}_docstats")
+    val stats = docStats.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("double").as("tot_dl"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val sat = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val idf = (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))
+    val scored = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(docStats.select(col("doc_id"), col("dl")), Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl") / col("n_docs"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(round(idf * sat * lit(1000000.0), 0).cast("long")).as("score_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_ppm").desc, col("doc_id"))
+    (scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("qid"), col("doc_id"), col("score_ppm"), col("rnk")), scan)
+  }
+
+  /** Search-index deletion compaction (takedowns/retention — the
+    * [[compactIndex]] discipline on the retrieval tables): postings,
+    * doc stats, and the id sidecar all drop the deleted docs in one
+    * left-anti rewrite; the postings rewrite re-clusters on
+    * (bucket, term) so post-compaction files cover narrow term
+    * ranges again. Deleting via the index keeps serving EXACT: df,
+    * N, and avgdl all derive from the surviving rows, so a compacted
+    * index serves identically to one that never ingested the deleted
+    * docs (spec-pinned against a fresh index of the survivors).
+    */
+  def compactSearchIndex(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                         indexTable: String, deletedDocs: DataFrame): Unit = {
+    val del = deletedDocs.select(col("doc_id"))
+    val kept = wh.readTable(ref, indexTable)
+      .join(del, Seq("doc_id"), "left_anti")
+      .transform(cut)
+      .repartitionByRange(col("bucket"), col("term"))
+      .sortWithinPartitions(col("bucket"), col("term"))
+    wh.writeTablePartitioned(kept, ref, indexTable, Seq("bucket"),
+      bloomWriteOptions("term",
+        kept.count() / math.max(1, kept.rdd.getNumPartitions)))
+    val statsTable = s"${indexTable}_docstats"
+    val keptStats = wh.readTable(ref, statsTable)
+      .join(del, Seq("doc_id"), "left_anti").transform(cut)
+    wh.writeTablePartitioned(keptStats, ref, statsTable, Seq("pbucket"))
+    val idsTable = s"${indexTable}_ids"
+    val keptIds = wh.readTable(ref, idsTable)
+      .join(del, Seq("doc_id"), "left_anti")
+      .transform(cut)
+      .repartitionByRange(col("id_bucket"), col("doc_id"))
+      .sortWithinPartitions(col("id_bucket"), col("doc_id"))
+    wh.writeTablePartitioned(keptIds, ref, idsTable, Seq("id_bucket"),
+      bloomWriteOptions("doc_id",
+        keptIds.count() / math.max(1, keptIds.rdd.getNumPartitions)))
+  }
+
+  /** STREAMING exact covariance — the incremental twin of
+    * [[graft.operators.CorpusOps.qEmbedCov]]: each micro-batch's
+    * FRESH vectors (vec-id sidecar screen) fold into the integer
+    * triangle (quantized sums are associative and exact), persisted
+    * as per-batch partial rows keyed by a content-derived batch key
+    * — the heavy-hitter state discipline, but the merge here is
+    * plain addition, so the served matrix is EXACTLY the batch
+    * operator's, not a sketch. State = O(batches × d²/2) scalar
+    * rows, foldable to one batch's worth by rewriting summed rows.
+    */
+  def runCovStream(spark: SparkSession, stagedDir: String,
+                   wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                   covTable: String): Unit = {
+    import graft.functions.GraftFunctions.quantize
+    import graft.operators.CorpusOps
+    val idsTable = s"${covTable}_ids"
+    val q = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import batch.sparkSession.implicits._
+        val nBuckets = indexBuckets(spark)
+        val pushMax = lookupPushdownMax(spark)
+        val batchIds = batch.toDF().select(col("vec_id")).distinct()
+          .withColumn("id_bucket", bucketOf(col("vec_id"), nBuckets))
+          .transform(cut)
+        val touchedIdB = batchIds.select("id_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val batchVecIds = batchIds.select("vec_id").limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
+        val seen =
+          if (wh.tableExists(ref, idsTable))
+            indexLookup(wh, ref, idsTable, "id_bucket", touchedIdB,
+              "vec_id", batchVecIds, HashIndexReadOptions)._1.select(col("vec_id"))
+          else
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("vec_id", LongType))))
+        val fresh = batch.toDF().select(col("vec_id"), col("embedding"))
+          .join(seen, Seq("vec_id"), "left_anti")
+          .transform(cut)
+        if (fresh.isEmpty) ()
+        else {
+          val keyRow = fresh.agg(min(col("vec_id")), max(col("vec_id")),
+            count(lit(1))).head
+          val batchKey = s"${keyRow.getLong(0)}-${keyRow.getLong(1)}-${keyRow.getLong(2)}"
+          val partial = fresh.select(quantize(col("embedding")).as("q"))
+            .as[Seq[Long]]
+            .mapPartitions(it => Iterator.single(
+              CorpusOps.covAccumulate(it, CorpusOps.Dim)))
+            .collect().transpose.map(_.sum)
+          val rows = partial.toSeq.zipWithIndex
+            .map { case (v, pos) => (s"$batchKey#$pos", batchKey, pos, v) }
+            .toDF("cov_key", "batch_key", "pos", "v")
+          upsertPartitioned(wh, ref, covTable, rows, "cov_key")
+          val freshIds = batchIds
+            .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .repartition(col("id_bucket"))
+            .sortWithinPartitions(col("id_bucket"), col("vec_id"))
+          wh.appendTablePartitioned(freshIds, ref, idsTable, Seq("id_bucket"),
+            bloomWriteOptions("vec_id",
+              batchIds.count() / math.max(1, touchedIdB.size)))
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Covariance matrix served from the streamed partial-sum state:
+    * sum the per-batch triangles (exact integer addition) and apply
+    * the IDENTICAL final expression the batch operator uses — the
+    * spec pins cell-for-cell equality with qEmbedCov.
+    */
+  def covFromState(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                   covTable: String): DataFrame = {
+    import graft.operators.CorpusOps
+    val summed = wh.readTable(ref, covTable)
+      .groupBy(col("pos")).agg(sum(col("v")).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tri = Array.tabulate(summed.size)(summed)
+    CorpusOps.covFromTriangle(wh.readTable(ref, covTable).sparkSession, tri)
+  }
+
   /** Sketch-table compaction (the LSM discipline, sketch edition):
     * fold every per-batch sketch into ONE summary of at most k
     * terms via the mergeable-summaries compression — subtract the

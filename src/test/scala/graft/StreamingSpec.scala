@@ -652,6 +652,105 @@ class StreamingSpec extends AnyFunSuite {
     checkCandidates()
   }
 
+  test("streaming search index serves BM25 equal to the batch scorer, pruned, idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-si")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-si-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, staged.resolve(s"$name.parquet"))
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "a_even")
+    stage(docs.filter(col("doc_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-si").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.search")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runSearchIndexStream(spark, staged.toString, wh, ref, "postings")
+    val batch = graft.operators.CorpusOps.qBm25Search(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    def served(): (Set[(Int, Long, Long, Int)], Option[DocStreams.ScanStats]) = {
+      val (df, scan) = DocStreams.bm25FromIndex(wh, ref, "postings")
+      (df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet,
+        scan)
+    }
+    val (got, scan) = served()
+    assert(got == batch,
+      s"index-only=${(got -- batch).take(3)} batch-only=${(batch -- got).take(3)}")
+    // the lookup pruned: query terms touch a strict subset of the
+    // term-hash partitions (32-bucket layout, 12 distinct terms)
+    assert(scan.exists(s => s.partitionsRead < s.partitionsTotal),
+      s"postings lookup did not prune: $scan")
+    // replay: both halves re-staged together; the id screen makes the
+    // whole batch a no-op and serving is unchanged
+    val postingsBefore = wh.readTable(ref, "postings").count()
+    stage(docs, "c_replay")
+    DocStreams.runSearchIndexStream(spark, staged.toString, wh, ref, "postings")
+    assert(wh.readTable(ref, "postings").count() == postingsBefore)
+    assert(served()._1 == batch)
+    // takedown compaction: deleting the odd docs must serve exactly
+    // like an index that never ingested them (df/N/avgdl all track)
+    DocStreams.compactSearchIndex(wh, ref, "postings",
+      docs.filter(col("doc_id") % 2 === 1).select(col("doc_id")))
+    val evenStaged = Files.createTempDirectory("graft-si-even")
+    val tmp2 = Files.createTempDirectory("graft-si-even-w")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(tmp2.toString)
+    Files.copy(Files.list(tmp2)
+      .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+      evenStaged.resolve("evens.parquet"))
+    val ref2 = Warehouse.DatasetRef.fromString("proj.searcheven")
+    wh.createDataset(ref2, Warehouse.DatasetMeta())
+    DocStreams.runSearchIndexStream(spark, evenStaged.toString, wh, ref2, "postings")
+    val compacted = served()._1
+    val fresh = DocStreams.bm25FromIndex(wh, ref2, "postings")._1.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(compacted == fresh,
+      s"compacted-only=${(compacted -- fresh).take(3)} fresh-only=${(fresh -- compacted).take(3)}")
+    assert(compacted.nonEmpty)
+  }
+
+  test("streaming covariance equals the batch matrix cell-for-cell, replays idempotently") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-cov")
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-cov-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        staged.resolve(s"$name.parquet"))
+    }
+    stage(embs.filter(col("vec_id") % 2 === 0), "a_even")
+    stage(embs.filter(col("vec_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-cov").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.cov")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runCovStream(spark, staged.toString, wh, ref, "covstate")
+    val batch = graft.operators.CorpusOps.qEmbedCov(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    def served(): Set[(Int, Int, Double)] =
+      DocStreams.covFromState(wh, ref, "covstate").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(served() == batch)
+    // replay: everything screens at the vec-id sidecar
+    val before = wh.readTable(ref, "covstate").count()
+    stage(embs, "c_replay")
+    DocStreams.runCovStream(spark, staged.toString, wh, ref, "covstate")
+    assert(wh.readTable(ref, "covstate").count() == before)
+    assert(served() == batch)
+  }
+
   /** Actual bytes read from storage by one action over `df`, via the
     * metered `cfs://` scheme ([[CountingFileSystem]]). This is the
     * number parquet row-group skipping changes; planning-time
