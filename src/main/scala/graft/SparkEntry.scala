@@ -13,7 +13,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       extract.ExtractQueries.queries ++
-      operators.LlmOps.queries
+      operators.LlmOps.queries ++
+      operators.Graph.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -21,5 +22,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       extract.ExtractQueries.oracles ++
-      operators.LlmOps.oracles
+      operators.LlmOps.oracles ++
+      operators.Graph.oracles
 }

@@ -411,9 +411,80 @@ object Relational {
     "q_union_sort" -> qUnionSort _,
     "q_exists" -> qExists _,
     "q_events_window" -> qEventsWindow _,
-    "q_sessionize" -> qSessionize _)
+    "q_sessionize" -> qSessionize _,
+    "q_cohort" -> qCohort _,
+    "q_funnel" -> qFunnel _)
+
+  /** Cohort retention: users grouped by first-active day (index from
+    * the fixture epoch), activity counted per (cohort, day offset) —
+    * the product-analytics retention matrix. Two partial-agg
+    * shuffles on user_id + one distinct-count shuffle; day indices
+    * are integers, so the output is cross-engine exact.
+    */
+  def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, Seq("user_id"))
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Ordered funnel (signup → view-after → purchase-after): each
+    * step's entry time is the MIN event time strictly after the
+    * previous step's — the standard stepwise-min funnel, not a mere
+    * type-count. Per-step user counts + ppm conversion vs step 1.
+    * Each step is one filter + user-keyed join + partial-agg min;
+    * the event stream is never self-joined row-to-row.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "view").join(s1, Seq("user_id"))
+      .where(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+      .where(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val steps = s1.select(lit(1).as("step"), col("user_id"))
+      .unionAll(s2.select(lit(2).as("step"), col("user_id")))
+      .unionAll(s3.select(lit(3).as("step"), col("user_id")))
+    steps.groupBy(col("step")).agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(s1.agg(count(lit(1)).as("n_base"))))
+      .select(col("step"), col("n_users"),
+        expr("n_users * 1000000 div n_base").as("conv_ppm"))
+  }
 
   val oracles: Map[String, String] = Map(
+    "q_cohort" ->
+      """WITH ev AS (SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', ts::DATE) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT c.cohort_day, ev.day - c.cohort_day AS day_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |steps AS (
+        |  SELECT 1 AS step, user_id FROM s1
+        |  UNION ALL SELECT 2, user_id FROM s2
+        |  UNION ALL SELECT 3, user_id FROM s3),
+        |base AS (SELECT count(*)::BIGINT AS n_base FROM s1)
+        |SELECT step, count(*)::BIGINT AS n_users,
+        |  (count(*) * 1000000) // max(base.n_base) AS conv_ppm
+        |FROM steps CROSS JOIN base GROUP BY step""".stripMargin,
     "q_range_join" ->
       s"""SELECT e.event_id, count(n.event_id)::BIGINT AS n_nbrs,
         |  coalesce(sum(n.value::DECIMAL(18,6)), 0)::DOUBLE AS sum_nbr_value
