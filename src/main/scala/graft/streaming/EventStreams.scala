@@ -224,4 +224,54 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), msum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** STATEFUL streaming funnel — the mapGroupsWithState twin of
+    * Relational.qFunnel: per-user state is the three step-entry
+    * times; events apply in timestamp order with the SAME strict
+    * after-the-previous-step rule, so under in-order delivery (the
+    * statefulSessionSummary contract) the first qualifying event IS
+    * the batch operator's stepwise MIN. State is O(users) and three
+    * longs wide; emits the user's furthest step each micro-batch
+    * (update mode — take the per-user max downstream).
+    */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelRow(user_id: Long, step_reached: Int)
+
+  def statefulFunnel(events: DataFrame): org.apache.spark.sql.Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val none = Long.MinValue
+    events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelRow](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state) =>
+          var st = state.getOption.getOrElse(FunnelState(none, none, none))
+          evs.toArray.sortBy(e => (e._3, e._2)).foreach { case (_, typ, ts) =>
+            if (typ == "signup" && st.t1 == none)
+              st = st.copy(t1 = ts)
+            else if (typ == "view" && st.t1 != none && ts > st.t1 && st.t2 == none)
+              st = st.copy(t2 = ts)
+            else if (typ == "purchase" && st.t2 != none && ts > st.t2 && st.t3 == none)
+              st = st.copy(t3 = ts)
+          }
+          state.update(st)
+          FunnelRow(uid,
+            if (st.t3 != none) 3 else if (st.t2 != none) 2
+            else if (st.t1 != none) 1 else 0)
+      }
+  }
+
+  /** Runs the stateful funnel over the (bounded) stream. */
+  def runFunnelToMemory(spark: SparkSession, dir: String,
+                        name: String = "events_funnel"): DataFrame = {
+    val q = statefulFunnel(readStream(spark, dir))
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
 }

@@ -34,6 +34,18 @@ class GraphSpec extends AnyFunSuite {
     assert(byStep(3)._1 > 0)
   }
 
+  test("stateful streaming funnel matches the batch stepwise-min funnel") {
+    val streamed = graft.streaming.EventStreams.runFunnelToMemory(spark, sf)
+      .groupBy(col("user_id")).agg(max(col("step_reached")).as("step"))
+      .collect().map(r => r.getInt(1))
+    val batch = Relational.qFunnel(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (1 to 3).foreach { k =>
+      assert(streamed.count(_ >= k).toLong == batch(k),
+        s"step $k: streamed ${streamed.count(_ >= k)} vs batch ${batch(k)}")
+    }
+  }
+
   test("cohort offsets are non-negative and offset-0 rows partition the users") {
     val rows = Relational.qCohort(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
