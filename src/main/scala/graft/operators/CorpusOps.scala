@@ -258,6 +258,34 @@ object CorpusOps {
         try_element_at(col("hits"), lit(1)).as("first_bad"),
         (size(col("hits")) === 0).as("kept"))
 
+  // --- corpus snapshot diff --------------------------------------------
+
+  /** Snapshot-to-snapshot corpus diff — the dataset-versioning
+    * primitive behind release notes and incremental re-processing:
+    * old = docs with doc_id % 10 != 0, new = docs with
+    * doc_id % 10 != 1, and docs with doc_id % 7 == 0 carry edited
+    * content in the new snapshot (deterministic token append — the
+    * oracle synthesizes the same two versions). One full-outer join
+    * on doc_id comparing 48-bit content hashes; per-verdict counts
+    * ride the same pass. At scale both sides are doc_id-partitioned
+    * snapshots, so the join co-locates.
+    */
+  def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), tokenHash(col("text")).as("old_hash"))
+    val neu = docs.filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"), tokenHash(
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text"))).as("new_hash"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("same").as("verdict"))
+  }
+
   // --- embedding covariance / PCA --------------------------------------
 
   val Dim = 64
@@ -377,6 +405,7 @@ object CorpusOps {
     "q_bm25_search" -> qBm25Search _,
     "q_url_normalize" -> qUrlNormalize _,
     "q_word_blocklist" -> qWordBlocklist _,
+    "q_corpus_diff" -> qCorpusDiff _,
     "q_embed_cov" -> qEmbedCov _)
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -451,6 +480,20 @@ object CorpusOps {
         |  len(hits) = 0 AS kept
         |FROM t""".stripMargin
     },
+    "q_corpus_diff" ->
+      """WITH old AS (SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS old_hash
+        |  FROM documents WHERE doc_id % 10 != 0),
+        |neu AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CASE WHEN doc_id % 7 = 0
+        |        THEN text || ' edited' ELSE text END), 1, 12))::BIGINT AS new_hash
+        |  FROM documents WHERE doc_id % 10 != 1)
+        |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+        |  CASE WHEN old.old_hash IS NULL THEN 'added'
+        |       WHEN neu.new_hash IS NULL THEN 'removed'
+        |       WHEN old.old_hash != neu.new_hash THEN 'changed'
+        |       ELSE 'same' END AS verdict
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id""".stripMargin,
     "q_embed_cov" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(embedding,
