@@ -274,4 +274,57 @@ object EventStreams {
     q.stop()
     spark.table(name)
   }
+
+  /** STATEFUL streaming cohort tracking — the incremental twin of
+    * Relational.qCohort: per-user state is the cohort day (first
+    * activity, = the batch MIN under in-order delivery) plus a
+    * 64-bit bitmask of day offsets already emitted, so each (user,
+    * offset) pair reaches the sink exactly once and the retention
+    * matrix is a plain count over the emitted rows. Horizon:
+    * offsets past 63 days are out of the mask's range and are not
+    * emitted — the documented state bound (production widens the
+    * mask or ages users out; the fixture spans 30 days).
+    */
+  final case class CohortState(cohortDay: Int, seenMask: Long)
+  final case class CohortRow(user_id: Long, cohort_day: Int, day_offset: Int)
+
+  val CohortEpochDay: java.time.LocalDate = java.time.LocalDate.of(2024, 1, 1)
+
+  def statefulCohorts(events: DataFrame): org.apache.spark.sql.Dataset[CohortRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit(CohortEpochDay.toString))).as("day"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CohortState, CohortRow](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state) =>
+          val days = evs.map(_._2).toArray.sorted
+          var st = state.getOption.getOrElse(CohortState(days.head, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CohortRow]
+          days.foreach { d =>
+            val off = d - st.cohortDay
+            if (off >= 0 && off < 64 && (st.seenMask & (1L << off)) == 0L) {
+              st = st.copy(seenMask = st.seenMask | (1L << off))
+              out += CohortRow(uid, st.cohortDay, off)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Runs the stateful cohort tracker over the (bounded) stream. */
+  def runCohortsToMemory(spark: SparkSession, dir: String,
+                         name: String = "events_cohorts"): DataFrame = {
+    val q = statefulCohorts(readStream(spark, dir))
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
 }

@@ -46,6 +46,19 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful streaming cohorts rebuild the batch retention matrix") {
+    val streamed = graft.streaming.EventStreams.runCohortsToMemory(spark, sf)
+      .select(col("user_id"), col("cohort_day"), col("day_offset")).distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val batch = Relational.qCohort(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(streamed == batch,
+      s"stream-only=${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("cohort offsets are non-negative and offset-0 rows partition the users") {
     val rows = Relational.qCohort(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
