@@ -258,6 +258,83 @@ object CorpusOps {
         try_element_at(col("hits"), lit(1)).as("first_bad"),
         (size(col("hits")) === 0).as("kept"))
 
+  // --- epoch shuffle ----------------------------------------------------
+
+  val ShuffleEpochs = 2
+  val ShuffleBuckets = 16
+
+  /** Deterministic per-epoch training order — the dataloader
+    * primitive: every epoch is a reproducible pseudo-random
+    * permutation of the corpus (key = content hash of (epoch, doc)),
+    * assigned a GLOBAL position with no global sort: hash-bucket
+    * blocks laid consecutively, rank windows partitioned by
+    * (epoch, bucket), and block offsets from a bucket-count prefix
+    * sum over the O(epochs × buckets) counts table (the julienne
+    * distributed-rank discipline applied to the training-order
+    * problem). Reruns, resumes, and late-added docs keep every
+    * other doc's position stable within its (epoch, bucket) block.
+    */
+  def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val epochs = explode(array((0 until ShuffleEpochs).map(lit): _*)).as("epoch")
+    val keyed = Tables.documents(s, dir).select(col("doc_id"), epochs)
+      .withColumn("k", tokenHash(
+        concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("bkt", col("k") % ShuffleBuckets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("bkt")).orderBy(col("k"), col("doc_id"))
+    val ranked = keyed.withColumn("rnk", row_number().over(w))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch")).orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col("epoch"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("epoch"), col("bkt"), col("off"))
+    ranked.join(broadcast(offs), Seq("epoch", "bkt"))
+      .select(col("epoch"), col("doc_id"),
+        (col("off") + col("rnk") - 1).as("position"))
+  }
+
+  // --- dataset card -----------------------------------------------------
+
+  /** Dataset card — the release-artifact summary table (long format:
+    * metric, value) a corpus ships with: volume, token counts,
+    * vocabulary shape, duplication rate, dominant language/source.
+    * Every metric is integer or ppm-rational (cross-engine exact);
+    * each is one partial-agg pass over the corpus or the token
+    * stream, unioned into one frame — no metric needs more than one
+    * shuffle, and the unions are tiny scalar frames.
+    */
+  def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val docStats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"))
+    val tokStats = tok.agg(count(lit(1)).as("n_tokens"))
+    val vocabStats = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val dupStats = docs.select(tokenHash(col("text")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1).as("n_dup_docs"))
+    val topLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("lang")).limit(1)
+      .select(col("c").as("top_lang_docs"))
+    def metric(name: String, value: Column): DataFrame => DataFrame =
+      _.select(lit(name).as("metric"), value.cast("long").as("value"))
+    docStats.transform(metric("n_docs", col("n_docs")))
+      .unionAll(docStats.transform(metric("n_chars", col("n_chars"))))
+      .unionAll(tokStats.transform(metric("n_tokens", col("n_tokens"))))
+      .unionAll(vocabStats.transform(metric("n_vocab", col("n_vocab"))))
+      .unionAll(vocabStats.transform(metric("n_hapax", col("n_hapax"))))
+      .unionAll(dupStats.transform(metric("n_exact_dup_docs", col("n_dup_docs"))))
+      .unionAll(topLang.transform(metric("top_lang_docs", col("top_lang_docs"))))
+      .unionAll(docStats.crossJoin(tokStats).transform(
+        metric("mean_doc_tokens_ppm",
+          expr("n_tokens * 1000000 div n_docs"))))
+  }
+
   // --- corpus snapshot diff --------------------------------------------
 
   /** Snapshot-to-snapshot corpus diff — the dataset-versioning
@@ -406,6 +483,8 @@ object CorpusOps {
     "q_url_normalize" -> qUrlNormalize _,
     "q_word_blocklist" -> qWordBlocklist _,
     "q_corpus_diff" -> qCorpusDiff _,
+    "q_dataset_card" -> qDatasetCard _,
+    "q_epoch_shuffle" -> qEpochShuffle _,
     "q_embed_cov" -> qEmbedCov _)
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -480,6 +559,37 @@ object CorpusOps {
         |  len(hits) = 0 AS kept
         |FROM t""".stripMargin
     },
+    "q_epoch_shuffle" ->
+      s"""WITH e AS (SELECT doc_id, epoch FROM documents
+        |  CROSS JOIN (SELECT unnest([${(0 until ShuffleEpochs).mkString(", ")}]) AS epoch)),
+        |k AS (SELECT epoch, doc_id,
+        |    ('0x' || substr(md5(epoch::VARCHAR || ':' || doc_id::VARCHAR),
+        |      1, 12))::BIGINT AS k
+        |  FROM e)
+        |SELECT epoch, doc_id,
+        |  row_number() OVER (PARTITION BY epoch
+        |    ORDER BY k % $ShuffleBuckets, k, doc_id) - 1 AS position
+        |FROM k""".stripMargin,
+    "q_dataset_card" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |vc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        |hashes AS (SELECT ('0x' || substr(md5(text), 1, 12))::BIGINT AS h
+        |  FROM documents),
+        |dup AS (SELECT sum(c - 1)::BIGINT AS n FROM
+        |  (SELECT h, count(*) AS c FROM hashes GROUP BY 1)),
+        |lang AS (SELECT count(*)::BIGINT AS c FROM documents GROUP BY lang
+        |  ORDER BY c DESC, lang LIMIT 1)
+        |SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM documents
+        |UNION ALL SELECT 'n_chars', sum(n_chars)::BIGINT FROM documents
+        |UNION ALL SELECT 'n_tokens', count(*)::BIGINT FROM tok
+        |UNION ALL SELECT 'n_vocab', count(*)::BIGINT FROM vc
+        |UNION ALL SELECT 'n_hapax',
+        |  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT FROM vc
+        |UNION ALL SELECT 'n_exact_dup_docs', n FROM dup
+        |UNION ALL SELECT 'top_lang_docs', c FROM lang
+        |UNION ALL SELECT 'mean_doc_tokens_ppm',
+        |  ((SELECT count(*) FROM tok) * 1000000)
+        |    // (SELECT count(*) FROM documents)""".stripMargin,
     "q_corpus_diff" ->
       """WITH old AS (SELECT doc_id,
         |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS old_hash

@@ -81,6 +81,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch shuffle: each epoch is a complete permutation, epochs differ") {
+    val rows = CorpusOps.qEpochShuffle(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length / CorpusOps.ShuffleEpochs
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == (0 until CorpusOps.ShuffleEpochs).toSet)
+    byEpoch.values.foreach { ep =>
+      assert(ep.map(_._3).sorted.toSeq == (0L until n).toSeq,
+        "positions must be exactly 0..n-1 within an epoch")
+    }
+    val order0 = byEpoch(0).sortBy(_._3).map(_._2).toSeq
+    val order1 = byEpoch(1).sortBy(_._3).map(_._2).toSeq
+    assert(order0 != order1, "epochs must shuffle differently")
+    assert(order0 != order0.sorted, "an epoch order must not be doc_id order")
+  }
+
   test("power iteration finds the top eigenpair of the covariance") {
     val cov = CorpusOps.covMatrix(spark, sf)
     assert(cov.indices.forall(i => cov.indices.forall(j =>
