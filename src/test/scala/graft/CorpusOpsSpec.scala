@@ -81,6 +81,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("url canonicalization is idempotent over generated messy urls") {
+    // the canonical form must be a fixed point: re-running the same
+    // regexp pipeline over canon_url changes nothing (otherwise two
+    // pipeline passes would disagree on the dedup key)
+    import spark.implicits._
+    val messy = (0 until 64).map { i =>
+      val scheme = Seq("http", "HTTP", "HttpS", "https")(i % 4)
+      val www = Seq("", "www.", "WWW.", "WwW.")(i % 4)
+      val port = Seq("", ":443", ":8080", "")(i % 4)
+      val params = Seq("", "?utm_source=a&page=1", "?ref=r2", "?utm_a=b&ref=x&id=9")(i % 4)
+      val frag = if (i % 3 == 0) "#frag" else ""
+      (i.toLong, s"$scheme://${www}Host$i.Example.COM$port/p$i$params$frag")
+    }.toDF("doc_id", "url")
+    def canonize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val hostport = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1))
+      val host = regexp_replace(regexp_replace(hostport, ":443$", ""), "^www\\.", "")
+      val pathq = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^#]*)", 1)
+      val cleanPathq = regexp_replace(
+        regexp_replace(pathq, "(?:utm_[a-z_]+|ref)=[^&#]*&?", ""), "[?&]$", "")
+      df.select(col("doc_id"),
+        concat(lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)),
+          lit("://"), host, cleanPathq).as("url"))
+    }
+    val once = canonize(messy).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val twice = canonize(canonize(messy)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(once == twice, "canonicalization must be a fixed point")
+    once.values.foreach { u =>
+      Seq("utm_", "ref=", "#", ":443", "WwW", "Example").foreach(bad =>
+        assert(!u.contains(bad), s"$bad survived in $u"))
+    }
+  }
+
   test("epoch shuffle: each epoch is a complete permutation, epochs differ") {
     val rows = CorpusOps.qEpochShuffle(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
