@@ -258,6 +258,39 @@ object CorpusOps {
         try_element_at(col("hits"), lit(1)).as("first_bad"),
         (size(col("hits")) === 0).as("kept"))
 
+  // --- SFT template rendering ------------------------------------------
+
+  /** SFT chat-template rendering + loss-mask offsets — the
+    * supervised-fine-tuning data-prep step: each doc becomes a
+    * (system, user, assistant) conversation (deterministic token
+    * split at n/5 and 3n/5 — the fixture carries no turn structure),
+    * rendered through a fixed role-marker template, with the
+    * assistant span's character offsets emitted for the trainer's
+    * loss mask. Narrow, codegen'd, zero shuffles; offsets are pure
+    * integer arithmetic over piece lengths so both engines agree
+    * exactly, and the render hash certifies the full rendered string
+    * without shipping it.
+    */
+  def qSftRender(s: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks"))
+    val n5 = expr("size(toks) div 5")
+    val sys = concat_ws(" ", slice(col("toks"), lit(1), n5))
+    val usr = concat_ws(" ", slice(col("toks"), n5 + lit(1), n5 * 2))
+    val asst = concat_ws(" ", slice(col("toks"), n5 * 3 + lit(1), n - n5 * 3))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), n.cast("long").as("n_tokens"),
+        sys.as("sys"), usr.as("usr"), asst.as("asst"))
+      .select(col("doc_id"), col("n_tokens"),
+        tokenHash(concat(lit("<|system|>"), col("sys"), lit("<|user|>"),
+          col("usr"), lit("<|assistant|>"), col("asst"), lit("<|end|>")))
+          .as("render_hash"),
+        (length(col("sys")) + length(col("usr")) + lit(31L))
+          .cast("long").as("mask_start"),
+        (length(col("sys")) + length(col("usr")) + length(col("asst")) + lit(31L))
+          .cast("long").as("mask_end"))
+  }
+
   // --- epoch shuffle ----------------------------------------------------
 
   val ShuffleEpochs = 2
@@ -485,6 +518,7 @@ object CorpusOps {
     "q_corpus_diff" -> qCorpusDiff _,
     "q_dataset_card" -> qDatasetCard _,
     "q_epoch_shuffle" -> qEpochShuffle _,
+    "q_sft_render" -> qSftRender _,
     "q_embed_cov" -> qEmbedCov _)
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -559,6 +593,20 @@ object CorpusOps {
         |  len(hits) = 0 AS kept
         |FROM t""".stripMargin
     },
+    "q_sft_render" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |p AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+        |    array_to_string(t[1 : len(t) // 5], ' ') AS sys,
+        |    array_to_string(t[len(t) // 5 + 1 : 3 * (len(t) // 5)], ' ') AS usr,
+        |    array_to_string(t[3 * (len(t) // 5) + 1 : len(t)], ' ') AS asst
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  ('0x' || substr(md5('<|system|>' || sys || '<|user|>' || usr
+        |    || '<|assistant|>' || asst || '<|end|>'), 1, 12))::BIGINT
+        |    AS render_hash,
+        |  (length(sys) + length(usr) + 31)::BIGINT AS mask_start,
+        |  (length(sys) + length(usr) + length(asst) + 31)::BIGINT AS mask_end
+        |FROM p""".stripMargin,
     "q_epoch_shuffle" ->
       s"""WITH e AS (SELECT doc_id, epoch FROM documents
         |  CROSS JOIN (SELECT unnest([${(0 until ShuffleEpochs).mkString(", ")}]) AS epoch)),
