@@ -1479,6 +1479,32 @@ object Similarity {
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     approxNearDupPairs(corpus(Tables.embeddings(s, dir)))
 
+  /** Cross-group nearest-neighbor alignment — the bitext-mining /
+    * cross-corpus linking shape (CCMatrix-style: for every vector in
+    * group ℓ, the argmax-cosine counterpart in group ℓ+1): the
+    * oracle-checked core is the EXACT per-adjacent-group argmax,
+    * computed as a partial-agg `max(struct(cos, id))` fold — map-side
+    * combine, never a per-query window over the full pair table. At
+    * corpus scale the group-pair cross is replaced by the ANN `*For`
+    * external-query ladder (the candidate generator); the argmax +
+    * deterministic tie-break semantics gated here are unchanged.
+    */
+  def qBitextAlign(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", normQ(col("q")))
+    val b = e.toDF("b_id", "b_label", "bq", "bnq")
+    val cos = dotQ(col("q"), col("bq")).cast("double") /
+      (sqrt(col("nq").cast("double")) * sqrt(col("bnq").cast("double")))
+    e.join(b, col("b_label") === col("label") + 1)
+      .withColumn("cos", cos)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cos"), col("b_id"))).as("m"))
+      .select(col("vec_id"), col("label"),
+        col("m.b_id").as("best_match"),
+        (round(col("m.cos"), 6) + lit(0.0)).as("cos_sim"))
+  }
+
   /** Harness entry for [[semDedup]] — same Shift-ed clone fixture as
     * qEmbedNearDup (every clone is a guaranteed semantic dup of its
     * original; the original outranks it by the vec_id tie-break).
@@ -1503,6 +1529,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNearDup _,
+    "q_bitext_align" -> qBitextAlign _,
     "q_decon_semantic" -> qDeconSemantic _,
     "q_kcenter" -> qKcenter _,
     "q_semdedup" -> qSemDedup _,
@@ -1889,6 +1916,22 @@ object Similarity {
         |SELECT r.vec_id, r.cid, round(r.ccos, 6) AS cos_c,
         |  d.vec_id IS NULL AS keep
         |FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id""".stripMargin,
+    "q_bitext_align" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, label, q,
+        |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+        |  FROM ($quantSql)),
+        |p AS (
+        |  SELECT a.vec_id, a.label, b.vec_id AS b_id,
+        |    list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
+        |      / (sqrt(a.nq::DOUBLE) * sqrt(b.nq::DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON b.label = a.label + 1),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, b_id DESC) AS rn
+        |  FROM p)
+        |SELECT vec_id, label, b_id AS best_match,
+        |  round(cos, 6) + 0.0 AS cos_sim
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH base AS (
         |  SELECT vec_id, label, q FROM ($quantSql)
