@@ -84,14 +84,28 @@ object CorpusOps {
 
   /** Exact frequent bigrams (share >= 1/HhShare) via sketch-then-
     * confirm: (1) per-partition Misra-Gries sketches, merged by
-    * summing estimates — a guaranteed SUPERSET of the frequent set,
-    * at most partitions*MgK rows; (2) an exact recount restricted to
-    * those candidates (broadcast semi-join), thresholded against the
-    * exact stream length. The output is EXACT — the sketch only
-    * prices candidate generation — which is what makes the two-pass
-    * form the scalable exact top-share algorithm at 100 TB (a full
-    * groupBy on a web-scale n-gram vocabulary shuffles billions of
-    * groups; the candidate set stays tiny regardless of corpus size).
+    * summing estimates — a guaranteed SUPERSET of the frequent set;
+    * (2) an exact recount restricted to those candidates (broadcast
+    * semi-join), thresholded against the exact stream length. The
+    * output is EXACT — the sketch only prices candidate generation —
+    * which is what makes the two-pass form the scalable exact
+    * top-share algorithm at 100 TB (a full groupBy on a web-scale
+    * n-gram vocabulary shuffles billions of groups; the candidate
+    * set stays tiny regardless of corpus size).
+    *
+    * The broadcast candidate set is BOUNDED independently of the
+    * partition count (r7 verdict #1): the merged estimates are
+    * thresholded against the MG undercount bound before broadcasting.
+    * A term with true count >= N/HhShare has merged est >= true -
+    * N/MgK >= N/HhShare - N/MgK, so filtering to
+    * est >= floor(N/HhShare) - floor(N/MgK) - 1 (the -1 absorbs the
+    * floors) keeps a provable superset of the frequent set; and since
+    * the merged estimates sum to <= N, at most N/bound ≈
+    * MgK·HhShare/(MgK-HhShare) = MgK terms survive (exactly MgK up to
+    * a floor-rounding epsilon of O(MgK²/N)) — regardless of how many
+    * partitions contributed sketch rows. See [[candidateBound]];
+    * PropertySpec pins coverage, CorpusOpsSpec pins the cap on a
+    * skewed 64-partition stream.
     */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -104,8 +118,9 @@ object CorpusOps {
     // Sentinel row "" carries the partition's exact stream length out
     // of the same pass (bigrams always contain a space, so the empty
     // key cannot collide); the sketch table is <= partitions*(MgK+1)
-    // rows, so persisting it for the two tiny branches below is free
-    // and keeps the whole operator at two corpus scans.
+    // rows, persisted only long enough to materialize the two scalar-
+    // sized extracts below (then unpersisted — no cached blocks leak
+    // past the operator).
     val sketches = terms.as[String].mapPartitions { it =>
       var np = 0L
       val m = misraGries(it.map { t => np += 1; t }, MgK)
@@ -113,16 +128,29 @@ object CorpusOps {
     }.toDF("term", "est")
       .groupBy("term").agg(sum("est").as("est"))
       .persist()
-    val nTotal = broadcast(
-      sketches.where(col("term") === "").select(col("est").as("n_total")))
-    val candidates = broadcast(sketches.where(col("term") =!= "").select("term"))
-    terms.join(candidates, Seq("term"))
+    val (nTotal, candidates) = try {
+      val n = sketches.where(col("term") === "")
+        .select(col("est")).as[Long].head()
+      val cands = sketches
+        .where(col("term") =!= "" && col("est") >= candidateBound(n))
+        .select(col("term")).as[String].collect().toSeq
+      (n, cands)
+    } finally { sketches.unpersist(); () }
+    terms.join(broadcast(candidates.toDF("term")), Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(nTotal)
-      .where(col("cnt") * HhShare >= col("n_total"))
+      .where(col("cnt") * HhShare >= nTotal)
       .select(col("term"), col("cnt"),
-        expr("cnt * 1000000 div n_total").as("share_ppm"))
+        expr(s"cnt * 1000000 div ${nTotal}L").as("share_ppm"))
   }
+
+  /** Candidate-broadcast threshold for a merged MG sketch over a
+    * stream of length n: every term with true count >= n/HhShare has
+    * merged estimate >= this value, and at most MgK estimates can
+    * reach it (their sum is <= n). Integer floors are absorbed by the
+    * trailing -1, so the filter is a provable frequent-set superset.
+    */
+  def candidateBound(n: Long): Long =
+    math.max(1L, n / HhShare - n / MgK - 1L)
 
   // --- BM25 retrieval ---------------------------------------------------
 
@@ -193,33 +221,41 @@ object CorpusOps {
 
   /** Synthetic raw URL per document (the documents fixture carries no
     * URL column): deliberately messy — mixed-case scheme/host,
-    * explicit default port, www prefix, tracking params, fragment —
-    * and many-to-one on the canonical form (path keyed by
-    * doc_id % 64, so mirror fetches of the same page exist at every
-    * SF). Pure arithmetic, replicated verbatim by the oracle.
+    * explicit default port, www prefix, tracking params, fragment,
+    * plus a `pref=` param whose name merely ENDS in "ref" (it must
+    * survive canonicalization — the boundary-anchoring case) — and
+    * many-to-one on the canonical form (path keyed by doc_id % 64,
+    * so mirror fetches of the same page exist at every SF). Pure
+    * arithmetic, replicated verbatim by the oracle.
     */
   def rawUrl: Column =
     concat(lit("HttpS://WwW."), col("source"), lit(".ExAmple.COM:443/"),
       col("lang"), lit("/doc/"), col("doc_id") % 64,
       lit("?utm_source=feed&ref=r"), col("doc_id") % 7,
-      lit("&page="), col("doc_id") % 64, lit("#s"), col("doc_id") % 5)
+      lit("&pref=keep"),
+            lit("&page="), col("doc_id") % 64, lit("#s"), col("doc_id") % 5)
 
   /** URL canonicalization + host extraction + blocklist verdict +
     * canonical-URL dup ranking — stage one of RefinedWeb/FineWeb-
     * style web curation. Canonical form: lowercase scheme and host,
     * strip the https default port and the www prefix, drop the
     * fragment, drop tracking query params (utm_*, ref), keep the
-    * rest of the path+query verbatim. Every step is a per-row
-    * regexp (narrow, codegen'd); the only shuffle is the dup-rank
-    * window keyed by canonical URL — exactly the URL-dedup shuffle,
-    * on the key it must use.
+    * rest of the path+query verbatim. The strip anchors the param
+    * NAME to a `?`/`&` boundary (re-emitted via the backreference)
+    * so names that merely end in "ref" (pref=, href=) survive; a
+    * delimiter-collapse pass then heals the `?&&`/`&&` runs the
+    * re-emitted delimiters leave. Every step is a per-row regexp
+    * (narrow, codegen'd); the only shuffle is the dup-rank window
+    * keyed by canonical URL — exactly the URL-dedup shuffle, on the
+    * key it must use.
     */
   def qUrlNormalize(s: SparkSession, dir: String): DataFrame = {
     val hostport = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1))
     val host = regexp_replace(regexp_replace(hostport, ":443$", ""), "^www\\.", "")
     val pathq = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^#]*)", 1)
-    val cleanPathq = regexp_replace(
-      regexp_replace(pathq, "(?:utm_[a-z_]+|ref)=[^&#]*&?", ""), "[?&]$", "")
+    val cleanPathq = regexp_replace(regexp_replace(
+      regexp_replace(pathq, "([?&])(?:utm_[a-z_]+|ref)=[^&#]*", "$1"),
+      "([?&])&+", "$1"), "[?&]$", "")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("canon_url")).orderBy(col("doc_id"))
     Tables.documents(s, dir)
@@ -294,7 +330,17 @@ object CorpusOps {
   // --- epoch shuffle ----------------------------------------------------
 
   val ShuffleEpochs = 2
-  val ShuffleBuckets = 16
+
+  /** Bucket sizing for the epoch-shuffle rank windows — the julienne
+    * discipline applied to the training-order problem (r7 verdict
+    * #2): the bucket count SCALES WITH THE DATA, so no rank window
+    * ever sorts more than ~ShuffleTargetRows rows in one task. The
+    * floor keeps the fixture exercising a production-shaped bucket
+    * count; both constants are config-only inputs to the
+    * deterministic permutation (same (config, content) → same order).
+    */
+  val ShuffleMinBuckets = 256L
+  val ShuffleTargetRows = 4000000L
 
   /** Deterministic per-epoch training order — the dataloader
     * primitive: every epoch is a reproducible pseudo-random
@@ -306,13 +352,29 @@ object CorpusOps {
     * distributed-rank discipline applied to the training-order
     * problem). Reruns, resumes, and late-added docs keep every
     * other doc's position stable within its (epoch, bucket) block.
+    *
+    * The bucket count derives from the corpus row count
+    * (max(ShuffleMinBuckets, ceil(rows/ShuffleTargetRows))) and rides
+    * in as a broadcast scalar — the plan stays fully lazy and the
+    * biggest per-task sort is bounded at any corpus size.
     */
-  def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+  def qEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.documents(s, dir).select(col("doc_id")), None)
+
+  def epochShuffle(docs: DataFrame, bucketsOverride: Option[Long]): DataFrame = {
+    val bucketsDf = broadcast(bucketsOverride match {
+      case Some(b) => docs.sparkSession.range(1).select(lit(b).as("buckets"))
+      case None => docs.agg(
+        greatest(lit(ShuffleMinBuckets),
+          expr(s"(count(1) + ${ShuffleTargetRows - 1}) div $ShuffleTargetRows"))
+          .as("buckets"))
+    })
     val epochs = explode(array((0 until ShuffleEpochs).map(lit): _*)).as("epoch")
-    val keyed = Tables.documents(s, dir).select(col("doc_id"), epochs)
+    val keyed = docs.select(col("doc_id"), epochs)
+      .crossJoin(bucketsDf)
       .withColumn("k", tokenHash(
         concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
-      .withColumn("bkt", col("k") % ShuffleBuckets)
+      .withColumn("bkt", col("k") % col("buckets"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("epoch"), col("bkt")).orderBy(col("k"), col("doc_id"))
     val ranked = keyed.withColumn("rnk", row_number().over(w))
@@ -409,8 +471,11 @@ object CorpusOps {
     * corpora lower the quantize scale (the dial trades 3 decimal
     * digits per 1000x rows).
     */
-  def covAccumulate(rows: Iterator[Seq[Long]], d: Int): Array[Long] = {
-    val tri = Array.ofDim[Long](d * (d + 1) / 2 + d + 1)
+  def covAccumulate(rows: Iterator[Seq[Long]], d: Int): Array[Long] =
+    covAccumulate(rows, d, Array.ofDim[Long](d * (d + 1) / 2 + d + 1))
+
+  def covAccumulate(rows: Iterator[Seq[Long]], d: Int,
+                    tri: Array[Long]): Array[Long] = {
     rows.foreach { q =>
       var i = 0
       var off = 0
@@ -427,20 +492,35 @@ object CorpusOps {
     tri
   }
 
+  /** Add two integer triangles elementwise (the covariance merge —
+    * plain exact addition, associative and commutative).
+    */
+  def covMerge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
   /** Exact embedding covariance matrix (the PCA/whitening input) —
-    * quantized integer accumulation per partition, O(d^2) merged
-    * state on the driver, zero per-row shuffles. Output: one row per
-    * (i <= j) with the covariance of the ORIGINAL float scale,
+    * quantized integer accumulation per partition, merged on the
+    * EXECUTORS by a depth-2 treeAggregate (r7 verdict #3: the old
+    * per-partition collect shipped O(partitions × d²) to the driver;
+    * now the driver receives exactly ONE triangle regardless of
+    * partition count), zero per-row shuffles. Output: one row per
+    * (i <= j) with the covariance at the ORIGINAL float scale,
     * computed from the exact integer sums by a fixed IEEE expression
     * both engines evaluate identically.
     */
   def qEmbedCov(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val parts = Tables.embeddings(s, dir)
+    val zero = Array.ofDim[Long](Dim * (Dim + 1) / 2 + Dim + 1)
+    val tri = Tables.embeddings(s, dir)
       .select(quantize(col("embedding")).as("q")).as[Seq[Long]]
-      .mapPartitions(it => Iterator.single(covAccumulate(it, Dim)))
-      .collect()
-    covFromTriangle(s, parts.transpose.map(_.sum))
+      .rdd
+      .treeAggregate(zero)(
+        (acc, q) => { covAccumulate(Iterator.single(q), Dim, acc); acc },
+        covMerge, depth = 2)
+    covFromTriangle(s, tri)
   }
 
   /** The covariance DataFrame from a merged integer triangle — one
@@ -565,6 +645,7 @@ object CorpusOps {
       s"""WITH u AS (SELECT doc_id,
         |    'HttpS://WwW.' || source || '.ExAmple.COM:443/' || lang || '/doc/'
         |      || (doc_id % 64) || '?utm_source=feed&ref=r' || (doc_id % 7)
+        |      || '&pref=keep'
         |      || '&page=' || (doc_id % 64) || '#s' || (doc_id % 5) AS url
         |  FROM documents),
         |h AS (SELECT doc_id, url,
@@ -574,9 +655,10 @@ object CorpusOps {
         |  FROM u),
         |c AS (SELECT doc_id, url, host,
         |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' || host ||
-        |      regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
         |        regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
-        |        '(?:utm_[a-z_]+|ref)=[^&#]*&?', '', 'g'), '[?&]$$', '') AS canon_url
+        |        '([?&])(?:utm_[a-z_]+|ref)=[^&#]*', '\\1', 'g'),
+        |        '([?&])&+', '\\1', 'g'), '[?&]$$', '') AS canon_url
         |  FROM h)
         |SELECT doc_id, url, canon_url, host,
         |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
@@ -608,15 +690,18 @@ object CorpusOps {
         |  (length(sys) + length(usr) + length(asst) + 31)::BIGINT AS mask_end
         |FROM p""".stripMargin,
     "q_epoch_shuffle" ->
-      s"""WITH e AS (SELECT doc_id, epoch FROM documents
+      s"""WITH b AS (SELECT greatest($ShuffleMinBuckets,
+        |    (count(*) + ${ShuffleTargetRows - 1}) // $ShuffleTargetRows)
+        |    AS buckets FROM documents),
+        |e AS (SELECT doc_id, epoch FROM documents
         |  CROSS JOIN (SELECT unnest([${(0 until ShuffleEpochs).mkString(", ")}]) AS epoch)),
-        |k AS (SELECT epoch, doc_id,
+        |k AS (SELECT epoch, doc_id, buckets,
         |    ('0x' || substr(md5(epoch::VARCHAR || ':' || doc_id::VARCHAR),
         |      1, 12))::BIGINT AS k
-        |  FROM e)
+        |  FROM e CROSS JOIN b)
         |SELECT epoch, doc_id,
         |  row_number() OVER (PARTITION BY epoch
-        |    ORDER BY k % $ShuffleBuckets, k, doc_id) - 1 AS position
+        |    ORDER BY k % buckets, k, doc_id) - 1 AS position
         |FROM k""".stripMargin,
     "q_dataset_card" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),

@@ -66,8 +66,9 @@ class CorpusOpsSpec extends AnyFunSuite {
       val (canon, host, domain, blocked) =
         (r.getString(2), r.getString(3), r.getString(4), r.getBoolean(5))
       assert(canon.startsWith("https://"), canon)
-      Seq("utm_", "ref=", "#", ":443", "WwW", "ExAmple").foreach(bad =>
+      Seq("utm_", "?ref=", "&ref=", "#", ":443", "WwW", "ExAmple").foreach(bad =>
         assert(!canon.contains(bad), s"$bad survived in $canon"))
+      assert(canon.contains("pref=k"), s"anchoring ate pref= in $canon")
       assert(host == host.toLowerCase && !host.startsWith("www."), host)
       assert(domain == "example.com", domain)
       assert(blocked == CorpusOps.HostBlocklist.contains(host))
@@ -90,7 +91,8 @@ class CorpusOpsSpec extends AnyFunSuite {
       val scheme = Seq("http", "HTTP", "HttpS", "https")(i % 4)
       val www = Seq("", "www.", "WWW.", "WwW.")(i % 4)
       val port = Seq("", ":443", ":8080", "")(i % 4)
-      val params = Seq("", "?utm_source=a&page=1", "?ref=r2", "?utm_a=b&ref=x&id=9")(i % 4)
+      val params = Seq("", "?utm_source=a&page=1", "?ref=r2&pref=keep",
+        "?utm_a=b&href=/x&ref=x&id=9")(i % 4)
       val frag = if (i % 3 == 0) "#frag" else ""
       (i.toLong, s"$scheme://${www}Host$i.Example.COM$port/p$i$params$frag")
     }.toDF("doc_id", "url")
@@ -98,8 +100,9 @@ class CorpusOpsSpec extends AnyFunSuite {
       val hostport = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1))
       val host = regexp_replace(regexp_replace(hostport, ":443$", ""), "^www\\.", "")
       val pathq = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^#]*)", 1)
-      val cleanPathq = regexp_replace(
-        regexp_replace(pathq, "(?:utm_[a-z_]+|ref)=[^&#]*&?", ""), "[?&]$", "")
+      val cleanPathq = regexp_replace(regexp_replace(
+        regexp_replace(pathq, "([?&])(?:utm_[a-z_]+|ref)=[^&#]*", "$1"),
+        "([?&])&+", "$1"), "[?&]$", "")
       df.select(col("doc_id"),
         concat(lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)),
           lit("://"), host, cleanPathq).as("url"))
@@ -109,8 +112,52 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(once == twice, "canonicalization must be a fixed point")
     once.values.foreach { u =>
-      Seq("utm_", "ref=", "#", ":443", "WwW", "Example").foreach(bad =>
+      Seq("utm_", "?ref=", "&ref=", "#", ":443", "WwW", "Example").foreach(bad =>
         assert(!u.contains(bad), s"$bad survived in $u"))
+      assert(!u.contains("?&") && !u.contains("&&"),
+        s"delimiter run survived in $u")
+    }
+    // boundary anchoring: params whose names merely END in "ref" keep
+    // their full values (the unanchored regex chewed their tails off)
+    assert(once(2L).contains("pref=keep"), once(2L))
+    assert(once(3L).contains("href=/x") && once(3L).contains("id=9"), once(3L))
+  }
+
+  test("heavy hitters: thresholded candidate set is bounded by MgK and covers the frequent set") {
+    import spark.implicits._
+    // skewed stream: a few hot terms + a long uniform tail, spread
+    // over many partitions so every partition contributes sketch rows
+    val hot = (0 until 5).flatMap(h => Seq.fill(3000)(s"hot $h"))
+    val tail = (0 until 30000).map(i => s"tail ${i % 9973}")
+    val terms = spark.createDataset(hot ++ tail).repartition(64).toDF("term")
+    val sketches = terms.as[String].mapPartitions { it =>
+      var np = 0L
+      val m = CorpusOps.misraGries(it.map { t => np += 1; t }, CorpusOps.MgK)
+      m.iterator ++ Iterator("" -> np)
+    }.toDF("term", "est").groupBy("term").agg(sum("est").as("est"))
+    val n = sketches.where(col("term") === "").select("est").as[Long].head()
+    val cand = sketches
+      .where(col("term") =!= "" && col("est") >= CorpusOps.candidateBound(n))
+      .select("term").as[String].collect().toSet
+    assert(cand.size <= CorpusOps.MgK,
+      s"candidate set ${cand.size} exceeds MgK — broadcast unbounded")
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * CorpusOps.HhShare >= n)
+      .select("term").as[String].collect().toSet
+    assert(exact.nonEmpty && exact.subsetOf(cand),
+      s"frequent set not covered: missing ${exact.diff(cand)}")
+  }
+
+  test("epoch shuffle: complete permutation at two explicit bucket counts") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+    val n = docs.count()
+    Seq(7L, 256L).foreach { b =>
+      val rows = CorpusOps.epochShuffle(docs, Some(b)).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      rows.groupBy(_._1).values.foreach { ep =>
+        assert(ep.map(_._3).sorted.toSeq == (0L until n).toSeq,
+          s"positions not a complete permutation at buckets=$b")
+      }
     }
   }
 

@@ -243,6 +243,25 @@ object GraftProps extends Properties("graft") {
         }) :| "items with count > n/(k+1) survive compression"
     }
 
+  property("candidateBound: threshold covers the frequent set across any partition split") =
+    forAll(mgStream, mgStream, mgStream) { (a, b, c) =>
+      // with the PRODUCTION constants (MgK, HhShare): merged est >=
+      // exact - n/MgK, so est >= candidateBound(n) for every term with
+      // exact count >= n/HhShare — the filter qHeavyHitters broadcasts
+      // behind never drops a frequent term, at any partition count
+      import graft.operators.CorpusOps
+      val parts = List(a, b, c)
+      val n = parts.map(_.size.toLong).sum
+      val merged = parts.map(p => CorpusOps.misraGries(p.iterator, CorpusOps.MgK))
+        .flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      val exact = parts.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+      val bound = CorpusOps.candidateBound(n)
+      Prop(exact.forall { case (t, cnt) =>
+        cnt * CorpusOps.HhShare < n || merged.getOrElse(t, 0L) >= bound
+      }) :| "every frequent term reaches the broadcast threshold" &&
+        Prop(merged.values.sum <= n) :| "merged estimates sum <= n (the survivor-count law's premise)"
+    }
+
   // --- julienne predicate coverage ------------------------------------
 
   property("julienne-style predicates partition any boundary list") = {
