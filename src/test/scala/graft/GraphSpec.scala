@@ -24,6 +24,13 @@ class GraphSpec extends AnyFunSuite {
     val again = Graph.qPagerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.sorted.sameElements(again.sorted), "pagerank must be deterministic")
+    // the fixture contains dangling (sink) nodes, and their mass is
+    // redistributed rather than destroyed: without redistribution the
+    // total mass after 5 damped iterations would shed ~15% per hop of
+    // the sink share (n/17 of the graph) — the >= 0.9e9 floor above
+    // plus an explicit sink-count pin keep the dangling path honest
+    val sinks = rows.count(_._1 % Graph.SinkMod == 0)
+    assert(sinks > 0, "fixture must contain sink nodes")
   }
 
   test("funnel steps only shrink; step 1 converts at 100%") {
