@@ -499,28 +499,46 @@ object Similarity {
   def lshTopKWith(emb: DataFrame, queries: DataFrame, cfg: LshConfig,
                   k: Int = TopK, broadcastQueries: Boolean = true,
                   excludeSelf: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    lshCandidates(emb, queries, cfg, broadcastQueries, excludeSelf)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** The LSH candidate generator shared by [[lshTopKWith]] and
+    * [[alignViaAnn]]: same-bucket (table, bucket) equi-join, exact
+    * raw cosine per surviving pair, cross-table dedup. `pairFilter`
+    * is an extra predicate pushed INTO the bucket join (both sides'
+    * columns in scope: query side `label_q`/`query_id`, corpus side
+    * `label`/`vec_id`) — the alignment restriction rides the
+    * equi-join instead of a post-hoc filter, so no cross-group pair
+    * ever materializes. Returns (query_id, label_q, vec_id, cos)
+    * with cos UNROUNDED (callers round after their own argmax).
+    */
+  def lshCandidates(emb: DataFrame, queries: DataFrame, cfg: LshConfig,
+                    broadcastQueries: Boolean = true,
+                    excludeSelf: Boolean = false,
+                    pairFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val all = bucketedWith(emb, cfg.tables, cfg.planes)
     val qsRaw = multiProbe(bucketedWith(queries, cfg.tables, cfg.planes)
         .toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q"),
       cfg.planes, cfg.probeBits)
     val qs = if (broadcastQueries) broadcast(qsRaw) else qsRaw
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     // cos computed pre-dedup (vectors co-located in the join output):
     // the cross-table dedup and top-k window exchanges carry only
-    // (query_id, vec_id, cos) — never the quantized vectors. Dup dot
-    // products are bounded by tables x probes per pair; shuffled
-    // bytes shrink ~30-60x (r4 verdict #8).
+    // (query_id, label_q, vec_id, cos) — never the quantized vectors.
+    // Dup dot products are bounded by tables x probes per pair;
+    // shuffled bytes shrink ~30-60x (r4 verdict #8).
     all.join(qs,
         col("tbl") === col("tbl_q") && col("bucket") === col("bucket_q")
+          && pairFilter
           && (if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)))
       .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
-      .select(col("query_id"), col("vec_id"), col("cos"))
+      .select(col("query_id"), col("label_q"), col("vec_id"), col("cos"))
       .dropDuplicates("query_id", "vec_id")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        round(col("cos"), 6).as("cos_sim"))
   }
 
   /** Expand query bucket rows to all buckets within Hamming distance
@@ -1502,6 +1520,41 @@ object Similarity {
       .agg(max(struct(col("cos"), col("b_id"))).as("m"))
       .select(col("vec_id"), col("label"),
         col("m.b_id").as("best_match"),
+        (round(col("m.cos"), 6) + lit(0.0)).as("cos_sim"))
+  }
+
+  /** Bitext alignment composed with the ANN ladder (r7 verdict #4):
+    * the at-scale form of [[qBitextAlign]]. Candidates come from the
+    * LSH bucket equi-join with the adjacent-group restriction pushed
+    * INTO the join predicate (corpus label = query label + 1), so the
+    * O(n²/L) group-pair cross never materializes — the plan is the
+    * same banded equi-join every dedup operator rides, and the spec
+    * plan-pins that no cartesian/nested-loop exchange appears. The
+    * argmax + deterministic tie-break over the candidate pool are
+    * IDENTICAL to the exact form (`max(struct(cos, id))` on the raw
+    * cosine, rounded after), so any true best match inside the pool
+    * surfaces exactly.
+    *
+    * Recall dial (like `neardup`): `probeBits` multi-probes buckets
+    * within that Hamming distance per table — measured on the fixture
+    * (OperatorsSpec gate): probeBits=2 at the default 2×4 config
+    * aligns ≥90% of pairs identically to the exact cross, and more
+    * probes only improve it (candidate superset, spec-pinned); raise
+    * tables or probes to buy more. Queries that share no bucket with ANY
+    * adjacent-group vector are absent from the output (the honest
+    * ANN contract — the exact form is the oracle-gated semantics).
+    */
+  def alignViaAnn(emb: DataFrame,
+                  cfg: LshConfig = LshConfig(NumTables, NumPlanes, probeBits = 2),
+                  broadcastQueries: Boolean = false): DataFrame = {
+    val quant = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val cands = lshCandidates(quant, quant, cfg,
+      broadcastQueries = broadcastQueries, excludeSelf = false,
+      pairFilter = col("label") === col("label_q") + 1)
+    cands.groupBy(col("query_id"), col("label_q"))
+      .agg(max(struct(col("cos"), col("vec_id"))).as("m"))
+      .select(col("query_id").as("vec_id"), col("label_q").as("label"),
+        col("m.vec_id").as("best_match"),
         (round(col("m.cos"), 6) + lit(0.0)).as("cos_sim"))
   }
 

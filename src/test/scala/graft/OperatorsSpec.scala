@@ -141,6 +141,42 @@ class OperatorsSpec extends AnyFunSuite {
       "multi-probe search returned a worse top-1 than single-probe")
   }
 
+  test("bitext alignViaAnn: agrees with the exact cross, plan has no cross-group exchange") {
+    import Similarity.LshConfig
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.qBitextAlign(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val ann = Similarity.alignViaAnn(emb)
+    val got = ann.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // the ANN pool only ever surfaces true adjacent-group candidates,
+    // scored and tie-broken exactly — so every returned row is either
+    // the exact argmax or a lower-cos candidate, never a fabrication
+    got.foreach { case (q, (m, c)) =>
+      val (em, ec) = exact(q)
+      assert(c <= ec + 1e-9, s"query $q: ANN cos $c above exact best $ec")
+      assert(m == em || c < ec, s"query $q: same cos but different match")
+    }
+    // recall dial (documented like neardup): probeBits=2 at the 2x4
+    // default must align >= 90% of queries identically to the exact
+    // cross on the fixture — the measured floor, re-gated every round
+    val agree = got.count { case (q, (m, _)) => exact(q)._1 == m }
+    assert(exact.nonEmpty && agree.toDouble / exact.size >= 0.90,
+      s"alignment agreement ${agree.toDouble / exact.size} below 0.90 " +
+        s"(${agree}/${exact.size})")
+    // plan pin: the adjacent-group restriction rides the bucket
+    // equi-join — no cartesian or nested-loop join anywhere
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-group exchange in alignViaAnn plan:\n$plan")
+    // and more probes only improve agreement (candidate superset)
+    val more = Similarity.alignViaAnn(emb, LshConfig(2, 4, 3)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val agreeMore = more.count { case (q, m) => exact(q)._1 == m }
+    assert(agreeMore >= agree, s"probeBits=3 agreement $agreeMore < $agree")
+  }
+
   test("IVF sweep: recall and candidates are exactly monotone in nprobe") {
     val pts = Similarity.ivfSweep(Tables.embeddings(spark, sf), Seq(1, 2, 4))
     assert(pts.map(_.nprobe) == Seq(1, 2, 4))
