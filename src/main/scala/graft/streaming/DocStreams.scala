@@ -1040,6 +1040,14 @@ object DocStreams {
     * bands); the screen guarantees each doc contributes exactly once,
     * so df/cf/N/dl read from the index are EXACT — bm25FromIndex is
     * gate-pinned equal to the batch scorer, not approximately so.
+    *
+    * Partial-batch failure (r7 advice): a crash BETWEEN the postings
+    * append and the ids append redelivers the batch as wholly fresh
+    * and double-appends its postings. Because those rows are exact
+    * copies (postings are immutable per doc), serving stays exact:
+    * bm25FromIndex dedupes its term-pruned read on (term, doc_id)
+    * and compactSearchIndex drops the duplicates physically —
+    * spec-pinned by a deliberate double-append rung.
     */
   def runSearchIndexStream(spark: SparkSession, stagedDir: String,
                            wh: WarehouseBackend, ref: Warehouse.DatasetRef,
@@ -1126,8 +1134,16 @@ object DocStreams {
         .hash(org.apache.spark.unsafe.types.UTF8String.fromString(t),
           org.apache.spark.sql.types.StringType, 42L), nBuckets.toLong).toInt)
       .distinct
-    val (postings, scan) = indexLookup(wh, ref, indexTable,
+    // redelivery screen (r7 advice): a batch that failed BETWEEN the
+    // postings append and the ids append redelivers wholesale and
+    // double-appends its postings. A doc's postings are immutable
+    // once written, so redelivered rows are EXACT copies — deduping
+    // the (tiny, term-pruned) read on (term, doc_id) restores exact
+    // df/tf/cf under any partial-batch failure; compaction heals the
+    // physical table the same way.
+    val (postingsRaw, scan) = indexLookup(wh, ref, indexTable,
       "bucket", touched, "term", termList, HashIndexReadOptions)
+    val postings = postingsRaw.dropDuplicates("term", "doc_id")
     val docStats = wh.readTable(ref, s"${indexTable}_docstats")
     val stats = docStats.agg(count(lit(1)).as("n_docs"),
       sum("dl").cast("double").as("tot_dl"))
@@ -1163,8 +1179,11 @@ object DocStreams {
   def compactSearchIndex(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
                          indexTable: String, deletedDocs: DataFrame): Unit = {
     val del = deletedDocs.select(col("doc_id"))
+    // the rewrite also physically drops any redelivery duplicates
+    // (see bm25FromIndex's read-side screen)
     val kept = wh.readTable(ref, indexTable)
       .join(del, Seq("doc_id"), "left_anti")
+      .dropDuplicates("term", "doc_id")
       .transform(cut)
       .repartitionByRange(col("bucket"), col("term"))
       .sortWithinPartitions(col("bucket"), col("term"))
@@ -1274,9 +1293,13 @@ object DocStreams {
     * fold every per-batch sketch into ONE summary of at most k
     * terms via the mergeable-summaries compression — subtract the
     * (k+1)-th largest summed estimate, drop the non-positive
-    * (CorpusOps.compressMg). Error after compaction stays the
-    * additive MG bound; the sentinel stream-length row is preserved
-    * exactly. The one deliberate full rewrite of the table.
+    * (CorpusOps.compressMg). Each compaction ADDS its own additive
+    * loss of up to n/(k+1) on top of the merge's n/k undercount —
+    * the total after one compaction is bounded by n/k + n/(k+1)
+    * (≈ 2n/(k+1)), and by n/k + c·n/(k+1) after c compactions; size
+    * k (or compact with a larger k) so the accumulated bound stays
+    * under the report threshold. The sentinel stream-length row is
+    * preserved exactly. The one deliberate full rewrite of the table.
     */
   def compactSketches(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
                       sketchTable: String,

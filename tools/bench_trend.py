@@ -204,7 +204,9 @@ def main(root="."):
     # ratio against best-prior across the whole suite. A real
     # regression is one query — it cannot move the median; a slower
     # box moves every query together. When the median exceeds 1.25,
-    # scale the flagging thresholds by it and report the factor.
+    # scale the flagging thresholds UP by it; when it drops below
+    # 0.8 (a FASTER box), scale them DOWN — otherwise a genuine
+    # regression can hide inside the machine speedup (r7 advice).
     def min_prior(name):
         vals = [rounds[t]["queries"][name] for t in tags[:-1]
                 if name in rounds[t]["queries"]]
@@ -215,7 +217,11 @@ def main(root="."):
         if n in rounds[latest]["queries"] and min_prior(n)
         and min_prior(n) > 0.05)
     drift = ratios[len(ratios) // 2] if len(ratios) >= 20 else 1.0
-    drift = drift if drift > 1.25 else 1.0
+    drift = drift if (drift > 1.25 or drift < 0.8) else 1.0
+    # persist BEFORE the flagging/report loop: an exception while
+    # reporting must not leave a stale TREND.json (r7 advice)
+    json.dump({"rounds": rounds, "machine_drift": drift},
+              open(out, "w"), indent=1, sort_keys=True)
     w = max(len(n) for n in names)
     print(f"  {'query':{w}s} " + " ".join(f"{t:>8s}" for t in tags))
     flagged, noise = [], []
@@ -243,11 +249,9 @@ def main(root="."):
         print(f"  {name:{w}s} {cells}  {flag}")
     print(f"\n  {'total':{w}s} " +
           " ".join(f"{rounds[t]['total']:8.1f}" for t in tags))
-    if drift > 1.0:
+    if drift != 1.0:
         print(f"  machine drift: latest epoch's median per-query ratio vs "
               f"best prior = {drift:.2f}x - thresholds scaled accordingly")
-    json.dump({"rounds": rounds, "machine_drift": drift},
-              open(out, "w"), indent=1, sort_keys=True)
     if touched is not None:
         print(f"  touched since last round boundary: {len(touched)} queries")
     else:
