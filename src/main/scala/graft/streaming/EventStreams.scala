@@ -327,4 +327,135 @@ object EventStreams {
     q.stop()
     spark.table(name)
   }
+
+  // --- watermark-buffered twins (r7 verdict #6) -------------------------
+  //
+  // statefulFunnel/statefulCohorts assume IN-ORDER delivery across
+  // micro-batches: an early event arriving after a later one was
+  // applied cannot retro-correct the state. These variants ride the
+  // watermark-buffered discipline proven by DocStreams.
+  // packStreamOrdered: events buffer inside the watermark window and
+  // APPLY in event-time order only once final (ts <= watermark, which
+  // no future arrival can precede), so bounded disorder <= the
+  // watermark delay provably equals the batch operator — spec-pinned
+  // against q_funnel/q_cohort under jittered delivery. State is
+  // O(users) plus only the in-flight disorder window per user; an
+  // event-time timeout flushes quiet users when the watermark
+  // advances past their buffer.
+
+  final case class FunnelBufState(t1: Long, t2: Long, t3: Long,
+                                  pending: Seq[(Long, String)])
+
+  def statefulFunnelBuffered(events: DataFrame, maxDisorder: String)
+      : org.apache.spark.sql.Dataset[FunnelRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val none = Long.MinValue
+    events
+      .withWatermark("ts", maxDisorder)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[FunnelBufState]) =>
+          val prev = state.getOption.getOrElse(FunnelBufState(none, none, none, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val all = prev.pending ++ evs.map(e => (e._3, e._2))
+          val (ripe, hold) = all.partition(_._1 <= wmUs)
+          var st = prev
+          // identical rules and (ts, type) order as statefulFunnel —
+          // once every event ripens this IS one sorted pass
+          ripe.sortBy(identity).foreach { case (ts, typ) =>
+            if (typ == "signup" && st.t1 == none)
+              st = st.copy(t1 = ts)
+            else if (typ == "view" && st.t1 != none && ts > st.t1 && st.t2 == none)
+              st = st.copy(t2 = ts)
+            else if (typ == "purchase" && st.t2 != none && ts > st.t2 && st.t3 == none)
+              st = st.copy(t3 = ts)
+          }
+          state.update(st.copy(pending = hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          Iterator.single(FunnelRow(uid,
+            if (st.t3 != none) 3 else if (st.t2 != none) 2
+            else if (st.t1 != none) 1 else 0))
+      }
+  }
+
+  final case class CohortBufState(cohortDay: Int, seenMask: Long,
+                                  pending: Seq[(Long, Int)])
+
+  def statefulCohortsBuffered(events: DataFrame, maxDisorder: String)
+      : org.apache.spark.sql.Dataset[CohortRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", maxDisorder)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit(CohortEpochDay.toString))).as("day"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[(Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[(Long, Int, Long, java.sql.Timestamp)],
+         state: GroupState[CohortBufState]) =>
+          val prev = state.getOption.getOrElse(CohortBufState(Int.MinValue, 0L, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val all = prev.pending ++ evs.map(e => (e._3, e._2))
+          val (ripe, hold) = all.partition(_._1 <= wmUs)
+          var st = prev
+          val out = scala.collection.mutable.ArrayBuffer.empty[CohortRow]
+          // the first APPLIED event is the user's true earliest (any
+          // future arrival has ts > watermark >= every applied ts),
+          // so the cohort day is the batch MIN, not first-arrival
+          ripe.sortBy(_._1).foreach { case (_, d) =>
+            if (st.cohortDay == Int.MinValue) st = st.copy(cohortDay = d)
+            val off = d - st.cohortDay
+            if (off >= 0 && off < 64 && (st.seenMask & (1L << off)) == 0L) {
+              st = st.copy(seenMask = st.seenMask | (1L << off))
+              out += CohortRow(uid, st.cohortDay, off)
+            }
+          }
+          state.update(st.copy(pending = hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          out.iterator
+      }
+  }
+
+  /** Runs the buffered funnel over a staged directory of event files
+    * (one file per micro-batch; the spec's jittered-delivery harness).
+    */
+  def runFunnelBufferedToMemory(spark: SparkSession, stagedDir: String,
+                                maxDisorder: String,
+                                name: String = "events_funnel_buf"): DataFrame = {
+    val src = spark.readStream.schema(rawSchema(TimestampType))
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir).toDF()
+    val q = statefulFunnelBuffered(src, maxDisorder)
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Runs the buffered cohort tracker over a staged directory. */
+  def runCohortsBufferedToMemory(spark: SparkSession, stagedDir: String,
+                                 maxDisorder: String,
+                                 name: String = "events_cohorts_buf"): DataFrame = {
+    val src = spark.readStream.schema(rawSchema(TimestampType))
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir).toDF()
+    val q = statefulCohortsBuffered(src, maxDisorder)
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
 }

@@ -66,6 +66,70 @@ class GraphSpec extends AnyFunSuite {
         s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
+  test("watermark-buffered funnel and cohorts equal batch under shuffled arrival inside the watermark") {
+    import scala.jdk.CollectionConverters._
+    val events = graft.sources.Tables.events(spark, sf)
+    val schema = graft.streaming.EventStreams.rawSchema(
+      org.apache.spark.sql.types.TimestampType)
+    val ordered = events.select(schema.fieldNames.map(col): _*)
+    // delivery key = event time jittered by up to ±3 hours (derived
+    // from event_id — deterministic); delivering in jittered order
+    // bounds the disorder any event sees at 6 hours, well inside the
+    // 12-hour watermark the operators are told to expect
+    val jittered = ordered.withColumn("dk",
+        unix_micros(col("ts")) + (col("event_id") % 7 - lit(3)) * lit(3600000000L))
+      .orderBy("dk").drop("dk").collect()
+    val maxTs = events.agg(max(col("ts"))).head
+      .getTimestamp(0).getTime
+    val staged = java.nio.file.Files.createTempDirectory("graft-evbuf")
+    var mtime = System.currentTimeMillis()
+    def writeChunk(rows: Seq[org.apache.spark.sql.Row], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evbuf-tmp")
+      spark.createDataFrame(rows.asJava, schema)
+        .coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val part = java.nio.file.Files.list(tmp.resolve("d")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      val dst = staged.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      mtime += 2000
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    for ((chunk, i) <- jittered.grouped(2000).zipWithIndex)
+      writeChunk(chunk.toSeq, f"chunk$i%03d")
+    // two watermark-advancing sentinels (the packStreamOrdered
+    // harness shape): the first pushes the watermark past every real
+    // event, the second's micro-batch fires the event-time timeouts
+    // that flush remaining buffers; the sentinel user is filtered out
+    for (j <- 0 until 2)
+      writeChunk(Seq(org.apache.spark.sql.Row(10000000L + j,
+        new java.sql.Timestamp(maxTs + (30L + j) * 86400000L),
+        -1L, "noop", 0.0, "{}")), s"sentinel$j")
+    val streamedFunnel = graft.streaming.EventStreams
+      .runFunnelBufferedToMemory(spark, staged.toString, "12 hours")
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id")).agg(max(col("step_reached")).as("step"))
+      .collect().map(r => r.getInt(1))
+    val batchFunnel = Relational.qFunnel(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (1 to 3).foreach { k =>
+      assert(streamedFunnel.count(_ >= k).toLong == batchFunnel(k),
+        s"buffered funnel step $k: ${streamedFunnel.count(_ >= k)} vs ${batchFunnel(k)}")
+    }
+    val streamedCohorts = graft.streaming.EventStreams
+      .runCohortsBufferedToMemory(spark, staged.toString, "12 hours")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("cohort_day"), col("day_offset")).distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val batchCohorts = Relational.qCohort(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(streamedCohorts == batchCohorts,
+      s"stream-only=${(streamedCohorts.toSet -- batchCohorts.toSet).take(3)} " +
+        s"batch-only=${(batchCohorts.toSet -- streamedCohorts.toSet).take(3)}")
+  }
+
   test("cohort offsets are non-negative and offset-0 rows partition the users") {
     val rows = Relational.qCohort(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
