@@ -94,7 +94,20 @@ object QualityAudit {
     // without re-measuring every rung)
     val auto = lshPoints.find(_.recall >= 0.8)
       .map(p => s""""${p.config.key}"""").getOrElse("null")
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"autoconfig_lsh_0.8":$auto,"sf":"$sfDir"}"""
+    // r8 scaled configs (the sf1-rehearsal sizing fixes): sqrt-n
+    // centroids + C-scaled probe depth, and the corpus-sized LSH
+    // plane count driving bitext alignment — tracked like every
+    // other dial (deterministic; any change is a code change)
+    val ivfScaled = s"""{"recall":${recallOf(Similarity.ivfTopKForScaled(emb,
+      Similarity.defaultQueries(emb), excludeSelf = true))},"candidates":${Similarity.TopK * nQueries}}"""
+    val exactAlign = Similarity.qBitextAlign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val scaledAlign = Similarity.alignViaAnnScaled(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val alignAgree = scaledAlign.count { case (q, m) =>
+      exactAlign.get(q).contains(m) }.toDouble / math.max(1, exactAlign.size)
+    val alignScaled = s"""{"recall":$alignAgree,"candidates":${scaledAlign.size}}"""
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"align_scaled":$alignScaled,"autoconfig_lsh_0.8":$auto,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One-off sf1 scale rehearsal (r7 verdict #7): time the top-cost
+  * operator families once at sf0.1 and once at a 10x generated sf1
+  * (tools/gen_sf1.py), and record per-query ratios. A family whose
+  * plan is linear-ish lands near the 10x data ratio (modulo fixed
+  * overheads, which push ratios BELOW 10x on sub-second queries); a
+  * superlinear step — the class r7's four `weak` marks belong to —
+  * shows up as a ratio well past it. Not a per-round gate: run by
+  * hand, results land in bench/SCALE_r8.json + ROUND_NOTES.md.
+  *
+  * Usage: runMain graft.ScaleRehearsal <baseDir> <bigDir> <outJson>
+  */
+object ScaleRehearsal {
+
+  /** The rehearsed families: dedup, components, curation-full, ANN,
+    * epoch shuffle, plus every operator this round's scale fixes
+    * touched (heavy hitters, covariance, bitext, pagerank). Two
+    * non-oracle entries ride along: the ANN-composed bitext
+    * alignment (the at-scale path whose exact twin is known
+    * quadratic) for direct comparison, and brute ANN as the
+    * known-linear-in-corpus baseline.
+    */
+  def workload: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_components",
+    "q_dedup_apply", "q_dedup_simhash", "q_split_safe", "q_semdedup",
+    "q_curation_run_full", "q_curation_report",
+    "q_ann_brute", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_converged",
+    "q_ann_pq", "q_ann_ivfpq",
+    "q_epoch_shuffle", "q_heavy_hitters", "q_embed_cov",
+    "q_bitext_align", "q_pagerank", "q_winnow")
+    .map(n => n -> SparkEntry.queries(n)) ++ Seq(
+    "align_via_ann" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Similarity.alignViaAnn(
+        graft.sources.Tables.embeddings(s, dir))),
+    // the data-driven configs the first rehearsal epoch motivated:
+    // same machinery, corpus-sized centroid count / plane count
+    "align_via_ann_scaled" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Similarity.alignViaAnnScaled(
+        graft.sources.Tables.embeddings(s, dir))),
+    "q_ann_ivf_scaled" -> ((s: SparkSession, dir: String) => {
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      graft.operators.Similarity.ivfTopKForScaled(emb,
+        graft.operators.Similarity.defaultQueries(emb), excludeSelf = true)
+    }))
+
+  def main(args: Array[String]): Unit = {
+    val Array(baseDir, bigDir, outPath) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, dir).count() catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm codegen/JIT at the small SF so the timed pairs compare
+    // steady-state execution
+    workload.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
+    val rows = workload.map { case (name, fn) =>
+      val tb = time(fn, baseDir)
+      val tg = time(fn, bigDir)
+      val ratio = if (tb > 0 && tg > 0) tg / tb else -1.0
+      System.err.println(f"[scale] $name%-22s base=$tb%8.2fs big=$tg%8.2fs ratio=$ratio%6.2fx")
+      (name, tb, tg, ratio)
+    }
+    val json = rows.map { case (n, tb, tg, r) =>
+      f""""$n": {"base_sec": $tb%.3f, "big_sec": $tg%.3f, "ratio": $r%.3f}"""
+    }.mkString(
+      s"""{"base": "$baseDir", "big": "$bigDir", "rows_ratio": 10, "queries": {""",
+      ", ", "}}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(json)
+    spark.stop()
+  }
+}

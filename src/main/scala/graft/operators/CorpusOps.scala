@@ -294,6 +294,99 @@ object CorpusOps {
         try_element_at(col("hits"), lit(1)).as("first_bad"),
         (size(col("hits")) === 0).as("kept"))
 
+  // --- C4-style line rules + global line dedup ---------------------------
+
+  /** Line synthesis: the fixture's documents carry no newlines, so a
+    * "line" is a fixed window of LineWords tokens (the qSftRender
+    * synthesize-structure convention); the last line keeps the
+    * remainder and is the one the min-words rule can drop.
+    */
+  val LineWords = 8
+  val LineMinWords = 3
+
+  /** C4-style line-level cleaning + GLOBAL line dedup — the
+    * sentence/line discipline of the C4/mC4 pipelines (Raffel et al.
+    * 2020): per-line rules (minimum word count, banned-word hit)
+    * plus corpus-wide exact dedup that keeps only the FIRST
+    * occurrence (by (doc_id, line_no)) of every distinct surviving
+    * line. Output: one verdict row per line with the drop reason.
+    *
+    * Scale posture: line explode is narrow; the dedup is ONE shuffle
+    * keyed by the 48-bit line hash, and first-occurrence resolution
+    * is a `min(struct(doc_id, line_no))` partial aggregate + hash
+    * equi-join back — map-side combinable, never a window sort over
+    * a hot line's occurrence list (the q_argmin idiom), so a
+    * boilerplate line repeated a billion times costs its count, not
+    * a single-task sort.
+    */
+  def qC4Lines(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val lines = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          greatest(lit(0), expr(s"(size(toks) + ${LineWords - 1}) div $LineWords - 1"))))
+          .as("line_no"),
+        col("toks"))
+      .select(col("doc_id"), col("line_no"),
+        concat_ws(" ",
+          slice(col("toks"), col("line_no") * LineWords + 1, lit(LineWords)))
+          .as("line"))
+      .withColumn("n_words", size(split(col("line"), " ")))
+      .withColumn("banned",
+        exists(split(col("line"), " "), t => t.isin(BannedWords: _*)))
+      .withColumn("rule_ok",
+        col("n_words") >= LineMinWords && !col("banned"))
+      .withColumn("h", tokenHash(col("line")))
+    val firsts = lines.filter(col("rule_ok"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.line_no").as("f_line"))
+    lines.join(firsts, Seq("h"), "left")
+      .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
+        col("n_words").cast("long").as("n_words"),
+        when(col("n_words") < LineMinWords, "short")
+          .when(col("banned"), "banned")
+          .when(col("doc_id") =!= col("f_doc")
+            || col("line_no") =!= col("f_line"), "dup")
+          .otherwise("kept").as("verdict"))
+  }
+
+  // --- fixed-stride chunk windows ----------------------------------------
+
+  /** Overlapping-window chunking parameters: W-token windows every S
+    * tokens — the RAG/embedding-pipeline pre-chunking shape (overlap
+    * = W - S tokens of context carried across chunk boundaries).
+    */
+  val ChunkW = 32
+  val ChunkS = 24
+
+  /** Fixed-size overlapping token windows — the chunking stage every
+    * embedding/RAG ingestion pipeline runs before vectorizing:
+    * chunk i of a doc covers tokens [i·S, i·S + W); a doc shorter
+    * than W is one chunk; the LAST chunk keeps the (possibly short)
+    * tail. Emits (doc_id, chunk_id, start_tok, n_tok, chunk_hash) —
+    * the manifest a downstream embed step consumes. Pure per-row
+    * codegen'd arithmetic, ZERO shuffles; the companion exact-dedup
+    * on chunk_hash composes through q_dedup_exact's shape.
+    */
+  def qChunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val nChunks = expr(
+      s"CASE WHEN size(toks) <= $ChunkW THEN 1 " +
+        s"ELSE 1 + (size(toks) - $ChunkW + ${ChunkS - 1}) div $ChunkS END")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * ChunkS).cast("long").as("start_tok"),
+        least(lit(ChunkW), size(col("toks")) - col("chunk_id") * ChunkS)
+          .cast("long").as("n_tok"),
+        tokenHash(concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * ChunkS + 1, lit(ChunkW))))
+          .as("chunk_hash"))
+  }
+
   // --- SFT template rendering ------------------------------------------
 
   /** SFT chat-template rendering + loss-mask offsets — the
@@ -599,6 +692,8 @@ object CorpusOps {
     "q_dataset_card" -> qDatasetCard _,
     "q_epoch_shuffle" -> qEpochShuffle _,
     "q_sft_render" -> qSftRender _,
+    "q_c4_lines" -> qC4Lines _,
+    "q_chunk_windows" -> qChunkWindows _,
     "q_embed_cov" -> qEmbedCov _)
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -737,6 +832,49 @@ object CorpusOps {
         |       WHEN old.old_hash != neu.new_hash THEN 'changed'
         |       ELSE 'same' END AS verdict
         |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id""".stripMargin,
+    "q_c4_lines" -> {
+      val banned = BannedWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |l0 AS (SELECT doc_id, t,
+        |    unnest(range(0, greatest(1, (len(t) + ${LineWords - 1}) // $LineWords)))
+        |      AS line_no
+        |  FROM tt),
+        |l AS (SELECT doc_id, line_no,
+        |    array_to_string(
+        |      t[line_no * $LineWords + 1 :
+        |        least(line_no * $LineWords + $LineWords, len(t))], ' ') AS line
+        |  FROM l0),
+        |v AS (SELECT doc_id, line_no, line,
+        |    len(string_split(line, ' '))::BIGINT AS n_words,
+        |    len(list_filter(string_split(line, ' '),
+        |      w -> w IN ($banned))) > 0 AS banned
+        |  FROM l),
+        |r AS (SELECT *, n_words >= $LineMinWords AND NOT banned AS rule_ok,
+        |    ('0x' || substr(md5(line), 1, 12))::BIGINT AS h FROM v),
+        |f AS (SELECT h, min(doc_id * 1000000 + line_no) AS fkey
+        |  FROM r WHERE rule_ok GROUP BY h)
+        |SELECT r.doc_id, r.line_no::BIGINT AS line_no, r.n_words,
+        |  CASE WHEN r.n_words < $LineMinWords THEN 'short'
+        |       WHEN r.banned THEN 'banned'
+        |       WHEN r.doc_id * 1000000 + r.line_no != f.fkey THEN 'dup'
+        |       ELSE 'kept' END AS verdict
+        |FROM r LEFT JOIN f ON r.h = f.h""".stripMargin
+    },
+    "q_chunk_windows" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |c0 AS (SELECT doc_id, t,
+        |    unnest(range(0, CASE WHEN len(t) <= $ChunkW THEN 1
+        |      ELSE 1 + (len(t) - $ChunkW + ${ChunkS - 1}) // $ChunkS END))
+        |      AS chunk_id
+        |  FROM tt)
+        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |  (chunk_id * $ChunkS)::BIGINT AS start_tok,
+        |  least($ChunkW, len(t) - chunk_id * $ChunkS)::BIGINT AS n_tok,
+        |  ('0x' || substr(md5(array_to_string(
+        |    t[chunk_id * $ChunkS + 1 :
+        |      least(chunk_id * $ChunkS + $ChunkW, len(t))], ' ')),
+        |    1, 12))::BIGINT AS chunk_hash
+        |FROM c0""".stripMargin,
     "q_embed_cov" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(embedding,

@@ -549,9 +549,12 @@ object Similarity {
   private def multiProbe(qs: DataFrame, planesN: Int, probeBits: Int): DataFrame = {
     if (probeBits <= 0) qs
     else {
-      val masks = (0 until (1 << planesN))
-        .filter(m => java.lang.Integer.bitCount(m) <= probeBits)
-        .map(_.toLong)
+      // enumerate masks combinatorially — sum of C(planes, <=probeBits)
+      // masks, never a 2^planes sweep (corpus-sized plane counts from
+      // lshConfigFor would make the old full enumeration exponential)
+      val masks = (0 to probeBits).flatMap(k =>
+        (0 until planesN).combinations(k)
+          .map(_.foldLeft(0L)((a, b) => a | (1L << b)))).distinct
       qs.withColumn("bucket_q",
           explode(array(masks.map(m => col("bucket_q").bitwiseXOR(lit(m))): _*)))
         .select(col("query_id"), col("label_q"), col("q_q"), col("nq_q"),
@@ -623,6 +626,71 @@ object Similarity {
     all.filter(col("vec_id") % SeedMod === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
 
+  /** Data-driven coarse-centroid SIZING — the r8 sf1-rehearsal
+    * finding: a FIXED seeding stride grows the centroid count
+    * linearly with the corpus, so the assignment pass costs
+    * n·C = n²/SeedMod (the rehearsal measured q_ann_ivf at ~90× for
+    * 10× data). The classic IVF sizing C ≈ √n balances assignment
+    * (n·C) against posting-list length (n/C); stride = n div isqrt(n)
+    * realizes it with the same deterministic every-k-th convention
+    * the oracle rungs pin at fixture scale. bench/SCALE_r8.json
+    * records the before/after ratios.
+    */
+  def scaledSeedStride(n: Long): Long = {
+    val c = math.max(1L, math.sqrt(n.toDouble).toLong)
+    math.max(1L, n / c)
+  }
+
+  /** Probe share for the scaled config: nprobe = max(NProbe,
+    * C/ProbeDiv). A FIXED nprobe over a √n-growing centroid set
+    * covers a vanishing corpus fraction (recall → 0 as n grows) —
+    * the probe depth must ride the centroid count. Candidates per
+    * query stay ~ nprobe·(n/C) = n/ProbeDiv-ish: linear, never
+    * quadratic. NOTE the oracle rungs' seeded recall (0.96 at
+    * sf0.001) flatters itself: SeedMod(25) divides QueryMod(50), so
+    * every harness query IS a centroid and probes its own list —
+    * the scaled config has no such alignment, which is the honest
+    * external-query posture.
+    */
+  val ProbeDiv = 8
+
+  /** External-query IVF with √n-scaled seeded centroids AND
+    * C-scaled probe depth — the production sizing of [[ivfTopKFor]];
+    * identical search machinery (the oracle rungs gate it at fixture
+    * scale), recall spec-pinned on the fixture.
+    */
+  def ivfTopKForScaled(emb: DataFrame, queries: DataFrame, k: Int = TopK,
+                       broadcastQueries: Boolean = true,
+                       excludeSelf: Boolean = false): DataFrame = {
+    val all = quantized(emb)
+    val n = emb.count()
+    val stride = scaledSeedStride(n)
+    val c = (n + stride - 1) / stride
+    val cents = all.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+    searchIvfFor(all, cents, quantized(queries), k, broadcastQueries,
+      excludeSelf, nprobe = math.max(NProbe, (c / ProbeDiv).toInt))
+  }
+
+  /** Data-driven LSH config (the same rehearsal finding, LSH
+    * edition): FIXED planes make per-bucket population grow with n,
+    * so bucket-join candidate pairs grow n²/2^planes — the 4-plane
+    * alignViaAnn measured ~50× for 10× data. Size the plane count so
+    * expected bucket occupancy ≈ targetBucket (planes =
+    * ceil(log2(n/targetBucket))); probeBits stays the recall dial.
+    */
+  def lshConfigFor(n: Long, tables: Int = NumTables, probeBits: Int = 2,
+                   targetBucket: Long = 64L): LshConfig = {
+    val buckets = math.max(1L, n / targetBucket)
+    val planes = math.max(NumPlanes,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1)))
+    LshConfig(tables, math.min(planes, 20), probeBits)
+  }
+
+  /** [[alignViaAnn]] under the corpus-sized LSH config. */
+  def alignViaAnnScaled(emb: DataFrame): DataFrame =
+    alignViaAnn(emb, lshConfigFor(emb.count()))
+
   /** IVF search against an arbitrary centroid set (seeded or
     * trained): assignment + probing + posting-list join as described
     * on ivfTopK.
@@ -636,7 +704,8 @@ object Similarity {
     */
   private def searchIvfFor(all: DataFrame, cents: DataFrame, qsQuant: DataFrame,
                            k: Int, broadcastQueries: Boolean = true,
-                           excludeSelf: Boolean = false): DataFrame = {
+                           excludeSelf: Boolean = false,
+                           nprobe: Int = NProbe): DataFrame = {
     val scored = all.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
     // nearest centroid per vector: partial-aggregatable argmax with a
@@ -657,7 +726,7 @@ object Similarity {
       .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val probesRaw = qsQuant.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
-      .withColumn("crn", row_number().over(wq)).filter(col("crn") <= NProbe)
+      .withColumn("crn", row_number().over(wq)).filter(col("crn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cid"),
         col("q").as("q_q"), col("nq").as("nq_q"))
     val probes = if (broadcastQueries) broadcast(probesRaw) else probesRaw

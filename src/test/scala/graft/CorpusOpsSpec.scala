@@ -177,6 +177,68 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(order0 != order0.sorted, "an epoch order must not be doc_id order")
   }
 
+  test("c4 lines: one kept first occurrence per surviving line, rules precede dedup") {
+    import spark.implicits._
+    val rows = CorpusOps.qC4Lines(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val verdicts = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(Set("kept", "dup", "short", "banned").subsetOf(verdicts.keySet),
+      s"fixture must exercise all verdicts, got $verdicts")
+    // recompute the line text the operator windows over
+    val lines = Tables.documents(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          expr(s"(size(toks) + ${CorpusOps.LineWords - 1}) div ${CorpusOps.LineWords} - 1")))
+          .as("line_no"), col("toks"))
+      .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
+        concat_ws(" ", slice(col("toks"),
+          col("line_no") * CorpusOps.LineWords + 1, lit(CorpusOps.LineWords))).as("line"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(rows.length == lines.size, "one verdict row per line")
+    val byText = rows.map { case (d, l, nw, v) => (lines((d, l)), d, l, nw, v) }
+      .groupBy(_._1)
+    byText.values.foreach { g =>
+      val surviving = g.filter(x => x._5 == "kept" || x._5 == "dup")
+      if (surviving.nonEmpty) {
+        // exactly one kept, and it is the (doc_id, line_no) minimum
+        val kept = surviving.filter(_._5 == "kept")
+        assert(kept.length == 1, s"line '${g.head._1}' kept ${kept.length} times")
+        val first = surviving.map(x => (x._2, x._3)).min
+        assert((kept.head._2, kept.head._3) == first, "kept is not the first occurrence")
+      }
+      // rules fire before dedup: short/banned lines never count as dup
+      g.filter(_._5 == "short").foreach(x => assert(x._4 < CorpusOps.LineMinWords))
+      g.filter(x => x._5 == "kept" || x._5 == "dup")
+        .foreach(x => assert(x._4 >= CorpusOps.LineMinWords))
+    }
+  }
+
+  test("chunk windows: full coverage, fixed stride, short-tail law") {
+    val chunks = CorpusOps.qChunkWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until cs.length).toSeq, "chunk ids dense")
+      sorted.foreach { case (_, cid, start, len) =>
+        assert(start == cid * CorpusOps.ChunkS, "fixed stride")
+        assert(len >= 1 && len <= CorpusOps.ChunkW)
+        assert(start + len <= n)
+      }
+      // last chunk reaches the final token; chunks cover every token
+      val last = sorted.last
+      assert(last._3 + last._4 == n, s"doc $doc tail uncovered")
+      val covered = sorted.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered == (0L until n).toSet, s"doc $doc has coverage holes")
+      // every non-last chunk is full-width (the tail is the only short one)
+      sorted.dropRight(1).foreach(c => assert(c._4 == CorpusOps.ChunkW))
+    }
+  }
+
   test("power iteration finds the top eigenpair of the covariance") {
     val cov = CorpusOps.covMatrix(spark, sf)
     assert(cov.indices.forall(i => cov.indices.forall(j =>
