@@ -483,6 +483,27 @@ object CorpusOps {
         (col("off") + col("rnk") - 1).as("position"))
   }
 
+  // --- shard manifest ----------------------------------------------------
+
+  val NShards = 16
+
+  /** Release shard manifest — the dataset-integrity artifact a corpus
+    * ships per shard: content-hash-routed shard assignment, doc and
+    * token counts, and an order-independent XOR fingerprint of the
+    * content hashes (sum would overflow int64 at corpus scale; XOR is
+    * associative, commutative, and overflow-free, so any engine can
+    * re-derive and diff a shard without ordering guarantees). One
+    * narrow hash pass + one NShards-group partial agg.
+    */
+  def qShardManifest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(tokenHash(col("text")).as("h"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      .withColumn("shard", col("h") % NShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        expr("bit_xor(h)").as("content_xor"))
+
   // --- dataset card -----------------------------------------------------
 
   /** Dataset card — the release-artifact summary table (long format:
@@ -694,6 +715,7 @@ object CorpusOps {
     "q_sft_render" -> qSftRender _,
     "q_c4_lines" -> qC4Lines _,
     "q_chunk_windows" -> qChunkWindows _,
+    "q_shard_manifest" -> qShardManifest _,
     "q_embed_cov" -> qEmbedCov _)
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -875,6 +897,13 @@ object CorpusOps {
         |      least(chunk_id * $ChunkS + $ChunkW, len(t))], ' ')),
         |    1, 12))::BIGINT AS chunk_hash
         |FROM c0""".stripMargin,
+    "q_shard_manifest" ->
+      s"""WITH h AS (SELECT ('0x' || substr(md5(text), 1, 12))::BIGINT AS h,
+        |    len($toksSql)::BIGINT AS nt
+        |  FROM documents)
+        |SELECT h % $NShards AS shard, count(*)::BIGINT AS n_docs,
+        |  sum(nt)::BIGINT AS n_tokens, bit_xor(h)::BIGINT AS content_xor
+        |FROM h GROUP BY 1""".stripMargin,
     "q_embed_cov" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(embedding,

@@ -1627,6 +1627,73 @@ object Similarity {
         (round(col("m.cos"), 6) + lit(0.0)).as("cos_sim"))
   }
 
+  /** Per-dimension int8 affine quantization calibration — the
+    * serving-side compression step (embedding stores ship int8 with
+    * per-dim scale/zero-point): per-dim [qmin, qmax] over the
+    * 1e6-quantized corpus, 255-level affine codes, and the EXACT
+    * reconstruction-error profile per dimension (max + floor-mean in
+    * quantize units). All integer arithmetic — codes, dequant, and
+    * errors are bit-identical cross-engine. Plan: one narrow ×Dim
+    * posexplode, one 64-group partial agg for the ranges (map-side
+    * combine ⇒ reducers see partitions×1 rows per dim, no hot-key
+    * risk), broadcast ranges back, one final per-dim agg.
+    */
+  def qInt8Quant(s: SparkSession, dir: String): DataFrame = {
+    val ex = quantized(Tables.embeddings(s, dir))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "qv")))
+    val stats = ex.groupBy(col("pos"))
+      .agg(min("qv").as("qmin"), max("qv").as("qmax"))
+    ex.join(broadcast(stats), "pos")
+      .withColumn("code", expr(
+        "CASE WHEN qmax = qmin THEN 0L ELSE (qv - qmin) * 255 div (qmax - qmin) END"))
+      .withColumn("err",
+        abs(col("qv") - (col("qmin") + expr("code * (qmax - qmin) div 255"))))
+      .groupBy(col("pos"), col("qmin"), col("qmax"))
+      .agg(max(col("err")).as("max_err"),
+        expr("sum(err) div count(1)").as("mean_err"))
+      .select(col("pos"), col("qmin"), col("qmax"),
+        col("max_err"), col("mean_err"))
+  }
+
+  /** Contrastive pair mining — the embedding-model training-data op
+    * (anchor, hard-positive, deterministic-negative triplets): for
+    * every QueryMod-th anchor, the positive is the same-label argmax
+    * cosine (exclude self; the exact `max(struct)` fold), and the
+    * negative is the different-label vector nearest a content-hash
+    * pick (argmin |vec_id − hash(anchor) mod n|, id tie-break) — a
+    * reproducible "random" negative both engines derive identically.
+    * Plan: anchors broadcast (bounded by construction, the brute-ANN
+    * posture), ONE narrow pass over the corpus feeding two partial
+    * aggregates — no window over the pair table, nothing quadratic
+    * materializes.
+    */
+  def qContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.tokenHash
+    val raw = Tables.embeddings(s, dir)
+    val emb = quantized(raw)
+    val n = raw.count()
+    val anchors = broadcast(emb.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("q").as("aq"), col("nq").as("anq"),
+        (tokenHash(col("vec_id").cast("string")) % n).as("hpick")))
+    val joined = emb.join(anchors, col("vec_id") =!= col("a_id"))
+      .withColumn("cos", cosine(dotQ(col("q"), col("aq")), col("nq"), col("anq")))
+    val pos = joined.filter(col("label") === col("a_label"))
+      .groupBy(col("a_id"))
+      .agg(max(struct(col("cos"), col("vec_id"))).as("p"))
+    val neg = joined.filter(col("label") =!= col("a_label"))
+      .withColumn("d", abs(col("vec_id") - col("hpick")))
+      .groupBy(col("a_id"))
+      .agg(min_by(struct(col("vec_id").as("n_id"), col("cos").as("n_cos")),
+        struct(col("d"), col("vec_id"))).as("ng"))
+    pos.join(neg, Seq("a_id"))
+      .select(col("a_id").as("anchor_id"),
+        col("p.vec_id").as("pos_id"),
+        (round(col("p.cos"), 6) + lit(0.0)).as("pos_cos"),
+        col("ng.n_id").as("neg_id"),
+        (round(col("ng.n_cos"), 6) + lit(0.0)).as("neg_cos"))
+  }
+
   /** Harness entry for [[semDedup]] — same Shift-ed clone fixture as
     * qEmbedNearDup (every clone is a guaranteed semantic dup of its
     * original; the original outranks it by the vec_id tie-break).
@@ -1669,7 +1736,9 @@ object Similarity {
     "q_ann_rerank" -> ((s, dir) => rerankTopK(Tables.embeddings(s, dir))),
     "q_project" -> ((s, dir) => projectTopDims(Tables.embeddings(s, dir))),
     "q_embed_centroids" -> qEmbedCentroids _,
-    "q_kmeans_step" -> qKmeansStep _)
+    "q_kmeans_step" -> qKmeansStep _,
+    "q_int8_quant" -> qInt8Quant _,
+    "q_contrastive_pairs" -> qContrastivePairs _)
 
   /** DuckDB twin of the greedy k-center loop, in the INCREMENTAL
     * min-distance form (the classic Gonzalez bookkeeping): m_t keeps
@@ -1959,8 +2028,59 @@ object Similarity {
       |FROM assigned a JOIN n USING (vec_id), range(1, ${Dim + 1}) r(i)
       |GROUP BY a.cid, i""".stripMargin
 
+  private def int8QuantSql: String =
+    s"""WITH q AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      e -> round(e::DOUBLE * 1000000.0, 0)::BIGINT) AS q
+      |  FROM embeddings),
+      |ex AS (SELECT vec_id, i AS pos, q[i + 1] AS qv
+      |  FROM q CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)),
+      |st AS (SELECT pos, min(qv) AS qmin, max(qv) AS qmax FROM ex GROUP BY 1),
+      |c AS (SELECT ex.pos, qv, qmin, qmax,
+      |    CASE WHEN qmax = qmin THEN 0
+      |      ELSE (qv - qmin) * 255 // (qmax - qmin) END AS code
+      |  FROM ex JOIN st ON ex.pos = st.pos),
+      |e AS (SELECT pos, qmin, qmax,
+      |    abs(qv - (qmin + code * (qmax - qmin) // 255)) AS err FROM c)
+      |SELECT pos::INT AS pos, qmin, qmax, max(err)::BIGINT AS max_err,
+      |  (sum(err) // count(*))::BIGINT AS mean_err
+      |FROM e GROUP BY 1, 2, 3""".stripMargin
+
+  private def contrastiveSql: String =
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+      |q AS (SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      e -> round(e::DOUBLE * 1000000.0, 0)::BIGINT) AS q
+      |  FROM embeddings),
+      |nq AS (SELECT vec_id, label, q,
+      |    list_sum(list_transform(q, x -> x * x))::BIGINT AS nrm FROM q),
+      |a AS (SELECT vec_id AS a_id, label AS a_label, q AS aq, nrm AS anrm,
+      |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT
+      |      % (SELECT n FROM nn) AS hpick
+      |  FROM nq WHERE vec_id % $QueryMod = 0),
+      |j AS (SELECT a.a_id, a.a_label, a.hpick, c.vec_id, c.label,
+      |    list_sum(list_transform(range(1, len(c.q) + 1),
+      |      i -> c.q[i] * a.aq[i]))::DOUBLE
+      |      / (sqrt(c.nrm::DOUBLE) * sqrt(a.anrm::DOUBLE)) AS cos
+      |  FROM nq c CROSS JOIN a WHERE c.vec_id != a.a_id),
+      |p AS (SELECT a_id, vec_id AS pos_id, cos,
+      |    row_number() OVER (PARTITION BY a_id
+      |      ORDER BY cos DESC, vec_id DESC) AS rn
+      |  FROM j WHERE label = a_label),
+      |ng AS (SELECT a_id, vec_id AS neg_id, cos,
+      |    row_number() OVER (PARTITION BY a_id
+      |      ORDER BY abs(vec_id - hpick), vec_id) AS rn
+      |  FROM j WHERE label != a_label)
+      |SELECT p.a_id AS anchor_id, p.pos_id,
+      |  round(p.cos, 6) + 0.0 AS pos_cos,
+      |  ng.neg_id, round(ng.cos, 6) + 0.0 AS neg_cos
+      |FROM p JOIN ng ON p.a_id = ng.a_id
+      |WHERE p.rn = 1 AND ng.rn = 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_kmeans_step" -> kmeansStepSql,
+    "q_int8_quant" -> int8QuantSql,
+    "q_contrastive_pairs" -> contrastiveSql,
     "q_embed_centroids" ->
       s"""SELECT label, i - 1 AS pos, count(*) AS n_vecs,
         |  round((sum(q[i])::DOUBLE / count(*)) / 1e6, 6) AS mean_val

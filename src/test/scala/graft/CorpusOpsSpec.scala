@@ -239,6 +239,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shard manifest: shards partition the corpus, xor fingerprint reconciles") {
+    val rows = CorpusOps.qShardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => r._1 >= 0 && r._1 < CorpusOps.NShards))
+    val docs = Tables.documents(spark, sf)
+      .select(tokenHash(col("text")).as("h"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sum == docs.length, "shards must partition the docs")
+    assert(rows.map(_._3).sum == docs.map(_._2).sum, "token counts must reconcile")
+    // xor of shard fingerprints == xor over all docs (associativity:
+    // any engine can re-derive a shard's fingerprint order-free)
+    assert(rows.map(_._4).reduce(_ ^ _) == docs.map(_._1).reduce(_ ^ _))
+  }
+
   test("power iteration finds the top eigenpair of the covariance") {
     val cov = CorpusOps.covMatrix(spark, sf)
     assert(cov.indices.forall(i => cov.indices.forall(j =>

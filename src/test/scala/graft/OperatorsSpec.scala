@@ -218,6 +218,47 @@ class OperatorsSpec extends AnyFunSuite {
       s"scaled-config alignment agreement ${agree.toDouble / exactAlign.size} below 0.75")
   }
 
+  test("int8 quantization: reconstruction error bounded by the per-dim step") {
+    val rows = Similarity.qInt8Quant(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == Similarity.Dim)
+    rows.foreach { case (pos, qmin, qmax, maxErr, meanErr) =>
+      assert(qmin <= qmax, s"dim $pos empty range")
+      // two floor roundings: code floor + dequant floor, each < step
+      val step = (qmax - qmin) / 255 + 1
+      assert(maxErr <= 2 * step, s"dim $pos max_err $maxErr above 2*step $step")
+      assert(meanErr <= maxErr)
+    }
+  }
+
+  test("contrastive pairs: positive is the same-label argmax, negative crosses labels") {
+    val emb = Tables.embeddings(spark, sf)
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = Similarity.qContrastivePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, p, pCos, ng, _) =>
+      assert(a % Similarity.QueryMod == 0)
+      assert(labels(p) == labels(a), s"positive $p crosses labels for anchor $a")
+      assert(labels(ng) != labels(a), s"negative $ng shares the anchor's label")
+      assert(p != a && ng != a)
+      assert(pCos <= 1.000001 && pCos >= -1.000001)
+    }
+    // the positive really is the same-label max: cross-check one
+    // anchor against brute force over the quantized corpus
+    val a0 = rows.head._1
+    val all = Similarity.quantized(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray, r.getLong(3)))
+    val (_, aLab, aq, anq) = all.find(_._1 == a0).get
+    val best = all.filter(v => v._1 != a0 && v._2 == aLab)
+      .map { case (id, _, q, nq) =>
+        val dot = q.zip(aq).map { case (x, y) => x * y }.sum
+        (dot.toDouble / (math.sqrt(nq.toDouble) * math.sqrt(anq.toDouble)), id)
+      }.max
+    assert(rows.find(_._1 == a0).get._2 == best._2,
+      s"anchor $a0: operator positive != brute-force argmax ${best._2}")
+  }
+
   test("IVF sweep: recall and candidates are exactly monotone in nprobe") {
     val pts = Similarity.ivfSweep(Tables.embeddings(spark, sf), Seq(1, 2, 4))
     assert(pts.map(_.nprobe) == Seq(1, 2, 4))
