@@ -131,6 +131,93 @@ object Sampling {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** Shared two-level rank plumbing (the epoch-shuffle julienne
+    * discipline): a data-driven bucket count as a broadcast scalar,
+    * hash key, bucket column — so no within-group rank window ever
+    * sorts more than ~ShuffleTargetRows rows in one task.
+    */
+  private def bucketKeyed(docs: DataFrame): DataFrame = {
+    val bucketsDf = broadcast(docs.agg(
+      greatest(lit(graft.operators.CorpusOps.ShuffleMinBuckets),
+        expr(s"(count(1) + ${graft.operators.CorpusOps.ShuffleTargetRows - 1}) " +
+          s"div ${graft.operators.CorpusOps.ShuffleTargetRows}")).as("buckets")))
+    docs.crossJoin(bucketsDf)
+      .withColumn("k", tokenHash(col("doc_id").cast("string")))
+      .withColumn("bkt", col("k") % col("buckets"))
+  }
+
+  /** Source-interleaved training order — the long-context mixing
+    * discipline: consecutive global positions cycle through the
+    * sources (round-robin until a source exhausts), with per-source
+    * order a reproducible content-hash shuffle. NO global sort
+    * anywhere: within-source ranks come from the epoch-shuffle
+    * two-level rank ((source, bucket) windows + prefix-sum offsets,
+    * buckets data-driven), and the GLOBAL position is computed
+    * per-row against the broadcast per-source count table —
+    * pos(r, s) = Σ_{s'} min(cnt_{s'}, r) + |{s' < s : cnt_{s'} > r}|,
+    * i.e. the rank of (r, s) in (rank, source) order. The position
+    * pass is a sources-sized broadcast cross + partial agg.
+    */
+  def qSourceInterleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val keyed = bucketKeyed(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("bkt")).orderBy(col("k"), col("doc_id"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("source"), col("bkt"), col("off"))
+    val withR = keyed.withColumn("rnk", row_number().over(w))
+      .join(broadcast(offs), Seq("source", "bkt"))
+      .select(col("doc_id"), col("source"), (col("off") + col("rnk") - 1).as("r"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .select(col("source").as("s2"), col("cnt"))
+    withR.crossJoin(broadcast(counts))
+      .groupBy(col("doc_id"), col("source"), col("r"))
+      .agg(sum(least(col("cnt"), col("r"))
+        + when(col("s2") < col("source") && col("cnt") > col("r"), 1L)
+          .otherwise(0L)).as("position"))
+      .select(col("doc_id"), col("source"), col("r").as("src_rank"),
+        col("position"))
+  }
+
+  /** Per-source TOKEN-budget sampling — real corpus targets are token
+    * budgets, not doc counts: docs take a reproducible per-source
+    * shuffle order (the two-level (bucket, key) order — no
+    * single-task source-wide sort; prefix tokens = earlier-bucket
+    * sums via the tiny offsets table + a within-bucket running sum),
+    * and a doc is kept iff the tokens before it are under the budget
+    * (so the crossing doc is kept — fill then stop). Emits the audit
+    * columns (cum_before, kept), the shape a budget report needs.
+    */
+  val SourceTokenBudget = 600L
+
+  def qTokenBudgetSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val keyed = bucketKeyed(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("bkt")).orderBy(col("k"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tok")).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("source"), col("bkt"), col("off"))
+    keyed
+      .withColumn("cum_in_bkt", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .join(broadcast(offs), Seq("source", "bkt"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("off") + col("cum_in_bkt")).as("cum_before"))
+      .withColumn("kept", col("cum_before") < SourceTokenBudget)
+  }
+
   // --- queries --------------------------------------------------------
 
   def qSplit(s: SparkSession, dir: String): DataFrame =
@@ -160,7 +247,14 @@ object Sampling {
     "q_length_batches" -> qLengthBatches _,
     "q_pack_sequences" -> qPackSequences _,
     "q_sample_stratified" -> qSampleStratified _,
+    "q_source_interleave" -> qSourceInterleave _,
+    "q_token_budget_sample" -> qTokenBudgetSample _,
     "q_weighted_avg" -> qWeightedAvg _)
+
+  private val dataBucketsSql: String =
+    s"(SELECT greatest(${graft.operators.CorpusOps.ShuffleMinBuckets}, " +
+      s"(count(*) + ${graft.operators.CorpusOps.ShuffleTargetRows - 1}) " +
+      s"// ${graft.operators.CorpusOps.ShuffleTargetRows}) AS buckets FROM documents)"
 
   private val bucketSql =
     "('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100"
@@ -220,6 +314,34 @@ object Sampling {
       s"""SELECT lang AS stratum, count(*) AS n_total,
         |  sum(CASE WHEN $bucketSql < 20 THEN 1 ELSE 0 END)::BIGINT AS n_sampled
         |FROM documents GROUP BY lang""".stripMargin,
+    "q_source_interleave" ->
+      s"""WITH b AS $dataBucketsSql,
+        |k AS (SELECT doc_id, source, buckets,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS k
+        |  FROM documents CROSS JOIN b),
+        |r AS (SELECT doc_id, source,
+        |    (row_number() OVER (PARTITION BY source
+        |      ORDER BY k % buckets, k, doc_id) - 1)::BIGINT AS r
+        |  FROM k)
+        |SELECT doc_id, source, r AS src_rank,
+        |  (row_number() OVER (ORDER BY r, source) - 1)::BIGINT AS position
+        |FROM r""".stripMargin,
+    "q_token_budget_sample" ->
+      s"""WITH b AS $dataBucketsSql,
+        |k AS (SELECT doc_id, source,
+        |    len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tok,
+        |    buckets,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS k
+        |  FROM documents CROSS JOIN b),
+        |o AS (SELECT doc_id, source, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY k % buckets, k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cum_before
+        |  FROM k)
+        |SELECT doc_id, source, n_tok, cum_before,
+        |  cum_before < $SourceTokenBudget AS kept
+        |FROM o""".stripMargin,
     "q_weighted_avg" ->
       """SELECT l_returnflag,
         |  sum((l_extendedprice * l_quantity)::DECIMAL(18,6))::DOUBLE

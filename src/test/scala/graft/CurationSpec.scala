@@ -746,4 +746,54 @@ class CurationSpec extends AnyFunSuite {
       assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("source interleave: global permutation, strict round-robin until a source exhausts") {
+    val rows = graft.operators.Sampling.qSourceInterleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length
+    assert(rows.map(_._4).sorted.toSeq == (0L until n).toSeq,
+      "positions must be a complete global permutation")
+    val cnts = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sources = cnts.keys.toSeq.sorted
+    val minCnt = cnts.values.min
+    val byPos = rows.sortBy(_._4)
+    // while every source still has docs, position p's source is the
+    // (p mod S)-th source in sorted order — exact round-robin
+    byPos.take((sources.length * minCnt).toInt).zipWithIndex.foreach {
+      case ((_, src, _, _), p) =>
+        assert(src == sources(p % sources.length),
+          s"position $p expected ${sources(p % sources.length)}, got $src")
+    }
+    // per-source ranks are dense and in position order
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq)
+      assert(g.sortBy(_._4).map(_._3).toSeq == g.map(_._3).sorted.toSeq,
+        "source ranks must be position-monotone")
+    }
+  }
+
+  test("token-budget sample: kept set is the budget prefix per source") {
+    import graft.operators.Sampling
+    val rows = Sampling.qTokenBudgetSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.exists(_._5) && rows.exists(!_._5),
+      "budget must bite: some kept, some dropped")
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val inOrder = g.sortBy(_._4)
+      // cum_before is the exact running sum in the sample order
+      var run = 0L
+      inOrder.foreach { case (_, _, nt, cum, kept) =>
+        assert(cum == run, s"$src: cum_before $cum != running $run")
+        assert(kept == (cum < Sampling.SourceTokenBudget))
+        run += nt
+      }
+      // the kept token total stops within one doc of the budget
+      val keptTok = g.filter(_._5).map(_._3).sum
+      val maxDoc = g.map(_._3).max
+      assert(keptTok >= math.min(Sampling.SourceTokenBudget, run))
+      assert(keptTok < Sampling.SourceTokenBudget + maxDoc,
+        s"$src kept $keptTok overshoots budget by a full doc")
+    }
+  }
 }
