@@ -1289,6 +1289,104 @@ object DocStreams {
     CorpusOps.covFromTriangle(wh.readTable(ref, covTable).sparkSession, tri)
   }
 
+  /** STREAMING shard manifest — the incremental twin of
+    * [[graft.operators.CorpusOps.qShardManifest]]: per-batch partial
+    * manifests (shard, n_docs, n_tokens, content_xor) persisted
+    * under content-derived batch keys + the id-sidecar replay
+    * screen. All three aggregates fold EXACTLY (counts and token
+    * sums add; the XOR fingerprint is associative, commutative and
+    * self-merging), so the served manifest is cell-for-cell the
+    * batch operator's — never an approximation. State =
+    * O(batches × NShards) rows, folded back to NShards by
+    * [[compactManifest]].
+    */
+  def runShardManifestStream(spark: SparkSession, stagedDir: String,
+                             wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                             manifestTable: String): Unit = {
+    import graft.operators.CorpusOps
+    import graft.functions.GraftFunctions.{tokenHash, tokens}
+    val idsTable = s"${manifestTable}_ids"
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nBuckets = indexBuckets(spark)
+        val pushMax = lookupPushdownMax(spark)
+        val batchIds = batch.toDF().select(col("doc_id")).distinct()
+          .withColumn("id_bucket", bucketOf(col("doc_id"), nBuckets))
+          .transform(cut)
+        val touchedIdB = batchIds.select("id_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val batchDocIds = batchIds.select("doc_id").limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
+        val seen =
+          if (wh.tableExists(ref, idsTable))
+            indexLookup(wh, ref, idsTable, "id_bucket", touchedIdB,
+              "doc_id", batchDocIds, HashIndexReadOptions)._1.select(col("doc_id"))
+          else
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("doc_id", LongType))))
+        val fresh = batch.toDF().select(col("doc_id"), col("text"))
+          .join(seen, Seq("doc_id"), "left_anti")
+          .transform(cut)
+        if (fresh.isEmpty) ()
+        else {
+          val keyRow = fresh.agg(min(col("doc_id")), max(col("doc_id")),
+            count(lit(1))).head
+          val batchKey = s"${keyRow.getLong(0)}-${keyRow.getLong(1)}-${keyRow.getLong(2)}"
+          val partial = fresh
+            .select(tokenHash(col("text")).as("h"),
+              size(tokens(col("text"))).cast("long").as("nt"))
+            .withColumn("shard", col("h") % CorpusOps.NShards)
+            .groupBy(col("shard"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+              expr("bit_xor(h)").as("content_xor"))
+            .select(concat(lit(batchKey), lit("#"), col("shard")).as("m_key"),
+              lit(batchKey).as("batch_key"), col("shard"),
+              col("n_docs"), col("n_tokens"), col("content_xor"))
+          upsertPartitioned(wh, ref, manifestTable, partial, "m_key")
+          val freshIds = batchIds
+            .join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .repartition(col("id_bucket"))
+            .sortWithinPartitions(col("id_bucket"), col("doc_id"))
+          wh.appendTablePartitioned(freshIds, ref, idsTable, Seq("id_bucket"),
+            bloomWriteOptions("doc_id",
+              batchIds.count() / math.max(1, touchedIdB.size)))
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The manifest served from streamed partial rows — exact fold
+    * (sum/sum/xor), identical columns to the batch operator.
+    */
+  def shardManifestFromState(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                             manifestTable: String): DataFrame =
+    wh.readTable(ref, manifestTable)
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(content_xor)").as("content_xor"))
+
+  /** Fold the per-batch manifest partials to one row per shard (the
+    * compactSketches discipline; the fold is exact, so serving is
+    * unchanged).
+    */
+  def compactManifest(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                      manifestTable: String): Unit = {
+    val spark = wh.readTable(ref, manifestTable).sparkSession
+    val folded = shardManifestFromState(wh, ref, manifestTable)
+      .select(concat(lit("compact#"), col("shard")).as("m_key"),
+        lit("compact").as("batch_key"), col("shard"),
+        col("n_docs"), col("n_tokens"), col("content_xor"))
+      .withColumn("pbucket",
+        pmod(xxhash64(col("m_key")), lit(indexBuckets(spark).toLong)).cast("int"))
+      .transform(cut)
+    wh.writeTablePartitioned(folded, ref, manifestTable, Seq("pbucket"))
+  }
+
   /** Sketch-table compaction (the LSM discipline, sketch edition):
     * fold every per-batch sketch into ONE summary of at most k
     * terms via the mergeable-summaries compression — subtract the

@@ -738,6 +738,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(compacted.nonEmpty)
   }
 
+  test("streaming shard manifest equals batch exactly, replays idempotently, compacts") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-shm")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-shm-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        staged.resolve(s"$name.parquet"))
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "a_even")
+    stage(docs.filter(col("doc_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-shm").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.shm")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runShardManifestStream(spark, staged.toString, wh, ref, "manifest")
+    val batch = graft.operators.CorpusOps.qShardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def served(): Set[(Long, Long, Long, Long)] =
+      DocStreams.shardManifestFromState(wh, ref, "manifest").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(served() == batch,
+      "streamed manifest must fold to the batch manifest exactly (xor included)")
+    // replay: everything screens at the id sidecar — state unchanged
+    val before = wh.readTable(ref, "manifest").count()
+    stage(docs, "c_replay")
+    DocStreams.runShardManifestStream(spark, staged.toString, wh, ref, "manifest")
+    assert(wh.readTable(ref, "manifest").count() == before, "replay grew the state")
+    assert(served() == batch)
+    // compaction folds to one row per shard, serving unchanged
+    DocStreams.compactManifest(wh, ref, "manifest")
+    assert(wh.readTable(ref, "manifest").count() <=
+      graft.operators.CorpusOps.NShards)
+    assert(served() == batch)
+  }
+
   test("streaming covariance equals the batch matrix cell-for-cell, replays idempotently") {
     import org.apache.spark.sql.functions._
     import graft.extract.Warehouse
