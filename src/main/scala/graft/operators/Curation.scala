@@ -730,6 +730,41 @@ object Curation {
       .groupBy(col("stage"), col("verdict"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_pii")).as("pii_total"))
 
+  /** RELEASE MANIFEST — the end-to-end provenance ledger a shipped
+    * corpus needs, composed entirely from oracle-proven stages: the
+    * full curation verdict (exact dup → near-dup → rules → LM →
+    * decontamination), then for the KEPT docs the train/val/test
+    * split (Sampling.split's hash buckets), the release shard
+    * (q_shard_manifest's content-hash routing), and the epoch-0
+    * training position over exactly the kept set (the epoch-shuffle
+    * distributed rank, buckets sized from the KEPT count). One row
+    * per arriving doc; dropped docs carry the verdict and NULL
+    * release columns. The composition adds only doc_id equi-joins on
+    * top of the member operators — nothing new shuffles wide.
+    */
+  def qReleaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val doubled = docs.unionByName(docs.select(
+      (col("doc_id") + Dedup.Shift).as("doc_id"), col("source"), col("text")))
+    val run = curationRunFull(doubled,
+        docs.filter(col("doc_id") % 100 === 0).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("verdict"), col("keep"))
+    val kept = run.filter(col("keep")).select(col("doc_id"))
+    val pos = graft.operators.CorpusOps.epochShuffle(kept, None)
+      .filter(col("epoch") === 0)
+      .select(col("doc_id"), col("position"))
+    val splitB = Sampling.hashBucket(col("doc_id"))
+    doubled.join(run, "doc_id")
+      .join(pos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("verdict"), col("keep"),
+        when(col("keep"),
+          when(splitB < 80, "train").when(splitB < 90, "val").otherwise("test"))
+          .as("split"),
+        when(col("keep"), tokenHash(col("text")) % CorpusOps.NShards).as("shard"),
+        col("position"))
+  }
+
   // --- driver contract -----------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -748,7 +783,8 @@ object Curation {
     "q_domain_cap" -> qDomainCap _,
     "q_curation_run" -> qCurationRun _,
     "q_curation_run_full" -> qCurationRunFull _,
-    "q_curation_report" -> qCurationReport _)
+    "q_curation_report" -> qCurationReport _,
+    "q_release_manifest" -> qReleaseManifest _)
 
   /** Shared NB-classifier CTE chain (fixture + counts + totals +
     * per-doc scores) — q_quality_classifier and q_classifier_sample
@@ -1100,7 +1136,34 @@ object Curation {
         |FROM v""".stripMargin),
     "q_curation_report" -> curationFullSql(
       """SELECT stage, verdict, count(*) AS n_docs, sum(n_pii)::BIGINT AS pii_total
-        |FROM v GROUP BY stage, verdict""".stripMargin))
+        |FROM v GROUP BY stage, verdict""".stripMargin),
+    "q_release_manifest" -> curationFullSql(
+      s""", kept AS (SELECT doc_id FROM v WHERE verdict = 'kept'),
+        |kb AS (SELECT greatest(${CorpusOps.ShuffleMinBuckets},
+        |    (count(*) + ${CorpusOps.ShuffleTargetRows - 1})
+        |      // ${CorpusOps.ShuffleTargetRows}) AS buckets FROM kept),
+        |kk AS (SELECT doc_id, buckets,
+        |    ('0x' || substr(md5('0:' || doc_id::VARCHAR), 1, 12))::BIGINT AS k
+        |  FROM kept CROSS JOIN kb),
+        |pos AS (SELECT doc_id,
+        |    (row_number() OVER (ORDER BY k % buckets, k, doc_id) - 1)::BIGINT
+        |      AS position
+        |  FROM kk),
+        |sb AS (SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS bucket
+        |  FROM base),
+        |sh AS (SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 12))::BIGINT % ${CorpusOps.NShards}
+        |      AS shard
+        |  FROM base)
+        |SELECT v.doc_id, v.verdict, v.verdict = 'kept' AS keep,
+        |  CASE WHEN v.verdict = 'kept' THEN
+        |    CASE WHEN sb.bucket < 80 THEN 'train'
+        |         WHEN sb.bucket < 90 THEN 'val' ELSE 'test' END END AS split,
+        |  CASE WHEN v.verdict = 'kept' THEN sh.shard END AS shard,
+        |  p.position
+        |FROM v JOIN sb USING (doc_id) JOIN sh USING (doc_id)
+        |LEFT JOIN pos p ON p.doc_id = v.doc_id""".stripMargin))
 
   /** The full-pipeline oracle chain shared by q_curation_run_full and
     * q_curation_report: the minhash components chain over the exact

@@ -747,6 +747,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("release manifest: verdicts agree with the full run, kept rows fully released") {
+    import graft.operators.Curation
+    val rows = Curation.qReleaseManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        Option(r.getString(3)), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    val verdicts = Curation.qCurationRunFull(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == verdicts.size, "one ledger row per arriving doc")
+    rows.foreach { case (doc, verdict, keep, split, shard, pos) =>
+      assert(verdict == verdicts(doc), s"doc $doc verdict drift")
+      assert(keep == (verdict == "kept"))
+      if (keep) {
+        assert(split.exists(Set("train", "val", "test")), s"doc $doc split $split")
+        assert(shard.exists(sh => sh >= 0 && sh < graft.operators.CorpusOps.NShards))
+        assert(pos.isDefined, s"kept doc $doc missing a training position")
+      } else {
+        assert(split.isEmpty && shard.isEmpty && pos.isEmpty,
+          s"dropped doc $doc carries release columns")
+      }
+    }
+    // training positions are a dense permutation over exactly the kept set
+    val positions = rows.flatMap(_._6).sorted
+    assert(positions.toSeq == (0L until positions.length).toSeq)
+    assert(positions.length == rows.count(_._3))
+  }
+
   test("source interleave: global permutation, strict round-robin until a source exhausts") {
     val rows = graft.operators.Sampling.qSourceInterleave(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
