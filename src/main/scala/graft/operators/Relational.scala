@@ -272,6 +272,52 @@ object Relational {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"), msum(col("o_totalprice")).as("sum_price"))
 
+  /** GROUPING SETS — the general form cube/rollup specialize: the
+    * caller names exactly the aggregation levels wanted (here each
+    * single dimension plus the grand total — the "marginals" layout
+    * a report needs without cube's full cross). Catalyst expands to
+    * one Expand + one partial-agg shuffle, same as cube.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), msum(col("o_totalprice")).as("sum_price"))
+
+  /** Linear multi-touch attribution — the events-analytics op beyond
+    * last-touch (that is [[qAsofJoin]]): every click within the
+    * lookback window before a purchase shares the credit equally;
+    * per click, the total attributed share in integer ppm
+    * (1e6 div n_touches per purchase — order-independent exact sums)
+    * and the purchases touched. The pair join is user-keyed (the
+    * natural co-location key; never a cross), the share split is one
+    * count window per purchase, and the final fold is a partial agg
+    * on click id.
+    */
+  val AttributionWindowUs: Long = 3600L * 1000000L
+
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_ts"))
+    val pairs = purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - AttributionWindowUs
+        && col("c_ts") <= col("p_ts"))
+    val wn = Window.partitionBy(col("purchase_id"))
+    pairs.withColumn("n_touches", count(lit(1)).over(wn))
+      .groupBy(col("click_id"), col("c_user"))
+      .agg(countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(expr("1000000 div n_touches")).as("share_ppm_total"))
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("n_purchases"), col("share_ppm_total"))
+  }
+
   /** Deterministic argmin per group: each customer's cheapest order
     * (window row_number with a full tiebreak — min_by/arg_min tie
     * behavior is engine-defined, a rank is not).
@@ -394,6 +440,8 @@ object Relational {
     "q_argmin" -> qArgmin _,
     "q_histogram" -> qHistogram _,
     "q_pivot" -> qPivot _,
+    "q_grouping_sets" -> qGroupingSets _,
+    "q_attribution" -> qAttribution _,
     "q_asof_join" -> qAsofJoin _,
     "q1_agg" -> q1Agg _,
     "q_filter_pushdown" -> qFilterPushdown _,
@@ -531,6 +579,24 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |  sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q_attribution" ->
+      s"""WITH p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+        |    epoch_us(ts) AS p_ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, event_id AS click_id,
+        |    epoch_us(ts) AS c_ts FROM events WHERE event_type = 'click'),
+        |pr AS (SELECT * FROM p JOIN c ON p_user = c_user
+        |  AND c_ts >= p_ts - $AttributionWindowUs AND c_ts <= p_ts),
+        |wn AS (SELECT *, count(*) OVER (PARTITION BY purchase_id)
+        |    AS n_touches FROM pr)
+        |SELECT click_id, c_user AS user_id,
+        |  count(DISTINCT purchase_id)::BIGINT AS n_purchases,
+        |  sum(1000000 // n_touches)::BIGINT AS share_ppm_total
+        |FROM wn GROUP BY 1, 2""".stripMargin,
     "q_argmin" ->
       """SELECT o_custkey, o_orderkey AS cheapest_order,
         |  o_totalprice AS min_price

@@ -130,6 +130,43 @@ class GraphSpec extends AnyFunSuite {
         s"batch-only=${(batchCohorts.toSet -- streamedCohorts.toSet).take(3)}")
   }
 
+  test("linear attribution: per-purchase shares sum to ~1e6, clicks stay windowed") {
+    import graft.sources.Tables
+    val rows = Relational.qAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // recompute the pair table to check the share algebra: per
+    // purchase, its touches' shares are each 1e6 div n — the total
+    // attributed mass per purchase is 1e6 minus the floor loss (< n)
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val purch = ev.filter(_._3 == "purchase")
+    val touches = purch.map { case (pid, pu, _, pts) =>
+      pid -> clicks.count { case (_, cu, _, cts) =>
+        cu == pu && cts >= pts - Relational.AttributionWindowUs && cts <= pts }
+    }.filter(_._2 > 0).toMap
+    val totalShare = rows.map(_._4).sum
+    val expected = touches.values.map(n => (1000000L / n) * n).sum
+    assert(totalShare == expected,
+      s"attributed mass $totalShare != per-purchase floor sums $expected")
+    touches.values.foreach(n =>
+      assert(1000000L - (1000000L / n) * n < n, "floor loss exceeds n"))
+  }
+
+  test("grouping sets emits exactly the two marginals plus the grand total") {
+    val rows = Relational.qGroupingSets(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)))
+    val byShape = rows.groupBy { case (a, b, _) => (a.isDefined, b.isDefined) }
+    assert(!byShape.contains((true, true)), "cube-style cross cells must be absent")
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(byShape((false, false)).map(_._3).sum == total)
+    assert(byShape((true, false)).map(_._3).sum == total)
+    assert(byShape((false, true)).map(_._3).sum == total)
+  }
+
   test("cohort offsets are non-negative and offset-0 rows partition the users") {
     val rows = Relational.qCohort(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
