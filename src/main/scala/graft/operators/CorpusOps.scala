@@ -319,10 +319,12 @@ object CorpusOps {
     * boilerplate line repeated a billion times costs its count, not
     * a single-task sort.
     */
-  def qC4Lines(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val lines = Tables.documents(s, dir)
-      .select(col("doc_id"), toks.as("toks"))
+  /** The fixed-window line table shared by qC4Lines and
+    * qBoilerplate: (doc_id, line_no, line). Narrow explode + slice.
+    */
+  def docLines(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(sequence(lit(0),
           greatest(lit(0), expr(s"(size(toks) + ${LineWords - 1}) div $LineWords - 1"))))
@@ -332,6 +334,9 @@ object CorpusOps {
         concat_ws(" ",
           slice(col("toks"), col("line_no") * LineWords + 1, lit(LineWords)))
           .as("line"))
+
+  def qC4Lines(s: SparkSession, dir: String): DataFrame = {
+    val lines = docLines(Tables.documents(s, dir))
       .withColumn("n_words", size(split(col("line"), " ")))
       .withColumn("banned",
         exists(split(col("line"), " "), t => t.isin(BannedWords: _*)))
@@ -350,6 +355,32 @@ object CorpusOps {
           .when(col("doc_id") =!= col("f_doc")
             || col("line_no") =!= col("f_line"), "dup")
           .otherwise("kept").as("verdict"))
+  }
+
+  /** Line document-frequency threshold: a line seen in MORE THAN
+    * this many distinct docs is boilerplate (nav chrome, footers).
+    */
+  val BoilerDf = 3
+
+  /** Boilerplate detection by line document frequency — the
+    * content-extraction complement of [[qC4Lines]]' first-occurrence
+    * dedup: per doc, how many of its lines are corpus-wide
+    * boilerplate (df > BoilerDf) and the boilerplate ppm share. One
+    * line-hash distinct-doc agg (partial-agg friendly: the
+    * countDistinct key is (h, doc) — never a hot-line occurrence
+    * list) + a hash equi-join back + one per-doc fold.
+    */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val lines = docLines(Tables.documents(s, dir))
+      .withColumn("h", tokenHash(col("line")))
+    val dfreq = lines.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("docs_with"))
+    lines.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("docs_with") > BoilerDf, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+        expr("n_boiler * 1000000 div n_lines").as("boiler_ppm"))
   }
 
   // --- fixed-stride chunk windows ----------------------------------------
@@ -714,6 +745,7 @@ object CorpusOps {
     "q_epoch_shuffle" -> qEpochShuffle _,
     "q_sft_render" -> qSftRender _,
     "q_c4_lines" -> qC4Lines _,
+    "q_boilerplate" -> qBoilerplate _,
     "q_chunk_windows" -> qChunkWindows _,
     "q_shard_manifest" -> qShardManifest _,
     "q_embed_cov" -> qEmbedCov _)
@@ -882,6 +914,26 @@ object CorpusOps {
         |       ELSE 'kept' END AS verdict
         |FROM r LEFT JOIN f ON r.h = f.h""".stripMargin
     },
+    "q_boilerplate" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |l0 AS (SELECT doc_id, t,
+        |    unnest(range(0, greatest(1, (len(t) + ${LineWords - 1}) // $LineWords)))
+        |      AS line_no
+        |  FROM tt),
+        |l AS (SELECT doc_id,
+        |    ('0x' || substr(md5(array_to_string(
+        |      t[line_no * $LineWords + 1 :
+        |        least(line_no * $LineWords + $LineWords, len(t))], ' ')),
+        |      1, 12))::BIGINT AS h
+        |  FROM l0),
+        |dfreq AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS docs_with
+        |  FROM l GROUP BY h)
+        |SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN docs_with > $BoilerDf THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_boiler,
+        |  ((sum(CASE WHEN docs_with > $BoilerDf THEN 1 ELSE 0 END)::BIGINT
+        |    * 1000000) // count(*))::BIGINT AS boiler_ppm
+        |FROM l JOIN dfreq USING (h) GROUP BY doc_id""".stripMargin,
     "q_chunk_windows" ->
       s"""WITH tt AS (SELECT doc_id, $toksSql AS t FROM documents),
         |c0 AS (SELECT doc_id, t,

@@ -239,6 +239,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate: flagged lines really cross the df threshold, ratios consistent") {
+    val rows = CorpusOps.qBoilerplate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.exists(_._3 > 0), "fixture must contain boilerplate lines")
+    rows.foreach { case (_, nl, nb, ppm) =>
+      assert(nb <= nl)
+      assert(ppm == nb * 1000000L / nl)
+    }
+    // recompute the line df by hand and cross-check the totals
+    val lines = CorpusOps.docLines(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val dfreq = lines.distinct.groupBy(_._2).view.mapValues(_.length).toMap
+    val wantBoiler = lines.count { case (_, l) => dfreq(l) > CorpusOps.BoilerDf }
+    assert(rows.map(_._3).sum == wantBoiler,
+      s"operator counted ${rows.map(_._3).sum} boiler lines, brute force $wantBoiler")
+    assert(rows.map(_._2).sum == lines.length)
+  }
+
   test("shard manifest: shards partition the corpus, xor fingerprint reconciles") {
     val rows = CorpusOps.qShardManifest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
