@@ -100,6 +100,17 @@ object QualityAudit {
     // other dial (deterministic; any change is a code change)
     val ivfScaled = s"""{"recall":${recallOf(Similarity.ivfTopKForScaled(emb,
       Similarity.defaultQueries(emb), excludeSelf = true))},"candidates":${Similarity.TopK * nQueries}}"""
+    // r9: the scaled-IVF recall DIAL (r8 verdict #2) — the full
+    // cheapest-first ladder autoConfigIvfScaled walks, measured in
+    // one sweep (shared ground truth), plus the config the dial
+    // would pick at floor 0.8. pd1 probes every list, so the ladder
+    // has a guaranteed 1.0 ceiling — the dial can always deliver.
+    val ladderPts = Similarity.ivfScaledSweep(emb, Similarity.DefaultIvfScaledLadder)
+    val ivfScaledLadder = ladderPts
+      .map(p => s""""${p.config.key}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
+      .mkString("{", ",", "}")
+    val autoIvf = ladderPts.find(_.recall >= 0.8)
+      .map(p => s""""${p.config.key}"""").getOrElse("null")
     val exactAlign = Similarity.qBitextAlign(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val scaledAlign = Similarity.alignViaAnnScaled(emb).collect()
@@ -107,7 +118,7 @@ object QualityAudit {
     val alignAgree = scaledAlign.count { case (q, m) =>
       exactAlign.get(q).contains(m) }.toDouble / math.max(1, exactAlign.size)
     val alignScaled = s"""{"recall":$alignAgree,"candidates":${scaledAlign.size}}"""
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"align_scaled":$alignScaled,"autoconfig_lsh_0.8":$auto,"sf":"$sfDir"}"""
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

@@ -30,7 +30,11 @@ object ScaleRehearsal {
     "q_ann_brute", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_converged",
     "q_ann_pq", "q_ann_ivfpq",
     "q_epoch_shuffle", "q_heavy_hitters", "q_embed_cov",
-    "q_bitext_align", "q_pagerank", "q_winnow")
+    "q_bitext_align", "q_pagerank", "q_winnow",
+    // r8 verdict #3: the centroid consumers and batch families the
+    // first rehearsal never measured
+    "q_cluster_sample", "q_bm25_search", "q_source_interleave",
+    "q_token_budget_sample", "q_int8_quant", "q_contrastive_pairs")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(
@@ -44,6 +48,39 @@ object ScaleRehearsal {
       val emb = graft.sources.Tables.embeddings(s, dir)
       graft.operators.Similarity.ivfTopKForScaled(emb,
         graft.operators.Similarity.defaultQueries(emb), excludeSelf = true)
+    }),
+    // r9 (r8 verdict #1): scaledSeedStride threaded through every
+    // centroid consumer — each scaled twin next to its measured
+    // disease so SCALE_r9.json records the before/after directly
+    "ivf_trained_scaled" -> ((s: SparkSession, dir: String) => {
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      graft.operators.Similarity.ivfTopKForScaled(emb,
+        graft.operators.Similarity.defaultQueries(emb), excludeSelf = true,
+        quantizer = graft.operators.Similarity.Trained)
+    }),
+    "ivf_converged_scaled" -> ((s: SparkSession, dir: String) => {
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      graft.operators.Similarity.ivfTopKForScaled(emb,
+        graft.operators.Similarity.defaultQueries(emb), excludeSelf = true,
+        quantizer = graft.operators.Similarity.Converged)
+    }),
+    "semdedup_scaled" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Similarity.semDedupScaled(
+        graft.operators.Similarity.corpus(
+          graft.sources.Tables.embeddings(s, dir)))),
+    "cluster_sample_scaled" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Similarity.clusterBalancedSampleScaled(
+        graft.sources.Tables.embeddings(s, dir))),
+    "ivfpq_scaled" -> ((s: SparkSession, dir: String) => {
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      graft.operators.Similarity.ivfPqTopKForScaled(emb,
+        graft.operators.Similarity.defaultQueries(emb), excludeSelf = true)
+    }),
+    "pq_train" -> ((s: SparkSession, dir: String) => {
+      val norm = graft.operators.Similarity.normalizedQ(
+        graft.sources.Tables.embeddings(s, dir))
+      graft.operators.Similarity.pqTrainCodebook(norm,
+        graft.operators.Similarity.pqCodebook(norm))
     }))
 
   def main(args: Array[String]): Unit = {

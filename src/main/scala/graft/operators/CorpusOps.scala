@@ -129,8 +129,12 @@ object CorpusOps {
       .groupBy("term").agg(sum("est").as("est"))
       .persist()
     val (nTotal, candidates) = try {
+      // headOption, not head(): zero input partitions emit no
+      // sentinel row at all, and an empty corpus must yield an empty
+      // frame, not a NoSuchElementException (the downstream joins
+      // are naturally empty once candidates is empty)
       val n = sketches.where(col("term") === "")
-        .select(col("est")).as[Long].head()
+        .select(col("est")).as[Long].collect().headOption.getOrElse(0L)
       val cands = sketches
         .where(col("term") =!= "" && col("est") >= candidateBound(n))
         .select(col("term")).as[String].collect().toSeq
@@ -905,12 +909,14 @@ object CorpusOps {
         |  FROM l),
         |r AS (SELECT *, n_words >= $LineMinWords AND NOT banned AS rule_ok,
         |    ('0x' || substr(md5(line), 1, 12))::BIGINT AS h FROM v),
-        |f AS (SELECT h, min(doc_id * 1000000 + line_no) AS fkey
-        |  FROM r WHERE rule_ok GROUP BY h)
+        |f AS (SELECT h, doc_id AS f_doc, line_no AS f_line FROM
+        |    (SELECT h, doc_id, line_no, row_number()
+        |        OVER (PARTITION BY h ORDER BY doc_id, line_no) AS rn
+        |      FROM r WHERE rule_ok) WHERE rn = 1)
         |SELECT r.doc_id, r.line_no::BIGINT AS line_no, r.n_words,
         |  CASE WHEN r.n_words < $LineMinWords THEN 'short'
         |       WHEN r.banned THEN 'banned'
-        |       WHEN r.doc_id * 1000000 + r.line_no != f.fkey THEN 'dup'
+        |       WHEN r.doc_id != f.f_doc OR r.line_no != f.f_line THEN 'dup'
         |       ELSE 'kept' END AS verdict
         |FROM r LEFT JOIN f ON r.h = f.h""".stripMargin
     },

@@ -157,6 +157,13 @@ object Sampling {
     * pos(r, s) = Σ_{s'} min(cnt_{s'}, r) + |{s' < s : cnt_{s'} > r}|,
     * i.e. the rank of (r, s) in (rank, source) order. The position
     * pass is a sources-sized broadcast cross + partial agg.
+    *
+    * CARDINALITY CONTRACT (r8 verdict #5): "source" must be a
+    * corpus-level source tag (tens-to-hundreds of values — the
+    * broadcast cross expands rows × sources before the partial agg).
+    * A per-domain or per-URL-host key (millions of values) would
+    * blow that cross up quadratically; bucket such keys into a
+    * bounded source taxonomy first.
     */
   def qSourceInterleave(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))

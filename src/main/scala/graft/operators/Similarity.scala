@@ -596,12 +596,21 @@ object Similarity {
   case object Trained extends IvfQuantizer
   case object Converged extends IvfQuantizer
 
-  /** Centroid set for a quantizer choice over a quantized corpus. */
-  def centroidsFor(all: DataFrame, quantizer: IvfQuantizer): DataFrame =
+  /** Centroid set for a quantizer choice over a quantized corpus.
+    * `stride` is the seeding stride every quantizer starts from —
+    * [[SeedMod]] for the fixture-pinned oracle rungs,
+    * [[scaledSeedStride]](n) for the production `*Scaled` paths
+    * (Lloyd training only MOVES centroids, it never changes their
+    * count, so the C ∝ n disease of a fixed stride infects trained
+    * and converged quantizers identically — r8 rehearsal measured
+    * q_ann_ivf_converged at 19.2× for 10× rows before this thread).
+    */
+  def centroidsFor(all: DataFrame, quantizer: IvfQuantizer,
+                   stride: Long = SeedMod): DataFrame =
     quantizer match {
-      case Seeded => seedCentroids(all)
-      case Trained => trainCentroids(all)
-      case Converged => trainCentroidsConverged(all)
+      case Seeded => seedCentroidsWith(all, stride)
+      case Trained => trainCentroids(all, stride = stride)
+      case Converged => trainCentroidsConverged(all, stride = stride)
     }
 
   /** External-query IVF ANN — ONE entry point, quantizer selected by
@@ -621,10 +630,25 @@ object Similarity {
       broadcastQueries, excludeSelf)
   }
 
-  /** Seed coarse centroids: every SeedMod-th vector. */
-  def seedCentroids(all: DataFrame): DataFrame =
-    all.filter(col("vec_id") % SeedMod === 0)
+  /** Seed coarse centroids: every `stride`-th vector. The SINGLE
+    * seeding helper every quantizer consumer goes through (r8 verdict
+    * #1): fixture-pinned oracle rungs pass the fixed [[SeedMod]];
+    * production `*Scaled` entry points pass [[scaledSeedStride]](n)
+    * so the centroid count stays ≈ √n — assignment cost n·C = n^1.5
+    * instead of n²/SeedMod, and the broadcast centroid set stays
+    * O(√n) instead of growing linearly with the corpus.
+    */
+  def seedCentroidsWith(all: DataFrame, stride: Long): DataFrame =
+    all.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+
+  /** Seed coarse centroids: every SeedMod-th vector (the
+    * fixture-pinned sizing the oracle rungs gate; see
+    * [[seedCentroidsWith]] / [[scaledSeedStride]] for the
+    * corpus-sized production stride).
+    */
+  def seedCentroids(all: DataFrame): DataFrame =
+    seedCentroidsWith(all, SeedMod)
 
   /** Data-driven coarse-centroid SIZING — the r8 sf1-rehearsal
     * finding: a FIXED seeding stride grows the centroid count
@@ -661,16 +685,115 @@ object Similarity {
     */
   def ivfTopKForScaled(emb: DataFrame, queries: DataFrame, k: Int = TopK,
                        broadcastQueries: Boolean = true,
-                       excludeSelf: Boolean = false): DataFrame = {
+                       excludeSelf: Boolean = false,
+                       quantizer: IvfQuantizer = Seeded,
+                       probeDiv: Int = ProbeDiv): DataFrame = {
     val all = quantized(emb)
     val n = emb.count()
     val stride = scaledSeedStride(n)
     val c = (n + stride - 1) / stride
-    val cents = all.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
-    searchIvfFor(all, cents, quantized(queries), k, broadcastQueries,
-      excludeSelf, nprobe = math.max(NProbe, (c / ProbeDiv).toInt))
+    searchIvfFor(all, centroidsFor(all, quantizer, stride),
+      quantized(queries), k, broadcastQueries,
+      excludeSelf, nprobe = math.max(NProbe, (c / math.max(1, probeDiv)).toInt))
   }
+
+  /** [[semDedup]] under the corpus-sized centroid stride — the
+    * production sizing: C ≈ √n clusters keep expected occupancy ≈ √n
+    * (so the within-cluster pair join is n^1.5-bounded, not n²/25)
+    * AND the broadcast centroid set stays O(√n) rows instead of n/25.
+    */
+  def semDedupScaled(emb: DataFrame,
+                     threshold: Double = SemDedupThreshold): DataFrame = {
+    val all = quantized(emb)
+    semDedupWith(all, seedCentroidsWith(all, scaledSeedStride(emb.count())),
+      threshold)
+  }
+
+  /** [[clusterBalancedSample]] under the corpus-sized centroid
+    * stride — same production sizing as [[semDedupScaled]].
+    */
+  def clusterBalancedSampleScaled(emb: DataFrame,
+                                  perClusterCap: Int = ClusterSampleCap): DataFrame = {
+    val all = quantized(emb)
+    clusterBalancedSampleWith(all,
+      seedCentroidsWith(all, scaledSeedStride(emb.count())), perClusterCap)
+  }
+
+  /** One scaled-IVF search configuration: the probe share divisor
+    * (nprobe = max(NProbe, C/probeDiv) — smaller divisor ⇒ deeper
+    * probes ⇒ more candidates) and the coarse quantizer. `key` is
+    * the stable identifier the quality-gate files use.
+    */
+  final case class IvfScaledConfig(probeDiv: Int,
+                                   quantizer: IvfQuantizer = Seeded) {
+    def key: String = {
+      val q = quantizer match {
+        case Seeded => "s"; case Trained => "t"; case Converged => "c"
+      }
+      s"pd$probeDiv$q"
+    }
+  }
+
+  final case class IvfScaledSweepPoint(config: IvfScaledConfig,
+                                       nCandidates: Long, recall: Double)
+
+  /** Recall/candidate measurement of the SCALED IVF path per config —
+    * runs the production [[ivfCandidatesFor]] plan (√n-stride
+    * centroids, C-riding probe depth) against the brute-force ground
+    * truth. Deterministic (seeded centroids, integer cosines), so the
+    * cross-round gate is exact.
+    */
+  def ivfScaledSweep(emb: DataFrame, configs: Seq[IvfScaledConfig],
+                     k: Int = TopK): Seq[IvfScaledSweepPoint] = {
+    val exact = bruteTopK(emb, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val exactN = exact.count().toDouble
+    val all = quantized(emb)
+    val n = emb.count()
+    val stride = scaledSeedStride(n)
+    val c = (n + stride - 1) / stride
+    val qs = quantized(defaultQueries(emb))
+    configs.map { cfg =>
+      val cands = ivfCandidatesFor(all, centroidsFor(all, cfg.quantizer, stride),
+        qs, excludeSelf = true,
+        nprobe = math.max(NProbe, (c / math.max(1, cfg.probeDiv)).toInt))
+        .localCheckpoint()
+      val nc = cands.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      val approx = cands.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
+      IvfScaledSweepPoint(cfg, nc,
+        if (exactN == 0) 1.0 else hits / exactN)
+    }
+  }
+
+  /** Cheapest-first ladder for [[autoConfigIvfScaled]]: walk probe
+    * depth up (pd8 → pd1; pd1 probes every list — recall 1.0 by
+    * construction, so the ladder always has a ceiling rung), with a
+    * Trained-quantizer detour before the deepest rungs (training
+    * moves centroids toward the data, sometimes buying recall
+    * cheaper than more probes — measured per corpus, never assumed).
+    */
+  val DefaultIvfScaledLadder: Seq[IvfScaledConfig] = Seq(
+    IvfScaledConfig(8), IvfScaledConfig(4), IvfScaledConfig(4, Trained),
+    IvfScaledConfig(2), IvfScaledConfig(2, Trained), IvfScaledConfig(1))
+
+  /** Recall-targeted auto-configuration of the SCALED IVF path — the
+    * [[autoConfigLsh]] discipline on the IVF family (r8 verdict #2:
+    * linear cost bought with a 0.355-recall fixed guess is not a
+    * production path). Walks the ladder cheapest-first, measuring
+    * each rung LAZILY, and returns the first config whose recall@k
+    * meets the floor; None only if even pd1 misses (impossible for
+    * floor ≤ 1.0 — pd1 probes every posting list).
+    */
+  def autoConfigIvfScaled(emb: DataFrame, targetRecall: Double,
+                          ladder: Seq[IvfScaledConfig] = DefaultIvfScaledLadder,
+                          k: Int = TopK): Option[IvfScaledSweepPoint] =
+    ladder.iterator.map(c => ivfScaledSweep(emb, Seq(c), k).head)
+      .find(_.recall >= targetRecall)
 
   /** Data-driven LSH config (the same rehearsal finding, LSH
     * edition): FIXED planes make per-bucket population grow with n,
@@ -699,13 +822,15 @@ object Similarity {
     searchIvfFor(all, cents, all.filter(col("vec_id") % QueryMod === 0), k,
       excludeSelf = true)
 
-  /** IVF search against an arbitrary centroid set and an arbitrary
-    * QUANTIZED query set (vec_id, label, q, nq).
+  /** The scored-and-deduped IVF candidate frame — (query_id, vec_id,
+    * cos) — shared by [[searchIvfFor]] and [[ivfScaledSweep]] so the
+    * recall dial measures the PRODUCTION plan, not a re-derivation.
     */
-  private def searchIvfFor(all: DataFrame, cents: DataFrame, qsQuant: DataFrame,
-                           k: Int, broadcastQueries: Boolean = true,
-                           excludeSelf: Boolean = false,
-                           nprobe: Int = NProbe): DataFrame = {
+  private[graft] def ivfCandidatesFor(all: DataFrame, cents: DataFrame,
+                                      qsQuant: DataFrame,
+                                      broadcastQueries: Boolean = true,
+                                      excludeSelf: Boolean = false,
+                                      nprobe: Int = NProbe): DataFrame = {
     val scored = all.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
     // nearest centroid per vector: partial-aggregatable argmax with a
@@ -730,8 +855,6 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("cid"),
         col("q").as("q_q"), col("nq").as("nq_q"))
     val probes = if (broadcastQueries) broadcast(probesRaw) else probesRaw
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     // cos pre-dedup: the cross-list dedup and top-k window exchanges
     // carry (query_id, vec_id, cos) only — dup dot products bounded
     // by NProbe per pair (r4 verdict #8 shuffle-payload shape)
@@ -741,6 +864,18 @@ object Similarity {
       .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
       .select(col("query_id"), col("vec_id"), col("cos"))
       .dropDuplicates("query_id", "vec_id")
+  }
+
+  /** IVF search against an arbitrary centroid set and an arbitrary
+    * QUANTIZED query set (vec_id, label, q, nq).
+    */
+  private def searchIvfFor(all: DataFrame, cents: DataFrame, qsQuant: DataFrame,
+                           k: Int, broadcastQueries: Boolean = true,
+                           excludeSelf: Boolean = false,
+                           nprobe: Int = NProbe): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    ivfCandidatesFor(all, cents, qsQuant, broadcastQueries, excludeSelf, nprobe)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
@@ -778,8 +913,9 @@ object Similarity {
       .withColumn("cnq", normQ(col("cq")))
   }
 
-  def trainCentroids(all: DataFrame, iters: Int = TrainIters): DataFrame = {
-    var cents = seedCentroids(all)
+  def trainCentroids(all: DataFrame, iters: Int = TrainIters,
+                     stride: Long = SeedMod): DataFrame = {
+    var cents = seedCentroidsWith(all, stride)
     for (_ <- 1 to iters) cents = lloydIter(all, cents)
     cents
   }
@@ -800,19 +936,21 @@ object Similarity {
   val ConvergeEpsQ = 30000L
   def trainCentroidsConverged(all: DataFrame,
                               maxIters: Int = MaxTrainIters,
-                              epsQ: Long = ConvergeEpsQ): DataFrame =
-    trainCentroidsConvergedWithIters(all, maxIters, epsQ)._1
+                              epsQ: Long = ConvergeEpsQ,
+                              stride: Long = SeedMod): DataFrame =
+    trainCentroidsConvergedWithIters(all, maxIters, epsQ, stride)._1
 
   /** Same, also reporting how many iterations ran (spec hook: proves
     * the stopping rule fires before the bound at test scale).
     */
   def trainCentroidsConvergedWithIters(all: DataFrame,
                                        maxIters: Int = MaxTrainIters,
-                                       epsQ: Long = ConvergeEpsQ): (DataFrame, Int) = {
+                                       epsQ: Long = ConvergeEpsQ,
+                                       stride: Long = SeedMod): (DataFrame, Int) = {
     def pin(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    var cents = pin(seedCentroids(all))
+    var cents = pin(seedCentroidsWith(all, stride))
     var it = 0
     var done = false
     while (it < maxIters && !done) {
@@ -945,8 +1083,7 @@ object Similarity {
     */
   def kmeansStep(emb: DataFrame): DataFrame = {
     val all = quantized(emb)
-    val cents = all.filter(col("vec_id") % SeedMod === 0)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+    val cents = seedCentroids(all)
     // q rides inside the max_by value — no assignment re-join
     val assigned = all.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
@@ -1234,8 +1371,13 @@ object Similarity {
     * (codebook-reduced to one lut array per query) broadcasts, the
     * corpus side never shuffles anything wider than its codes — PQ
     * trades a ~recall loss for scanning 8x fewer bytes than brute
-    * force. For unbounded query sets or sublinear candidate counts,
-    * compose with IVF instead (posting lists of codes = IVF-PQ).
+    * force. NOT a production search path: the scan is still
+    * queries × corpus (the r8 sf1 rehearsal measured 13.4× for 10×
+    * rows with a query set ∝ n) — it exists as the compressed
+    * brute-force BASELINE the recall gates compare against, exactly
+    * as [[bruteTopKFor]] is the exact baseline. Production callers
+    * use [[ivfPqTopKFor]] / [[ivfPqTopKForScaled]], where posting
+    * lists make the candidate count sublinear before the ADC scan.
     * Returned adc_dist is the exact integer ADC squared-L2 —
     * ascending order ≙ descending approximate cosine.
     */
@@ -1358,9 +1500,11 @@ object Similarity {
     */
   def ivfPqTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
                    pool: Int = PqPool, excludeSelf: Boolean = false,
-                   refine: Boolean = true, pqTrainIters: Int = 0): DataFrame = {
+                   refine: Boolean = true, pqTrainIters: Int = 0,
+                   centroidStride: Long = SeedMod,
+                   nprobe: Int = NProbe): DataFrame = {
     val all = quantized(emb)
-    val cents = seedCentroids(all)
+    val cents = seedCentroidsWith(all, centroidStride)
     val norm = normalizedQ(emb)
     // one knob selects the seeded or Lloyd-trained codebook — the
     // same quantizer dial ivfTopKFor exposes for the coarse stage
@@ -1381,7 +1525,7 @@ object Similarity {
       .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val probes = qsQuant.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
-      .withColumn("crn", row_number().over(wq)).filter(col("crn") <= NProbe)
+      .withColumn("crn", row_number().over(wq)).filter(col("crn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cid"))
       .join(pqLuts(normalizedQ(queries), cb), "query_id")
     val w = org.apache.spark.sql.expressions.Window
@@ -1418,6 +1562,26 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, k: Int = TopK): DataFrame =
     ivfPqTopKFor(emb, defaultQueries(emb), k, excludeSelf = true)
 
+  /** [[ivfPqTopKFor]] under the corpus-sized coarse sizing — the
+    * production IVF-PQ form: stride = [[scaledSeedStride]](n) keeps
+    * C ≈ √n (posting lists ≈ √n codes each, centroid broadcast O(√n)
+    * rows) and the probe depth rides C exactly as in
+    * [[ivfTopKForScaled]], so ADC candidates per query stay
+    * ~ (C/probeDiv)·(n/C) = n/probeDiv — linear, with the 8×
+    * compressed payload.
+    */
+  def ivfPqTopKForScaled(emb: DataFrame, queries: DataFrame, k: Int = TopK,
+                         pool: Int = PqPool, excludeSelf: Boolean = false,
+                         refine: Boolean = true, pqTrainIters: Int = 0,
+                         probeDiv: Int = ProbeDiv): DataFrame = {
+    val n = emb.count()
+    val stride = scaledSeedStride(n)
+    val c = (n + stride - 1) / stride
+    ivfPqTopKFor(emb, queries, k, pool, excludeSelf, refine, pqTrainIters,
+      centroidStride = stride,
+      nprobe = math.max(NProbe, (c / math.max(1, probeDiv)).toInt))
+  }
+
   /** RESIDUAL IVF-PQ — the full Jégou IVFADC: PQ codes quantize the
     * residual (vector − its coarse centroid) instead of the raw
     * vector. The textbook rationale: residuals within a posting list
@@ -1444,11 +1608,13 @@ object Similarity {
     */
   def ivfPqResTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
                       pool: Int = PqPool, excludeSelf: Boolean = false,
-                      refine: Boolean = true, pqTrainIters: Int = 0): DataFrame = {
+                      refine: Boolean = true, pqTrainIters: Int = 0,
+                      centroidStride: Long = SeedMod,
+                      nprobe: Int = NProbe): DataFrame = {
     val all = quantized(emb)
-    val cents = seedCentroids(all)
+    val cents = seedCentroidsWith(all, centroidStride)
     val norm = normalizedQ(emb)
-    val centsN = norm.filter(col("vec_id") % SeedMod === 0)
+    val centsN = norm.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cid"), col("qn").as("cqn"))
     // coarse assignment: same argmax as ivfPqTopKFor, so posting
     // lists are identical between the raw and residual variants
@@ -1475,7 +1641,7 @@ object Similarity {
       .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val probes = qsQuant.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
-      .withColumn("crn", row_number().over(wq)).filter(col("crn") <= NProbe)
+      .withColumn("crn", row_number().over(wq)).filter(col("crn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cid"))
     val qResid = probes
       .join(normalizedQ(queries).select(col("vec_id").as("query_id"), col("qn")),

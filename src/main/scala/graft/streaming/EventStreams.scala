@@ -233,6 +233,16 @@ object EventStreams {
     * the batch operator's stepwise MIN. State is O(users) and three
     * longs wide; emits the user's furthest step each micro-batch
     * (update mode — take the per-user max downstream).
+    *
+    * CHEAP-STATE OPTION, not the default (r8 verdict #6): real
+    * streams deliver out of order across micro-batches, and an early
+    * event arriving after a later one was applied cannot
+    * retro-correct this state. The DEFAULT entry point is
+    * [[statefulFunnelBuffered]], which buffers inside the watermark
+    * and provably equals the batch operator under any disorder
+    * strictly below the watermark delay; use this variant only when
+    * the source genuinely guarantees per-user in-order delivery and
+    * the per-user buffer is worth trimming.
     */
   final case class FunnelState(t1: Long, t2: Long, t3: Long)
   final case class FunnelRow(user_id: Long, step_reached: Int)
@@ -284,6 +294,14 @@ object EventStreams {
     * offsets past 63 days are out of the mask's range and are not
     * emitted — the documented state bound (production widens the
     * mask or ages users out; the fixture spans 30 days).
+    *
+    * CHEAP-STATE OPTION, not the default (r8 verdict #6): under
+    * out-of-order delivery the first-arrival day is NOT the true
+    * cohort MIN. The DEFAULT entry point is
+    * [[statefulCohortsBuffered]], which buffers inside the watermark
+    * and computes the true earliest day under any disorder strictly
+    * below the watermark delay; use this variant only for
+    * genuinely in-order per-user sources.
     */
   final case class CohortState(cohortDay: Int, seenMask: Long)
   final case class CohortRow(user_id: Long, cohort_day: Int, day_offset: Int)
@@ -330,14 +348,22 @@ object EventStreams {
 
   // --- watermark-buffered twins (r7 verdict #6) -------------------------
   //
+  // THE DEFAULT STREAMING ENTRY POINTS (r8 verdict #6): real streams
+  // deliver out of order, and these are the variants whose output
+  // provably equals the batch operators under bounded disorder.
   // statefulFunnel/statefulCohorts assume IN-ORDER delivery across
-  // micro-batches: an early event arriving after a later one was
-  // applied cannot retro-correct the state. These variants ride the
-  // watermark-buffered discipline proven by DocStreams.
+  // micro-batches — an early event arriving after a later one was
+  // applied cannot retro-correct the state — and remain available as
+  // the cheap-state option for genuinely ordered sources. These
+  // variants ride the watermark-buffered discipline proven by
+  // DocStreams.
   // packStreamOrdered: events buffer inside the watermark window and
-  // APPLY in event-time order only once final (ts <= watermark, which
-  // no future arrival can precede), so bounded disorder <= the
-  // watermark delay provably equals the batch operator — spec-pinned
+  // APPLY in event-time order only once final (STRICTLY ts <
+  // watermark: Spark still ADMITS arrivals at exactly the watermark,
+  // so an event AT the boundary must hold too or a same-ts
+  // late-comer could apply after it, breaking the (ts, type) order),
+  // so bounded disorder STRICTLY LESS THAN the watermark delay
+  // provably equals the batch operator — spec-pinned
   // against q_funnel/q_cohort under jittered delivery. State is
   // O(users) plus only the in-flight disorder window per user; an
   // event-time timeout flushes quiet users when the watermark
@@ -364,7 +390,7 @@ object EventStreams {
           val prev = state.getOption.getOrElse(FunnelBufState(none, none, none, Nil))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val all = prev.pending ++ evs.map(e => (e._3, e._2))
-          val (ripe, hold) = all.partition(_._1 <= wmUs)
+          val (ripe, hold) = all.partition(_._1 < wmUs)
           var st = prev
           // identical rules and (ts, type) order as statefulFunnel —
           // once every event ripens this IS one sorted pass
@@ -406,11 +432,11 @@ object EventStreams {
           val prev = state.getOption.getOrElse(CohortBufState(Int.MinValue, 0L, Nil))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val all = prev.pending ++ evs.map(e => (e._3, e._2))
-          val (ripe, hold) = all.partition(_._1 <= wmUs)
+          val (ripe, hold) = all.partition(_._1 < wmUs)
           var st = prev
           val out = scala.collection.mutable.ArrayBuffer.empty[CohortRow]
           // the first APPLIED event is the user's true earliest (any
-          // future arrival has ts > watermark >= every applied ts),
+          // future arrival has ts >= watermark > every applied ts),
           // so the cohort day is the batch MIN, not first-arrival
           ripe.sortBy(_._1).foreach { case (_, d) =>
             if (st.cohortDay == Int.MinValue) st = st.copy(cohortDay = d)

@@ -218,6 +218,71 @@ class OperatorsSpec extends AnyFunSuite {
       s"scaled-config alignment agreement ${agree.toDouble / exactAlign.size} below 0.75")
   }
 
+  test("scaled seeding threads through every centroid consumer (r8 verdict #1)") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val stride = Similarity.scaledSeedStride(n)
+    val isqrt = math.sqrt(n.toDouble).toLong
+    val all = Similarity.quantized(emb)
+    // Lloyd moves centroids but never changes their COUNT, so the
+    // fixed-stride disease (C ∝ n) infects trained/converged exactly
+    // like seeded — every quantizer must keep the √n count when fed
+    // the scaled stride
+    Seq(
+      "seeded" -> Similarity.seedCentroidsWith(all, stride),
+      "trained" -> Similarity.trainCentroids(all, stride = stride),
+      "converged" -> Similarity.trainCentroidsConverged(all, stride = stride),
+      "centroidsFor" -> Similarity.centroidsFor(all, Similarity.Trained, stride))
+      .foreach { case (name, cents) =>
+        val c = cents.count()
+        assert(c >= isqrt / 2 && c <= 2 * isqrt + 1,
+          s"$name centroid count $c far from sqrt($n)=$isqrt")
+      }
+    // semDedupScaled keeps the oracle rung's semantics on the clone
+    // fixture: every clone (cos 1.0 to its original, same nearest
+    // centroid) is dropped by the vec_id tie-break, originals survive
+    // unless semantically dominated
+    val fixture = Similarity.corpus(emb)
+    val sd = Similarity.semDedupScaled(fixture).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val clones = sd.keys.filter(_ >= Similarity.Shift)
+    assert(clones.nonEmpty && clones.forall(id => !sd(id)),
+      "a clone survived semDedupScaled")
+    assert(sd.count(_._2) > 0, "semDedupScaled dropped everything")
+    // clusterBalancedSampleScaled: complete output, per-cluster keeps
+    // bounded by the cap
+    val cs = Similarity.clusterBalancedSampleScaled(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(cs.length == n, s"cluster sample lost rows: ${cs.length} != $n")
+    cs.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._3) <= Similarity.ClusterSampleCap,
+        s"cluster $cid keeps exceed the cap")
+    }
+  }
+
+  test("autoConfigIvfScaled walks the ladder to a recall floor (r8 verdict #2)") {
+    val emb = Tables.embeddings(spark, sf)
+    val pick = Similarity.autoConfigIvfScaled(emb, 0.8)
+    assert(pick.nonEmpty, "dial returned None despite the pd1 ceiling rung")
+    assert(pick.get.recall >= 0.8,
+      s"chosen rung ${pick.get.config.key} recall ${pick.get.recall} below floor")
+    // cheapest-first: every rung BEFORE the chosen one must miss the
+    // floor (otherwise the walk stopped late)
+    val ladder = Similarity.DefaultIvfScaledLadder
+    val idx = ladder.indexWhere(_.key == pick.get.config.key)
+    assert(idx >= 0)
+    ladder.take(idx).foreach { c =>
+      val p = Similarity.ivfScaledSweep(emb, Seq(c)).head
+      assert(p.recall < 0.8,
+        s"rung ${c.key} (recall ${p.recall}) met the floor before ${pick.get.config.key}")
+    }
+    // the ceiling rung probes every posting list — brute-force
+    // equivalence, recall exactly 1.0 by construction
+    val ceiling = Similarity.ivfScaledSweep(
+      emb, Seq(Similarity.IvfScaledConfig(1))).head
+    assert(ceiling.recall == 1.0, s"pd1 recall ${ceiling.recall} != 1.0")
+  }
+
   test("int8 quantization: reconstruction error bounded by the per-dim step") {
     val rows = Similarity.qInt8Quant(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -111,15 +111,47 @@ def git_lines(root, *args):
     return None
 
 
-def touched_queries(root, names):
-    """Queries whose implementing code changed since the last round
-    boundary. None (= gate everything) when git state is unreadable —
-    fail strict, not silent."""
-    boundary = git_lines(root, "log", "--grep", r"^round [0-9]*:",
-                         "-1", "--format=%H")
-    if not boundary or not boundary[0].strip():
+def round_boundary(root):
+    """Diff base for the 'touched this round' window. The naive answer
+    (the most recent `round N:` commit) has a blind spot (r8 verdict
+    #3): the driver snapshots the round's work INTO that boundary
+    commit and then runs the gate, so diffing against it reports zero
+    touched queries for code that changed THIS round. Walk the
+    boundary commits newest-first and take the newest one whose round
+    NUMBER is below the maximum — i.e. the PREVIOUS round's last
+    boundary — unless real src/main work landed after the newest
+    boundary (the in-flight mid-round case, where the newest boundary
+    is the correct base)."""
+    lines = git_lines(root, "log", "--grep", r"^round [0-9]*:",
+                      "--format=%H %s")
+    if not lines:
         return None
-    changed = git_lines(root, "diff", "--name-only", boundary[0].strip())
+    bounds = []  # newest first: (sha, round_number)
+    for ln in lines:
+        sha, _, subj = ln.partition(" ")
+        m = re.match(r"round (\d+):", subj)
+        if sha and m:
+            bounds.append((sha, int(m.group(1))))
+    if not bounds:
+        return None
+    newest_sha, newest_n = bounds[0]
+    since_newest = git_lines(root, "diff", "--name-only", newest_sha)
+    if since_newest and any(f.startswith("src/main/") for f in since_newest):
+        return newest_sha  # mid-round: this round's edits sit on top
+    for sha, n in bounds:
+        if n < newest_n:
+            return sha  # end-of-round state: diff across the snapshot
+    return newest_sha
+
+
+def touched_queries(root, names):
+    """Queries whose implementing code changed during the current
+    round window (see round_boundary). None (= gate everything) when
+    git state is unreadable — fail strict, not silent."""
+    boundary = round_boundary(root)
+    if not boundary:
+        return None
+    changed = git_lines(root, "diff", "--name-only", boundary)
     if changed is None:
         return None
     main = [f for f in changed if f.startswith("src/main/")]

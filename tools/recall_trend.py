@@ -26,7 +26,7 @@ import re
 import sys
 
 FAMILIES = ("lsh", "ivf", "ivf_trained", "ivf_converged", "pq", "pq_trained",
-            "ivfpq", "ivfpq_res", "neardup")
+            "ivfpq", "ivfpq_res", "neardup", "ivf_scaled_ladder")
 
 
 def load_rounds(root):
@@ -92,6 +92,9 @@ def main(root="."):
     auto = {r: rounds[r].get("autoconfig_lsh_0.8") for r in order}
     print("\nautoconfig_lsh(0.8):",
           " ".join(f"{r}={auto[r]}" for r in order))
+    auto_ivf = {r: rounds[r].get("autoconfig_ivf_scaled_0.8") for r in order}
+    print("autoconfig_ivf_scaled(0.8):",
+          " ".join(f"{r}={auto_ivf[r]}" for r in order))
     if flagged:
         print("\nQUALITY REGRESSED:", "; ".join(flagged))
         return 1
