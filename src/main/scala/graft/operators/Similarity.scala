@@ -1823,26 +1823,33 @@ object Similarity {
 
   /** Contrastive pair mining — the embedding-model training-data op
     * (anchor, hard-positive, deterministic-negative triplets): for
-    * every QueryMod-th anchor, the positive is the same-label argmax
-    * cosine (exclude self; the exact `max(struct)` fold), and the
-    * negative is the different-label vector nearest a content-hash
-    * pick (argmin |vec_id − hash(anchor) mod n|, id tie-break) — a
+    * every anchor, the positive is the same-label argmax cosine
+    * (exclude self; the exact `max(struct)` fold), and the negative
+    * is the different-label vector nearest a content-hash pick
+    * (argmin |vec_id − hash(anchor) mod n|, id tie-break) — a
     * reproducible "random" negative both engines derive identically.
-    * Plan: anchors broadcast (bounded by construction, the brute-ANN
-    * posture), ONE narrow pass over the corpus feeding two partial
-    * aggregates — no window over the pair table, nothing quadratic
-    * materializes.
+    * Plan: anchors broadcast, ONE narrow pass over the corpus feeding
+    * two partial aggregates — no window over the pair table, nothing
+    * quadratic materializes per batch.
+    *
+    * ANCHOR-BATCH CONTRACT (the [[bruteTopKFor]] posture): the anchor
+    * set must be a BOUNDED batch — it broadcasts, and the scored
+    * pass costs anchors × corpus. Mining a corpus-proportional
+    * anchor set (as the oracle harness does with every QueryMod-th
+    * vector) is the exact baseline, quadratic by construction; at
+    * scale, feed bounded anchor batches, or source the positives
+    * from the ANN ladder (`ivfTopKForScaled` same-label top-1) and
+    * keep only the negative pick here.
     */
-  def qContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+  def contrastivePairsFor(emb: DataFrame, anchors: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.tokenHash
-    val raw = Tables.embeddings(s, dir)
-    val emb = quantized(raw)
-    val n = raw.count()
-    val anchors = broadcast(emb.filter(col("vec_id") % QueryMod === 0)
+    val corp = quantized(emb)
+    val n = emb.count()
+    val a = broadcast(quantized(anchors)
       .select(col("vec_id").as("a_id"), col("label").as("a_label"),
         col("q").as("aq"), col("nq").as("anq"),
         (tokenHash(col("vec_id").cast("string")) % n).as("hpick")))
-    val joined = emb.join(anchors, col("vec_id") =!= col("a_id"))
+    val joined = corp.join(a, col("vec_id") =!= col("a_id"))
       .withColumn("cos", cosine(dotQ(col("q"), col("aq")), col("nq"), col("anq")))
     val pos = joined.filter(col("label") === col("a_label"))
       .groupBy(col("a_id"))
@@ -1858,6 +1865,16 @@ object Similarity {
         (round(col("p.cos"), 6) + lit(0.0)).as("pos_cos"),
         col("ng.n_id").as("neg_id"),
         (round(col("ng.n_cos"), 6) + lit(0.0)).as("neg_cos"))
+  }
+
+  /** Harness entry for [[contrastivePairsFor]]: every QueryMod-th
+    * vector as the anchor batch — anchor count ∝ corpus, i.e. the
+    * deliberately-quadratic exact baseline (see the anchor-batch
+    * contract above); production callers pass bounded batches.
+    */
+  def qContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
+    contrastivePairsFor(raw, defaultQueries(raw))
   }
 
   /** Harness entry for [[semDedup]] — same Shift-ed clone fixture as
