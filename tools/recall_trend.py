@@ -26,7 +26,8 @@ import re
 import sys
 
 FAMILIES = ("lsh", "ivf", "ivf_trained", "ivf_converged", "pq", "pq_trained",
-            "ivfpq", "ivfpq_res", "neardup", "ivf_scaled_ladder")
+            "ivfpq", "ivfpq_res", "neardup", "ivf_scaled_ladder",
+            "minhash_bands")
 
 
 def load_rounds(root):
@@ -95,6 +96,9 @@ def main(root="."):
     auto_ivf = {r: rounds[r].get("autoconfig_ivf_scaled_0.8") for r in order}
     print("autoconfig_ivf_scaled(0.8):",
           " ".join(f"{r}={auto_ivf[r]}" for r in order))
+    auto_mh = {r: rounds[r].get("autoconfig_minhash_0.8") for r in order}
+    print("autoconfig_minhash(0.8):",
+          " ".join(f"{r}={auto_mh[r]}" for r in order))
     if flagged:
         print("\nQUALITY REGRESSED:", "; ".join(flagged))
         return 1
