@@ -76,6 +76,9 @@ object ScaleRehearsal {
       graft.operators.Similarity.ivfPqTopKForScaled(emb,
         graft.operators.Similarity.defaultQueries(emb), excludeSelf = true)
     }),
+    "knn_graph_scaled" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Similarity.knnGraphScaled(
+        graft.sources.Tables.embeddings(s, dir))),
     "pq_train" -> ((s: SparkSession, dir: String) => {
       val norm = graft.operators.Similarity.normalizedQ(
         graft.sources.Tables.embeddings(s, dir))

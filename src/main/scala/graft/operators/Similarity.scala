@@ -1877,6 +1877,50 @@ object Similarity {
     contrastivePairsFor(raw, defaultQueries(raw))
   }
 
+  /** Mutual edges from a directed top-k frame (query_id, neighbor_id,
+    * ..., cos_sim): edge (a < b) survives iff BOTH directions appear —
+    * the standard hub-pruning rule for kNN graphs. One self-semi-join
+    * on the (already small) top-k table: k·n rows in, ≤ k·n/2 out.
+    */
+  private def mutualEdges(topk: DataFrame): DataFrame = {
+    val fwd = topk.select(col("query_id").as("vec_a"),
+      col("neighbor_id").as("vec_b"), col("cos_sim"))
+    val rev = fwd.filter(col("vec_a") > col("vec_b"))
+      .select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"))
+    fwd.filter(col("vec_a") < col("vec_b"))
+      .join(rev, Seq("vec_a", "vec_b"), "left_semi")
+  }
+
+  /** Mutual-kNN graph over the embedding corpus — the neighbor
+    * structure label-propagation, graph-based quality diffusion and
+    * SemDeDup-style cluster analyses consume: every vector's top-k
+    * cosine neighbors, kept only when the relation is MUTUAL (b in
+    * topk(a) AND a in topk(b) — prunes hub edges). This EXACT rung
+    * scores corpus × corpus through [[bruteTopKFor]] with the corpus
+    * as its own query set — quadratic by construction, the oracle
+    * baseline exactly like [[bruteTopK]]; the production form is
+    * [[knnGraphScaled]]. Output: (vec_a < vec_b, cos_sim).
+    */
+  def knnGraph(emb: DataFrame, k: Int = TopK): DataFrame =
+    mutualEdges(bruteTopKFor(emb, emb, k, excludeSelf = true))
+
+  /** [[knnGraph]] at production scale: top-k from the √n-sized IVF
+    * posting-list join with the corpus as a NON-broadcast query side
+    * ([[ivfTopKForScaled]] with broadcastQueries=false — both sides
+    * shuffle on cid, nothing corpus-sized broadcasts), then the same
+    * mutual rule. Approximate by construction; `probeDiv` is the
+    * recall dial ([[autoConfigIvfScaled]] picks it to a floor —
+    * pd2 measured 0.8 per-direction recall at sf0.1). Edge agreement
+    * vs the exact graph is spec-pinned on the fixture.
+    */
+  def knnGraphScaled(emb: DataFrame, k: Int = TopK,
+                     probeDiv: Int = ProbeDiv): DataFrame =
+    mutualEdges(ivfTopKForScaled(emb, emb, k, broadcastQueries = false,
+      excludeSelf = true, probeDiv = probeDiv))
+
+  def qKnnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables.embeddings(s, dir))
+
   /** Harness entry for [[semDedup]] — same Shift-ed clone fixture as
     * qEmbedNearDup (every clone is a guaranteed semantic dup of its
     * original; the original outranks it by the vec_id tie-break).
@@ -1921,7 +1965,8 @@ object Similarity {
     "q_embed_centroids" -> qEmbedCentroids _,
     "q_kmeans_step" -> qKmeansStep _,
     "q_int8_quant" -> qInt8Quant _,
-    "q_contrastive_pairs" -> qContrastivePairs _)
+    "q_contrastive_pairs" -> qContrastivePairs _,
+    "q_knn_graph" -> qKnnGraph _)
 
   /** DuckDB twin of the greedy k-center loop, in the INCREMENTAL
     * min-distance form (the classic Gonzalez bookkeeping): m_t keeps
@@ -2264,6 +2309,26 @@ object Similarity {
     "q_kmeans_step" -> kmeansStepSql,
     "q_int8_quant" -> int8QuantSql,
     "q_contrastive_pairs" -> contrastiveSql,
+    "q_knn_graph" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, q,
+        |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+        |  FROM ($quantSql)),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * q.q[i]))::DOUBLE
+        |      / (sqrt(c.nq::DOUBLE) * sqrt(q.nq::DOUBLE)) AS cos
+        |  FROM n c CROSS JOIN n q
+        |  WHERE c.vec_id <> q.vec_id),
+        |t AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM p QUALIFY rnk <= $TopK)
+        |SELECT a.query_id AS vec_a, a.neighbor_id AS vec_b,
+        |  round(a.cos, 6) AS cos_sim
+        |FROM t a JOIN t b
+        |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+        |WHERE a.query_id < a.neighbor_id""".stripMargin,
     "q_embed_centroids" ->
       s"""SELECT label, i - 1 AS pos, count(*) AS n_vecs,
         |  round((sum(q[i])::DOUBLE / count(*)) / 1e6, 6) AS mean_val

@@ -297,6 +297,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph: mutual rule exact, scaled twin agrees at the dialed probe depth") {
+    val emb = Tables.embeddings(spark, sf)
+    val edges = Similarity.qKnnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.nonEmpty, "empty mutual-kNN graph")
+    // every edge is oriented a < b and MUTUAL in the directed top-k
+    val topk = Similarity.bruteTopKFor(emb, emb, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    edges.foreach { case (a, b) =>
+      assert(a < b, s"unordered edge ($a, $b)")
+      assert(topk.contains((a, b)) && topk.contains((b, a)),
+        s"non-mutual edge ($a, $b) survived")
+    }
+    // and no mutual pair is missing: the graph IS the mutual subset
+    val mutual = topk.filter { case (a, b) => a < b && topk.contains((b, a)) }
+    assert(edges == mutual, "edge set differs from the mutual top-k subset")
+    // scaled twin (posting-list join, corpus-sized non-broadcast query
+    // side) at the dial's pd2 rung: measured edge agreement floor —
+    // deterministic, re-gated every round
+    val scaled = Similarity.knnGraphScaled(emb, probeDiv = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree = scaled.intersect(edges).size.toDouble / edges.size
+    assert(agree >= 0.5, s"scaled kNN-graph agreement $agree below floor")
+  }
+
   test("autoConfigIvfScaled walks the ladder to a recall floor (r8 verdict #2)") {
     val emb = Tables.embeddings(spark, sf)
     val pick = Similarity.autoConfigIvfScaled(emb, 0.8)
