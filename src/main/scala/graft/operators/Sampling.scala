@@ -225,6 +225,48 @@ object Sampling {
       .withColumn("kept", col("cum_before") < SourceTokenBudget)
   }
 
+  /** Quality-annealed curriculum order (the data-ordering recipe:
+    * train on the corpus ordered by ascending quality so the
+    * HIGHEST-quality documents land at the END of the epoch — the
+    * anneal phase). Deciles of the oracle-gated quality_score are the
+    * curriculum granularity (fixed-width integer buckets — exact in
+    * both engines; curriculum consumers read batches, not single
+    * docs, so decile granularity is the honest contract); within a
+    * decile the order is the reproducible content-hash shuffle.
+    * NO global sort anywhere: within-decile ranks ride the two-level
+    * ((qbucket, bkt) windows + prefix offsets) epoch-shuffle
+    * discipline, and the global position adds a ≤10-row broadcast
+    * decile-offset table — computed by a broadcast self-join, not a
+    * global window (the constant-partition WindowExec trap).
+    */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qQuality(s, dir).select(col("doc_id"),
+      least(lit(9L), floor(col("quality_score") * 10).cast("long")).as("qbucket"))
+    val keyed = bucketKeyed(scored)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qbucket"), col("bkt")).orderBy(col("k"), col("doc_id"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qbucket")).orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col("qbucket"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("qbucket"), col("bkt"), col("off"))
+    val ranked = keyed.withColumn("rnk", row_number().over(w))
+      .join(broadcast(offs), Seq("qbucket", "bkt"))
+      .select(col("doc_id"), col("qbucket"),
+        (col("off") + col("rnk") - 1).as("bucket_rank"))
+    // decile offsets (≤10 rows): broadcast self-join prefix sum
+    val qc = keyed.groupBy(col("qbucket")).agg(count(lit(1)).as("qc"))
+    val qoffs = qc.select(col("qbucket"))
+      .join(broadcast(qc.select(col("qbucket").as("qb2"), col("qc").as("qc2"))),
+        col("qb2") < col("qbucket"), "left")
+      .groupBy(col("qbucket")).agg(coalesce(sum(col("qc2")), lit(0L)).as("qoff"))
+    ranked.join(broadcast(qoffs), Seq("qbucket"))
+      .select(col("doc_id"), col("qbucket"), col("bucket_rank"),
+        (col("qoff") + col("bucket_rank")).as("position"))
+  }
+
   // --- queries --------------------------------------------------------
 
   def qSplit(s: SparkSession, dir: String): DataFrame =
@@ -256,6 +298,7 @@ object Sampling {
     "q_sample_stratified" -> qSampleStratified _,
     "q_source_interleave" -> qSourceInterleave _,
     "q_token_budget_sample" -> qTokenBudgetSample _,
+    "q_curriculum" -> qCurriculum _,
     "q_weighted_avg" -> qWeightedAvg _)
 
   private val dataBucketsSql: String =
@@ -321,6 +364,19 @@ object Sampling {
       s"""SELECT lang AS stratum, count(*) AS n_total,
         |  sum(CASE WHEN $bucketSql < 20 THEN 1 ELSE 0 END)::BIGINT AS n_sampled
         |FROM documents GROUP BY lang""".stripMargin,
+    "q_curriculum" ->
+      s"""WITH b AS $dataBucketsSql,
+        |qs AS (${TextAnalysis.qualityScoreSql}),
+        |k AS (SELECT doc_id,
+        |    least(9, floor(quality_score * 10)::BIGINT) AS qbucket, buckets,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS k
+        |  FROM qs CROSS JOIN b)
+        |SELECT doc_id, qbucket,
+        |  (row_number() OVER (PARTITION BY qbucket
+        |    ORDER BY k % buckets, k, doc_id) - 1)::BIGINT AS bucket_rank,
+        |  (row_number() OVER (
+        |    ORDER BY qbucket, k % buckets, k, doc_id) - 1)::BIGINT AS position
+        |FROM k""".stripMargin,
     "q_source_interleave" ->
       s"""WITH b AS $dataBucketsSql,
         |k AS (SELECT doc_id, source, buckets,

@@ -951,6 +951,25 @@ object TextAnalysis {
   private def hitSql(list: Seq[String]) =
     s"len(list_filter(toks, t -> t IN (${list.map(w => s"'$w'").mkString(", ")}))) / len(toks)"
 
+  /** Flat (nestable) SELECT computing the q_quality composite score —
+    * (doc_id, quality_score) over `documents`; the snippet downstream
+    * oracles (q_curriculum) compose as a subquery. Same arithmetic,
+    * same rounding as the q_quality oracle.
+    */
+  private[operators] lazy val qualityScoreSql: String =
+    s"""SELECT doc_id,
+      |  round(0.3::DOUBLE * stop_raw + 0.3::DOUBLE * (1.0::DOUBLE - punct_raw)
+      |    + 0.4::DOUBLE * tok_score, 6) AS quality_score
+      |FROM (
+      |  SELECT doc_id,
+      |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+      |      / length(text) AS punct_raw,
+      |    ${hitSql(Stopwords(0)._2)} AS stop_raw,
+      |    least(1.0::DOUBLE, len(toks) / 100.0) AS tok_score
+      |  FROM (SELECT doc_id, text,
+      |      string_split_regex(lower(trim(text)), '\\s+') AS toks
+      |    FROM documents))""".stripMargin
+
   /** Adjacent-pair counts of space-separated symbol strings in CTE
     * `src` (DuckDB twin of `pairCounts`; lists are 1-based, so
     * range(1, len) enumerates the len-1 adjacent pairs).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.GraftFunctions._
-import graft.operators.CorpusOps
+import graft.operators.{CorpusOps, Sampling}
 import graft.sources.Tables
 
 /** Corpus-stats operators: sketch-confirm heavy hitters vs brute
@@ -156,6 +156,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("term").as[String].collect().toSet
     assert(exact.nonEmpty && exact.subsetOf(cand),
       s"frequent set not covered: missing ${exact.diff(cand)}")
+  }
+
+  test("curriculum order: complete permutation, quality deciles in strict blocks") {
+    val rows = Sampling.qCurriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length.toLong
+    assert(rows.map(_._4).sorted.toSeq == (0L until n).toSeq,
+      "positions not a complete permutation")
+    // decile blocks are contiguous and ascending: every position in a
+    // lower-quality bucket precedes every position in a higher one —
+    // the anneal contract (best data last)
+    val byBucket = rows.groupBy(_._2).toSeq.sortBy(_._1)
+    byBucket.sliding(2).foreach {
+      case Seq((bLo, lo), (bHi, hi)) =>
+        assert(lo.map(_._4).max < hi.map(_._4).min,
+          s"quality buckets $bLo and $bHi interleave positions")
+      case _ =>
+    }
+    assert(byBucket.size >= 2, "fixture collapsed to one quality decile — no ordering signal")
+    // within-bucket ranks are a 0-based permutation of the bucket
+    byBucket.foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.size).toSeq)
+    }
   }
 
   test("epoch shuffle: complete permutation at two explicit bucket counts") {
