@@ -628,6 +628,55 @@ object TextAnalysis {
   def qLmBigram(s: SparkSession, dir: String): DataFrame =
     lmBigramScore(Tables.documents(s, dir))
 
+  /** Kneser-Ney-smoothed bigram typicality — the production
+    * smoothing on [[lmBigramScore]]'s raw MLE (the standard KenLM
+    * recipe): absolute discount D = 3/4 on every seen count, with
+    * the freed mass re-spent on the CONTINUATION probability
+    * P_cont(b) = N1+(·b)/|distinct bigrams| (how many contexts b
+    * completes — the "San Francisco" fix: a word frequent only in
+    * one collocation stops looking globally probable). Fixed-order
+    * integer arithmetic so both engines agree bit-for-bit (D = 3/4
+    * multiplied through):
+    *   p_ppm(b|a) = (1e6·max(4·cab − 3, 0)) div (4·ca)
+    *              + (3·N1+(a·)·pcont_ppm(b)) div (4·ca),
+    *   pcont_ppm(b) = (1e6·N1+(·b)) div |bigram types|.
+    * Every doc bigram is in the corpus counts (the corpus contains
+    * the doc), so cab ≥ 1 and all operands stay positive — floor
+    * and truncating integer division coincide. Scale shape: the
+    * lmBigramScore plan plus one more content-keyed count (N1+(·b))
+    * and a scalar broadcast (|bigram types|) — linear in corpus
+    * tokens, no global ordering.
+    */
+  def lmKneserNeyScore(docs: DataFrame): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "a")))
+      .withColumn("b", lead(col("a"), 1).over(wDoc))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("a"), col("b"))
+    val bi = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ctx = bi.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
+    val cont = bi.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+    val nd = bi.agg(count(lit(1)).as("ndistinct"))
+    pairs.join(bi, Seq("a", "b")).join(ctx, Seq("a")).join(cont, Seq("b"))
+      .crossJoin(broadcast(nd))
+      .withColumn("p", expr(
+        "(1000000 * greatest(4 * cab - 3, 0)) div (4 * ca)" +
+          " + (3 * n1a * ((1000000 * n1b) div ndistinct)) div (4 * ca)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p")).as("sum_ppm"),
+        min(col("p")).as("min_transition_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_ppm div n_bigrams").as("kn_typicality_ppm"),
+        col("min_transition_ppm"))
+  }
+
+  def qLmKneserNey(s: SparkSession, dir: String): DataFrame =
+    lmKneserNeyScore(Tables.documents(s, dir))
+
   /** Gopher-style character-repetition signals (Rae et al. Table A1
     * as reproduced in the open filtering stacks): per document, the
     * fraction of characters covered by (a) the most frequent token
@@ -931,6 +980,7 @@ object TextAnalysis {
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_lm_score" -> qLmScore _,
     "q_lm_bigram" -> qLmBigram _,
+    "q_lm_kn" -> qLmKneserNey _,
     "q_ppl_buckets" -> qPplBuckets _,
     "q_tiered_mixture" -> qTieredMixture _,
     "q_rep_chars" -> qRepChars _,
@@ -1305,6 +1355,28 @@ object TextAnalysis {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  (sum(r)::BIGINT) // count(*) AS bigram_typicality_ppm,
         |  min(r) AS min_transition_ppm
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    "q_lm_kn" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |pp AS (SELECT doc_id, p.a AS a, p.b AS b FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+        |  FROM t)),
+        |bi AS (SELECT a, b, count(*) AS cab FROM pp GROUP BY 1, 2),
+        |ctx AS (SELECT a, sum(cab)::BIGINT AS ca, count(*)::BIGINT AS n1a
+        |  FROM bi GROUP BY 1),
+        |cont AS (SELECT b, count(*)::BIGINT AS n1b FROM bi GROUP BY 1),
+        |nd AS (SELECT count(*)::BIGINT AS ndistinct FROM bi),
+        |sc AS (SELECT pp.doc_id,
+        |    ((1000000 * greatest(4 * bi.cab - 3, 0)) // (4 * ctx.ca)
+        |      + (3 * ctx.n1a * ((1000000 * cont.n1b) // nd.ndistinct))
+        |        // (4 * ctx.ca))::BIGINT AS p
+        |  FROM pp JOIN bi USING (a, b) JOIN ctx USING (a)
+        |    JOIN cont USING (b) CROSS JOIN nd)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  (sum(p)::BIGINT) // count(*) AS kn_typicality_ppm,
+        |  min(p)::BIGINT AS min_transition_ppm
         |FROM sc GROUP BY doc_id""".stripMargin,
     "q_rep_chars" ->
       """WITH t AS (SELECT doc_id,

@@ -577,6 +577,28 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getAs[Long]("min_transition_ppm") == 333333L)
   }
 
+  test("Kneser-Ney bigram: hand-computed integer smoothing, discount mass reserved") {
+    import spark.implicits._
+    // bi: (a,b):2 (b,a):2 (a,c):1; ctx a: ca=3 n1a=2; b: ca=2 n1a=1
+    // cont: n1b(a)=n1b(b)=n1b(c)=1; ndistinct=3 → pcont = 333333 each
+    // p(a,b) = (5e6 div 12) + (1999998 div 12) = 416666 + 166666 = 583332
+    // p(b,a) = (5e6 div 8)  + (999999 div 8)   = 625000 + 124999 = 749999
+    // p(a,c) = (1e6 div 12) + (1999998 div 12) = 83333  + 166666 = 249999
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "b a")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.lmKneserNeyScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 638887L, 583332L))) // (583332+749999+583332) div 3
+    assert(out(2L) == ((1L, 249999L, 249999L)))
+    assert(out(3L) == ((1L, 749999L, 749999L)))
+    // seen-context mass stays BELOW 1e6: the discount reserved mass
+    // for unseen continuations (a's seen sum 583332+249999 = 833331)
+    assert(583332L + 249999L <= 1000000L)
+    // corpus sanity at sf: scores are ppm-bounded and positive
+    val corpus = graft.operators.TextAnalysis.qLmKneserNey(spark, sf).collect()
+    assert(corpus.nonEmpty && corpus.forall(r =>
+      r.getLong(2) > 0 && r.getLong(2) <= 1000000L))
+  }
+
   test("rep chars: duplicated and top n-gram character fractions, hand-checked") {
     import spark.implicits._
     import graft.operators.TextAnalysis
