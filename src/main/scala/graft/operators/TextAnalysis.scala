@@ -936,6 +936,36 @@ object TextAnalysis {
         divFloor(col("n_bigram_types") * 1000000L, col("n_bigrams")).as("bigram_ttr_ppm"))
   }
 
+  /** Per-document lexical concentration — the exact (rational)
+    * per-doc complement of [[qDiversity]]'s per-source TTR: the
+    * Simpson index Σc²/n² (the probability two uniformly drawn
+    * tokens of the doc coincide), its Gini–Simpson diversity
+    * complement, and the inverse-Simpson EFFECTIVE vocabulary size.
+    * All three stay on the integer ppm grid — Σc² and n² are exact
+    * longs, so no transcendental entropy enters (the q_tfidf
+    * rational-idf discipline) and the distributed aggregate is
+    * bit-reproducible. High concentration at normal length flags
+    * keyword-stuffed or looping text that source-level TTR averages
+    * away. Scale shape: one (doc_id, token) partial-agg shuffle +
+    * one doc_id rollup — linear in corpus tokens, nothing global.
+    * Contract: doc length ≲ 3M tokens keeps n²·10⁶ inside a long
+    * (the qC4Lines grid class of invariant).
+    */
+  def qSimpson(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val n2 = col("n_tokens") * col("n_tokens")
+    cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        divFloor(col("s2") * 1000000L, n2).as("simpson_ppm"),
+        (lit(1000000L) - divFloor(col("s2") * 1000000L, n2)).as("gini_ppm"),
+        divFloor(n2 * 1000000L, col("s2")).as("inv_simpson_ppm"))
+  }
+
   /** Cross-corpus n-gram novelty — the memorization-risk profile a
     * corpus report tracks per document: the fraction of a doc's
     * 3-gram shingles that are COMMON corpus-wide (document frequency
@@ -975,6 +1005,7 @@ object TextAnalysis {
     "q_bpe_encode" -> qBpeEncode _,
     "q_fertility" -> qFertility _,
     "q_diversity" -> qDiversity _,
+    "q_simpson" -> qSimpson _,
     "q_bpe_merge" -> qBpeMerge _,
     "q_vocab" -> qVocab _,
     "q_vocab_coverage" -> qVocabCoverage _,
@@ -1236,6 +1267,19 @@ object TextAnalysis {
         |  n_bigrams, n_bigram_types,
         |  (n_bigram_types * 1000000) // n_bigrams AS bigram_ttr_ppm
         |FROM uni JOIN bi USING (source)""".stripMargin,
+    "q_simpson" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, w),
+        |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_types, sum(c * c)::BIGINT AS s2
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |  (s2 * 1000000) // (n_tokens * n_tokens) AS simpson_ppm,
+        |  1000000 - (s2 * 1000000) // (n_tokens * n_tokens) AS gini_ppm,
+        |  (n_tokens * n_tokens * 1000000) // s2 AS inv_simpson_ppm
+        |FROM agg""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(hs) AS h FROM (

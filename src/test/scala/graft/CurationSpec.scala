@@ -755,6 +755,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("simpson: concentration bounds, uniform-doc identity, repetition ordering") {
+    val out = TextAnalysis.qSimpson(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length == nDocs)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val t = r.getAs[Long]("n_types")
+      val simp = r.getAs[Long]("simpson_ppm")
+      assert(t <= n)
+      // Simpson is bounded below by 1/n (all-distinct) and above by 1 (all-same)
+      assert(simp >= 1000000L / n - 1 && simp <= 1000000L)
+      assert(r.getAs[Long]("gini_ppm") == 1000000L - simp)
+      // inverse Simpson (effective vocab) never exceeds the type count
+      assert(r.getAs[Long]("inv_simpson_ppm") <= t * 1000000L)
+    }
+    // identity: an all-distinct doc has simpson == floor(1e6/n); an
+    // all-same doc has simpson == 1e6 (pinned on synthetic frames)
+    import spark.implicits._
+    val synth = Seq((1L, "a b c d"), (2L, "x x x x")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("simpson").toString
+    synth.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sOut = TextAnalysis.qSimpson(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simpson_ppm")).toMap
+    assert(sOut(1L) == 250000L)
+    assert(sOut(2L) == 1000000L)
+  }
+
   test("rerank output stays inside the retrieval pool and reranks by score") {
     val out = Similarity.rerankTopK(Tables.embeddings(spark, sf)).collect()
     assert(out.nonEmpty)
