@@ -94,11 +94,79 @@ object Graph {
     } finally { ed.unpersist(); () }
   }
 
+  /** Triangle count + local clustering coefficient over the
+    * undirected closure of the link fixture — the degree-ordered
+    * ("compact-forward") formulation: orient every undirected edge
+    * from its lower-(degree, id) endpoint to the higher, enumerate
+    * wedges by self-joining oriented edges on their shared source,
+    * and close each wedge with one equi-join back on the oriented
+    * edge set. Degree ordering is what makes this scale-safe: a
+    * skewed hub emits NO wedges (its edges all point into it), so
+    * the wedge set is O(E^1.5) regardless of degree skew, where
+    * orienting by id alone would be O(Σ deg²) and a hot node would
+    * explode the self-join. Each triangle materializes exactly once
+    * (its corners are totally ordered), then attributes to its three
+    * corners via one 3-way union + partial-agg count — no triangle
+    * list ever groups on a single key. Clustering coefficient =
+    * 2·tri / (deg·(deg−1)) on the integer ppm grid. All joins are
+    * equi-joins (the (deg,id) tuple comparison rides the wedge
+    * join's a=a key as a post-filter); nothing global, nothing
+    * broadcast except nothing — both sides are corpus-sized.
+    */
+  /** Triangle fixture: the ring-chord graph u→u+1, u→u+2 (mod n) —
+    * every consecutive triple closes a triangle — plus the 7u+3
+    * linear map for irregular long-range chords (the [[edges]]
+    * fixture alone is triangle-free: compositions of two linear
+    * maps rarely commute back). Replicated arithmetically by the
+    * oracle.
+    */
+  def triEdges(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("doc_id").as("src"), ((col("doc_id") + 1) % n).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        ((col("doc_id") + 2) % n).as("dst")))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % n).as("dst")))
+      .distinct()
+
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg, Seq("u"))
+      .join(deg.toDF("v", "deg_v"), Seq("v"))
+      .filter(struct(col("deg"), col("u")) < struct(col("deg_v"), col("v")))
+      .select(col("u").as("a"), col("v").as("b"),
+        struct(col("deg_v"), col("v")).as("kb"))
+    val tri = oriented
+      .join(oriented.toDF("a2", "c", "kc"),
+        col("a") === col("a2") && col("kb") < col("kc"))
+      .select(col("a"), col("b"), col("c"))
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    val perNode = tri.select(col("a").as("u"))
+      .unionAll(tri.select(col("b")))
+      .unionAll(tri.select(col("c")))
+      .groupBy(col("u")).agg(count(lit(1)).as("n_tri"))
+    docs.join(deg, docs("doc_id") === deg("u"), "left")
+      .join(perNode, docs("doc_id") === perNode("u"), "left")
+      .select(col("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr("2 * coalesce(n_tri, 0L) * 1000000 div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("clustering_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> qPagerank _)
+    "q_pagerank" -> qPagerank _,
+    "q_triangles" -> qTriangles _)
 
   private def oracleSql: String = {
-    val edgeCte =
+    val prCte =
       s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
         |e AS (SELECT DISTINCT src, dst FROM (
         |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
@@ -124,10 +192,45 @@ object Graph {
         |    JOIN deg dg ON e.src = dg.src
         |    GROUP BY e.dst) i ON d.doc_id = i.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $edgeCte,
+    s"""WITH $prCte,
       |$iters
       |SELECT doc_id, x AS pr_ppb FROM x$PrIters""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map("q_pagerank" -> oracleSql)
+  private def trianglesSql: String =
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+      |    FROM documents CROSS JOIN nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id + 2) % nn.n FROM documents CROSS JOIN nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 7 + 3) % nn.n FROM documents CROSS JOIN nn)),
+      |und AS (SELECT DISTINCT u, v FROM (
+      |  SELECT src AS u, dst AS v FROM e WHERE src != dst
+      |  UNION ALL SELECT dst, src FROM e WHERE src != dst)),
+      |udeg AS (SELECT u, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+      |ori AS (SELECT und.u AS a, und.v AS b, dv.deg AS degb
+      |  FROM und JOIN udeg du ON und.u = du.u JOIN udeg dv ON und.v = dv.u
+      |  WHERE (du.deg, und.u) < (dv.deg, und.v)),
+      |tri AS (SELECT w1.a, w1.b, w2.b AS c
+      |  FROM ori w1 JOIN ori w2 ON w1.a = w2.a
+      |    AND (w1.degb, w1.b) < (w2.degb, w2.b)
+      |  JOIN ori cl ON cl.a = w1.b AND cl.b = w2.b),
+      |per AS (SELECT u, count(*)::BIGINT AS n_tri FROM (
+      |    SELECT a AS u FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(dg.deg, 0)::BIGINT AS degree,
+      |  coalesce(p.n_tri, 0)::BIGINT AS n_triangles,
+      |  (CASE WHEN coalesce(dg.deg, 0) >= 2
+      |    THEN (2 * coalesce(p.n_tri, 0) * 1000000) // (dg.deg * (dg.deg - 1))
+      |    ELSE 0 END)::BIGINT AS clustering_ppm
+      |FROM documents d LEFT JOIN udeg dg ON d.doc_id = dg.u
+      |LEFT JOIN per p ON d.doc_id = p.u""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> oracleSql,
+    "q_triangles" -> trianglesSql)
 }

@@ -33,6 +33,33 @@ class GraphSpec extends AnyFunSuite {
     assert(sinks > 0, "fixture must contain sink nodes")
   }
 
+  test("triangles: per-node counts equal an adjacency-set brute force") {
+    val out = Graph.qTriangles(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent brute force: rebuild the undirected fixture in
+    // plain Scala and count each node's triangles via common
+    // neighbors (a different algorithm than the degree-ordered join)
+    val n = out.size.toLong
+    val ids = 0L until n
+    val dirEdges = ids.filter(_ % Graph.SinkMod != 0).flatMap(u =>
+      Seq(u -> (u * 7 + 3) % n, u -> (u * 13 + 5) % n))
+    val und = dirEdges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    ids.foreach { v =>
+      val nb = adj.getOrElse(v, Set.empty)
+      val triBrute = nb.toSeq.map(w => (nb & adj(w)).size).sum / 2
+      val (deg, tri, clust) = out(v)
+      assert(deg == nb.size.toLong, s"degree mismatch at $v")
+      assert(tri == triBrute.toLong, s"triangle count mismatch at $v")
+      val expClust =
+        if (deg >= 2) 2L * tri * 1000000L / (deg * (deg - 1)) else 0L
+      assert(clust == expClust && clust <= 1000000L)
+    }
+    assert(out.values.map(_._2).sum % 3 == 0, "each triangle has 3 corners")
+    assert(out.values.map(_._2).sum > 0, "fixture must contain triangles")
+  }
+
   test("funnel steps only shrink; step 1 converts at 100%") {
     val byStep = Relational.qFunnel(spark, sf).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
