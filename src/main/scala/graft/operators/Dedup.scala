@@ -634,6 +634,11 @@ object Dedup {
       .filter(col("n_mut") >= col("n_orig") * threshold)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val nTrue = truth.count().toDouble
+    // An empty truth set means the fixture is degenerate (e.g. empty
+    // corpus): recall against no evidence must fail loudly, or the
+    // auto-config walk would certify its floor on the cheapest rung.
+    require(nTrue > 0,
+      s"minhashSweep: constructed truth set is empty at threshold $threshold")
     val sigs = (0 until NumPerm).map(k =>
       min((col("hp") * A(k) + B(k)) % HashP).as(s"h$k"))
     val sig = fixture.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
@@ -642,8 +647,7 @@ object Dedup {
       val cand = pairsFromBands(minhashBandsWith(sig, cfg.bands, cfg.rows))
         .localCheckpoint()
       val hit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
-      MinhashSweepPoint(cfg, cand.count(),
-        if (nTrue == 0) 1.0 else hit / nTrue)
+      MinhashSweepPoint(cfg, cand.count(), hit / nTrue)
     }
   }
 

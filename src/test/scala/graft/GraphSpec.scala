@@ -41,8 +41,8 @@ class GraphSpec extends AnyFunSuite {
     // neighbors (a different algorithm than the degree-ordered join)
     val n = out.size.toLong
     val ids = 0L until n
-    val dirEdges = ids.filter(_ % Graph.SinkMod != 0).flatMap(u =>
-      Seq(u -> (u * 7 + 3) % n, u -> (u * 13 + 5) % n))
+    val dirEdges = ids.flatMap(u =>
+      Seq(u -> (u + 1) % n, u -> (u + 2) % n, u -> (u * 7 + 3) % n))
     val und = dirEdges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .filter { case (a, b) => a != b }.distinct
     val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap

@@ -34,8 +34,11 @@ class OperatorsSpec extends AnyFunSuite {
     val pts = Dedup.minhashSweep(docs, Dedup.DefaultMinhashLadder)
     val byKey = pts.map(p => p.config.key -> p).toMap
     // the constructed truth must be non-trivial: subset mutants at
-    // J ≈ {1/3, 1/2, 2/3, 4/5} all clear the 0.25 audit threshold
-    assert(pts.head.nCandidates >= 0)
+    // J ≈ {1/3, 1/2, 2/3, 4/5} all clear the 0.25 audit threshold,
+    // so the loosest rung must surface candidates AND recall > 0
+    // (minhashSweep itself requires a non-empty truth set)
+    assert(byKey("b8r1").nCandidates > 0)
+    assert(byKey("b8r1").recall > 0.0)
     // S-curve ends: the any-perm config (8,1) must beat the
     // single-strict-band config (1,8) decisively, and the default
     // (4,2) must sit strictly between them
