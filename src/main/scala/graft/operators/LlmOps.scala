@@ -7,10 +7,10 @@ object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Sampling.queries ++ Layout.queries ++ Curation.queries ++
-      Multimodal.queries ++ CorpusOps.queries
+      Multimodal.queries ++ CorpusOps.queries ++ Sketches.queries
 
   val oracles: Map[String, String] =
     Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Sampling.oracles ++ Layout.oracles ++ Curation.oracles ++
-      Multimodal.oracles ++ CorpusOps.oracles
+      Multimodal.oracles ++ CorpusOps.oracles ++ Sketches.oracles
 }

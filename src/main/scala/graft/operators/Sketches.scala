@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.operators.CorpusOps.bigrams
+import graft.sources.Tables
+
+/** Mergeable corpus sketches and collocation statistics — the
+  * fixed-size-summary tier of a training-data pipeline, where a
+  * 100 TB corpus must reduce to kilobytes of state before anything
+  * is compared, merged, or monitored across shards:
+  *
+  *  - PMI phrase mining (word2phrase, Mikolov et al. 2013): the
+  *    collocation score that decides which token bigrams become
+  *    single vocabulary units before tokenizer training.
+  *  - count-min sketch (Cormode & Muthukrishnan 2005): point
+  *    frequency estimates from a depth×width grid whose size is
+  *    independent of the corpus — the mergeable complement of the
+  *    top-k-only Misra-Gries sketch in [[CorpusOps.qHeavyHitters]].
+  *  - HyperLogLog-style distinct sketches (Flajolet et al. 2007):
+  *    per-source cardinality summaries whose union is an exact
+  *    elementwise max — the cross-shard "how many new tokens does
+  *    this source add" primitive.
+  *
+  * Scale postures:
+  *  - PMI: two partial-agg shuffles (unigram vocab, bigram pairs);
+  *    the discount filter (`pair_cnt > PmiDiscount`) prunes the
+  *    singleton long tail BEFORE the vocab joins, and the vocab
+  *    joins are plain equi-joins (never broadcast — vocabulary
+  *    grows with the corpus). Score arithmetic rides DECIMAL(38,0)
+  *    so the (pair·N·1e6) product cannot overflow at any corpus
+  *    size an int64 token count can describe.
+  *  - count-min: one partial-agg shuffle to a ≤ CmDepth·CmWidth-row
+  *    grid; the grid (not the corpus) broadcasts to the estimate
+  *    join, so serving stays O(queries) at any corpus size.
+  *  - HLL: one partial-agg shuffle to (sources × HllM) rows; max is
+  *    both the update and the merge, so per-source sketches union
+  *    into the corpus sketch without touching rows again.
+  *
+  * All three emit integer-exact columns (integral divide, bit-level
+  * ranks) so the DuckDB oracles match hash-for-hash — the same
+  * cross-engine-exactness discipline as [[Curation]]'s bit-length
+  * logs and ppm shares.
+  */
+object Sketches {
+
+  // --- PMI phrase mining ------------------------------------------------
+
+  /** word2phrase discount: bigrams must be seen more than this many
+    * times before they can score at all (kills hapax collocations).
+    */
+  val PmiDiscount = 2L
+
+  /** Minimum phrase score, in parts-per-million of the word2phrase
+    * statistic score = (pair_cnt − δ)·N / (cnt_a·cnt_b). Pairs drawn
+    * independently score ≈ 1e6 ppm by construction, so 1.5e6 keeps
+    * only pairs co-occurring at least 1.5× their independence rate —
+    * a real collocation floor on any corpus, and non-trivial even on
+    * the near-independent synthetic fixture.
+    */
+  val PmiMinScorePpm = 1500000L
+
+  /** Collocation candidates over the whitespace-token stream: every
+    * adjacent bigram whose discounted word2phrase score clears
+    * [[PmiMinScorePpm]]. Output is one row per surviving bigram with
+    * its exact pair count and integer-exact score_ppm.
+    */
+  def pmiPhrases(docs: DataFrame): DataFrame = {
+    // bind the token array first (HOF-over-unbound-split re-evaluates
+    // the split per element — same pitfall note as qHeavyHitters)
+    val tok = docs.select(tokens(col("text")).as("toks"))
+    val uni = tok.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val pairs = tok.select(explode(bigrams(col("toks"))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") > PmiDiscount)
+      // tokens are whitespace-split, so the joined bigram contains
+      // exactly one space: the split-back is lossless
+      .withColumn("term_a", split(col("bg"), " ").getItem(0))
+      .withColumn("term_b", split(col("bg"), " ").getItem(1))
+    val n = uni.agg(sum(col("cnt")).as("n_tok"))
+    // every factor is cast to DECIMAL(38,0) BEFORE multiplying:
+    // pair·1e6·n_tok and cnt_a·cnt_b both overflow int64 at real
+    // corpus token counts; `div` on decimals is the integral divide
+    // DuckDB's HUGEINT `//` mirrors (operands are all positive)
+    pairs
+      .join(uni.select(col("w").as("term_a"), col("cnt").as("cnt_a")), Seq("term_a"))
+      .join(uni.select(col("w").as("term_b"), col("cnt").as("cnt_b")), Seq("term_b"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_ppm", expr(
+        s"CAST(pair_cnt - $PmiDiscount AS DECIMAL(38,0)) * 1000000 " +
+          "* CAST(n_tok AS DECIMAL(38,0)) " +
+          "div (CAST(cnt_a AS DECIMAL(38,0)) * CAST(cnt_b AS DECIMAL(38,0)))"))
+      .filter(col("score_ppm") >= PmiMinScorePpm)
+      .select(col("term_a"), col("term_b"), col("pair_cnt"), col("score_ppm"))
+  }
+
+  def qPmiPhrases(s: SparkSession, dir: String): DataFrame =
+    pmiPhrases(Tables.documents(s, dir))
+
+  // --- count-min sketch ---------------------------------------------------
+
+  /** Grid shape: depth 4 independent hash rows × width 1024 buckets.
+    * ε = e/1024 ≈ 0.27% of stream length per-row overestimate bound
+    * at δ = e⁻⁴ failure odds — and the whole grid is 4096 longs no
+    * matter how large the corpus.
+    */
+  val CmDepth = 4
+  val CmWidth = 1024L
+
+  /** Row-i bucket of a term: the shared md5-prefix hash over the
+    * salted term, mod width — replicated verbatim by the oracle.
+    */
+  def cmBucket(w: Column, i: Int): Column =
+    tokenHash(concat(w, lit("#cm" + i))) % CmWidth
+
+  /** The sketch grid of a term stream: (row, bucket) → summed count.
+    * One partial-agg shuffle; output ≤ CmDepth·CmWidth rows. Grids
+    * are mergeable by elementwise addition (counts are linear), the
+    * law [[https://dl.acm.org/doi/10.1016/j.jalgor.2003.12.001 CM05]]
+    * serving relies on; SketchesSpec pins it on a split corpus.
+    */
+  def countMinSketch(terms: DataFrame): DataFrame =
+    terms.select(explode(array((0 until CmDepth).map(i =>
+        struct(lit(i.toLong).as("r"), cmBucket(col("w"), i).as("bucket"))): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-term exact count next to the count-min estimate (min over
+    * the term's CmDepth grid cells) and the overestimate — the audit
+    * frame you watch when sizing the grid for a corpus. The estimate
+    * join broadcasts the GRID (≤ 4096 rows), never the vocabulary;
+    * the vocabulary side stays a distributed frame, so the same plan
+    * serves any bounded query set at 100 TB.
+    */
+  def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+    val grid = countMinSketch(terms)
+    val exact = terms.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+    exact
+      .select(col("w"), col("exact_cnt"),
+        explode(array((0 until CmDepth).map(i =>
+          struct(lit(i.toLong).as("r"), cmBucket(col("w"), i).as("bucket"))): _*)).as("rb"))
+      .select(col("w"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(grid), Seq("r", "bucket"))
+      .groupBy(col("w"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .select(col("w").as("term"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("over_cnt"))
+  }
+
+  // --- HyperLogLog-style distinct sketch ----------------------------------
+
+  /** Register count (2^6). Standard error ≈ 1.04/√64 = 13%. */
+  val HllM = 64L
+
+  /** Rank cap: the post-bucket hash remainder carries 48−6 = 42
+    * bits, so 42 trailing zeros is the deepest observable rank and
+    * an all-zero remainder reads as rank 43.
+    */
+  val HllZeroRank = 43L
+
+  /** Trailing-zero rank of the term hash's remainder after the
+    * bucket bits — the HLL register update, in arithmetic both
+    * engines evaluate bit-identically: isolate the lowest set bit
+    * with x & −x, then its position is length(bin(·)).
+    */
+  def hllRank(h: Column): Column = {
+    val rest = shiftright(h, 6)
+    when(rest === 0L, lit(HllZeroRank))
+      .otherwise(length(bin(rest.bitwiseAND(-rest))).cast("long"))
+  }
+
+  /** Per-source HLL registers of a (source, w) term stream — one row
+    * per (source, touched bucket) with the max trailing-zero rank.
+    * max is both the update and the merge, so duplicates never need
+    * a distinct pass and shard sketches union by the same aggregate.
+    */
+  def hllRegisters(terms: DataFrame): DataFrame = {
+    val h = tokenHash(col("w"))
+    terms
+      .select(col("source"), (h % HllM).as("bucket"), hllRank(h).as("rank"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Per-source HLL registers over the token stream, plus the merged
+    * corpus sketch as source 'ALL' — the merge is the elementwise
+    * max of the per-source rows, demonstrated in the same frame. The
+    * float estimate stays OUT of the frame (registers are the exact,
+    * mergeable artifact; the estimator is [[hllEstimate]],
+    * spec-audited against exact distinct counts).
+    */
+  def qHllSketch(s: SparkSession, dir: String): DataFrame = {
+    val reg = hllRegisters(Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w")))
+    reg.unionAll(
+      reg.groupBy(col("bucket"))
+        .agg(max(col("max_rank")).as("max_rank"))
+        .select(lit("ALL").as("source"), col("bucket"), col("max_rank")))
+  }
+
+  /** Driver-side HLL estimator over one source's registers (raw
+    * estimate with the small-range linear-counting correction —
+    * Flajolet et al. 2007 §4). Registers absent from the frame are
+    * empty buckets (rank 0).
+    */
+  def hllEstimate(registers: Map[Long, Long]): Double = {
+    val m = HllM.toDouble
+    val alpha = 0.709 // alpha_64
+    val zSum = (0L until HllM).map(b =>
+      math.pow(2.0, -registers.getOrElse(b, 0L).toDouble)).sum
+    val raw = alpha * m * m / zSum
+    val zeros = HllM - registers.count(_._2 > 0L)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros.toDouble) else raw
+  }
+
+  // --- registry -----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pmi_phrases" -> qPmiPhrases _,
+    "q_count_min" -> qCountMin _,
+    "q_hll_sketch" -> qHllSketch _)
+
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "q_pmi_phrases" ->
+      s"""WITH tok AS (SELECT $toksSql AS t FROM documents),
+        |cu AS (SELECT w, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+        |n AS (SELECT sum(cnt)::BIGINT AS n_tok FROM cu),
+        |cb AS (SELECT bg, count(*)::BIGINT AS pair_cnt
+        |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS bg FROM tok)
+        |  GROUP BY bg HAVING count(*) > $PmiDiscount),
+        |sp AS (SELECT string_split(bg, ' ')[1] AS term_a,
+        |  string_split(bg, ' ')[2] AS term_b, pair_cnt FROM cb)
+        |SELECT sp.term_a, sp.term_b, sp.pair_cnt,
+        |  ((sp.pair_cnt - $PmiDiscount)::HUGEINT * 1000000 * n.n_tok
+        |    // (a.cnt::HUGEINT * b.cnt))::BIGINT AS score_ppm
+        |FROM sp JOIN cu a ON sp.term_a = a.w JOIN cu b ON sp.term_b = b.w
+        |CROSS JOIN n
+        |WHERE (sp.pair_cnt - $PmiDiscount)::HUGEINT * 1000000 * n.n_tok
+        |  // (a.cnt::HUGEINT * b.cnt) >= $PmiMinScorePpm""".stripMargin,
+    "q_count_min" ->
+      s"""WITH u AS (SELECT unnest($toksSql) AS w FROM documents),
+        |occ AS (SELECT u.w, r.r,
+        |    ('0x' || substr(md5(u.w || '#cm' || r.r), 1, 12))::BIGINT
+        |      % $CmWidth AS bucket
+        |  FROM u CROSS JOIN range(0, $CmDepth) r(r)),
+        |grid AS (SELECT r, bucket, count(*)::BIGINT AS cnt
+        |  FROM occ GROUP BY r, bucket),
+        |exact AS (SELECT w, count(*)::BIGINT AS exact_cnt FROM u GROUP BY w),
+        |cells AS (SELECT DISTINCT w, r, bucket FROM occ)
+        |SELECT e.w AS term, e.exact_cnt, min(g.cnt)::BIGINT AS est_cnt,
+        |  (min(g.cnt) - e.exact_cnt)::BIGINT AS over_cnt
+        |FROM exact e JOIN cells c ON e.w = c.w
+        |JOIN grid g ON c.r = g.r AND c.bucket = g.bucket
+        |GROUP BY e.w, e.exact_cnt""".stripMargin,
+    "q_hll_sketch" ->
+      s"""WITH occ AS (SELECT source,
+        |    ('0x' || substr(md5(w), 1, 12))::BIGINT AS h
+        |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)),
+        |rk AS (SELECT source, h % $HllM AS bucket,
+        |    CASE WHEN h // 64 = 0 THEN $HllZeroRank
+        |      ELSE length(bin((h // 64) & -(h // 64)))::BIGINT END AS rank
+        |  FROM occ),
+        |per AS (SELECT source, bucket, max(rank)::BIGINT AS max_rank
+        |  FROM rk GROUP BY source, bucket)
+        |SELECT source, bucket, max_rank FROM per
+        |UNION ALL
+        |SELECT 'ALL' AS source, bucket, max(max_rank)::BIGINT AS max_rank
+        |FROM per GROUP BY bucket""".stripMargin)
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+import graft.functions.GraftFunctions.tokenHashLong
+
+/** Structural laws for the mergeable-sketch tier (value-level parity
+  * is the DuckDB oracle gate; these pin what the oracles can't —
+  * merge laws, deterministic error bounds, estimator accuracy).
+  */
+class SketchesSpec extends AnyFunSuite {
+  import SparkSuite._
+  import spark.implicits._
+
+  test("pmi phrases: scores match a driver-side word2phrase replay") {
+    val out = Sketches.qPmiPhrases(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent replay: plain-Scala token stream, exact integer math
+    val texts = sources.Tables.documents(spark, sf)
+      .select(col("text")).as[String].collect()
+    val streams = texts.map(_.trim.toLowerCase.split("\\s+").toSeq)
+    val uni = streams.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = streams.map(_.size.toLong).sum
+    val pairCnt = streams.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pairCnt.collect {
+      case ((a, b), c) if c > Sketches.PmiDiscount &&
+        (BigInt(c - Sketches.PmiDiscount) * 1000000 * n) / (BigInt(uni(a)) * uni(b)) >=
+          Sketches.PmiMinScorePpm =>
+        (a, b) -> (c, ((BigInt(c - Sketches.PmiDiscount) * 1000000 * n) /
+          (BigInt(uni(a)) * uni(b))).toLong)
+    }
+    assert(out == expected, s"out=$out expected=$expected")
+    assert(out.nonEmpty, "fixture must surface at least one collocation")
+  }
+
+  test("count-min: est >= exact everywhere, grid rows partition the stream") {
+    val out = Sketches.qCountMin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // CM structural guarantee: every cell a term hashes to holds AT
+    // LEAST its count, so the min over rows can never undercount
+    out.foreach { case (t, exact, est, over) =>
+      assert(est >= exact, s"count-min undercounted $t: $est < $exact")
+      assert(over == est - exact)
+    }
+    val n = out.map(_._2).sum
+    // each grid row is a partition of the stream: its cells sum to N
+    val grid = Sketches.countMinSketch(
+      sources.Tables.documents(spark, sf)
+        .select(explode(graft.functions.GraftFunctions.tokens(col("text"))).as("w")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    (0 until Sketches.CmDepth).foreach { i =>
+      assert(grid.filter(_._1 == i.toLong).map(_._3).sum == n,
+        s"grid row $i does not partition the stream")
+    }
+  }
+
+  test("count-min: grids merge by elementwise addition (split corpus)") {
+    val docs = sources.Tables.documents(spark, sf)
+    val terms = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(explode(graft.functions.GraftFunctions.tokens(col("text"))).as("w"))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val whole = Sketches.countMinSketch(terms(docs)).collect()
+      .map(r => key(r) -> r.getLong(2)).toMap
+    val left = Sketches.countMinSketch(terms(docs.filter(col("doc_id") % 2 === 0)))
+      .collect().map(r => key(r) -> r.getLong(2)).toMap
+    val right = Sketches.countMinSketch(terms(docs.filter(col("doc_id") % 2 === 1)))
+      .collect().map(r => key(r) -> r.getLong(2)).toMap
+    val merged = (left.keySet ++ right.keySet).map(k =>
+      k -> (left.getOrElse(k, 0L) + right.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "sum-merge of split grids must equal the whole grid")
+  }
+
+  test("hll: ALL rows are the elementwise max of per-source registers") {
+    val rows = Sketches.qHllSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (all, per) = rows.partition(_._1 == "ALL")
+    assert(all.nonEmpty && per.nonEmpty)
+    val expected = per.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    assert(all.map(r => r._2 -> r._3).toMap == expected)
+    // and the merged registers dominate every per-source register
+    per.foreach { case (_, b, r) => assert(expected(b) >= r) }
+  }
+
+  test("hll: estimator lands near exact distinct counts, merge is union") {
+    // synthetic stream large enough to exercise the raw-estimate path:
+    // two overlapping sources, 6000 / 4000 distinct terms, 50% overlap
+    val terms = spark.range(0, 8000)
+      .select(when(col("id") < 6000, "a").otherwise("b").as("source"),
+        concat(lit("t"), (col("id") % 7000)).as("w"))
+      .unionAll(spark.range(0, 3000).select(lit("b").as("source"),
+        concat(lit("t"), col("id") + 4000).as("w")))
+    val reg = Sketches.hllRegisters(terms).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = reg.groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val exact = Map("a" -> 6000.0, "b" -> 4000.0)
+    exact.foreach { case (s, n) =>
+      val est = Sketches.hllEstimate(bySource(s))
+      assert(math.abs(est - n) / n < 0.35,
+        s"source $s estimate $est too far from $n")
+    }
+    // union law: registers of the union == elementwise max of the
+    // per-source registers (exact, not approximate)
+    val unionReg = Sketches.hllRegisters(
+        terms.select(lit("u").as("source"), col("w")))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val maxMerge = (bySource("a").keySet ++ bySource("b").keySet).map(b =>
+      b -> math.max(bySource("a").getOrElse(b, 0L),
+        bySource("b").getOrElse(b, 0L))).toMap
+    assert(unionReg == maxMerge, "HLL merge must be elementwise max")
+    // merged estimate tracks the true union cardinality (7000+... =
+    // t0..t6999 from a/b mod-wrap plus t4000..t6999 re-adds = 7000)
+    val est = Sketches.hllEstimate(maxMerge)
+    assert(math.abs(est - 7000.0) / 7000.0 < 0.35, s"union estimate $est")
+  }
+
+  test("hll rank law: rank r occurs iff hash remainder has r-1 trailing zeros") {
+    // driver-side replay of the rank arithmetic on real token hashes
+    val words = Seq("alpha", "beta", "gamma", "delta", "row", "scan")
+    words.foreach { w =>
+      val h = tokenHashLong(w)
+      val rest = h >> 6
+      val expected =
+        if (rest == 0L) Sketches.HllZeroRank
+        else java.lang.Long.numberOfTrailingZeros(rest) + 1L
+      val got = Sketches.hllRegisters(
+          Seq(("s", w)).toDF("source", "w"))
+        .collect().head.getLong(2)
+      assert(got == expected, s"rank mismatch for '$w': $got != $expected")
+    }
+  }
+}
