@@ -1399,6 +1399,171 @@ object DocStreams {
     * under the report threshold. The sentinel stream-length row is
     * preserved exactly. The one deliberate full rewrite of the table.
     */
+  /** STREAMING count-min sketch — the incremental twin of
+    * [[graft.operators.Sketches.qCountMin]]'s grid: per-batch grid
+    * partials (row, bucket, cnt) persisted under content-derived
+    * batch keys behind the doc-id sidecar replay screen (counts are
+    * linear, so redelivery WOULD double-count — this family needs
+    * the screen, unlike [[runHllStream]]). The served grid is the
+    * elementwise SUM of the batch partials — cell-for-cell the batch
+    * grid over every ingested doc, never an approximation. State =
+    * O(batches × CmDepth × CmWidth) rows, folded back to one grid by
+    * [[compactCountMin]].
+    */
+  def runCountMinStream(spark: SparkSession, stagedDir: String,
+                        wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                        gridTable: String): Unit = {
+    import graft.functions.GraftFunctions.tokens
+    import graft.operators.Sketches
+    val idsTable = s"${gridTable}_ids"
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nBuckets = indexBuckets(spark)
+        val pushMax = lookupPushdownMax(spark)
+        val batchIds = batch.toDF().select(col("doc_id")).distinct()
+          .withColumn("id_bucket", bucketOf(col("doc_id"), nBuckets))
+          .transform(cut)
+        val touchedIdB = batchIds.select("id_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val batchDocIds = batchIds.select("doc_id").limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
+        val seen =
+          if (wh.tableExists(ref, idsTable))
+            indexLookup(wh, ref, idsTable, "id_bucket", touchedIdB,
+              "doc_id", batchDocIds, HashIndexReadOptions)._1.select(col("doc_id"))
+          else
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("doc_id", LongType))))
+        val fresh = batch.toDF().select(col("doc_id"), col("text"))
+          .join(seen, Seq("doc_id"), "left_anti")
+          .transform(cut)
+        if (fresh.isEmpty) ()
+        else {
+          val keyRow = fresh.agg(min(col("doc_id")), max(col("doc_id")),
+            count(lit(1))).head
+          val batchKey = s"${keyRow.getLong(0)}-${keyRow.getLong(1)}-${keyRow.getLong(2)}"
+          val partial = Sketches.countMinSketch(
+              fresh.select(explode(tokens(col("text"))).as("w")))
+            .select(concat(lit(batchKey), lit("#"), col("r"), lit("#"),
+                col("bucket")).as("cm_key"),
+              lit(batchKey).as("batch_key"), col("r"), col("bucket"), col("cnt"))
+          upsertPartitioned(wh, ref, gridTable, partial, "cm_key")
+          val freshIds = batchIds
+            .join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .repartition(col("id_bucket"))
+            .sortWithinPartitions(col("id_bucket"), col("doc_id"))
+          wh.appendTablePartitioned(freshIds, ref, idsTable, Seq("id_bucket"),
+            bloomWriteOptions("doc_id",
+              batchIds.count() / math.max(1, touchedIdB.size)))
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The grid served from streamed partials — exact elementwise sum,
+    * identical columns to [[graft.operators.Sketches.countMinSketch]].
+    */
+  def countMinFromState(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                        gridTable: String): DataFrame =
+    wh.readTable(ref, gridTable)
+      .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Fold the per-batch grid partials to one row per cell (exact —
+    * sums — so serving is unchanged).
+    */
+  def compactCountMin(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                      gridTable: String): Unit = {
+    val spark = wh.readTable(ref, gridTable).sparkSession
+    val folded = countMinFromState(wh, ref, gridTable)
+      .select(concat(lit("compact#"), col("r"), lit("#"), col("bucket"))
+          .as("cm_key"),
+        lit("compact").as("batch_key"), col("r"), col("bucket"), col("cnt"))
+      .withColumn("pbucket",
+        pmod(xxhash64(col("cm_key")), lit(indexBuckets(spark).toLong)).cast("int"))
+      .transform(cut)
+    wh.writeTablePartitioned(folded, ref, gridTable, Seq("pbucket"))
+  }
+
+  /** STREAMING HLL distinct sketch — the incremental twin of
+    * [[graft.operators.Sketches.qHllSketch]], and the one state
+    * family in the streaming surface that needs NO replay screen at
+    * all: the register update (max) is idempotent, commutative and
+    * associative, so a redelivered batch — or the whole corpus
+    * re-sliced into different batches — can only re-assert register
+    * values the fold already dominates. Per-batch registers append
+    * under content-derived batch keys; the served sketch is the
+    * elementwise max, exactly the batch operator's registers. State
+    * = O(batches × sources × HllM) rows, folded by [[compactHll]].
+    */
+  def runHllStream(spark: SparkSession, stagedDir: String,
+                   wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                   regTable: String): Unit = {
+    import graft.functions.GraftFunctions.tokens
+    import graft.operators.Sketches
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        if (b.isEmpty) ()
+        else {
+          val keyRow = b.agg(min(col("doc_id")), max(col("doc_id")),
+            count(lit(1))).head
+          val batchKey = s"${keyRow.getLong(0)}-${keyRow.getLong(1)}-${keyRow.getLong(2)}"
+          val partial = Sketches.hllRegisters(
+              b.select(col("source"), explode(tokens(col("text"))).as("w")))
+            .select(concat(lit(batchKey), lit("#"), col("source"), lit("#"),
+                col("bucket")).as("hll_key"),
+              lit(batchKey).as("batch_key"), col("source"), col("bucket"),
+              col("max_rank"))
+          upsertPartitioned(wh, ref, regTable, partial, "hll_key")
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The sketch served from streamed registers: elementwise max per
+    * (source, bucket) plus the merged 'ALL' rows — identical columns
+    * and values to [[graft.operators.Sketches.qHllSketch]].
+    */
+  def hllFromState(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                   regTable: String): DataFrame = {
+    val per = wh.readTable(ref, regTable)
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("max_rank")).as("max_rank"))
+    per.unionAll(
+      per.groupBy(col("bucket"))
+        .agg(max(col("max_rank")).as("max_rank"))
+        .select(lit("ALL").as("source"), col("bucket"), col("max_rank")))
+  }
+
+  /** Fold the per-batch registers to one row per (source, bucket)
+    * (exact — max — so serving is unchanged).
+    */
+  def compactHll(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                 regTable: String): Unit = {
+    val spark = wh.readTable(ref, regTable).sparkSession
+    val folded = wh.readTable(ref, regTable)
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("max_rank")).as("max_rank"))
+      .select(concat(lit("compact#"), col("source"), lit("#"), col("bucket"))
+          .as("hll_key"),
+        lit("compact").as("batch_key"), col("source"), col("bucket"),
+        col("max_rank"))
+      .withColumn("pbucket",
+        pmod(xxhash64(col("hll_key")), lit(indexBuckets(spark).toLong)).cast("int"))
+      .transform(cut)
+    wh.writeTablePartitioned(folded, ref, regTable, Seq("pbucket"))
+  }
+
   def compactSketches(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
                       sketchTable: String,
                       k: Int = graft.operators.CorpusOps.MgK): Unit = {

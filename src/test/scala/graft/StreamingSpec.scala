@@ -975,4 +975,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch),
       s"stream/batch divergence: ${streamed.take(2).mkString} vs ${batch.take(2).mkString}")
   }
+
+  test("streaming count-min grid equals batch cell-for-cell, replays idempotently, compacts") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import graft.operators.Sketches
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-cms")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-cms-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        staged.resolve(s"$name.parquet"))
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "a_even")
+    stage(docs.filter(col("doc_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-cms").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.cms")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runCountMinStream(spark, staged.toString, wh, ref, "cmgrid")
+    val batch = Sketches.countMinSketch(docs.select(
+        explode(graft.functions.GraftFunctions.tokens(col("text"))).as("w")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def served(): Map[(Long, Long), Long] =
+      DocStreams.countMinFromState(wh, ref, "cmgrid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(served() == batch,
+      "streamed grid must sum to the batch grid exactly")
+    // replay: counts are linear, so the doc-id sidecar must screen
+    // every redelivered doc or the grid would double-count
+    val before = wh.readTable(ref, "cmgrid").count()
+    stage(docs, "c_replay")
+    DocStreams.runCountMinStream(spark, staged.toString, wh, ref, "cmgrid")
+    assert(wh.readTable(ref, "cmgrid").count() == before, "replay grew the state")
+    assert(served() == batch)
+    // compaction folds to one row per touched cell, serving unchanged
+    DocStreams.compactCountMin(wh, ref, "cmgrid")
+    assert(wh.readTable(ref, "cmgrid").count() <=
+      Sketches.CmDepth * Sketches.CmWidth)
+    assert(served() == batch)
+  }
+
+  test("streaming hll registers equal batch, replay-safe WITHOUT a screen, compacts") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-hll")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-hll-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        staged.resolve(s"$name.parquet"))
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "a_even")
+    stage(docs.filter(col("doc_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-hll").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.hll")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runHllStream(spark, staged.toString, wh, ref, "hllreg")
+    val batch = graft.operators.Sketches.qHllSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def served(): Map[(String, Long), Long] =
+      DocStreams.hllFromState(wh, ref, "hllreg").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(served() == batch,
+      "streamed registers must max-fold to the batch sketch exactly")
+    // replay with NO screen: the whole corpus redelivered as ONE file
+    // (a batch slicing the state never saw) appends rows, but max is
+    // idempotent — the SERVED sketch cannot move
+    stage(docs, "c_replay")
+    DocStreams.runHllStream(spark, staged.toString, wh, ref, "hllreg")
+    assert(served() == batch,
+      "idempotent max must absorb arbitrary redelivery without a screen")
+    // compaction folds to one row per (source, bucket), serving unchanged
+    DocStreams.compactHll(wh, ref, "hllreg")
+    val nSources = docs.select(col("source")).distinct().count()
+    assert(wh.readTable(ref, "hllreg").count() <=
+      nSources * graft.operators.Sketches.HllM)
+    assert(served() == batch)
+  }
 }
