@@ -100,6 +100,56 @@ object Sketches {
   def qPmiPhrases(s: SparkSession, dir: String): DataFrame =
     pmiPhrases(Tables.documents(s, dir))
 
+  /** Greedy word2phrase REWRITE — the apply half of [[pmiPhrases]]:
+    * scan each doc's token stream left-to-right and join every
+    * scored pair whose left token wasn't consumed by the previous
+    * join, exactly word2phrase's one-pass semantics. Distributed
+    * form: within a maximal run of consecutive flagged positions,
+    * joins land at even offsets from the run start — so the
+    * sequential scan becomes per-doc windows (flag via lead + a
+    * broadcast phrase join; run grouping via the gaps-and-islands
+    * row_number trick; parity via min-over-run), one doc_id shuffle
+    * reused across all of them, never a global sort.
+    *
+    * Cardinality contract: the phrase table is corpus-level (pairs
+    * clearing [[PmiMinScorePpm]]) — thousands at most, always the
+    * broadcast side.
+    */
+  def phraseApply(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("nxt", lead(col("w"), 1).over(wDoc))
+    val flagged = tok
+      .join(broadcast(phrases.select(col("term_a").as("w"),
+        col("term_b").as("nxt"), lit(1).as("f"))), Seq("w", "nxt"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0)))
+    val wRun = Window.partitionBy(col("doc_id"), col("f")).orderBy(col("pos"))
+    val grouped = flagged
+      .withColumn("grp", col("pos") - row_number().over(wRun))
+    val wGrp = Window.partitionBy(col("doc_id"), col("f"), col("grp"))
+    val joined = grouped
+      .withColumn("joined",
+        col("f") === 1 && (col("pos") - min(col("pos")).over(wGrp)) % 2 === 0)
+      .withColumn("consumed",
+        coalesce(lag(col("joined"), 1).over(wDoc), lit(false)))
+    joined
+      .withColumn("out", when(col("joined"),
+        concat(col("w"), lit("_"), col("nxt"))).otherwise(col("w")))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("joined"), 1L).otherwise(0L)).as("n_phrases"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("consumed"),
+            struct(col("pos"), col("out"))))),
+          x => x.getField("out")), " ").as("text_phrased"))
+  }
+
+  def qPhraseApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    phraseApply(docs, pmiPhrases(docs))
+  }
+
   // --- count-min sketch ---------------------------------------------------
 
   /** Grid shape: depth 4 independent hash rows × width 1024 buckets.
@@ -223,6 +273,7 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pmi_phrases" -> qPmiPhrases _,
+    "q_phrase_apply" -> qPhraseApply _,
     "q_count_min" -> qCountMin _,
     "q_hll_sketch" -> qHllSketch _)
 
@@ -247,6 +298,42 @@ object Sketches {
         |CROSS JOIN n
         |WHERE (sp.pair_cnt - $PmiDiscount)::HUGEINT * 1000000 * n.n_tok
         |  // (a.cnt::HUGEINT * b.cnt) >= $PmiMinScorePpm""".stripMargin,
+    "q_phrase_apply" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |cu AS (SELECT w, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+        |n AS (SELECT sum(cnt)::BIGINT AS n_tok FROM cu),
+        |cb AS (SELECT bg, count(*)::BIGINT AS pair_cnt
+        |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS bg FROM tok)
+        |  GROUP BY bg HAVING count(*) > $PmiDiscount),
+        |sp AS (SELECT string_split(bg, ' ')[1] AS term_a,
+        |  string_split(bg, ' ')[2] AS term_b, pair_cnt FROM cb),
+        |phr AS (SELECT sp.term_a, sp.term_b
+        |  FROM sp JOIN cu a ON sp.term_a = a.w JOIN cu b ON sp.term_b = b.w
+        |  CROSS JOIN n
+        |  WHERE (sp.pair_cnt - $PmiDiscount)::HUGEINT * 1000000 * n.n_tok
+        |    // (a.cnt::HUGEINT * b.cnt) >= $PmiMinScorePpm),
+        |pos AS (SELECT doc_id, u.i AS i, u.w AS w, u.nxt AS nxt FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |    i -> struct_pack(i := i, w := t[i], nxt := t[i + 1]))) AS u
+        |  FROM tok)),
+        |flg AS (SELECT p.doc_id, p.i, p.w, p.nxt,
+        |    CASE WHEN ph.term_a IS NOT NULL THEN 1 ELSE 0 END AS f
+        |  FROM pos p LEFT JOIN phr ph
+        |    ON p.w = ph.term_a AND p.nxt = ph.term_b),
+        |run AS (SELECT *, i - row_number()
+        |    OVER (PARTITION BY doc_id, f ORDER BY i) AS grp FROM flg),
+        |jn AS (SELECT *, (f = 1 AND (i - min(i)
+        |    OVER (PARTITION BY doc_id, f, grp)) % 2 = 0) AS joined FROM run),
+        |cm AS (SELECT *, coalesce(lag(joined)
+        |    OVER (PARTITION BY doc_id ORDER BY i), false) AS consumed FROM jn)
+        |SELECT doc_id,
+        |  sum(CASE WHEN joined THEN 1 ELSE 0 END)::BIGINT AS n_phrases,
+        |  string_agg(CASE WHEN NOT consumed THEN
+        |      (CASE WHEN joined THEN w || '_' || nxt ELSE w END) END,
+        |    ' ' ORDER BY i) AS text_phrased
+        |FROM cm GROUP BY doc_id""".stripMargin,
     "q_count_min" ->
       s"""WITH u AS (SELECT unnest($toksSql) AS w FROM documents),
         |occ AS (SELECT u.w, r.r,

@@ -37,6 +37,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.nonEmpty, "fixture must surface at least one collocation")
   }
 
+  test("phrase apply: greedy left-to-right join semantics on crafted overlaps") {
+    val docs = Seq(
+      (1L, "a b c d"),   // (a,b) and (b,c) both flagged: greedy takes (a,b)
+      (2L, "x a b a b"), // two disjoint (a,b) occurrences both join
+      (3L, "b c b c c"), // (b,c) twice, trailing c alone
+      (4L, "a b c b c"), // run {0,1} joins at 0; run {3} joins
+      (5L, ""))          // empty text survives as an empty rewrite
+      .toDF("doc_id", "text")
+    val phrases = Seq(("a", "b"), ("b", "c")).toDF("term_a", "term_b")
+    val out = Sketches.phraseApply(docs, phrases).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (1L, "a_b c d"))
+    assert(out(2L) == (2L, "x a_b a_b"))
+    assert(out(3L) == (2L, "b_c b_c c"))
+    assert(out(4L) == (2L, "a_b c b_c"))
+    assert(out(5L) == (0L, ""))
+  }
+
   test("count-min: est >= exact everywhere, grid rows partition the stream") {
     val out = Sketches.qCountMin(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
