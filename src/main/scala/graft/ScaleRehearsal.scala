@@ -34,7 +34,11 @@ object ScaleRehearsal {
     // r8 verdict #3: the centroid consumers and batch families the
     // first rehearsal never measured
     "q_cluster_sample", "q_bm25_search", "q_source_interleave",
-    "q_token_budget_sample", "q_int8_quant", "q_contrastive_pairs")
+    "q_token_budget_sample", "q_int8_quant", "q_contrastive_pairs",
+    // r10: the sketch/phrase tier — all expected ~linear (partial-agg
+    // shuffles to fixed-size or vocab-size state; per-doc windows)
+    "q_pmi_phrases", "q_phrase_apply", "q_count_min", "q_hll_sketch",
+    "q_bloom_audit", "q_len_hist")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(

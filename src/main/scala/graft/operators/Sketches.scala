@@ -269,13 +269,109 @@ object Sketches {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros.toDouble) else raw
   }
 
+  // --- portable bloom filter -----------------------------------------------
+
+  /** Bloom geometry for the membership artifact: 4096 bits × 3
+    * probes. Sized so the fixture's ~800-member benchmark set drives
+    * a MEASURABLE false-positive rate (load kn/m ≈ 0.6 ⇒ FPR ≈ 11%)
+    * — this is the audit frame for choosing production geometry, not
+    * the production screen itself ([[graft.operators.TextAnalysis]]'s
+    * bloomDecontaminate carries the codegen'd Spark-sketch screen;
+    * this artifact is the PORTABLE, engine-neutral form: a relation
+    * of set bit positions any system can re-join, mergeable across
+    * shards by plain distinct union).
+    */
+  val BloomBits = 4096L
+  val BloomK = 3
+
+  /** Probe-i bit position of a term — salted md5-prefix hash mod m,
+    * replicated verbatim by the oracle.
+    */
+  def bloomPos(w: Column, i: Int): Column =
+    tokenHash(concat(w, lit("#bl" + i))) % BloomBits
+
+  /** The set-bit relation of a member-term frame (col `w`): one row
+    * per distinct bit position. Union-distinct IS the bloom OR — the
+    * merge law shard builds rely on (idempotent, so the streaming
+    * twin needs no replay screen; see SketchesSpec).
+    */
+  def bloomBits(members: DataFrame): DataFrame =
+    members.select(explode(array((0 until BloomK).map(i =>
+        bloomPos(col("w"), i)): _*)).as("pos"))
+      .distinct()
+
+  /** Membership audit of the corpus bigram domain against a bloom of
+    * the benchmark docs' bigrams (doc_id % 10 = 0 — the same
+    * held-out convention as the DSIR seed): per distinct probe term,
+    * the exact membership next to the bloom verdict and the
+    * false-positive flag. No-false-negative is structural (a
+    * member's bits are all set by construction); the false-positive
+    * RATE is the number this frame exists to measure before sizing a
+    * production screen. The bit table (≤ BloomBits rows) broadcasts
+    * to the probe join; the probe side stays distributed.
+    */
+  def qBloomAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = (d: DataFrame) => d
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(bigrams(col("toks"))).as("w"))
+      .distinct()
+    val bench = grams(docs.filter(col("doc_id") % 10 === 0))
+    val bits = bloomBits(bench)
+    val probed = grams(docs)
+      .select(col("w"), explode(array((0 until BloomK).map(i =>
+        bloomPos(col("w"), i)): _*)).as("pos"))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy(col("w"))
+      .agg((sum(coalesce(col("hit"), lit(0))) === BloomK).as("bloom_hit"))
+    probed
+      .join(bench.withColumn("m", lit(1)), Seq("w"), "left")
+      .select(col("w").as("term"),
+        col("m").isNotNull.as("exact_member"),
+        col("bloom_hit"),
+        (col("bloom_hit") && col("m").isNull).as("false_positive"))
+  }
+
+  // --- mergeable log2 length histogram --------------------------------------
+
+  /** Per-source token-length distribution in log₂ bins — the
+    * fixed-size (≤ 64 bins/source), addition-mergeable shape summary
+    * a shard publishes so corpus-level length drift is monitorable
+    * without touching rows again. bin = floor(log2 n)+1 for n ≥ 1
+    * via length(bin(n)) — the same bit-exact integer log as
+    * [[graft.operators.Curation]]'s classifier — with bin 0 for
+    * empty docs; bounds columns make the artifact self-describing.
+    * Merged 'ALL' rows = the per-source sums, emitted in-frame like
+    * [[qHllSketch]].
+    */
+  def qLenHist(s: SparkSession, dir: String): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    val per = Tables.documents(s, dir)
+      .select(col("source"),
+        when(n <= 0, 0L).otherwise(length(bin(n)).cast("long")).as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bin_lo", when(col("bin") === 0, 0L)
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) - 1)")))
+      .withColumn("bin_hi", when(col("bin") === 0, 0L)
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT)) - 1")))
+    per.select(col("source"), col("bin"), col("bin_lo"), col("bin_hi"), col("n_docs"))
+      .unionAll(
+        per.groupBy(col("bin"), col("bin_lo"), col("bin_hi"))
+          .agg(sum(col("n_docs")).as("n_docs"))
+          .select(lit("ALL").as("source"), col("bin"), col("bin_lo"),
+            col("bin_hi"), col("n_docs")))
+  }
+
   // --- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pmi_phrases" -> qPmiPhrases _,
     "q_phrase_apply" -> qPhraseApply _,
     "q_count_min" -> qCountMin _,
-    "q_hll_sketch" -> qHllSketch _)
+    "q_hll_sketch" -> qHllSketch _,
+    "q_bloom_audit" -> qBloomAudit _,
+    "q_len_hist" -> qLenHist _)
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -349,6 +445,46 @@ object Sketches {
         |FROM exact e JOIN cells c ON e.w = c.w
         |JOIN grid g ON c.r = g.r AND c.bucket = g.bucket
         |GROUP BY e.w, e.exact_cnt""".stripMargin,
+    "q_bloom_audit" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS w FROM tok),
+        |bench AS (SELECT DISTINCT w FROM bgs WHERE doc_id % 10 = 0),
+        |corp AS (SELECT DISTINCT w FROM bgs),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(w || '#bl' || r.r), 1, 12))::BIGINT
+        |      % $BloomBits AS pos
+        |  FROM bench CROSS JOIN range(0, $BloomK) r(r)),
+        |probe AS (SELECT c.w,
+        |    ('0x' || substr(md5(c.w || '#bl' || r.r), 1, 12))::BIGINT
+        |      % $BloomBits AS pos
+        |  FROM corp c CROSS JOIN range(0, $BloomK) r(r)),
+        |hit AS (SELECT w,
+        |    (sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = $BloomK)
+        |      AS bloom_hit
+        |  FROM probe p LEFT JOIN bits b ON p.pos = b.pos GROUP BY w)
+        |SELECT h.w AS term, (bn.w IS NOT NULL) AS exact_member,
+        |  h.bloom_hit, (h.bloom_hit AND bn.w IS NULL) AS false_positive
+        |FROM hit h LEFT JOIN bench bn ON h.w = bn.w""".stripMargin,
+    "q_len_hist" ->
+      s"""WITH d AS (SELECT source,
+        |    len($toksSql)::BIGINT AS n FROM documents),
+        |b AS (SELECT source,
+        |  (CASE WHEN n <= 0 THEN 0 ELSE length(bin(n)) END)::BIGINT AS bin
+        |  FROM d),
+        |per AS (SELECT source, bin, count(*)::BIGINT AS n_docs
+        |  FROM b GROUP BY source, bin),
+        |pb AS (SELECT source, bin,
+        |  (CASE WHEN bin = 0 THEN 0
+        |    ELSE (1::BIGINT << (bin - 1)::INT) END)::BIGINT AS bin_lo,
+        |  (CASE WHEN bin = 0 THEN 0
+        |    ELSE (1::BIGINT << bin::INT) - 1 END)::BIGINT AS bin_hi,
+        |  n_docs FROM per)
+        |SELECT source, bin, bin_lo, bin_hi, n_docs FROM pb
+        |UNION ALL
+        |SELECT 'ALL' AS source, bin, bin_lo, bin_hi,
+        |  sum(n_docs)::BIGINT AS n_docs
+        |FROM pb GROUP BY bin, bin_lo, bin_hi""".stripMargin,
     "q_hll_sketch" ->
       s"""WITH occ AS (SELECT source,
         |    ('0x' || substr(md5(w), 1, 12))::BIGINT AS h

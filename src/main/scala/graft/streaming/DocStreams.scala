@@ -1545,6 +1545,66 @@ object DocStreams {
         .select(lit("ALL").as("source"), col("bucket"), col("max_rank")))
   }
 
+  /** STREAMING bloom build — the incremental twin of
+    * [[graft.operators.Sketches.bloomBits]], and like [[runHllStream]]
+    * screen-free by algebra: bit-set union (distinct) is idempotent,
+    * so redelivered batches only re-assert set bits. Per-batch
+    * distinct positions append under content-derived batch keys; the
+    * served filter is the distinct position set — exactly the batch
+    * artifact. State = O(batches × BloomBits) rows worst case,
+    * folded to ≤ BloomBits by [[compactBloom]].
+    */
+  def runBloomStream(spark: SparkSession, stagedDir: String,
+                     wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                     bitsTable: String): Unit = {
+    import graft.functions.GraftFunctions.tokens
+    import graft.operators.{CorpusOps, Sketches}
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        if (b.isEmpty) ()
+        else {
+          val keyRow = b.agg(min(col("doc_id")), max(col("doc_id")),
+            count(lit(1))).head
+          val batchKey = s"${keyRow.getLong(0)}-${keyRow.getLong(1)}-${keyRow.getLong(2)}"
+          val partial = Sketches.bloomBits(
+              b.select(explode(CorpusOps.bigrams(tokens(col("text")))).as("w"))
+                .distinct())
+            .select(concat(lit(batchKey), lit("#"), col("pos")).as("bl_key"),
+              lit(batchKey).as("batch_key"), col("pos"))
+          upsertPartitioned(wh, ref, bitsTable, partial, "bl_key")
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The filter served from streamed positions: the distinct set-bit
+    * relation — identical to the batch [[graft.operators.Sketches.bloomBits]].
+    */
+  def bloomFromState(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                     bitsTable: String): DataFrame =
+    wh.readTable(ref, bitsTable).select(col("pos")).distinct()
+
+  /** Fold the per-batch positions to one row per set bit (exact —
+    * distinct — so serving is unchanged).
+    */
+  def compactBloom(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                   bitsTable: String): Unit = {
+    val spark = wh.readTable(ref, bitsTable).sparkSession
+    val folded = bloomFromState(wh, ref, bitsTable)
+      .select(concat(lit("compact#"), col("pos")).as("bl_key"),
+        lit("compact").as("batch_key"), col("pos"))
+      .withColumn("pbucket",
+        pmod(xxhash64(col("bl_key")), lit(indexBuckets(spark).toLong)).cast("int"))
+      .transform(cut)
+    wh.writeTablePartitioned(folded, ref, bitsTable, Seq("pbucket"))
+  }
+
   /** Fold the per-batch registers to one row per (source, bucket)
     * (exact — max — so serving is unchanged).
     */

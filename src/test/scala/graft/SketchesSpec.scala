@@ -93,6 +93,55 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == whole, "sum-merge of split grids must equal the whole grid")
   }
 
+  test("bloom audit: zero false negatives, measurable FPR, bits merge by union") {
+    val out = Sketches.qBloomAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    // structural law: a member's bits are all set by construction
+    out.foreach { case (t, member, hit, fp) =>
+      if (member) assert(hit, s"false negative on member '$t'")
+      assert(fp == (hit && !member))
+    }
+    // the audit must be non-trivial in BOTH directions on the fixture:
+    // real members, real non-members, and a measurable FP count (the
+    // geometry is sized for load ~0.6 ⇒ expected FPR ~11%)
+    assert(out.exists(_._2), "fixture benchmark set is empty")
+    assert(out.exists(!_._2), "fixture has no non-members to audit")
+    assert(out.count(_._4) > 0, "audit found no false positives to measure")
+    // merge law: bits of a union == distinct union of the halves' bits
+    val grams = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(operators.CorpusOps.bigrams(
+          graft.functions.GraftFunctions.tokens(col("text")))).as("w"))
+    val bitsOf = (d: org.apache.spark.sql.DataFrame) =>
+      Sketches.bloomBits(d.select(col("w")).distinct())
+        .collect().map(_.getLong(0)).toSet
+    val whole = bitsOf(grams)
+    val leftB = bitsOf(grams.filter(col("doc_id") % 2 === 0))
+    val rightB = bitsOf(grams.filter(col("doc_id") % 2 === 1))
+    assert((leftB ++ rightB) == whole, "bloom OR-merge must be distinct union")
+  }
+
+  test("length histogram: bins partition the corpus, bounds law, ALL = sum") {
+    val rows = Sketches.qLenHist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (all, per) = rows.partition(_._1 == "ALL")
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    assert(per.map(_._5).sum == nDocs, "per-source bins must partition the corpus")
+    assert(all.map(_._5).sum == nDocs)
+    rows.foreach { case (_, bin, lo, hi, n) =>
+      assert(n > 0)
+      if (bin == 0) assert(lo == 0 && hi == 0)
+      else {
+        assert(lo == (1L << (bin - 1)) && hi == (1L << bin) - 1,
+          s"bin $bin bounds $lo..$hi")
+      }
+    }
+    // ALL is the exact sum of the per-source rows, bin by bin
+    val sums = per.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(all.map(r => r._2 -> r._5).toMap == sums)
+  }
+
   test("hll: ALL rows are the elementwise max of per-source registers") {
     val rows = Sketches.qHllSketch(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

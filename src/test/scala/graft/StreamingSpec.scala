@@ -1062,4 +1062,47 @@ class StreamingSpec extends AnyFunSuite {
       nSources * graft.operators.Sketches.HllM)
     assert(served() == batch)
   }
+
+  test("streaming bloom bits equal batch, replay-safe WITHOUT a screen, compacts") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import graft.operators.{CorpusOps, Sketches}
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-blm")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-blm-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        staged.resolve(s"$name.parquet"))
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "a_even")
+    stage(docs.filter(col("doc_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-blm").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.blm")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runBloomStream(spark, staged.toString, wh, ref, "bloombits")
+    val batch = Sketches.bloomBits(docs
+        .select(explode(CorpusOps.bigrams(
+          graft.functions.GraftFunctions.tokens(col("text")))).as("w"))
+        .distinct())
+      .collect().map(_.getLong(0)).toSet
+    def served(): Set[Long] =
+      DocStreams.bloomFromState(wh, ref, "bloombits").collect()
+        .map(_.getLong(0)).toSet
+    assert(served() == batch,
+      "streamed bits must union to the batch bloom exactly")
+    // replay with NO screen: bit-set union is idempotent — the whole
+    // corpus redelivered as one unseen batch shape cannot move the bits
+    stage(docs, "c_replay")
+    DocStreams.runBloomStream(spark, staged.toString, wh, ref, "bloombits")
+    assert(served() == batch,
+      "idempotent union must absorb arbitrary redelivery without a screen")
+    DocStreams.compactBloom(wh, ref, "bloombits")
+    assert(wh.readTable(ref, "bloombits").count() <= Sketches.BloomBits)
+    assert(served() == batch)
+  }
 }
