@@ -69,6 +69,61 @@ object Curation {
         tokenHash(scrub(col("aug"))).as("scrub_hash"))
   }
 
+  // --- HTML boilerplate strip (content extraction) -------------------
+
+  /** Deterministic HTML chrome wrapped around each document's text
+    * (the augment-in-the-harness pattern, like [[augText]]): title,
+    * one script and one style block, a nav div with entities, the
+    * body text in a <p>, and an entity-bearing footer — both engines
+    * build the identical markup from the doc's own key columns.
+    */
+  private def htmlAug: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style>p{margin:0}</style><script>var id="),
+    col("doc_id").cast("string"),
+    lit(";</script></head><body><div class=\"nav\">Home &amp; About</div><p>"),
+    col("text"),
+    lit("</p><p>Contact &lt;"), col("source"),
+    lit("&gt; &quot;here&quot;</p></body></html>"))
+
+  /** HTML → clean text (the web-corpus content-extraction stage that
+    * precedes every quality/dedup pass — trafilatura's job, reduced
+    * to its deterministic core): drop script/style ELEMENTS with
+    * their contents, strip the remaining tags, decode the five
+    * standard entities (&amp; LAST, so literal "&amp;lt;" in a page
+    * never double-decodes), collapse whitespace. All narrow
+    * codegen'd regexp/replace chains — zero shuffles, the q_scrub
+    * posture. Script/style bodies match `[^<]*` (the injected blocks
+    * never contain '<'), keeping the pattern single-line-safe and
+    * identical across Java regex and RE2.
+    */
+  def htmlStrip(h: Column): Column = {
+    val noScript = regexp_replace(
+      regexp_replace(h, "<script[^>]*>[^<]*</script>", " "),
+      "<style[^>]*>[^<]*</style>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Per-doc extraction audit: tag count, cleaned length, an exact
+    * containment proof that the body text survived (instr > 0), and
+    * the 48-bit hash of the cleaned text as the cross-engine
+    * certificate.
+    */
+  def qHtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(s, dir).withColumn("h", htmlAug)
+    a.select(col("doc_id"),
+      size(regexp_extract_all(col("h"), lit("<[^>]*>"), lit(0)))
+        .cast("long").as("n_tags"),
+      length(htmlStrip(col("h"))).cast("long").as("clean_len"),
+      (instr(htmlStrip(col("h")), trim(col("text"))) > 0)
+        .cast("long").as("body_ok"),
+      tokenHash(htmlStrip(col("h"))).as("clean_hash"))
+  }
+
   // --- passage chunking + chunk-level dedup --------------------------
 
   val ChunkWords = 10
@@ -768,6 +823,7 @@ object Curation {
   // --- driver contract -----------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_html_strip" -> qHtmlStrip _,
     "q_scrub" -> qScrub _,
     "q_chunk_dedup" -> qChunkDedup _,
     "q_cdc_chunks" -> qCdcChunks _,
@@ -870,7 +926,35 @@ object Curation {
       |    ELSE NULL
       |  END""".stripMargin
 
+  // single line (the augSql discipline): '||' at a line start would
+  // collide with stripMargin's '|'
+  private val htmlAugSql =
+    "'<html><head><title>Doc ' || doc_id::VARCHAR || '</title><style>p{margin:0}</style><script>var id=' || doc_id::VARCHAR || ';</script></head><body><div class=\"nav\">Home &amp; About</div><p>' || text || '</p><p>Contact &lt;' || source || '&gt; &quot;here&quot;</p></body></html>'"
+
+  private val htmlStripOracle =
+    s"""WITH a AS (SELECT doc_id, text, ($htmlAugSql) AS h FROM documents),
+      |c AS (SELECT doc_id, text, h,
+      |  trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(h, '<script[^>]*>[^<]*</script>', ' ', 'g'),
+      |          '<style[^>]*>[^<]*</style>', ' ', 'g'),
+      |        '<[^>]*>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&amp;', '&'),
+      |    '\\s+', ' ', 'g')) AS clean
+      |  FROM a)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(h, '<[^>]*>'))::BIGINT AS n_tags,
+      |  strlen(clean)::BIGINT AS clean_len,
+      |  (CASE WHEN strpos(clean, trim(text)) > 0 THEN 1 ELSE 0 END)::BIGINT
+      |    AS body_ok,
+      |  ('0x' || substr(md5(clean), 1, 12))::BIGINT AS clean_hash
+      |FROM c""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_html_strip" -> htmlStripOracle,
     "q_scrub" ->
       s"""WITH a AS (SELECT doc_id, ($augSql) AS aug FROM documents),
         |s AS (SELECT doc_id, aug,

@@ -666,6 +666,82 @@ object Dedup {
     ladder.iterator.map(c => minhashSweep(docs, Seq(c), threshold).head)
       .find(_.recall >= targetRecall)
 
+  // --- exact set-similarity join via prefix filtering ----------------
+
+  /** Jaccard threshold for the prefix-filter join, integer ppm. */
+  val PrefixTauPpm = 600000L
+
+  /** EXACT set-similarity self-join via document-frequency-ordered
+    * prefix filtering (SSJoin/AllPairs, Chaudhuri et al. ICDE'06 /
+    * Bayardo et al. WWW'07) — the no-false-negative complement of
+    * MinHash-LSH: every pair with token-set Jaccard ≥ τ is returned,
+    * with its EXACT similarity, no probabilistic recall dial needed.
+    *
+    * Element domain: distinct word-3-gram SHINGLE hashes — the same
+    * granularity as the MinHash family, and for the same reason (the
+    * module doc above): unigram sets over a small shared vocabulary
+    * make every doc pair similar and the output itself quadratic;
+    * shingle sets are near-unique per doc, so τ prunes to the true
+    * near-dup pairs.
+    *
+    * Discipline: order each doc's distinct shingle set by ascending
+    * corpus document frequency (rarest first, hash tie-break) and
+    * emit only the first |d| − ⌈τ·|d|⌉ + 1 shingles as join keys. Any
+    * pair with J ≥ τ has overlap ≥ τ·|a∪b| ≥ ⌈τ·|x|⌉ for BOTH sides,
+    * so by pigeonhole each side's prefix contains a shared token and
+    * the pair survives (candidates additionally size-filtered:
+    * τ·max(|a|,|b|) ≤ min(|a|,|b|), a Jaccard necessity). Exact
+    * intersection counts then verify candidates — floor-division ppm
+    * so the τ gate is integer-exact cross-engine.
+    *
+    * Scale: the df-ASCENDING order is what bounds the candidate set —
+    * a hot token lands in a doc's prefix only when the doc's entire
+    * vocabulary is even hotter, so prefix posting lists stay short
+    * exactly where postings are long (the AllPairs insight); the
+    * verify join fans out by candidate count × doc vocab, all
+    * equi-joins keyed on doc ids. The per-doc rank window partitions
+    * by doc_id (per-doc vocab ≤ doc length — never a global sort).
+    * Worst case remains an all-identical corpus, where the OUTPUT
+    * itself is quadratic — the same caveat every exact pairwise
+    * operator carries; τ and the size filter prune everything else.
+    */
+  def prefixJoinPairs(docs: DataFrame, tauPpm: Long = PrefixTauPpm): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"),
+        explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+      .distinct()
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = tok.join(dfreq, Seq("h"))
+      .select(col("doc_id"), col("h"),
+        row_number().over(byDoc.orderBy(col("df"), col("h"))).as("pos"),
+        count(lit(1)).over(byDoc).as("sz"))
+    val prefix = ranked
+      .filter(col("pos") <=
+        col("sz") - expr(s"($tauPpm * sz + 999999) div 1000000") + 1)
+      .select(col("doc_id"), col("h"), col("sz"))
+    val cand = prefix.toDF("doc_a", "h", "sz_a")
+      .join(prefix.toDF("doc_b", "hb", "sz_b"),
+        col("h") === col("hb") && col("doc_a") < col("doc_b") &&
+          lit(tauPpm) * greatest(col("sz_a"), col("sz_b")) <=
+            lit(1000000L) * least(col("sz_a"), col("sz_b")))
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+    val inter = cand.select(col("doc_a"), col("doc_b"))
+      .join(tok.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        expr("n_common * 1000000 div (sz_a + sz_b - n_common)")
+          .as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= tauPpm)
+  }
+
+  def qPrefixJoin(s: SparkSession, dir: String): DataFrame =
+    prefixJoinPairs(corpus(s, dir))
+
   // --- queries --------------------------------------------------------
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -737,6 +813,7 @@ object Dedup {
       |    UNION ALL SELECT 5000002, 'xx yy zz $spanLongRun'""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prefix_join" -> qPrefixJoin _,
     "q_span_long" -> qSpanLong _,
     "q_sketch_overlap" -> qSketchOverlap _,
     "q_repeated_spans" -> qRepeatedSpans _,
@@ -866,7 +943,35 @@ object Dedup {
       |    '')), 1, 12))::BIGINT AS survivor_hash
       |FROM c GROUP BY doc_id""".stripMargin
 
+  private val prefixJoinSql =
+    s"""WITH tok AS (
+      |  SELECT DISTINCT doc_id, h FROM ($shingleTokSql)),
+      |dfreq AS (SELECT h, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+      |ranked AS (SELECT doc_id, h,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS pos,
+      |    count(*) OVER (PARTITION BY doc_id) AS sz
+      |  FROM tok JOIN dfreq USING (h)),
+      |pre AS (SELECT doc_id, h, sz FROM ranked
+      |  WHERE pos <= sz - ($PrefixTauPpm * sz + 999999) // 1000000 + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sz AS sz_a, b.sz AS sz_b
+      |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  WHERE $PrefixTauPpm * greatest(a.sz, b.sz)
+      |          <= 1000000 * least(a.sz, b.sz)),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_common
+      |  FROM (SELECT DISTINCT doc_a, doc_b FROM cand) c
+      |  JOIN tok ta ON ta.doc_id = c.doc_a
+      |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.h = ta.h
+      |  GROUP BY 1, 2)
+      |SELECT c.doc_a, c.doc_b, i.n_common,
+      |  ((i.n_common * 1000000) // (c.sz_a + c.sz_b - i.n_common))::BIGINT
+      |    AS jaccard_ppm
+      |FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+      |WHERE (i.n_common * 1000000) // (c.sz_a + c.sz_b - i.n_common)
+      |        >= $PrefixTauPpm""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_prefix_join" -> prefixJoinSql,
     "q_sketch_overlap" -> {
       val mins = (0 until NumPerm)
         .map(k => s"min((${A(k)} * hp + ${B(k)}) % 1000000007) AS h$k").mkString(", ")

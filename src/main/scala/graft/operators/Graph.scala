@@ -161,8 +161,56 @@ object Graph {
           .otherwise(lit(0L)).as("clustering_ppm"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, the deterministic synchronous variant) over the
+    * undirected closure of the triangle fixture — the cheap
+    * community/cluster-structure pass the mutual-kNN graph (45y) and
+    * near-dup pair graphs feed: labels init to node id, and each of
+    * the [[LpIters]] rounds every node adopts its neighborhood's
+    * MODE label (tie → smallest label, the deterministic rule — the
+    * randomized tie-break of the paper is replaced by min so the
+    * unrolled oracle agrees bit-for-bit).
+    *
+    * Per iteration: one edge⋈label equi-join + one (node, label)
+    * partial-agg count + one per-node min(struct(−cnt, label)) fold —
+    * the argmax-by-struct idiom, all map-side combinable, O(E)
+    * shuffled per round like PageRank, with the same reliable-cut
+    * lineage discipline. No window, no global sort; at 100 TB the
+    * edge frame pre-partitions on v and every round reuses that
+    * partitioning. Output: final community per node + community size
+    * (one extra partial-agg + equi-join).
+    */
+  val LpIters = 3
+
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().persist()
+    try {
+      var lab = docs.select(col("doc_id").as("lv"), col("doc_id").as("lab"))
+      for (_ <- 1 to LpIters) {
+        val cnt = und.join(lab, und("v") === lab("lv"))
+          .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+        val pick = cnt.groupBy(col("u"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("l"))).as("m"))
+          .select(col("u"), col("m.l").as("newlab"))
+        lab = cut(docs.select(col("doc_id").as("lv"))
+          .join(pick, col("lv") === pick("u"), "left")
+          .select(col("lv"), coalesce(col("newlab"), col("lv")).as("lab")))
+      }
+      val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
+      lab.join(sz, Seq("lab"))
+        .select(col("lv").as("doc_id"), col("lab").as("community"),
+          col("comm_size"))
+    } finally { und.unpersist(); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> qPagerank _,
+    "q_label_prop" -> qLabelProp _,
     "q_triangles" -> qTriangles _)
 
   private def oracleSql: String = {
@@ -230,7 +278,40 @@ object Graph {
       |FROM documents d LEFT JOIN udeg dg ON d.doc_id = dg.u
       |LEFT JOIN per p ON d.doc_id = p.u""".stripMargin
 
+  private def labelPropSql: String = {
+    val undCte =
+      s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+        |    FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % nn.n FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 3) % nn.n FROM documents CROSS JOIN nn)),
+        |und AS (SELECT DISTINCT u, v FROM (
+        |  SELECT src AS u, dst AS v FROM e WHERE src != dst
+        |  UNION ALL SELECT dst, src FROM e WHERE src != dst)),
+        |l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents)""".stripMargin
+    val iters = (1 to LpIters).map { k =>
+      s"""c$k AS (SELECT und.u AS v, l.lab, count(*)::BIGINT AS cnt
+        |  FROM und JOIN l${k - 1} l ON und.v = l.v GROUP BY 1, 2),
+        |p$k AS (SELECT v, lab FROM (
+        |    SELECT v, lab,
+        |      row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lab ASC) AS rn
+        |    FROM c$k) WHERE rn = 1),
+        |l$k AS (SELECT d.doc_id AS v, coalesce(p.lab, d.doc_id) AS lab
+        |  FROM documents d LEFT JOIN p$k p ON d.doc_id = p.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $undCte,
+      |$iters,
+      |sz AS (SELECT lab, count(*)::BIGINT AS comm_size
+      |  FROM l$LpIters GROUP BY 1)
+      |SELECT l.v AS doc_id, l.lab AS community, sz.comm_size
+      |FROM l$LpIters l JOIN sz USING (lab)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> oracleSql,
+    "q_label_prop" -> labelPropSql,
     "q_triangles" -> trianglesSql)
 }

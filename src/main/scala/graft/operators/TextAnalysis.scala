@@ -999,7 +999,68 @@ object TextAnalysis {
   def qNgramNovelty(s: SparkSession, dir: String): DataFrame =
     ngramNovelty(Tables.documents(s, dir))
 
+  // --- per-source distribution drift ---------------------------------
+
+  /** Per-source unigram-distribution drift vs the whole corpus — the
+    * mixture-health monitor a multi-source pipeline tracks per
+    * snapshot (is one source's language shifting away from the blend
+    * the mixture was planned on?). Two exact, order-independent
+    * integer statistics per source:
+    *
+    *  - `l1_ppb`: total-variation-style L1 distance between the
+    *    source's and the corpus's unigram frequencies, both
+    *    quantized to parts-per-billion BEFORE the sum (the
+    *    ppm-before-sum discipline). Terms the source never emits
+    *    contribute their full corpus mass via one scalar
+    *    (total corpus ppb − the source's covered ppb) — no
+    *    per-(source, term) full-outer join needed.
+    *  - `kl_log2_ppb`: a KL-divergence signal with log2 quantized to
+    *    the INTEGER bit-length grid (length(bin(x)), the established
+    *    Curation idiom): Σ p_s·(bitlen(c_sh·N) − bitlen(c_h·N_s)).
+    *    Coarse (floor-log2) but bit-identical cross-engine and
+    *    monotone in genuine drift — a monitoring signal, not nats.
+    *
+    * Shuffle shape: one (source, term) partial-agg count + one
+    * term-keyed count, joined on the term hash — vocab grows with
+    * the corpus so the join SHUFFLES both sides (the PMI-phrases
+    * discipline, never broadcast); the per-source totals table is
+    * O(sources) and broadcasts. Int64 headroom: c·N < 2^63 holds to
+    * ~3·10⁹ occurrences of a term in a 10¹³-token corpus — the
+    * documented quantize-dial contract.
+    */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .select(col("source"), tokenHash(col("t")).as("h"))
+    val srcCnt = tok.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("c_sh"))
+    val corpCnt = tok.groupBy(col("h")).agg(count(lit(1)).as("c_h"))
+    val nTotal = tok.count()
+    val totalPcPpb = corpCnt
+      .agg(sum(expr(s"c_h * 1000000000 div ${nTotal}L"))).head.getLong(0)
+    val nSrc = tok.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    srcCnt.join(corpCnt, Seq("h"))
+      .join(broadcast(nSrc), Seq("source"))
+      .select(col("source"), col("n_s"),
+        expr("c_sh * 1000000000 div n_s").as("ps_ppb"),
+        expr(s"c_h * 1000000000 div ${nTotal}L").as("pc_ppb"),
+        (length(bin(col("c_sh") * nTotal)) -
+          length(bin(col("c_h") * col("n_s")))).cast("long").as("bldiff"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("ps_ppb") * col("bldiff")).as("kl_log2_ppb"),
+        sum(abs(col("ps_ppb") - col("pc_ppb"))).as("l1_cov"),
+        sum(col("pc_ppb")).as("pc_cov"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_terms"),
+        col("kl_log2_ppb"),
+        (col("l1_cov") + lit(totalPcPpb) - col("pc_cov")).as("l1_ppb"))
+  }
+
+  def qSourceDrift(s: SparkSession, dir: String): DataFrame =
+    sourceDrift(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_drift" -> qSourceDrift _,
     "q_ngram_novelty" -> qNgramNovelty _,
     "q_bpe_train" -> qBpeTrain _,
     "q_bpe_encode" -> qBpeEncode _,
@@ -1215,7 +1276,32 @@ object TextAnalysis {
       |      WHEN s.t >= c.tail_cut THEN 'middle' ELSE 'tail' END AS bucket
       |  FROM scored s CROSS JOIN cuts c)""".stripMargin
 
+  private val sourceDriftSql =
+    s"""WITH tok AS (
+      |  SELECT source, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h
+      |  FROM (SELECT source,
+      |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      |        FROM documents)),
+      |sc AS (SELECT source, h, count(*)::BIGINT AS c_sh FROM tok GROUP BY 1, 2),
+      |cc AS (SELECT h, count(*)::BIGINT AS c_h FROM tok GROUP BY 1),
+      |nt AS (SELECT count(*)::BIGINT AS n FROM tok),
+      |tot AS (SELECT sum(c_h * 1000000000 // nt.n)::BIGINT AS total_pc
+      |  FROM cc CROSS JOIN nt),
+      |ns AS (SELECT source, count(*)::BIGINT AS n_s FROM tok GROUP BY 1),
+      |j AS (SELECT sc.source, ns.n_s,
+      |    (sc.c_sh * 1000000000 // ns.n_s)::BIGINT AS ps_ppb,
+      |    (cc.c_h * 1000000000 // nt.n)::BIGINT AS pc_ppb,
+      |    (strlen(bin(sc.c_sh * nt.n))
+      |      - strlen(bin(cc.c_h * ns.n_s)))::BIGINT AS bldiff
+      |  FROM sc JOIN cc USING (h) JOIN ns USING (source) CROSS JOIN nt)
+      |SELECT source, n_s AS n_tokens, count(*)::BIGINT AS n_terms,
+      |  sum(ps_ppb * bldiff)::BIGINT AS kl_log2_ppb,
+      |  (sum(abs(ps_ppb - pc_ppb)) + (SELECT total_pc FROM tot)
+      |    - sum(pc_ppb))::BIGINT AS l1_ppb
+      |FROM j GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_source_drift" -> sourceDriftSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_bpe_merge" -> bpeMergeSql,

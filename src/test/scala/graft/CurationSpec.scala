@@ -13,6 +13,65 @@ import graft.sources.Tables
 class CurationSpec extends AnyFunSuite {
   import SparkSuite._
 
+  test("html strip removes chrome, decodes entities, preserves the body text") {
+    import spark.implicits._
+    val rows = Curation.qHtmlStrip(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the injected chrome is exactly 18 tags per doc (word-soup text
+    // carries no '<'), and the body must survive extraction verbatim
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tags") == 18L, s"tag count at ${r.getLong(0)}")
+      assert(r.getAs[Long]("body_ok") == 1L, s"body lost at ${r.getLong(0)}")
+    }
+    // end-to-end on a crafted page: entities decode exactly once,
+    // script/style bodies vanish, whitespace collapses
+    val crafted = Seq((1L, "alpha beta", "src1"))
+      .toDF("doc_id", "text", "source")
+    val clean = crafted
+      .select(Curation.htmlStrip(concat(
+        lit("<div>Home &amp;amp; x</div><script>var a=1;</script>"),
+        lit("<style>b{}</style>\n<p>alpha   beta</p>"))).as("c"))
+      .head.getString(0)
+    assert(clean == "Home &amp; x alpha beta",
+      s"literal &amp;lt; must not double-decode: '$clean'")
+  }
+
+  test("source drift equals a driver-side exact replay") {
+    import graft.functions.GraftFunctions.tokenHashLong
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (src, t) =>
+      t.trim.toLowerCase.split("\\s+").map(w => (src, tokenHashLong(w)))
+    }
+    val nTot = toks.length.toLong
+    val cc = toks.groupBy(_._2).map { case (h, xs) => h -> xs.length.toLong }
+    val totalPc = cc.values.map(c => c * 1000000000L / nTot).sum
+    val bySrc = toks.groupBy(_._1)
+    val expect = bySrc.map { case (src, xs) =>
+      val nS = xs.length.toLong
+      val sc = xs.groupBy(_._2).map { case (h, ys) => h -> ys.length.toLong }
+      val rows = sc.map { case (h, cSh) =>
+        val psPpb = cSh * 1000000000L / nS
+        val pcPpb = cc(h) * 1000000000L / nTot
+        val bldiff = java.lang.Long.toBinaryString(cSh * nTot).length -
+          java.lang.Long.toBinaryString(cc(h) * nS).length
+        (psPpb, pcPpb, psPpb * bldiff)
+      }
+      src -> (nS, sc.size.toLong, rows.map(_._3).sum,
+        rows.map(r => math.abs(r._1 - r._2)).sum + totalPc - rows.map(_._2).sum)
+    }
+    val got = TextAnalysis.qSourceDrift(spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (nS, nTerms, kl, l1) = expect(r.getString(0))
+      assert(r.getAs[Long]("n_tokens") == nS)
+      assert(r.getAs[Long]("n_terms") == nTerms)
+      assert(r.getAs[Long]("kl_log2_ppb") == kl, s"kl at ${r.getString(0)}")
+      assert(r.getAs[Long]("l1_ppb") == l1, s"l1 at ${r.getString(0)}")
+    }
+  }
+
   test("scrub redacts emails, urls and digit runs; idempotent") {
     import spark.implicits._
     val df = Seq(

@@ -60,6 +60,36 @@ class GraphSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum > 0, "fixture must contain triangles")
   }
 
+  test("label propagation equals a synchronous driver-side replay") {
+    import graft.sources.Tables
+    val n = Tables.documents(spark, sf).count()
+    val ids = (0L until n).toArray
+    // undirected closure of the triEdges fixture, self-loops dropped
+    val und = ids.flatMap { u =>
+      Seq((u + 1) % n, (u + 2) % n, (u * 7 + 3) % n)
+        .filter(_ != u).flatMap(d => Seq((u, d), (d, u)))
+    }.toSet
+    val nbrs = und.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    var lab = ids.map(i => i -> i).toMap
+    for (_ <- 1 to Graph.LpIters) {
+      lab = ids.map { v =>
+        val counts = nbrs.getOrElse(v, Set.empty[Long]).toSeq
+          .map(lab).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        v -> (if (counts.isEmpty) lab(v)
+              else counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+    }
+    val sizes = lab.values.toSeq.groupBy(identity)
+      .map { case (l, xs) => (l, xs.size.toLong) }
+    val got = Graph.qLabelProp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == n)
+    got.foreach { case (v, community, commSize) =>
+      assert(community == lab(v), s"community mismatch at $v")
+      assert(commSize == sizes(lab(v)), s"size mismatch at $v")
+    }
+  }
+
   test("funnel steps only shrink; step 1 converts at 100%") {
     val byStep = Relational.qFunnel(spark, sf).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -487,6 +487,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows == rows.sorted, s"rows non-decreasing in threshold: $rows")
   }
 
+  test("prefix join equals brute-force exact jaccard at tau (complete and exact)") {
+    import graft.functions.GraftFunctions.{tokens, shingleHashes}
+    val docs = Dedup.corpus(spark, sf)
+    val got = Dedup.prefixJoinPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // brute force: all pairs sharing >= 1 shingle, exact set Jaccard.
+    // A pair at J >= tau > 0 must share elements, so this is complete.
+    val tok = docs.select(col("doc_id"),
+        explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+      .distinct()
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val brute = tok.toDF("doc_a", "h")
+      .join(tok.toDF("doc_b", "h"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      .join(sz.toDF("doc_a", "sz_a"), Seq("doc_a"))
+      .join(sz.toDF("doc_b", "sz_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        expr("n_common * 1000000 div (sz_a + sz_b - n_common)").as("jp"))
+      .filter(col("jp") >= Dedup.PrefixTauPpm)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute,
+      s"prefix join must equal brute force: missing=${(brute -- got).take(3)} " +
+        s"extra=${(got -- brute).take(3)}")
+    // the shifted twins are in there at exact Jaccard 1.0
+    val nDocs = Tables.documents(spark, sf).count()
+    val twins = got.filter(p => p._2 == p._1 + Dedup.Shift)
+    assert(twins.size == nDocs && twins.forall(_._4 == 1000000L))
+  }
+
   test("ngram jaccard finds copies at jaccard 1.0") {
     val rows = Dedup.ngramJaccardPairs(Dedup.corpus(spark, sf)).collect()
     val copies = rows.filter(r => r.getLong(1) == r.getLong(0) + Dedup.Shift)
