@@ -208,9 +208,58 @@ object Graph {
     } finally { und.unpersist(); () }
   }
 
+  /** Steps per walk (positions 0..WalkSteps; walks END early at
+    * dangling nodes — the fixture's sinks exercise exactly that).
+    */
+  val WalkSteps = 4
+
+  /** Deterministic random-walk corpus generation (the DeepWalk /
+    * node2vec sampling stage — walks ARE training data: feed them to
+    * the skip-gram pipeline like sentences; context pairs are one
+    * walk_id self-join with |step delta| ≤ window away). The
+    * randomized neighbor choice is derandomized the established way
+    * (md5-derived, like LSH planes and MinHash permutations): from
+    * node u at step k, walk w moves to the outgoing neighbor
+    * minimizing tokenHash(w ":" k ":" dst) — per-walk decorrelated,
+    * bit-reproducible, and replayed exactly by the oracle's unrolled
+    * row_number picks.
+    *
+    * Shape per step: one frontier⋈edges equi-join on the current
+    * node + one per-walk min(struct(hash, dst)) partial-agg fold —
+    * O(frontier · out-degree) shuffled, bounded iterations, the
+    * PageRank lineage-cut discipline. Never a per-node window over
+    * the whole edge list; a hub's edges fan out to its visitors'
+    * reducers. Walks at sink nodes end via the inner join (emitted
+    * rows just stop), so the output is a ragged (walk_id, step,
+    * node) long table — exactly the shape sequence packing consumes.
+    */
+  def qRandomWalks(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n).persist()
+    try {
+      var cur = docs.select(col("doc_id").as("walk_id"),
+        col("doc_id").as("node"))
+      var out = cur.withColumn("step", lit(0L))
+      for (k <- 1 to WalkSteps) {
+        cur = cut(cur.join(e, cur("node") === e("src"))
+          .select(col("walk_id"),
+            graft.functions.GraftFunctions.tokenHash(
+              concat_ws(":", col("walk_id"), lit(k), col("dst"))).as("hk"),
+            col("dst"))
+          .groupBy(col("walk_id"))
+          .agg(min(struct(col("hk"), col("dst"))).as("m"))
+          .select(col("walk_id"), col("m.dst").as("node")))
+        out = out.unionAll(cur.withColumn("step", lit(k.toLong)))
+      }
+      out.select(col("walk_id"), col("step"), col("node"))
+    } finally { e.unpersist(); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> qPagerank _,
     "q_label_prop" -> qLabelProp _,
+    "q_random_walks" -> qRandomWalks _,
     "q_triangles" -> qTriangles _)
 
   private def oracleSql: String = {
@@ -310,8 +359,35 @@ object Graph {
       |FROM l$LpIters l JOIN sz USING (lab)""".stripMargin
   }
 
+  private def randomWalksSql: String = {
+    val eCte =
+      s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+        |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+        |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+        |w0 AS (SELECT doc_id AS walk_id, doc_id AS node FROM documents)""".stripMargin
+    val steps = (1 to WalkSteps).map { k =>
+      s"""w$k AS (SELECT walk_id, node FROM (
+        |  SELECT w.walk_id, e.dst AS node,
+        |    row_number() OVER (PARTITION BY w.walk_id ORDER BY
+        |      ('0x' || substr(md5(concat_ws(':', w.walk_id, $k, e.dst)), 1, 12))::BIGINT,
+        |      e.dst) AS rn
+        |  FROM w${k - 1} w JOIN e ON w.node = e.src) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to WalkSteps).map(k =>
+      s"SELECT walk_id, $k::BIGINT AS step, node FROM w$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $eCte,
+      |$steps
+      |$union""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> oracleSql,
     "q_label_prop" -> labelPropSql,
+    "q_random_walks" -> randomWalksSql,
     "q_triangles" -> trianglesSql)
 }

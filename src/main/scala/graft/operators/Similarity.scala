@@ -315,6 +315,48 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  // --- matryoshka truncation audit ------------------------------------
+
+  /** Dimension-truncation ladder for the matryoshka audit (the full
+    * Dim=64 ranking is the truth).
+    */
+  val MatryoshkaDims = Seq(16, 4)
+
+  /** Matryoshka-style dimension-truncation recall audit (Kusupati et
+    * al. 2022 — MRL serving keeps only a PREFIX of each embedding):
+    * for each truncation width, rank the corpus by truncated-prefix
+    * cosine and measure per-query top-k agreement with the full-dim
+    * brute-force truth — the "how many dims can serving drop"
+    * sizing table an embedding-serving pipeline reads before
+    * committing to a cheaper index. All exact integer dots over
+    * sliced quantized vectors (slice∘quantize = quantize∘slice,
+    * elementwise), same broadcast-query/no-corpus-shuffle posture as
+    * [[bruteTopKFor]]; one left join against the truth set + one
+    * (dim, query) partial agg. Truncated-vs-truth ranking deltas are
+    * the MEASURED quantity, so the exact rung's ∝n·queries cost is
+    * the audit's price by construction (the q_ann_brute posture) —
+    * production reranking rides the IVF/PQ families, not this.
+    */
+  def matryoshkaAudit(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val truth = bruteTopK(emb, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val perDim = MatryoshkaDims.map { d =>
+      val trunc = emb.select(col("vec_id"), col("label"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      bruteTopKFor(trunc, defaultQueries(trunc), k, excludeSelf = true)
+        .select(lit(d.toLong).as("trunc_dim"), col("query_id"),
+          col("neighbor_id"))
+    }.reduce(_ unionAll _)
+    perDim.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("trunc_dim"), col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("trunc_dim"), col("query_id"), col("n_hits"),
+        expr(s"n_hits * 1000000 div ${k}L").as("recall_ppm"))
+  }
+
+  def qMatryoshka(s: SparkSession, dir: String): DataFrame =
+    matryoshkaAudit(Tables.embeddings(s, dir))
+
   // --- semantic decontamination ---------------------------------------
 
   /** Embedding-space benchmark decontamination — the published
@@ -1951,6 +1993,7 @@ object Similarity {
     "q_semdedup" -> qSemDedup _,
     "q_cluster_sample" -> qClusterSample _,
     "q_ann_brute" -> qAnnBrute _,
+    "q_matryoshka" -> qMatryoshka _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_trained" -> ((s, dir) => ivfTrainedTopK(Tables.embeddings(s, dir))),
@@ -2443,6 +2486,36 @@ object Similarity {
         |            JOIN n b ON b.vec_id = cand.vec_b)
         |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
         |FROM pairs WHERE cos >= 0.99""".stripMargin,
+    "q_matryoshka" -> {
+      def truncTopSql(d: Int) =
+        s"""SELECT query_id, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |      (list_sum(list_transform(range(1, ${d + 1}), i -> c.q[i] * q.q[i]))::DOUBLE
+          |        / (sqrt(list_sum(list_transform(range(1, ${d + 1}), i -> c.q[i] * c.q[i]))::DOUBLE)
+          |           * sqrt(list_sum(list_transform(range(1, ${d + 1}), i -> q.q[i] * q.q[i]))::DOUBLE))) DESC,
+          |      c.vec_id) AS rnk
+          |  FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id % $QueryMod = 0) q
+          |  WHERE c.vec_id <> q.vec_id)
+          |WHERE rnk <= $TopK""".stripMargin
+      val dimCtes = MatryoshkaDims.map(d => s"t$d AS (${truncTopSql(d)})")
+        .mkString(",\n")
+      val dimUnion = MatryoshkaDims.map(d =>
+        s"SELECT $d::BIGINT AS trunc_dim, query_id, neighbor_id FROM t$d")
+        .mkString("\nUNION ALL ")
+      s"""WITH n AS (SELECT vec_id, label, q FROM ($quantSql)),
+        |truth AS (${truncTopSql(Dim)}),
+        |$dimCtes
+        |SELECT d.trunc_dim, d.query_id,
+        |  sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_hits,
+        |  ((sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1000000) // $TopK)::BIGINT AS recall_ppm
+        |FROM ($dimUnion) d
+        |LEFT JOIN truth t
+        |  ON t.query_id = d.query_id AND t.neighbor_id = d.neighbor_id
+        |GROUP BY 1, 2""".stripMargin
+    },
     "q_ann_brute" ->
       s"""WITH n AS (
         |  SELECT vec_id, label, q,

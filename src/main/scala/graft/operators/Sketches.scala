@@ -382,13 +382,25 @@ object Sketches {
     * Merged 'ALL' rows = the per-source sums, emitted in-frame like
     * [[qHllSketch]].
     */
-  def qLenHist(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(source, log2-bin) doc-count partials — the addition-
+    * mergeable unit both the batch query and the STREAMING twin
+    * ([[graft.streaming.DocStreams.runLenHistStream]]) fold.
+    */
+  def lenHistPartial(docs: DataFrame): DataFrame = {
     val n = size(tokens(col("text"))).cast("long")
-    val per = Tables.documents(s, dir)
-      .select(col("source"),
+    docs.select(col("source"),
         when(n <= 0, 0L).otherwise(length(bin(n)).cast("long")).as("bin"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Fold partials (any batch slicing) to the served histogram:
+    * summed per-source rows + self-describing bin bounds + the
+    * merged 'ALL' rollup in-frame.
+    */
+  def lenHistServe(partials: DataFrame): DataFrame = {
+    val per = partials.groupBy(col("source"), col("bin"))
+      .agg(sum(col("n_docs")).as("n_docs"))
       .withColumn("bin_lo", when(col("bin") === 0, 0L)
         .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) - 1)")))
       .withColumn("bin_hi", when(col("bin") === 0, 0L)
@@ -400,6 +412,9 @@ object Sketches {
           .select(lit("ALL").as("source"), col("bin"), col("bin_lo"),
             col("bin_hi"), col("n_docs")))
   }
+
+  def qLenHist(s: SparkSession, dir: String): DataFrame =
+    lenHistServe(lenHistPartial(Tables.documents(s, dir)))
 
   // --- registry -----------------------------------------------------------
 

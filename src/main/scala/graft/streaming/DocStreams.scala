@@ -1489,6 +1489,101 @@ object DocStreams {
     wh.writeTablePartitioned(folded, ref, gridTable, Seq("pbucket"))
   }
 
+  /** STREAMING log2 length histogram — the incremental twin of
+    * [[graft.operators.Sketches.qLenHist]]: per-batch (source, bin)
+    * count partials persisted under content-derived batch keys
+    * behind the doc-id sidecar replay screen (doc COUNTS are linear,
+    * so redelivery would double-count — the count-min posture, not
+    * the HLL one). Serving folds the partials through the SAME
+    * [[graft.operators.Sketches.lenHistServe]] the batch query uses,
+    * so the served histogram (bounds, ALL rollup and all) is
+    * row-for-row the batch q_len_hist over every ingested doc.
+    * State = O(batches × sources × 64) rows, folded back to one row
+    * per (source, bin) by [[compactLenHist]].
+    */
+  def runLenHistStream(spark: SparkSession, stagedDir: String,
+                       wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                       histTable: String): Unit = {
+    import graft.operators.Sketches
+    val idsTable = s"${histTable}_ids"
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nBuckets = indexBuckets(spark)
+        val pushMax = lookupPushdownMax(spark)
+        val batchIds = batch.toDF().select(col("doc_id")).distinct()
+          .withColumn("id_bucket", bucketOf(col("doc_id"), nBuckets))
+          .transform(cut)
+        val touchedIdB = batchIds.select("id_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val batchDocIds = batchIds.select("doc_id").limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
+        val seen =
+          if (wh.tableExists(ref, idsTable))
+            indexLookup(wh, ref, idsTable, "id_bucket", touchedIdB,
+              "doc_id", batchDocIds, HashIndexReadOptions)._1.select(col("doc_id"))
+          else
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("doc_id", LongType))))
+        val fresh = batch.toDF().select(col("doc_id"), col("source"), col("text"))
+          .join(seen, Seq("doc_id"), "left_anti")
+          .transform(cut)
+        if (fresh.isEmpty) ()
+        else {
+          val keyRow = fresh.agg(min(col("doc_id")), max(col("doc_id")),
+            count(lit(1))).head
+          val batchKey = s"${keyRow.getLong(0)}-${keyRow.getLong(1)}-${keyRow.getLong(2)}"
+          val partial = Sketches.lenHistPartial(
+              fresh.select(col("source"), col("text")))
+            .select(concat(lit(batchKey), lit("#"), col("source"), lit("#"),
+                col("bin")).as("lh_key"),
+              lit(batchKey).as("batch_key"), col("source"), col("bin"),
+              col("n_docs"))
+          upsertPartitioned(wh, ref, histTable, partial, "lh_key")
+          val freshIds = batchIds
+            .join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .repartition(col("id_bucket"))
+            .sortWithinPartitions(col("id_bucket"), col("doc_id"))
+          wh.appendTablePartitioned(freshIds, ref, idsTable, Seq("id_bucket"),
+            bloomWriteOptions("doc_id",
+              batchIds.count() / math.max(1, touchedIdB.size)))
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The histogram served from streamed partials — the batch
+    * lenHistServe fold over the state table's (source, bin, n_docs)
+    * rows; identical columns and values to qLenHist.
+    */
+  def lenHistFromState(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                       histTable: String): DataFrame =
+    graft.operators.Sketches.lenHistServe(
+      wh.readTable(ref, histTable).select(col("source"), col("bin"),
+        col("n_docs")))
+
+  /** Fold the per-batch partials to one row per (source, bin) —
+    * sums, so serving is unchanged.
+    */
+  def compactLenHist(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                     histTable: String): Unit = {
+    val spark = wh.readTable(ref, histTable).sparkSession
+    val folded = wh.readTable(ref, histTable)
+      .groupBy(col("source"), col("bin")).agg(sum(col("n_docs")).as("n_docs"))
+      .select(concat(lit("compact#"), col("source"), lit("#"), col("bin"))
+          .as("lh_key"),
+        lit("compact").as("batch_key"), col("source"), col("bin"),
+        col("n_docs"))
+      .withColumn("pbucket",
+        pmod(xxhash64(col("lh_key")), lit(indexBuckets(spark).toLong)).cast("int"))
+      .transform(cut)
+    wh.writeTablePartitioned(folded, ref, histTable, Seq("pbucket"))
+  }
+
   /** STREAMING HLL distinct sketch — the incremental twin of
     * [[graft.operators.Sketches.qHllSketch]], and the one state
     * family in the streaming surface that needs NO replay screen at

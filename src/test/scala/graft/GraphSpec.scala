@@ -90,6 +90,40 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("random walks equal a driver-side replay; sinks end walks early") {
+    import graft.functions.GraftFunctions.tokenHashLong
+    import graft.sources.Tables
+    val n = Tables.documents(spark, sf).count()
+    val ids = (0L until n).toArray
+    val adj = ids.filter(_ % Graph.SinkMod != 0)
+      .flatMap(u => Seq((u, (u * 7 + 3) % n), (u, (u * 13 + 5) % n)))
+      .distinct.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    val expect = scala.collection.mutable.Set[(Long, Long, Long)]()
+    ids.foreach { w =>
+      var cur = w
+      expect += ((w, 0L, w))
+      var k = 1
+      var alive = true
+      while (k <= Graph.WalkSteps && alive) {
+        adj.get(cur) match {
+          case Some(outs) =>
+            cur = outs.minBy(d => (tokenHashLong(s"$w:$k:$d"), d))
+            expect += ((w, k.toLong, cur)); k += 1
+          case None => alive = false
+        }
+      }
+    }
+    val got = Graph.qRandomWalks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect.toSet,
+      s"walk mismatch: missing=${(expect.toSet -- got).take(3)} " +
+        s"extra=${(got -- expect).take(3)}")
+    // sink starts emit only step 0; some walk must end early
+    assert(got.count(_._2 == 0L) == n)
+    assert(got.count(t => t._2 == Graph.WalkSteps.toLong) < n,
+      "some walk should hit a sink before the last step")
+  }
+
   test("funnel steps only shrink; step 1 converts at 100%") {
     val byStep = Relational.qFunnel(spark, sf).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -524,6 +524,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(copies.nonEmpty && copies.forall(_.getDouble(2) == 1.0))
   }
 
+  test("matryoshka audit equals a driver-side exact replay") {
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(e =>
+        BigDecimal(e.toDouble * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    def topK(d: Int, q: (Long, Array[Long])): Seq[Long] =
+      emb.filter(_._1 != q._1).map { case (id, v) =>
+        val dot = (0 until d).map(i => v(i) * q._2(i)).sum
+        val cos = dot.toDouble / (math.sqrt((0 until d).map(i => v(i) * v(i)).sum.toDouble) *
+          math.sqrt((0 until d).map(i => q._2(i) * q._2(i)).sum.toDouble))
+        (id, cos)
+      }.sortBy { case (id, c) => (-c, id) }.take(Similarity.TopK).map(_._1).toSeq
+    val queries = emb.filter(_._1 % Similarity.QueryMod == 0)
+    val expect = (for {
+      q <- queries
+      truth = topK(Similarity.Dim, q).toSet
+      d <- Similarity.MatryoshkaDims
+    } yield {
+      val hits = topK(d, q).count(truth)
+      (d.toLong, q._1, hits.toLong, hits * 1000000L / Similarity.TopK)
+    }).toSet
+    val got = Similarity.matryoshkaAudit(Tables.embeddings(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect,
+      s"audit mismatch: missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    // on this isotropic-random fixture the audit's verdict is itself
+    // informative: steep truncation loses most of the ranking
+    assert(got.forall(t => t._3 >= 0 && t._3 <= Similarity.TopK))
+  }
+
   test("embedding near-dup finds shifted copies at cos 1.0") {
     val rows = Similarity.approxNearDupPairs(
       Similarity.corpus(Tables.embeddings(spark, sf))).collect()

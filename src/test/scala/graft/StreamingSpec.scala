@@ -1020,6 +1020,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(served() == batch)
   }
 
+  test("streaming length histogram equals batch row-for-row, replays idempotently, compacts") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import graft.operators.Sketches
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-lh")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-lh-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        staged.resolve(s"$name.parquet"))
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "a_even")
+    stage(docs.filter(col("doc_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-lh").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.lh")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runLenHistStream(spark, staged.toString, wh, ref, "lhist")
+    val batch = Sketches.qLenHist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        r.getLong(4)).toMap
+    def served(): Map[(String, Long, Long, Long), Long] =
+      DocStreams.lenHistFromState(wh, ref, "lhist").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+          r.getLong(4)).toMap
+    assert(served() == batch,
+      "streamed histogram must equal the batch histogram row-for-row")
+    // replay: doc counts are linear — the sidecar must screen every
+    // redelivered doc or bins double-count
+    val before = wh.readTable(ref, "lhist").count()
+    stage(docs, "c_replay")
+    DocStreams.runLenHistStream(spark, staged.toString, wh, ref, "lhist")
+    assert(wh.readTable(ref, "lhist").count() == before, "replay grew the state")
+    assert(served() == batch)
+    // compaction folds to one row per (source, bin), serving unchanged
+    DocStreams.compactLenHist(wh, ref, "lhist")
+    val nSrcBins = Sketches.lenHistPartial(docs).count()
+    assert(wh.readTable(ref, "lhist").count() == nSrcBins)
+    assert(served() == batch)
+  }
+
   test("streaming hll registers equal batch, replay-safe WITHOUT a screen, compacts") {
     import org.apache.spark.sql.functions._
     import graft.extract.Warehouse
