@@ -38,7 +38,14 @@ object ScaleRehearsal {
     // r10: the sketch/phrase tier — all expected ~linear (partial-agg
     // shuffles to fixed-size or vocab-size state; per-doc windows)
     "q_pmi_phrases", "q_phrase_apply", "q_count_min", "q_hll_sketch",
-    "q_bloom_audit", "q_len_hist")
+    "q_bloom_audit", "q_len_hist",
+    // r10 late additions: prefix join (candidate growth is the
+    // question), graph family (iteration-dominated, expect ~linear),
+    // drift (vocab-join), matryoshka (3× the known-linear brute),
+    // html strip (narrow)
+    "q_prefix_join", "q_label_prop", "q_random_walks", "q_triangles",
+    "q_source_drift", "q_matryoshka", "q_html_strip", "q_walk_pairs",
+    "q_preference_pairs", "q_json_extract")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(
@@ -91,7 +98,10 @@ object ScaleRehearsal {
     }))
 
   def main(args: Array[String]): Unit = {
-    val Array(baseDir, bigDir, outPath) = args
+    val Array(baseDir, bigDir, outPath, rest @ _*) = args
+    // Optional 4th arg: comma-separated name filter (targeted reruns
+    // merged via tools/scale_merge.py — the Verify filter discipline).
+    val only: Option[Set[String]] = rest.headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -108,11 +118,12 @@ object ScaleRehearsal {
     }
     // warm codegen/JIT at the small SF so the timed pairs compare
     // steady-state execution
-    workload.foreach { case (_, fn) =>
+    val selected = workload.filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
-    val rows = workload.map { case (name, fn) =>
+    val rows = selected.map { case (name, fn) =>
       val tb = time(fn, baseDir)
       val tg = time(fn, bigDir)
       val ratio = if (tb > 0 && tg > 0) tg / tb else -1.0

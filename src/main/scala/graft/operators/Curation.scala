@@ -124,6 +124,49 @@ object Curation {
       tokenHash(htmlStrip(col("h"))).as("clean_hash"))
   }
 
+  // --- semi-structured (JSON) ingest ---------------------------------
+
+  /** Every JsonCorruptMod-th record is truncated — the malformed-
+    * record rate a real crawl sidecar feed always carries.
+    */
+  val JsonCorruptMod = 10L
+
+  /** Deterministic JSON sidecar per doc (augment-in-the-harness):
+    * nested metadata built from the doc's own key columns, with
+    * every JsonCorruptMod-th record truncated mid-value so the
+    * parse path's failure handling is exercised at every SF.
+    */
+  private def jsonAug: Column = {
+    val valid = concat(
+      lit("{\"id\": "), col("doc_id").cast("string"),
+      lit(", \"meta\": {\"source\": \""), col("source"),
+      lit("\", \"lang\": \""), col("lang"),
+      lit("\"}, \"n\": "), col("n_chars").cast("string"), lit("}"))
+    when(col("doc_id") % JsonCorruptMod === 0,
+      substring(valid, 1, 20)).otherwise(valid)
+  }
+
+  /** Semi-structured ingest — schema-on-read over a JSON sidecar
+    * column (the CommonCrawl-metadata shape: every web-scale
+    * pipeline starts by parsing crawl records): `from_json` with an
+    * explicit nested schema, per-field extraction, and an explicit
+    * malformed verdict instead of a silent null (Spark PERMISSIVE
+    * mode nulls the fields; `is_valid` derives from the
+    * never-null-in-valid-records id). Narrow, codegen'd, zero
+    * shuffles — the html-strip posture. The DuckDB oracle parses
+    * the identical strings with json_valid + json_extract.
+    */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("j", jsonAug)
+      .withColumn("p", expr(
+        "from_json(j, 'id BIGINT, meta STRUCT<source: STRING, lang: STRING>, n BIGINT')"))
+      .select(col("doc_id"),
+        col("p.id").isNotNull.cast("long").as("is_valid"),
+        col("p.id").as("j_id"),
+        col("p.meta.source").as("j_source"),
+        col("p.meta.lang").as("j_lang"),
+        col("p.n").as("j_n"))
+
   // --- passage chunking + chunk-level dedup --------------------------
 
   val ChunkWords = 10
@@ -823,6 +866,7 @@ object Curation {
   // --- driver contract -----------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> qJsonExtract _,
     "q_html_strip" -> qHtmlStrip _,
     "q_scrub" -> qScrub _,
     "q_chunk_dedup" -> qChunkDedup _,
@@ -953,7 +997,27 @@ object Curation {
       |  ('0x' || substr(md5(clean), 1, 12))::BIGINT AS clean_hash
       |FROM c""".stripMargin
 
+  // single line (the augSql discipline)
+  private val jsonAugSql =
+    "'{\"id\": ' || doc_id::VARCHAR || ', \"meta\": {\"source\": \"' || source || '\", \"lang\": \"' || lang || '\"}, \"n\": ' || n_chars::VARCHAR || '}'"
+
+  private val jsonExtractOracle =
+    s"""WITH a AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % $JsonCorruptMod = 0 THEN substr(v, 1, 20)
+      |        ELSE v END) AS j
+      |  FROM (SELECT doc_id, ($jsonAugSql) AS v FROM documents))
+      |SELECT doc_id,
+      |  (CASE WHEN json_valid(j) THEN 1 ELSE 0 END)::BIGINT AS is_valid,
+      |  CASE WHEN json_valid(j) THEN json_extract(j, '$$.id')::BIGINT END AS j_id,
+      |  CASE WHEN json_valid(j) THEN json_extract_string(j, '$$.meta.source') END
+      |    AS j_source,
+      |  CASE WHEN json_valid(j) THEN json_extract_string(j, '$$.meta.lang') END
+      |    AS j_lang,
+      |  CASE WHEN json_valid(j) THEN json_extract(j, '$$.n')::BIGINT END AS j_n
+      |FROM a""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_json_extract" -> jsonExtractOracle,
     "q_html_strip" -> htmlStripOracle,
     "q_scrub" ->
       s"""WITH a AS (SELECT doc_id, ($augSql) AS aug FROM documents),

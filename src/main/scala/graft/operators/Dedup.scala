@@ -677,12 +677,17 @@ object Dedup {
     * MinHash-LSH: every pair with token-set Jaccard ≥ τ is returned,
     * with its EXACT similarity, no probabilistic recall dial needed.
     *
-    * Element domain: distinct word-3-gram SHINGLE hashes — the same
-    * granularity as the MinHash family, and for the same reason (the
-    * module doc above): unigram sets over a small shared vocabulary
-    * make every doc pair similar and the output itself quadratic;
-    * shingle sets are near-unique per doc, so τ prunes to the true
-    * near-dup pairs.
+    * Element domain: distinct word-5-gram SHINGLE hashes (the
+    * repeated-spans granularity, [[SpanShingle]]). Shingle width is
+    * the exactness-preserving scale lever: unigram sets over a small
+    * shared vocabulary make every pair similar (the module-doc
+    * degeneracy), and even 3-gram dfs inflate enough on a Zipf vocab
+    * to swamp the prefix postings — measured at sf1: candidate-pair
+    * mass 168M for 3-grams vs 1.0M for 5-grams at τ=0.6 (160×,
+    * hottest posting 184 → 4), because a shared 5-gram is evidence,
+    * not coincidence. τ-Jaccard over 5-gram sets is the operator's
+    * similarity definition — finer than the MinHash family's 3-gram
+    * candidates, and exact.
     *
     * Discipline: order each doc's distinct shingle set by ascending
     * corpus document frequency (rarest first, hash tie-break) and
@@ -709,7 +714,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val tok = docs
       .select(col("doc_id"),
-        explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+        explode(shingleHashes(tokens(col("text")), SpanShingle)).as("h"))
       .distinct()
     val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id"))
@@ -720,14 +725,30 @@ object Dedup {
     val prefix = ranked
       .filter(col("pos") <=
         col("sz") - expr(s"($tauPpm * sz + 999999) div 1000000") + 1)
-      .select(col("doc_id"), col("h"), col("sz"))
-    val cand = prefix.toDF("doc_a", "h", "sz_a")
-      .join(prefix.toDF("doc_b", "hb", "sz_b"),
+      .select(col("doc_id"), col("h"), col("pos"), col("sz"))
+    // Candidate stage with the PPJoin positional overlap bound,
+    // fused into the pair shuffle a bare distinct would pay anyway:
+    // J ≥ τ ⟺ inter ≥ α = ⌈τ/(1+τ)·(sza+szb)⌉, and because every
+    // doc's set is ranked by the SAME global (df, h) order, any
+    // intersection element ordered before the LAST shared prefix
+    // element t sits inside BOTH prefixes at positions < t's (so it
+    // is already counted in `shared`), while elements after t number
+    // at most min(sz_a − lpa, sz_b − lpb) where lpa/lpb are t's
+    // positions. Hence inter ≤ shared + min(sz_a − lpa, sz_b − lpb)
+    // — an exact upper bound; pairs that cannot reach α are pruned
+    // BEFORE the verify join fans out by doc length.
+    val cand = prefix.toDF("doc_a", "h", "pos_a", "sz_a")
+      .join(prefix.toDF("doc_b", "hb", "pos_b", "sz_b"),
         col("h") === col("hb") && col("doc_a") < col("doc_b") &&
           lit(tauPpm) * greatest(col("sz_a"), col("sz_b")) <=
             lit(1000000L) * least(col("sz_a"), col("sz_b")))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("pos_a")).as("lpa"), max(col("pos_b")).as("lpb"))
+      .filter(col("shared") +
+        least(col("sz_a") - col("lpa"), col("sz_b") - col("lpb")) >=
+        expr(s"($tauPpm * (sz_a + sz_b) + ${1000000L + tauPpm - 1}) div ${1000000L + tauPpm}"))
       .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-      .distinct()
     val inter = cand.select(col("doc_a"), col("doc_b"))
       .join(tok.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
       .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
@@ -943,9 +964,21 @@ object Dedup {
       |    '')), 1, 12))::BIGINT AS survivor_hash
       |FROM c GROUP BY doc_id""".stripMargin
 
+  /** 5-gram twin of shingleTokSql (the SpanShingle width the prefix
+    * join measures τ on).
+    */
+  private val shingle5TokSql =
+    s"""SELECT doc_id, unnest(hs) AS h FROM (
+       |      SELECT doc_id,
+       |        list_transform(range(1, greatest(len(toks) - ${SpanShingle - 2}, 1)),
+       |          i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])), 1, 12))::BIGINT)
+       |          AS hs
+       |      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |            FROM ($corpusSql)))""".stripMargin
+
   private val prefixJoinSql =
     s"""WITH tok AS (
-      |  SELECT DISTINCT doc_id, h FROM ($shingleTokSql)),
+      |  SELECT DISTINCT doc_id, h FROM ($shingle5TokSql)),
       |dfreq AS (SELECT h, count(*)::BIGINT AS df FROM tok GROUP BY 1),
       |ranked AS (SELECT doc_id, h,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS pos,

@@ -233,7 +233,7 @@ object Graph {
     * rows just stop), so the output is a ragged (walk_id, step,
     * node) long table — exactly the shape sequence packing consumes.
     */
-  def qRandomWalks(s: SparkSession, dir: String): DataFrame = {
+  def walks(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
     val e = edges(docs, n).persist()
@@ -256,10 +256,35 @@ object Graph {
     } finally { e.unpersist(); () }
   }
 
+  def qRandomWalks(s: SparkSession, dir: String): DataFrame = walks(s, dir)
+
+  /** Skip-gram window for walk-pair extraction. */
+  val WalkWindow = 2
+
+  /** Skip-gram (center, context) pair counts from the walk corpus —
+    * the DeepWalk training-pair extraction: within each walk, every
+    * ordered node pair at step distance 1..WalkWindow becomes a
+    * training example, aggregated corpus-wide. ONE walk_id self-
+    * equi-join (fan-out bounded by walk length², ≤ (WalkSteps+1)²
+    * per walk — never corpus-quadratic) + one (center, context)
+    * partial-agg count. The output is exactly the pair table a
+    * skip-gram embedding trainer consumes.
+    */
+  def qWalkPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = walks(s, dir)
+    w.toDF("walk_id", "step_a", "center")
+      .join(w.toDF("walk_id", "step_b", "context"), Seq("walk_id"))
+      .filter(col("step_a") =!= col("step_b") &&
+        abs(col("step_a") - col("step_b")) <= WalkWindow)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> qPagerank _,
     "q_label_prop" -> qLabelProp _,
     "q_random_walks" -> qRandomWalks _,
+    "q_walk_pairs" -> qWalkPairs _,
     "q_triangles" -> qTriangles _)
 
   private def oracleSql: String = {
@@ -385,9 +410,19 @@ object Graph {
       |$union""".stripMargin
   }
 
+  private def walkPairsSql: String =
+    s"""WITH wk AS ($randomWalksSql)
+      |SELECT a.node AS center, b.node AS context,
+      |  count(*)::BIGINT AS n_pairs
+      |FROM wk a JOIN wk b
+      |  ON a.walk_id = b.walk_id AND a.step != b.step
+      |  AND abs(a.step - b.step) <= $WalkWindow
+      |GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> oracleSql,
     "q_label_prop" -> labelPropSql,
     "q_random_walks" -> randomWalksSql,
+    "q_walk_pairs" -> walkPairsSql,
     "q_triangles" -> trianglesSql)
 }

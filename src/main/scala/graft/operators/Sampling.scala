@@ -290,7 +290,39 @@ object Sampling {
   def qPackSequences(s: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(s, dir))
 
+  /** Candidate group size for the preference-pair harness (each
+    * block of PrefGroup consecutive doc ids plays the candidate
+    * responses to one synthetic prompt).
+    */
+  val PrefGroup = 5L
+
+  /** Preference-pair construction — the DPO/RLHF-style rejection-
+    * sampling stage of a synthetic-data pipeline: within each
+    * candidate group, chosen = arg-max of the shared quality
+    * composite (ties → smallest id), rejected = arg-min (ties →
+    * smallest id), with the score margin on the ppm grid and a
+    * usable flag (margin > 0 — an all-tied group carries no
+    * preference signal, standard practice drops it downstream, but
+    * the row ships for audit). ONE groupBy with two struct folds —
+    * the established argmax idiom, map-side combinable, no window,
+    * no sort; at 100 TB the only shuffle keys on prompt_id.
+    */
+  def qPreferencePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qQuality(s, dir)
+      .select(col("doc_id"), expr(s"doc_id div $PrefGroup").as("prompt_id"),
+        round(col("quality_score") * 1000000).cast("long").as("q_ppm"))
+      .groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        min(struct((-col("q_ppm")).as("nq"), col("doc_id").as("id"))).as("c"),
+        min(struct(col("q_ppm").as("q"), col("doc_id").as("id"))).as("r"))
+      .select(col("prompt_id"), col("n_cands"),
+        col("c.id").as("chosen_id"), (-col("c.nq")).as("chosen_ppm"),
+        col("r.id").as("rejected_id"), col("r.q").as("rejected_ppm"),
+        (-col("c.nq") - col("r.q")).as("margin_ppm"),
+        (-col("c.nq") > col("r.q")).cast("long").as("usable"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_preference_pairs" -> qPreferencePairs _,
     "q_split" -> qSplit _,
     "q_split_safe" -> qSplitSafe _,
     "q_length_batches" -> qLengthBatches _,
@@ -313,6 +345,25 @@ object Sampling {
     "('0x' || substr(md5(coalesce(m.component_id, c.doc_id)::VARCHAR), 1, 12))::BIGINT % 100"
 
   val oracles: Map[String, String] = Map(
+    "q_preference_pairs" ->
+      s"""WITH qs AS (${TextAnalysis.qualityScoreSql}),
+        |g AS (SELECT doc_id, doc_id // $PrefGroup AS prompt_id,
+        |    round(quality_score * 1000000)::BIGINT AS q_ppm FROM qs),
+        |ch AS (SELECT prompt_id, doc_id AS chosen_id, q_ppm AS chosen_ppm
+        |  FROM (SELECT prompt_id, doc_id, q_ppm, row_number() OVER (
+        |      PARTITION BY prompt_id ORDER BY q_ppm DESC, doc_id) AS rn
+        |    FROM g) WHERE rn = 1),
+        |rj AS (SELECT prompt_id, doc_id AS rejected_id, q_ppm AS rejected_ppm
+        |  FROM (SELECT prompt_id, doc_id, q_ppm, row_number() OVER (
+        |      PARTITION BY prompt_id ORDER BY q_ppm ASC, doc_id) AS rn
+        |    FROM g) WHERE rn = 1),
+        |nc AS (SELECT prompt_id, count(*)::BIGINT AS n_cands FROM g GROUP BY 1)
+        |SELECT nc.prompt_id, nc.n_cands, ch.chosen_id, ch.chosen_ppm,
+        |  rj.rejected_id, rj.rejected_ppm,
+        |  (ch.chosen_ppm - rj.rejected_ppm)::BIGINT AS margin_ppm,
+        |  (CASE WHEN ch.chosen_ppm > rj.rejected_ppm THEN 1 ELSE 0 END)::BIGINT
+        |    AS usable
+        |FROM nc JOIN ch USING (prompt_id) JOIN rj USING (prompt_id)""".stripMargin,
     "q_split" ->
       s"""SELECT doc_id, lang, $bucketSql AS bucket,
         |  CASE WHEN $bucketSql < 80 THEN 'train'

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Relational, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Round-3 surface: curation ops (scrub / chunk dedup / mixture),
@@ -70,6 +70,45 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("kl_log2_ppb") == kl, s"kl at ${r.getString(0)}")
       assert(r.getAs[Long]("l1_ppb") == l1, s"l1 at ${r.getString(0)}")
     }
+  }
+
+  test("json extract parses valid sidecars, flags truncated ones, fields match") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    val rows = Curation.qJsonExtract(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % Curation.JsonCorruptMod == 0) {
+        assert(r.getLong(1) == 0L, s"truncated $id must be invalid")
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+      } else {
+        val (src, lang, n) = docs(id)
+        assert(r.getLong(1) == 1L && r.getLong(2) == id)
+        assert(r.getString(3) == src && r.getString(4) == lang)
+        assert(r.getLong(5) == n)
+      }
+    }
+  }
+
+  test("preference pairs pick the group arg-max/arg-min with min-id ties") {
+    val q = TextAnalysis.qQuality(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        math.round(r.getDouble(5) * 1000000.0)).toSeq
+    val expect = q.groupBy(t => t._1 / Sampling.PrefGroup).map {
+      case (pid, xs) =>
+        val chosen = xs.minBy { case (id, s) => (-s, id) }
+        val rej = xs.minBy { case (id, s) => (s, id) }
+        (pid, xs.size.toLong, chosen._1, chosen._2, rej._1, rej._2,
+          chosen._2 - rej._2, if (chosen._2 > rej._2) 1L else 0L)
+    }.toSet
+    val got = Sampling.qPreferencePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == expect,
+      s"mismatch: missing=${(expect -- got).take(2)} extra=${(got -- expect).take(2)}")
   }
 
   test("scrub redacts emails, urls and digit runs; idempotent") {

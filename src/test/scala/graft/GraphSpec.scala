@@ -124,6 +124,26 @@ class GraphSpec extends AnyFunSuite {
       "some walk should hit a sink before the last step")
   }
 
+  test("walk pairs equal the window expansion of the walk corpus") {
+    val w = Graph.walks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs: Seq[(Long, Long)] = w.groupBy(_._1).values.toSeq.flatMap {
+      steps =>
+        for {
+          a <- steps.toSeq; b <- steps.toSeq
+          if a._2 != b._2 && math.abs(a._2 - b._2) <= Graph.WalkWindow
+        } yield (a._3, b._3)
+    }
+    val expect = pairs.groupBy(identity)
+      .map { case ((c, x), xs) => (c, x, xs.size.toLong) }.toSet
+    val got = Graph.qWalkPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // the window is symmetric: (a,b) and (b,a) counts match
+    val m = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.forall(t => m((t._2, t._1)) == t._3))
+  }
+
   test("funnel steps only shrink; step 1 converts at 100%") {
     val byStep = Relational.qFunnel(spark, sf).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap

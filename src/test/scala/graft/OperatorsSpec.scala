@@ -495,7 +495,7 @@ class OperatorsSpec extends AnyFunSuite {
     // brute force: all pairs sharing >= 1 shingle, exact set Jaccard.
     // A pair at J >= tau > 0 must share elements, so this is complete.
     val tok = docs.select(col("doc_id"),
-        explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+        explode(shingleHashes(tokens(col("text")), Dedup.SpanShingle)).as("h"))
       .distinct()
     val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val brute = tok.toDF("doc_a", "h")
