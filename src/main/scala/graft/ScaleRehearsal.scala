@@ -45,7 +45,8 @@ object ScaleRehearsal {
     // html strip (narrow)
     "q_prefix_join", "q_label_prop", "q_random_walks", "q_triangles",
     "q_source_drift", "q_matryoshka", "q_html_strip", "q_walk_pairs",
-    "q_preference_pairs", "q_json_extract")
+    "q_preference_pairs", "q_json_extract", "q_prefix_incremental",
+    "q_delta_release")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(

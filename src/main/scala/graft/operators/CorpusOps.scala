@@ -607,6 +607,54 @@ object CorpusOps {
           .otherwise("same").as("verdict"))
   }
 
+  /** Delta-release planning — the incremental complement of the full
+    * shard manifest (45s) over a snapshot diff (45i): a changed doc
+    * is a TOMBSTONE for its old content in the shard its OLD hash
+    * routes to plus a SHIP of its new content in the shard its NEW
+    * hash routes to (content-hash routing means an edit can move a
+    * doc across shards — the two-event model handles that exactly);
+    * added docs ship, removed docs tombstone, unchanged docs count
+    * as resident. Per shard: ship/tombstone counts with
+    * order-independent XOR fingerprints (the 45s discipline — any
+    * engine re-derives and diffs a delta without ordering
+    * guarantees) plus the resident count. One full-outer doc_id
+    * join (snapshots co-partition on doc_id at scale) + one
+    * NShards-group partial agg over the event union. THE artifact an
+    * incremental dataset release publishes instead of re-shipping
+    * every shard.
+    */
+  def qDeltaRelease(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), tokenHash(col("text")).as("old_hash"))
+    val neu = docs.filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"), tokenHash(
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text"))).as("new_hash"))
+    val d = old.join(neu, Seq("doc_id"), "full_outer")
+    val ship = d.filter(col("new_hash").isNotNull &&
+        (col("old_hash").isNull || col("old_hash") =!= col("new_hash")))
+      .select((col("new_hash") % NShards).as("shard"),
+        col("new_hash").as("ship_h"), lit(null).cast("long").as("tomb_h"),
+        lit(0L).as("same"))
+    val tomb = d.filter(col("old_hash").isNotNull &&
+        (col("new_hash").isNull || col("old_hash") =!= col("new_hash")))
+      .select((col("old_hash") % NShards).as("shard"),
+        lit(null).cast("long").as("ship_h"), col("old_hash").as("tomb_h"),
+        lit(0L).as("same"))
+    val same = d.filter(col("old_hash") === col("new_hash"))
+      .select((col("new_hash") % NShards).as("shard"),
+        lit(null).cast("long").as("ship_h"), lit(null).cast("long").as("tomb_h"),
+        lit(1L).as("same"))
+    ship.unionAll(tomb).unionAll(same)
+      .groupBy(col("shard"))
+      .agg(count(col("ship_h")).as("n_ship"),
+        coalesce(expr("bit_xor(ship_h)"), lit(0L)).as("ship_xor"),
+        count(col("tomb_h")).as("n_tombstone"),
+        coalesce(expr("bit_xor(tomb_h)"), lit(0L)).as("tomb_xor"),
+        sum(col("same")).as("n_resident"))
+  }
+
   // --- embedding covariance / PCA --------------------------------------
 
   val Dim = 64
@@ -745,6 +793,7 @@ object CorpusOps {
     "q_url_normalize" -> qUrlNormalize _,
     "q_word_blocklist" -> qWordBlocklist _,
     "q_corpus_diff" -> qCorpusDiff _,
+    "q_delta_release" -> qDeltaRelease _,
     "q_dataset_card" -> qDatasetCard _,
     "q_epoch_shuffle" -> qEpochShuffle _,
     "q_sft_render" -> qSftRender _,
@@ -890,6 +939,34 @@ object CorpusOps {
         |       WHEN old.old_hash != neu.new_hash THEN 'changed'
         |       ELSE 'same' END AS verdict
         |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id""".stripMargin,
+    "q_delta_release" ->
+      s"""WITH old AS (SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS old_hash
+        |  FROM documents WHERE doc_id % 10 != 0),
+        |neu AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CASE WHEN doc_id % 7 = 0
+        |        THEN text || ' edited' ELSE text END), 1, 12))::BIGINT AS new_hash
+        |  FROM documents WHERE doc_id % 10 != 1),
+        |d AS (SELECT old.old_hash, neu.new_hash
+        |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id),
+        |ev AS (
+        |  SELECT new_hash % $NShards AS shard, new_hash AS ship_h,
+        |    NULL::BIGINT AS tomb_h, 0::BIGINT AS same
+        |  FROM d WHERE new_hash IS NOT NULL
+        |    AND (old_hash IS NULL OR old_hash != new_hash)
+        |  UNION ALL
+        |  SELECT old_hash % $NShards, NULL, old_hash, 0
+        |  FROM d WHERE old_hash IS NOT NULL
+        |    AND (new_hash IS NULL OR old_hash != new_hash)
+        |  UNION ALL
+        |  SELECT new_hash % $NShards, NULL, NULL, 1
+        |  FROM d WHERE old_hash = new_hash)
+        |SELECT shard, count(ship_h)::BIGINT AS n_ship,
+        |  coalesce(bit_xor(ship_h), 0)::BIGINT AS ship_xor,
+        |  count(tomb_h)::BIGINT AS n_tombstone,
+        |  coalesce(bit_xor(tomb_h), 0)::BIGINT AS tomb_xor,
+        |  sum(same)::BIGINT AS n_resident
+        |FROM ev GROUP BY 1""".stripMargin,
     "q_c4_lines" -> {
       val banned = BannedWords.map(w => s"'$w'").mkString(", ")
       s"""WITH tt AS (SELECT doc_id, $toksSql AS t FROM documents),

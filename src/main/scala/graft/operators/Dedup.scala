@@ -763,6 +763,76 @@ object Dedup {
   def qPrefixJoin(s: SparkSession, dir: String): DataFrame =
     prefixJoinPairs(corpus(s, dir))
 
+  /** INCREMENTAL exact similarity probe — the batch-vs-corpus form
+    * of [[prefixJoinPairs]] (the q_dedup_incremental shape, exact
+    * instead of banded): find every (batch doc, corpus doc) pair at
+    * Jaccard ≥ τ over 5-gram shingle sets, probing only the BATCH
+    * side's prefixes against the corpus's FULL posting lists.
+    *
+    * One-sided prefix filtering is sound under ANY consistent
+    * ordering of the batch doc's own set (pigeonhole: if all
+    * ≥ ⌈τ·|a|⌉ intersection elements sat outside a's first
+    * |a|−⌈τ·|a|⌉+1 positions they would overflow the remaining
+    * slots) — so the batch orders by the CORPUS df (unseen shingles
+    * df 0, i.e. rarest-first), and the corpus side needs no prefix
+    * at all. The one-sided suffix bound is likewise order-free:
+    * an intersection element unmatched by the prefix probe lies in
+    * a's suffix, so inter ≤ shared + ⌈τ·|a|⌉ − 1 — pairs that
+    * cannot reach α prune before verification.
+    *
+    * Scale: cost rides the BATCH (prefix keys × matched corpus
+    * postings), not the corpus — the incremental-dedup contract; at
+    * 100 TB the posting join keys on the 48-bit shingle hash and
+    * the verify joins key on candidate doc ids.
+    */
+  def prefixIncrementalPairs(existing: DataFrame, incoming: DataFrame,
+                             tauPpm: Long = PrefixTauPpm): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def sets(docs: DataFrame) = docs
+      .select(col("doc_id"),
+        explode(shingleHashes(tokens(col("text")), SpanShingle)).as("h"))
+      .distinct()
+    val corp = sets(existing)
+    val corpSz = corp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dfreq = corp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val inc = sets(incoming)
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = inc.join(dfreq, Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        row_number().over(byDoc.orderBy(
+          coalesce(col("df"), lit(0L)), col("h"))).as("pos"),
+        count(lit(1)).over(byDoc).as("sz"))
+    val prefix = ranked
+      .filter(col("pos") <=
+        col("sz") - expr(s"($tauPpm * sz + 999999) div 1000000") + 1)
+      .select(col("doc_id"), col("h"), col("sz"))
+    val cand = prefix.toDF("new_doc", "h", "sz_n")
+      .join(corp.toDF("old_doc", "h"), Seq("h"))
+      .join(corpSz.toDF("old_doc", "sz_o"), Seq("old_doc"))
+      .filter(lit(tauPpm) * greatest(col("sz_n"), col("sz_o")) <=
+        lit(1000000L) * least(col("sz_n"), col("sz_o")))
+      .groupBy(col("new_doc"), col("old_doc"), col("sz_n"), col("sz_o"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") + expr(s"($tauPpm * sz_n + 999999) div 1000000") - 1 >=
+        expr(s"($tauPpm * (sz_n + sz_o) + ${1000000L + tauPpm - 1}) div ${1000000L + tauPpm}"))
+      .select(col("new_doc"), col("old_doc"), col("sz_n"), col("sz_o"))
+    val inter = cand.select(col("new_doc"), col("old_doc"))
+      .join(inc.toDF("new_doc", "h"), Seq("new_doc"))
+      .join(corp.toDF("old_doc", "h"), Seq("old_doc", "h"))
+      .groupBy(col("new_doc"), col("old_doc")).agg(count(lit(1)).as("n_common"))
+    cand.join(inter, Seq("new_doc", "old_doc"))
+      .select(col("new_doc"), col("old_doc"), col("n_common"),
+        expr("n_common * 1000000 div (sz_n + sz_o - n_common)")
+          .as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= tauPpm)
+  }
+
+  def qPrefixIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    prefixIncrementalPairs(docs,
+      docs.select((col("doc_id") + Shift).as("doc_id"), col("text")))
+  }
+
   // --- queries --------------------------------------------------------
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -835,6 +905,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_prefix_join" -> qPrefixJoin _,
+    "q_prefix_incremental" -> qPrefixIncremental _,
     "q_span_long" -> qSpanLong _,
     "q_sketch_overlap" -> qSketchOverlap _,
     "q_repeated_spans" -> qRepeatedSpans _,
@@ -965,16 +1036,18 @@ object Dedup {
       |FROM c GROUP BY doc_id""".stripMargin
 
   /** 5-gram twin of shingleTokSql (the SpanShingle width the prefix
-    * join measures τ on).
+    * join measures τ on), parameterized on the (doc_id, text) source.
     */
-  private val shingle5TokSql =
+  private def shingle5TokSqlFor(src: String) =
     s"""SELECT doc_id, unnest(hs) AS h FROM (
        |      SELECT doc_id,
        |        list_transform(range(1, greatest(len(toks) - ${SpanShingle - 2}, 1)),
        |          i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])), 1, 12))::BIGINT)
        |          AS hs
        |      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-       |            FROM ($corpusSql)))""".stripMargin
+       |            FROM ($src)))""".stripMargin
+
+  private val shingle5TokSql = shingle5TokSqlFor(corpusSql)
 
   private val prefixJoinSql =
     s"""WITH tok AS (
@@ -1003,7 +1076,44 @@ object Dedup {
       |WHERE (i.n_common * 1000000) // (c.sz_a + c.sz_b - i.n_common)
       |        >= $PrefixTauPpm""".stripMargin
 
+  private val prefixIncrementalSql =
+    s"""WITH corp AS (SELECT DISTINCT doc_id, h FROM (
+      |    ${shingle5TokSqlFor("SELECT doc_id, text FROM documents")})),
+      |inc AS (SELECT DISTINCT doc_id, h FROM (
+      |    ${shingle5TokSqlFor(s"SELECT doc_id + $Shift AS doc_id, text FROM documents")})),
+      |corpsz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM corp GROUP BY 1),
+      |dfreq AS (SELECT h, count(*)::BIGINT AS df FROM corp GROUP BY 1),
+      |ranked AS (SELECT i.doc_id, i.h,
+      |    row_number() OVER (PARTITION BY i.doc_id
+      |      ORDER BY coalesce(d.df, 0), i.h) AS pos,
+      |    count(*) OVER (PARTITION BY i.doc_id) AS sz
+      |  FROM inc i LEFT JOIN dfreq d USING (h)),
+      |pre AS (SELECT doc_id, h, sz FROM ranked
+      |  WHERE pos <= sz - ($PrefixTauPpm * sz + 999999) // 1000000 + 1),
+      |cand AS (SELECT p.doc_id AS new_doc, c.doc_id AS old_doc,
+      |    p.sz AS sz_n, cs.sz AS sz_o, count(*)::BIGINT AS shared
+      |  FROM pre p JOIN corp c USING (h) JOIN corpsz cs ON cs.doc_id = c.doc_id
+      |  WHERE $PrefixTauPpm * greatest(p.sz, cs.sz)
+      |          <= 1000000 * least(p.sz, cs.sz)
+      |  GROUP BY 1, 2, 3, 4
+      |  HAVING count(*) + ($PrefixTauPpm * p.sz + 999999) // 1000000 - 1
+      |    >= ($PrefixTauPpm * (p.sz + cs.sz) + ${1000000L + PrefixTauPpm - 1})
+      |       // ${1000000L + PrefixTauPpm}),
+      |inter AS (SELECT c.new_doc, c.old_doc, count(*)::BIGINT AS n_common
+      |  FROM (SELECT DISTINCT new_doc, old_doc FROM cand) c
+      |  JOIN inc i ON i.doc_id = c.new_doc
+      |  JOIN corp o ON o.doc_id = c.old_doc AND o.h = i.h
+      |  GROUP BY 1, 2)
+      |SELECT c.new_doc, c.old_doc, i.n_common,
+      |  ((i.n_common * 1000000) // (c.sz_n + c.sz_o - i.n_common))::BIGINT
+      |    AS jaccard_ppm
+      |FROM cand c JOIN inter i
+      |  ON c.new_doc = i.new_doc AND c.old_doc = i.old_doc
+      |WHERE (i.n_common * 1000000) // (c.sz_n + c.sz_o - i.n_common)
+      |        >= $PrefixTauPpm""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_prefix_incremental" -> prefixIncrementalSql,
     "q_prefix_join" -> prefixJoinSql,
     "q_sketch_overlap" -> {
       val mins = (0 until NumPerm)

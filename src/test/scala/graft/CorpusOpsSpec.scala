@@ -14,6 +14,40 @@ import graft.sources.Tables
 class CorpusOpsSpec extends AnyFunSuite {
   import SparkSuite._
 
+  test("delta release reconciles: old manifest XOR tombstones XOR ships = new manifest") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hash(t: String) = tokenHashLong(t)
+    val old = docs.filter(_._1 % 10 != 0).map { case (id, t) => id -> hash(t) }.toMap
+    val neu = docs.filter(_._1 % 10 != 1).map { case (id, t) =>
+      id -> hash(if (id % 7 == 0) t + " edited" else t)
+    }.toMap
+    def manifest(m: Map[Long, Long]): Map[Long, (Long, Long)] =
+      m.values.groupBy(_ % CorpusOps.NShards).map { case (s, hs) =>
+        s -> (hs.size.toLong, hs.foldLeft(0L)(_ ^ _))
+      }
+    val mo = manifest(old).withDefaultValue((0L, 0L))
+    val mn = manifest(neu).withDefaultValue((0L, 0L))
+    val got = CorpusOps.qDeltaRelease(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap.withDefaultValue((0L, 0L, 0L, 0L, 0L))
+    (0L until CorpusOps.NShards.toLong).foreach { s =>
+      val (nShip, shipXor, nTomb, tombXor, nRes) = got(s)
+      // doc-count law: old population − tombstones + ships = new population
+      assert(mo(s)._1 - nTomb + nShip == mn(s)._1,
+        s"shard $s doc-count reconciliation")
+      // resident law: residents + ships = new population
+      assert(nRes + nShip == mn(s)._1, s"shard $s resident count")
+      // fingerprint law: applying the delta to the old shard
+      // fingerprint reproduces the new shard fingerprint exactly
+      assert((mo(s)._2 ^ tombXor ^ shipXor) == mn(s)._2,
+        s"shard $s xor reconciliation")
+    }
+    assert(got.values.map(_._1).sum > 0 && got.values.map(_._3).sum > 0,
+      "fixture must ship and tombstone something")
+  }
+
   test("heavy hitters == brute-force exact frequent set") {
     val got = CorpusOps.qHeavyHitters(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

@@ -518,6 +518,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(twins.size == nDocs && twins.forall(_._4 == 1000000L))
   }
 
+  test("incremental prefix probe equals brute-force batch-vs-corpus exact jaccard") {
+    import graft.functions.GraftFunctions.{tokens, shingleHashes}
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val batch = docs.select((col("doc_id") + Dedup.Shift).as("doc_id"),
+      col("text"))
+    val got = Dedup.prefixIncrementalPairs(docs, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def sets(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      explode(shingleHashes(tokens(col("text")), Dedup.SpanShingle)).as("h"))
+      .distinct()
+    val ct = sets(docs); val it = sets(batch)
+    val csz = ct.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val isz = it.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val brute = it.toDF("new_doc", "h").join(ct.toDF("old_doc", "h"), Seq("h"))
+      .groupBy(col("new_doc"), col("old_doc")).agg(count(lit(1)).as("n_common"))
+      .join(isz.toDF("new_doc", "sz_n"), Seq("new_doc"))
+      .join(csz.toDF("old_doc", "sz_o"), Seq("old_doc"))
+      .select(col("new_doc"), col("old_doc"), col("n_common"),
+        expr("n_common * 1000000 div (sz_n + sz_o - n_common)").as("jp"))
+      .filter(col("jp") >= Dedup.PrefixTauPpm)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute,
+      s"probe must equal brute force: missing=${(brute -- got).take(3)} " +
+        s"extra=${(got -- brute).take(3)}")
+    val nDocs = docs.count()
+    assert(got.count(p => p._1 == p._2 + Dedup.Shift) == nDocs,
+      "every batch doc must match its corpus original at J=1")
+  }
+
   test("ngram jaccard finds copies at jaccard 1.0") {
     val rows = Dedup.ngramJaccardPairs(Dedup.corpus(spark, sf)).collect()
     val copies = rows.filter(r => r.getLong(1) == r.getLong(0) + Dedup.Shift)
