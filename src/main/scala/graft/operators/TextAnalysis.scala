@@ -999,6 +999,74 @@ object TextAnalysis {
   def qNgramNovelty(s: SparkSession, dir: String): DataFrame =
     ngramNovelty(Tables.documents(s, dir))
 
+  // --- cross-source quality calibration ------------------------------
+
+  /** Cross-source quality-score calibration — the fix for the
+    * FineWeb-class problem that a raw quality score is not
+    * comparable ACROSS sources (each source has its own score
+    * distribution, so one global threshold over- or under-prunes
+    * per source): emit each doc's per-source percentile (share of
+    * same-source docs scoring strictly below, ppm) next to its
+    * global percentile, so tiering can cut at "bottom 20% of each
+    * source" instead of "bottom 20% of the blend".
+    *
+    * Exact and window-free at doc level: scores quantize to the ppm
+    * grid, percentiles derive from the (source, score) HISTOGRAM —
+    * one partial-agg count, one prefix-sum window over the
+    * aggregated histogram (size = distinct scores per source,
+    * bounded by the grid — never a per-doc sort), one equi-join
+    * back on (source, score). Ties share a percentile by
+    * construction (strictly-below semantics).
+    */
+  def qualityCalibrate(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val punctRaw = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))) / length(col("text"))
+    val stopRaw = hitRatio(toks, Stopwords(0)._2)
+    val tokScore = least(lit(1.0), nTok / lit(100.0))
+    val scored = docs.select(col("doc_id"), col("source"),
+      round(round(lit(0.3) * stopRaw + lit(0.3) * (lit(1.0) - punctRaw) +
+        lit(0.4) * tokScore, 6) * 1000000).cast("long").as("q_ppm"))
+    val hist = scored.groupBy(col("source"), col("q_ppm"))
+      .agg(count(lit(1)).as("freq"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("q_ppm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nSrc = scored.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val srcPct = hist
+      .withColumn("below", coalesce(sum(col("freq")).over(wSrc), lit(0L)))
+      .join(broadcast(nSrc), Seq("source"))
+      .select(col("source"), col("q_ppm"),
+        expr("below * 1000000 div n_s").as("pct_src_ppm"))
+    // global percentile via the pplBuckets coarse/fine two-level
+    // prefix sum: coarse offsets by broadcast self-join (≤100 cells),
+    // fine prefix windows PARTITIONED by coarse cell — no
+    // unpartitioned WindowExec anywhere (the julienne discipline)
+    val ghist = scored.groupBy(col("q_ppm")).agg(count(lit(1)).as("freq"))
+      .withColumn("coarse", expr("q_ppm div 10000"))
+    val coarseTot = ghist.groupBy(col("coarse")).agg(sum(col("freq")).as("ccnt"))
+    val cPrefix = coarseTot.select(col("coarse"))
+      .join(broadcast(coarseTot.select(col("coarse").as("hc"), col("ccnt").as("hn"))),
+        col("hc") < col("coarse"), "left")
+      .groupBy(col("coarse")).agg(coalesce(sum(col("hn")), lit(0L)).as("cprefix"))
+    val wFine = Window.partitionBy(col("coarse")).orderBy(col("q_ppm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = scored.count()
+    val gPct = ghist
+      .withColumn("fbelow", coalesce(sum(col("freq")).over(wFine), lit(0L)))
+      .join(broadcast(cPrefix), Seq("coarse"))
+      .select(col("q_ppm"),
+        expr(s"(cprefix + fbelow) * 1000000 div ${n}L").as("pct_global_ppm"))
+    scored.join(srcPct, Seq("source", "q_ppm"))
+      .join(broadcast(gPct), Seq("q_ppm"))
+      .select(col("doc_id"), col("source"), col("q_ppm"),
+        col("pct_src_ppm"), col("pct_global_ppm"))
+  }
+
+  def qQualityCalibrate(s: SparkSession, dir: String): DataFrame =
+    qualityCalibrate(Tables.documents(s, dir))
+
   // --- per-source distribution drift ---------------------------------
 
   /** Per-source unigram-distribution drift vs the whole corpus — the
@@ -1060,6 +1128,7 @@ object TextAnalysis {
     sourceDrift(Tables.documents(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_calibrate" -> qQualityCalibrate _,
     "q_source_drift" -> qSourceDrift _,
     "q_ngram_novelty" -> qNgramNovelty _,
     "q_bpe_train" -> qBpeTrain _,
@@ -1300,7 +1369,35 @@ object TextAnalysis {
       |    - sum(pc_ppb))::BIGINT AS l1_ppb
       |FROM j GROUP BY 1, 2""".stripMargin
 
+  private val qualityCalibrateSql =
+    s"""WITH qs AS ($qualityScoreSql),
+      |sc AS (SELECT q.doc_id, d.source,
+      |    round(q.quality_score * 1000000)::BIGINT AS q_ppm
+      |  FROM qs q JOIN documents d ON q.doc_id = d.doc_id),
+      |hist AS (SELECT source, q_ppm, count(*)::BIGINT AS freq
+      |  FROM sc GROUP BY 1, 2),
+      |ns AS (SELECT source, count(*)::BIGINT AS n_s FROM sc GROUP BY 1),
+      |sp AS (SELECT source, q_ppm,
+      |    coalesce(sum(freq) OVER (PARTITION BY source ORDER BY q_ppm
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS below
+      |  FROM hist),
+      |gh AS (SELECT q_ppm, count(*)::BIGINT AS freq FROM sc GROUP BY 1),
+      |gp AS (SELECT q_ppm,
+      |    coalesce(sum(freq) OVER (ORDER BY q_ppm
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS below
+      |  FROM gh)
+      |SELECT sc.doc_id, sc.source, sc.q_ppm,
+      |  (sp.below * 1000000 // ns.n_s)::BIGINT AS pct_src_ppm,
+      |  (gp.below * 1000000 // (SELECT count(*) FROM sc))::BIGINT
+      |    AS pct_global_ppm
+      |FROM sc JOIN sp ON sc.source = sp.source AND sc.q_ppm = sp.q_ppm
+      |JOIN ns ON sc.source = ns.source
+      |JOIN gp ON sc.q_ppm = gp.q_ppm""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_quality_calibrate" -> qualityCalibrateSql,
     "q_source_drift" -> sourceDriftSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_encode" -> bpeEncodeSql,

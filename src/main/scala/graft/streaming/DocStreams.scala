@@ -431,6 +431,165 @@ object DocStreams {
     stats.toSeq
   }
 
+  /** STREAMING EXACT dedup index — the exact twin of
+    * [[runIncrementalDedupToWarehouse]] (which is banded/
+    * probabilistic): the warehouse keeps the full 5-gram POSTING
+    * LISTS (doc_id, h) of every unique doc seen so far plus a
+    * (doc_id, sz) size sidecar (which doubles as the replay
+    * screen), and each micro-batch probes its docs' shingle-set
+    * PREFIXES against the stored postings — every (new, indexed)
+    * pair at exact Jaccard ≥ τ is found, no banding recall dial.
+    *
+    * Exactness under hash order: the stream prefixes each doc's set
+    * in plain h order, not the batch operator's df order — one-sided
+    * prefix filtering is sound under ANY consistent ordering of the
+    * probing doc's own set (the [[graft.operators.Dedup.prefixIncrementalPairs]]
+    * pigeonhole), and the df ordering is purely a posting-length
+    * optimization the 5-gram domain barely needs (sf1: hottest
+    * prefix posting 4). The h-order prefix is computed per doc as
+    * slice(array_sort(collect_set)) — one agg, no window.
+    *
+    * READ shape: ONE pruned posting read per batch — partitions
+    * pruned to the buckets the batch's shingles hash to, shingle set
+    * pushed to row-group blooms — serves BOTH candidate generation
+    * (prefix rows) and exact verification (all rows; any shared
+    * element's h is in the batch's set by definition), so read I/O
+    * rides the batch's shingle spread, never the corpus. The
+    * one-sided suffix bound (shared + ⌈τ·sz⌉ − 1 < α prunes) gates
+    * the per-pair verify work. Size lookups for candidates ride the
+    * id-bucketed sz sidecar. WRITE shape: append-only postings +
+    * sidecar for unique docs (dup docs stay unindexed so replays
+    * re-flag); verdicts upsert (new, matched)-keyed.
+    */
+  def runExactDedupStream(spark: SparkSession, stagedDir: String,
+                          wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                          postTable: String, dupTable: String,
+                          tauPpm: Long = graft.operators.Dedup.PrefixTauPpm): Unit = {
+    import graft.operators.Dedup
+    import graft.functions.GraftFunctions.{tokens, shingleHashes}
+    val szTable = s"${postTable}_sz"
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nBuckets = indexBuckets(spark)
+        val pushMax = lookupPushdownMax(spark)
+        val batchIds = batch.toDF().select(col("doc_id")).distinct()
+          .withColumn("id_bucket", bucketOf(col("doc_id"), nBuckets))
+          .transform(cut)
+        val touchedIdB = batchIds.select("id_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val batchDocIds = batchIds.select("doc_id").limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
+        val seen =
+          if (wh.tableExists(ref, szTable))
+            indexLookup(wh, ref, szTable, "id_bucket", touchedIdB,
+              "doc_id", batchDocIds, HashIndexReadOptions)._1.select(col("doc_id"))
+          else
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("doc_id", LongType))))
+        val fresh = batch.toDF().select(col("doc_id"), col("text"))
+          .join(seen, Seq("doc_id"), "left_anti")
+          .transform(cut)
+        if (fresh.isEmpty) ()
+        else {
+          // per-doc shingle SET as a sorted array: sz, h-order prefix
+          val sets = fresh.select(col("doc_id"),
+              array_sort(array_distinct(
+                shingleHashes(tokens(col("text")), Dedup.SpanShingle))).as("hs"))
+            .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("sz"))
+            .transform(cut)
+          val tok = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+          val prefix = sets.select(col("doc_id"), col("sz"),
+              explode(expr(s"slice(hs, 1, cast(sz - ($tauPpm * sz + 999999) div 1000000 + 1 as int))"))
+                .as("h"))
+          // ONE pruned posting read serves probe + verify
+          val touchedB = tok.select(bucketOf(col("h"), nBuckets).as("bucket"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val batchHs = tok.select("h").distinct().limit(pushMax + 1)
+            .collect().map(_.getLong(0)).toSeq
+          val idx =
+            if (wh.tableExists(ref, postTable))
+              indexLookup(wh, ref, postTable, "bucket", touchedB,
+                "h", batchHs, HashIndexReadOptions)._1
+                .select(col("doc_id").as("old_doc"), col("h"))
+            else
+              spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+                StructType(Seq(StructField("old_doc", LongType),
+                  StructField("h", LongType))))
+          val idxC = idx.transform(cut)
+          // candidates: batch prefix ⋈ stored postings, then sz
+          // lookup + size filter + one-sided suffix bound
+          val candRaw = prefix.toDF("new_doc", "sz_n", "h")
+            .join(idxC, Seq("h"))
+            .groupBy(col("new_doc"), col("old_doc"), col("sz_n"))
+            .agg(count(lit(1)).as("shared"))
+          val candDocs = candRaw.select(col("old_doc")).distinct()
+            .withColumn("id_bucket", bucketOf(col("old_doc"), nBuckets))
+          val candIdB = candDocs.select("id_bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val candIds = candDocs.select("old_doc").limit(pushMax + 1)
+            .collect().map(_.getLong(0)).toSeq
+          val szOld =
+            if (wh.tableExists(ref, szTable))
+              indexLookup(wh, ref, szTable, "id_bucket", candIdB,
+                "doc_id", candIds, HashIndexReadOptions)._1
+                .select(col("doc_id").as("old_doc"), col("sz").as("sz_o"))
+            else candDocs.limit(0).select(col("old_doc"), lit(0L).as("sz_o"))
+          val cand = candRaw.join(szOld, Seq("old_doc"))
+            .filter(lit(tauPpm) * greatest(col("sz_n"), col("sz_o")) <=
+              lit(1000000L) * least(col("sz_n"), col("sz_o")))
+            .filter(col("shared") + expr(s"($tauPpm * sz_n + 999999) div 1000000") - 1 >=
+              expr(s"($tauPpm * (sz_n + sz_o) + ${1000000L + tauPpm - 1}) div ${1000000L + tauPpm}"))
+            .select(col("new_doc"), col("old_doc"), col("sz_n"), col("sz_o"))
+            .transform(cut)
+          // verify against the SAME pruned read
+          val inter = cand.select(col("new_doc"), col("old_doc"))
+            .join(tok.toDF("new_doc", "h"), Seq("new_doc"))
+            .join(idxC, Seq("old_doc", "h"))
+            .groupBy(col("new_doc"), col("old_doc"))
+            .agg(count(lit(1)).as("n_common"))
+          val vsOld = cand.join(inter, Seq("new_doc", "old_doc"))
+            .select(col("new_doc"), col("old_doc").as("matched_doc"),
+              col("n_common"),
+              expr("n_common * 1000000 div (sz_n + sz_o - n_common)")
+                .as("jaccard_ppm"))
+            .filter(col("jaccard_ppm") >= tauPpm)
+          // batch-internal pairs: the batch-local exact join (df
+          // order local to the batch — exact either way)
+          val vsNew = Dedup.prefixJoinPairs(fresh, tauPpm)
+            .select(col("doc_b").as("new_doc"), col("doc_a").as("matched_doc"),
+              col("n_common"), col("jaccard_ppm"))
+          val dupes = vsOld.unionAll(vsNew).transform(cut)
+          val newDups = dupes.select(col("new_doc").as("doc_id")).distinct()
+          val uniquePosts = tok
+            .join(newDups, Seq("doc_id"), "left_anti")
+            .withColumn("bucket", bucketOf(col("h"), nBuckets))
+            .repartition(col("bucket"))
+            .sortWithinPartitions(col("bucket"), col("h"))
+          wh.appendTablePartitioned(uniquePosts, ref, postTable, Seq("bucket"),
+            bloomWriteOptions("h", math.max(1L,
+              tok.count() / math.max(1, touchedB.size))))
+          val uniqueSz = sets.select(col("doc_id"), col("sz"))
+            .join(newDups, Seq("doc_id"), "left_anti")
+            .withColumn("id_bucket", bucketOf(col("doc_id"), nBuckets))
+            .repartition(col("id_bucket"))
+            .sortWithinPartitions(col("id_bucket"), col("doc_id"))
+          wh.appendTablePartitioned(uniqueSz, ref, szTable, Seq("id_bucket"),
+            bloomWriteOptions("doc_id",
+              batchIds.count() / math.max(1, touchedIdB.size)))
+          val verdicts = dupes.withColumn("dup_key",
+            concat(col("new_doc").cast("string"), lit("#"),
+              col("matched_doc").cast("string")))
+          upsertPartitioned(wh, ref, dupTable, verdicts, "dup_key")
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** One packed doc: where it landed in its stream's running
     * concatenation. */
   final case class PackedDoc(stream: Long, doc_id: Long, n_tok: Long,

@@ -111,6 +111,26 @@ class CurationSpec extends AnyFunSuite {
       s"mismatch: missing=${(expect -- got).take(2)} extra=${(got -- expect).take(2)}")
   }
 
+  test("quality calibration equals a driver-side strictly-below replay") {
+    val rows = TextAnalysis.qQualityCalibrate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val n = rows.length.toLong
+    val bySrc = rows.groupBy(_._2)
+    rows.foreach { case (id, src, q, pSrc, pGlob) =>
+      val inSrc = bySrc(src)
+      val belowS = inSrc.count(_._3 < q).toLong
+      assert(pSrc == belowS * 1000000L / inSrc.length,
+        s"src pct at $id")
+      val belowG = rows.count(_._3 < q).toLong
+      assert(pGlob == belowG * 1000000L / n, s"global pct at $id")
+    }
+    // calibration effect: every source's floor doc sits at pct 0
+    bySrc.values.foreach { xs =>
+      assert(xs.filter(t => t._3 == xs.map(_._3).min).forall(_._4 == 0L))
+    }
+  }
+
   test("scrub redacts emails, urls and digit runs; idempotent") {
     import spark.implicits._
     val df = Seq(

@@ -1020,6 +1020,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(served() == batch)
   }
 
+  test("streaming exact dedup finds every cross-batch pair at tau, replays idempotently") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import graft.operators.Dedup
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-xd")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val twins = docs.select((col("doc_id") + Dedup.Shift).as("doc_id"),
+      col("text"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-xd-$name")
+      df.select(col("doc_id"), lit("x").as("source"), lit("en").as("lang"),
+          col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        staged.resolve(s"$name.parquet"))
+    }
+    stage(docs, "a_originals")
+    stage(twins, "b_twins")
+    val root = Files.createTempDirectory("graft-wh-xd").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.xd")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runExactDedupStream(spark, staged.toString, wh, ref,
+      "xpost", "xdup")
+    def verdicts(): Set[(Long, Long, Long)] =
+      wh.readTable(ref, "xdup").select(col("new_doc"), col("matched_doc"),
+          col("jaccard_ppm")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = verdicts()
+    // batch-A internal pairs: exactly the batch exact join over A
+    val aPairs = Dedup.prefixJoinPairs(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(3))).toSet
+    assert(aPairs.subsetOf(got), "every batch-A internal pair flagged")
+    // indexed A docs = A minus A-side dup docs (kept out of the index)
+    val aDups = aPairs.map(_._1)
+    val indexed = docs.collect().map(_.getLong(0)).toSet -- aDups
+    // completeness: every (twin, INDEXED original) pair at tau found
+    val crossTruth = Dedup.prefixIncrementalPairs(docs, twins).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .filter(p => indexed(p._2)).toSet
+    assert(crossTruth.subsetOf(got),
+      s"missing cross pairs: ${(crossTruth -- got).take(3)}")
+    // every twin doc is flagged (its original is indexed at J=1, or
+    // the original's own matcher is indexed at the same J >= tau)
+    val flagged = got.map(_._1)
+    val twinIds = twins.collect().map(_.getLong(0))
+    assert(twinIds.forall(flagged), "every twin must be flagged as dup")
+    // replay: full redelivery is a no-op
+    val postsBefore = wh.readTable(ref, "xpost").count()
+    stage(docs, "c_replay_a"); stage(twins, "d_replay_b")
+    DocStreams.runExactDedupStream(spark, staged.toString, wh, ref,
+      "xpost", "xdup")
+    assert(wh.readTable(ref, "xpost").count() == postsBefore,
+      "replay grew the posting index")
+    assert(verdicts() == got, "replay changed the verdicts")
+  }
+
   test("streaming length histogram equals batch row-for-row, replays idempotently, compacts") {
     import org.apache.spark.sql.functions._
     import graft.extract.Warehouse
