@@ -280,11 +280,78 @@ object Graph {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** k-core threshold and the synchronous-peel round bound. The
+    * PageRank fixture converges in ≤ 8 rounds at every test SF
+    * (spec-pinned: the cascade ends strictly before the bound); on a
+    * real graph the bound is the knob that trades residual
+    * not-yet-peeled nodes for iterations, exactly like PrIters.
+    */
+  val KcoreK = 3L
+  val KcoreRounds = 10
+
+  /** k-core decomposition (Seidman 1983) by synchronous peeling over
+    * the undirected closure of the PageRank link fixture — the graph
+    * WITH dangling sinks, so degree heterogeneity drives a real
+    * multi-round cascade (sinks and their support peel first, the
+    * removals propagate). The k-core is the classic "dense,
+    * well-linked center" selector a link-graph curation pass uses to
+    * separate hub/spam periphery from the connected core.
+    *
+    * Semantics: round r removes every node whose degree AMONG
+    * SURVIVORS is < k (all removals in a round are simultaneous —
+    * the deterministic synchronous variant, so the unrolled oracle
+    * agrees bit-for-bit). `peel_round` records the removal round
+    * (1-based); 0 means the node survived all [[KcoreRounds]] rounds
+    * and `core_deg` is its degree inside the final core (≥ k once
+    * the cascade has converged, which the spec pins on the fixture).
+    *
+    * Shape per round: two alive-list equi-joins against the edge
+    * frame (u-side, v-side) + one per-node partial-agg count + one
+    * left join back to the state — O(E) shuffled per round, bounded
+    * rounds, reliable-`cut()` lineage, the PageRank discipline. At
+    * 100 TB the edge frame pre-partitions on u and every round
+    * reuses that partitioning; no window, no global sort, state is
+    * one row per node.
+    */
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n).filter(col("src") =!= col("dst"))
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().persist()
+    try {
+      def aliveDeg(alive: DataFrame): DataFrame =
+        und.join(alive.toDF("u"), Seq("u"))
+          .join(alive.toDF("v"), Seq("v"))
+          .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      // state: one row per node; peel_round 0 = still alive
+      var state = docs.select(col("doc_id").as("v"), lit(0L).as("peel_round"))
+      for (r <- 1 to KcoreRounds) {
+        val deg = aliveDeg(state.filter(col("peel_round") === 0L).select(col("v")))
+        state = cut(state
+          .join(deg.toDF("dv", "deg"), state("v") === col("dv"), "left")
+          .select(col("v"),
+            when(col("peel_round") =!= 0L, col("peel_round"))
+              .when(coalesce(col("deg"), lit(0L)) < KcoreK, lit(r.toLong))
+              .otherwise(lit(0L)).as("peel_round")))
+      }
+      val coreDeg =
+        aliveDeg(state.filter(col("peel_round") === 0L).select(col("v")))
+      state.join(coreDeg.toDF("cu", "cdeg"), state("v") === col("cu"), "left")
+        .select(col("v").as("doc_id"), col("peel_round"),
+          (col("peel_round") === 0L).cast("long").as("in_core"),
+          when(col("peel_round") === 0L, coalesce(col("cdeg"), lit(0L)))
+            .otherwise(lit(0L)).as("core_deg"))
+    } finally { und.unpersist(); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> qPagerank _,
     "q_label_prop" -> qLabelProp _,
     "q_random_walks" -> qRandomWalks _,
     "q_walk_pairs" -> qWalkPairs _,
+    "q_kcore" -> qKcore _,
     "q_triangles" -> qTriangles _)
 
   private def oracleSql: String = {
@@ -419,10 +486,52 @@ object Graph {
       |  AND abs(a.step - b.step) <= $WalkWindow
       |GROUP BY 1, 2""".stripMargin
 
+  private def kcoreSql: String = {
+    val undCte =
+      s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+        |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+        |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+        |und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+        |  SELECT src AS u, dst AS v FROM e WHERE src != dst
+        |  UNION ALL SELECT dst, src FROM e WHERE src != dst)),
+        |s0 AS MATERIALIZED (SELECT doc_id AS v, 0::BIGINT AS pr FROM documents)""".stripMargin
+    // every round CTE is MATERIALIZED: each level references the
+    // previous one 4×, so default CTE inlining would expand the
+    // 10-round chain exponentially (it ran the base scan out of
+    // file descriptors before it ran out of time)
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT und.u AS v, count(*)::BIGINT AS deg
+        |  FROM und JOIN s${r - 1} a ON und.u = a.v AND a.pr = 0
+        |  JOIN s${r - 1} b ON und.v = b.v AND b.pr = 0
+        |  GROUP BY 1),
+        |s$r AS MATERIALIZED (SELECT s.v,
+        |    (CASE WHEN s.pr != 0 THEN s.pr
+        |      WHEN coalesce(d.deg, 0) < $KcoreK THEN $r
+        |      ELSE 0 END)::BIGINT AS pr
+        |  FROM s${r - 1} s LEFT JOIN d$r d ON s.v = d.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $undCte,
+      |$rounds,
+      |fd AS (SELECT und.u AS v, count(*)::BIGINT AS deg
+      |  FROM und JOIN s$KcoreRounds a ON und.u = a.v AND a.pr = 0
+      |  JOIN s$KcoreRounds b ON und.v = b.v AND b.pr = 0
+      |  GROUP BY 1)
+      |SELECT s.v AS doc_id, s.pr AS peel_round,
+      |  (CASE WHEN s.pr = 0 THEN 1 ELSE 0 END)::BIGINT AS in_core,
+      |  (CASE WHEN s.pr = 0 THEN coalesce(fd.deg, 0) ELSE 0 END)::BIGINT
+      |    AS core_deg
+      |FROM s$KcoreRounds s LEFT JOIN fd ON s.v = fd.v""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> oracleSql,
     "q_label_prop" -> labelPropSql,
     "q_random_walks" -> randomWalksSql,
     "q_walk_pairs" -> walkPairsSql,
+    "q_kcore" -> kcoreSql,
     "q_triangles" -> trianglesSql)
 }

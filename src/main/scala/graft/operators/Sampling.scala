@@ -321,7 +321,74 @@ object Sampling {
         (-col("c.nq") - col("r.q")).as("margin_ppm"),
         (-col("c.nq") > col("r.q")).cast("long").as("usable"))
 
+  /** Priority-sample size (the k of the top-k-by-priority pass). */
+  val PriorityK = 64
+
+  /** Weighted sampling WITHOUT replacement with an unbiased subset-sum
+    * estimator — priority sampling (Duffield, Lund & Thorup, JACM
+    * 2007): item i with weight w_i draws uniform u_i ∈ (0,1] and gets
+    * priority q_i = w_i / u_i; keep the k highest priorities, set the
+    * threshold τ to the (k+1)-th priority, and estimate every kept
+    * item's weight as ŵ_i = max(w_i, τ). Subset sums of ŵ are
+    * unbiased for the true sums, with zero covariance between items —
+    * the estimator a "sample 64 docs but still report per-source
+    * token totals" curation audit needs. Heavy items are kept with
+    * certainty (w_i ≥ τ ⇒ q_i ≥ τ), so the sample is the weighted
+    * analogue of heavy hitters.
+    *
+    * Determinism discipline: u_i is the md5 hash of the doc id
+    * ((h+1)/2^48 ∈ (0,1]), and the priority is the integer floor of
+    * w·2^48/(h+1) computed in DECIMAL(38,0) — both engines agree
+    * bit-for-bit, reruns and late-arriving shards keep their draws.
+    * Floored priorities can tie; doc_id breaks every tie, so the
+    * sampled SET is a pure function of the corpus. Integer headroom:
+    * the floored priority tops out at w·2^48, so weights below 2^15
+    * stay inside int64 even at u's floor — token counts per DOCUMENT
+    * satisfy that by orders of magnitude; for heavier weight columns
+    * shrink the hash range (the documented dial).
+    *
+    * Scale shape: one narrow pass computes priorities, and the top
+    * k+1 ride a TakeOrdered (per-partition size-(k+1) heaps, driver
+    * merges partitions·(k+1) rows) — no shuffle anywhere, O(k)
+    * driver state. The boundary row (rank k+1, which only defines τ
+    * and leaves the sample) is isolated with ONE struct-min
+    * aggregate over the k+1 frame instead of a rank window, so no
+    * WindowExec — let alone an unpartitioned one — enters the plan.
+    * The corpus is scanned twice (once per TakeOrdered consumer);
+    * both scans are narrow.
+    */
+  def qPrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))).cast("long"), lit(1L)).as("weight"))
+      .withColumn("h", tokenHash(col("doc_id").cast("string")) + lit(1L))
+      .withColumn("priority",
+        expr("CAST(weight AS DECIMAL(38,0)) * 281474976710656 div h"))
+      .select(col("doc_id"), col("weight"), col("priority"))
+    val top = d.orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(PriorityK + 1)
+    // the minimum of (priority, -doc_id) over the k+1 frame IS the
+    // boundary row (last in the priority-desc, doc_id-asc order);
+    // when the corpus has ≤ k rows there is no boundary and τ = 0
+    // (every item kept, exact weights — the DLT small-n case)
+    val bound = top
+      .agg(count(lit(1)).as("n_top"),
+        min(struct(col("priority"), (-col("doc_id")).as("negid"))).as("b"))
+      .select(col("n_top"), col("b.priority").as("bpr"), col("b.negid").as("bneg"))
+    top.crossJoin(broadcast(bound))
+      .withColumn("tau",
+        when(col("n_top") === PriorityK + 1, col("bpr")).otherwise(lit(0L)))
+      .filter(col("n_top") =!= PriorityK + 1 ||
+        !(col("priority") === col("bpr") && col("doc_id") === -col("bneg")))
+      .select(col("doc_id"), col("weight"), col("priority"), col("tau"),
+        greatest(col("weight"), col("tau")).as("w_hat"),
+        when(col("tau") === 0L, lit(1000000L))
+          .otherwise(least(lit(1000000L), expr("weight * 1000000 div tau")))
+          .as("p_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priority_sample" -> qPrioritySample _,
     "q_preference_pairs" -> qPreferencePairs _,
     "q_split" -> qSplit _,
     "q_split_safe" -> qSplitSafe _,
@@ -345,6 +412,23 @@ object Sampling {
     "('0x' || substr(md5(coalesce(m.component_id, c.doc_id)::VARCHAR), 1, 12))::BIGINT % 100"
 
   val oracles: Map[String, String] = Map(
+    "q_priority_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)::BIGINT
+        |      AS weight,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1 AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, weight,
+        |    (weight::HUGEINT * 281474976710656 // h)::BIGINT AS priority FROM d),
+        |r AS (SELECT *, row_number()
+        |    OVER (ORDER BY priority DESC, doc_id) AS rnk FROM p),
+        |t AS (SELECT coalesce(min(CASE WHEN rnk = ${PriorityK + 1}
+        |    THEN priority END), 0)::BIGINT AS tau FROM r)
+        |SELECT r.doc_id, r.weight, r.priority, t.tau,
+        |  greatest(r.weight, t.tau)::BIGINT AS w_hat,
+        |  (CASE WHEN t.tau = 0 THEN 1000000
+        |    ELSE least(1000000, r.weight * 1000000 // t.tau) END)::BIGINT AS p_ppm
+        |FROM r CROSS JOIN t WHERE r.rnk <= $PriorityK""".stripMargin,
     "q_preference_pairs" ->
       s"""WITH qs AS (${TextAnalysis.qualityScoreSql}),
         |g AS (SELECT doc_id, doc_id // $PrefGroup AS prompt_id,

@@ -416,6 +416,91 @@ object Sketches {
   def qLenHist(s: SparkSession, dir: String): DataFrame =
     lenHistServe(lenHistPartial(Tables.documents(s, dir)))
 
+  // --- bottom-k quantile sketch ---------------------------------------
+
+  /** Bottom-k sample size (the k of the min-hash sample). */
+  val QsK = 128
+  /** Audited quantiles, in percent. */
+  val QsPhis = Seq(10L, 25L, 50L, 75L, 90L)
+  /** Coarse cell width for the exact-side two-level prefix sum. */
+  val QsCoarse = 64L
+
+  /** Bottom-k uniform sample of the corpus by content-independent
+    * hash — the smallest [[QsK]] `tokenHash(doc_id)` values, each
+    * carrying its document's token count. This is the KMV/bottom-k
+    * family (Bar-Yossef et al. 2002; Cohen & Kaplan 2007): because
+    * "keep the k smallest hashes" commutes with union, the sample is
+    * MERGEABLE across shards (union, then re-trim to k) and
+    * IDEMPOTENT under replay (re-inserting a seen doc re-asserts a
+    * hash already present) — the same no-coordination merge law as
+    * the HLL registers, and the only sketch in the tier that yields
+    * QUANTILES: the r-th smallest value in a k-row uniform sample
+    * estimates the (r/k)-quantile with O(1/√k) rank error.
+    */
+  def bottomKSample(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("v"),
+        tokenHash(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc).limit(QsK)
+      .select(col("doc_id"), col("v"), col("h"))
+
+  /** Quantile-sketch audit frame: for each φ in [[QsPhis]], the
+    * bottom-k sample's quantile estimate next to the EXACT corpus
+    * quantile and the signed error — the "can serving trust a
+    * 128-row summary of the length distribution" sizing table.
+    *
+    * Shape: the sketch side is one narrow pass + a TakeOrdered
+    * (per-partition k-heaps, O(k) driver merge — zero shuffles);
+    * ranks within the k-row sample come from a broadcast self-join
+    * count, not a window. The exact side is the audit's price, paid
+    * scalably: one (value)-histogram partial agg, then the
+    * calibrate-style coarse/fine two-level prefix sum (broadcast
+    * self-join over ≤ O(D/coarse) cells + a fine window PARTITIONED
+    * by coarse cell), then a 5-row broadcast φ-target join — no
+    * unpartitioned WindowExec, no O(D²) blowup at a 100 TB value
+    * domain. Production keeps only the sample; the exact rung exists
+    * to certify it, the matryoshka-audit posture.
+    */
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("v"))
+    val n = d.count()
+    val sCount = math.min(QsK.toLong, n)
+    val samp = bottomKSample(Tables.documents(s, dir)).select(col("doc_id"), col("v"))
+    val ranked = samp
+      .join(broadcast(samp.toDF("id2", "v2")),
+        struct(col("v2"), col("id2")) <= struct(col("v"), col("doc_id")))
+      .groupBy(col("doc_id"), col("v")).agg(count(lit(1)).as("rk"))
+    val hist = d.groupBy(col("v")).agg(count(lit(1)).as("freq"))
+      .withColumn("coarse", expr(s"v div $QsCoarse"))
+    val coarseTot = hist.groupBy(col("coarse")).agg(sum(col("freq")).as("ccnt"))
+    val cPrefix = coarseTot.select(col("coarse"))
+      .join(broadcast(coarseTot.select(col("coarse").as("hc"), col("ccnt").as("hn"))),
+        col("hc") < col("coarse"), "left")
+      .groupBy(col("coarse")).agg(coalesce(sum(col("hn")), lit(0L)).as("cprefix"))
+    val wFine = Window.partitionBy(col("coarse")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("fcum", sum(col("freq")).over(wFine))
+      .join(broadcast(cPrefix), Seq("coarse"))
+      .select(col("v").as("xv"), (col("cprefix") + col("fcum")).as("cum"))
+    val targets = QsPhis
+      .map(p => (p, (p * sCount + 99) / 100, (p * n + 99) / 100, n, sCount))
+      .toDF("phi", "rk_s", "rk_n", "n_corpus", "n_sample")
+    val est = targets.join(broadcast(ranked), col("rk") === col("rk_s"))
+      .select(col("phi"), col("v").as("est_v"))
+    val exact = cum.join(broadcast(targets.select(col("phi").as("xphi"), col("rk_n"))),
+        col("cum") >= col("rk_n"))
+      .groupBy(col("xphi")).agg(min(col("xv")).as("exact_v"))
+    targets.join(est, Seq("phi"))
+      .join(exact, col("phi") === col("xphi"))
+      .select(col("phi"), col("est_v"), col("exact_v"),
+        (col("est_v") - col("exact_v")).as("err_v"),
+        col("rk_s"), col("rk_n"), col("n_corpus"), col("n_sample"))
+  }
+
   // --- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -424,11 +509,29 @@ object Sketches {
     "q_count_min" -> qCountMin _,
     "q_hll_sketch" -> qHllSketch _,
     "q_bloom_audit" -> qBloomAudit _,
+    "q_quantile_sketch" -> qQuantileSketch _,
     "q_len_hist" -> qLenHist _)
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_sketch" ->
+      s"""WITH d AS (SELECT doc_id, len($toksSql)::BIGINT AS v,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM documents),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM d),
+        |samp AS (SELECT doc_id, v FROM d ORDER BY h, doc_id LIMIT $QsK),
+        |ss AS (SELECT count(*)::BIGINT AS s FROM samp),
+        |sr AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rk FROM samp),
+        |er AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rk FROM d),
+        |ph AS (SELECT unnest([${QsPhis.mkString(", ")}])::BIGINT AS phi),
+        |t AS (SELECT phi, ((phi * s + 99) // 100)::BIGINT AS rk_s,
+        |    ((phi * n + 99) // 100)::BIGINT AS rk_n, n, s
+        |  FROM ph CROSS JOIN nn CROSS JOIN ss)
+        |SELECT t.phi, e.v AS est_v, x.v AS exact_v,
+        |  (e.v - x.v)::BIGINT AS err_v, t.rk_s, t.rk_n,
+        |  t.n AS n_corpus, t.s AS n_sample
+        |FROM t JOIN sr e ON e.rk = t.rk_s JOIN er x ON x.rk = t.rk_n""".stripMargin,
     "q_pmi_phrases" ->
       s"""WITH tok AS (SELECT $toksSql AS t FROM documents),
         |cu AS (SELECT w, count(*)::BIGINT AS cnt

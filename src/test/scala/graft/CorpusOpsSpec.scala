@@ -340,6 +340,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_._4).reduce(_ ^ _) == docs.map(_._1).reduce(_ ^ _))
   }
 
+  test("priority sample: exact DLT replay, heavy-item certainty, estimator accounting") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pri = docs.map { case (id, t) =>
+      val w = math.max(t.trim.toLowerCase.split("\\s+").length, 1).toLong
+      val h = tokenHashLong(id.toString) + 1
+      (id, w, (BigInt(w) * BigInt(281474976710656L) / BigInt(h)).toLong)
+    }
+    val ordered = pri.sortBy { case (id, _, p) => (-p, id) }
+    val expTau =
+      if (ordered.length > Sampling.PriorityK) ordered(Sampling.PriorityK)._3 else 0L
+    val expSet = ordered.take(Sampling.PriorityK).map(_._1).toSet
+    val got = Sampling.qPrioritySample(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == math.min(Sampling.PriorityK, docs.length))
+    assert(got.map(_._1).toSet == expSet, "sampled set must equal the replay")
+    got.foreach { case (id, w, p, tau, wHat, pPpm) =>
+      assert(tau == expTau, s"threshold mismatch at $id")
+      assert(p >= tau, "every kept priority clears the threshold")
+      assert(wHat == math.max(w, tau), "DLT estimator is max(w, tau)")
+      val expP = if (tau == 0) 1000000L else math.min(1000000L, w * 1000000L / tau)
+      assert(pPpm == expP)
+    }
+    // certainty region: w > tau forces priority > tau (u <= 1), and at
+    // most k priorities exceed the (k+1)-th, so every heavy item is kept
+    val heavy = pri.filter(_._2 > expTau).map(_._1).toSet
+    assert(heavy.subsetOf(expSet), "items heavier than tau are kept with certainty")
+    assert(expTau > 0, "fixture is larger than k, so the threshold is real")
+    // the unbiased subset-sum estimator should land near the exact
+    // total on the fixture (deterministic draw; ~1/sqrt(k) error class)
+    val exact = pri.map(_._2).sum.toDouble
+    val est = got.map(_._5).sum.toDouble
+    assert(math.abs(est - exact) / exact < 0.5,
+      s"estimator total $est too far from exact $exact")
+  }
+
   test("power iteration finds the top eigenpair of the covariance") {
     val cov = CorpusOps.covMatrix(spark, sf)
     assert(cov.indices.forall(i => cov.indices.forall(j =>

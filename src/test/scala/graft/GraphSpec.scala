@@ -90,6 +90,47 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("k-core equals a synchronous driver-side peel and converges inside the bound") {
+    import graft.sources.Tables
+    val n = Tables.documents(spark, sf).count()
+    val ids = (0L until n).toArray
+    // undirected closure of the PageRank fixture (sinks get no outlinks)
+    val und = ids.filter(_ % Graph.SinkMod != 0).flatMap { u =>
+      Seq((u * 7 + 3) % n, (u * 13 + 5) % n)
+        .filter(_ != u).flatMap(d => Seq((u, d), (d, u)))
+    }.toSet
+    val nbrs = und.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    var alive = ids.toSet
+    val peeled = scala.collection.mutable.Map.empty[Long, Long]
+    for (r <- 1 to Graph.KcoreRounds) {
+      val drop = alive.filter(v =>
+        nbrs.getOrElse(v, Set.empty[Long]).count(alive) < Graph.KcoreK)
+      drop.foreach(v => peeled(v) = r.toLong)
+      alive --= drop
+    }
+    val got = Graph.qKcore(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == n)
+    ids.foreach { v =>
+      val (round, inCore, coreDeg) = got(v)
+      assert(round == peeled.getOrElse(v, 0L), s"peel round mismatch at $v")
+      assert(inCore == (if (alive(v)) 1L else 0L))
+      val expDeg =
+        if (alive(v)) nbrs.getOrElse(v, Set.empty[Long]).count(alive).toLong
+        else 0L
+      assert(coreDeg == expDeg, s"core degree mismatch at $v")
+    }
+    // non-trivial cascade that CONVERGES strictly inside the bound:
+    // a later round peels nothing, so one more round is a no-op
+    assert(alive.nonEmpty, "core must be non-empty on the fixture")
+    assert(peeled.nonEmpty, "fixture must peel someone")
+    assert(peeled.values.toSet.size >= 3, "cascade should span several rounds")
+    assert(peeled.values.max < Graph.KcoreRounds,
+      "cascade must end strictly before the round bound (fixpoint reached)")
+    assert(got.values.forall { case (r, in, d) =>
+      (in == 1L && d >= Graph.KcoreK) || (in == 0L && d == 0L && r >= 1L) })
+  }
+
   test("random walks equal a driver-side replay; sinks end walks early") {
     import graft.functions.GraftFunctions.tokenHashLong
     import graft.sources.Tables

@@ -242,4 +242,44 @@ class SketchesSpec extends AnyFunSuite {
       assert(got == expected, s"rank mismatch for '$w': $got != $expected")
     }
   }
+
+  test("quantile sketch: exact replay, bounded rank error, bottom-k merge law") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val vals = docs.map { case (id, t) =>
+      (id, t.trim.toLowerCase.split("\\s+").length.toLong,
+        tokenHashLong(id.toString))
+    }
+    val n = vals.length.toLong
+    val sampR = vals.sortBy(v => (v._3, v._1)).take(Sketches.QsK)
+    val sCount = sampR.length.toLong
+    val sampSorted = sampR.sortBy(v => (v._2, v._1)).map(_._2)
+    val exactSorted = vals.sortBy(v => (v._2, v._1)).map(_._2)
+    val got = Sketches.qQuantileSketch(spark, sf).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(6), r.getLong(7))).toMap
+    assert(got.keySet == Sketches.QsPhis.toSet)
+    Sketches.QsPhis.foreach { phi =>
+      val (estV, exactV, errV, nC, nS) = got(phi)
+      val expEst = sampSorted(((phi * sCount + 99) / 100).toInt - 1)
+      val expExact = exactSorted(((phi * n + 99) / 100).toInt - 1)
+      assert(estV == expEst, s"estimate mismatch at phi=$phi")
+      assert(exactV == expExact, s"exact quantile mismatch at phi=$phi")
+      assert(errV == estV - exactV && nC == n && nS == sCount)
+      // deterministic rank-error bound: the estimate's true CDF
+      // position stays inside the O(1/sqrt(k)) class of phi
+      val rankOfEst = exactSorted.count(_ <= estV).toDouble / n
+      assert(math.abs(rankOfEst - phi / 100.0) <= 0.15,
+        s"phi=$phi est=$estV lands at CDF $rankOfEst")
+    }
+    // merge law: bottom-k commutes with union — retrimming the union
+    // of per-shard bottom-k samples IS the corpus bottom-k sample
+    val shardA = vals.filter(_._1 % 2 == 0).sortBy(v => (v._3, v._1)).take(Sketches.QsK)
+    val shardB = vals.filter(_._1 % 2 == 1).sortBy(v => (v._3, v._1)).take(Sketches.QsK)
+    val merged = (shardA ++ shardB).sortBy(v => (v._3, v._1)).take(Sketches.QsK)
+    assert(merged.map(_._1).toSeq == sampR.map(_._1).toSeq,
+      "union-then-retrim must equal the whole-corpus bottom-k")
+  }
 }
