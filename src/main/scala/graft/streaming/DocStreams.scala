@@ -1859,6 +1859,75 @@ object DocStreams {
     wh.writeTablePartitioned(folded, ref, bitsTable, Seq("pbucket"))
   }
 
+  /** STREAMING bottom-k quantile sample — the incremental twin of
+    * [[graft.operators.Sketches.bottomKSample]], and the third
+    * screen-free-by-algebra family after HLL and bloom: "keep the k
+    * smallest hashes" commutes with union, and a redelivered doc
+    * re-asserts a (hash, value) row the distinct-then-retrim serving
+    * fold already absorbs — arbitrary redelivery or re-slicing
+    * cannot move the served sample. Per batch: the BATCH's own
+    * bottom-k (a TakeOrdered over the batch, never the corpus)
+    * appends under content-derived batch keys; state = O(batches×k)
+    * rows, folded to exactly the served k by [[compactBottomK]].
+    */
+  def runBottomKStream(spark: SparkSession, stagedDir: String,
+                       wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                       sampTable: String): Unit = {
+    import graft.functions.GraftFunctions.{tokenHash, tokens}
+    import graft.operators.Sketches
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        if (b.isEmpty) ()
+        else {
+          val keyRow = b.agg(min(col("doc_id")), max(col("doc_id")),
+            count(lit(1))).head
+          val batchKey = s"${keyRow.getLong(0)}-${keyRow.getLong(1)}-${keyRow.getLong(2)}"
+          val partial = b
+            .select(col("doc_id"),
+              size(tokens(col("text"))).cast("long").as("v"),
+              tokenHash(col("doc_id").cast("string")).as("h"))
+            .orderBy(col("h").asc, col("doc_id").asc).limit(Sketches.QsK)
+            .select(concat(lit(batchKey), lit("#"), col("doc_id")).as("qs_key"),
+              lit(batchKey).as("batch_key"), col("doc_id"), col("v"), col("h"))
+          upsertPartitioned(wh, ref, sampTable, partial, "qs_key")
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The sample served from streamed partials: distinct rows (the
+    * idempotence fold), then one global re-trim to k — identical
+    * rows to the batch [[graft.operators.Sketches.bottomKSample]].
+    */
+  def bottomKFromState(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                       sampTable: String): DataFrame =
+    wh.readTable(ref, sampTable)
+      .select(col("doc_id"), col("v"), col("h")).distinct()
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(graft.operators.Sketches.QsK)
+      .select(col("doc_id"), col("v"), col("h"))
+
+  /** Fold the per-batch samples to exactly the served k rows
+    * (serving unchanged — retrim of a retrim is a no-op).
+    */
+  def compactBottomK(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                     sampTable: String): Unit = {
+    val spark = wh.readTable(ref, sampTable).sparkSession
+    val folded = bottomKFromState(wh, ref, sampTable)
+      .select(concat(lit("compact#"), col("doc_id")).as("qs_key"),
+        lit("compact").as("batch_key"), col("doc_id"), col("v"), col("h"))
+      .withColumn("pbucket",
+        pmod(xxhash64(col("qs_key")), lit(indexBuckets(spark).toLong)).cast("int"))
+      .transform(cut)
+    wh.writeTablePartitioned(folded, ref, sampTable, Seq("pbucket"))
+  }
+
   /** Fold the per-batch registers to one row per (source, bucket)
     * (exact — max — so serving is unchanged).
     */

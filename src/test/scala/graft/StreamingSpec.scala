@@ -1169,6 +1169,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(served() == batch)
   }
 
+  test("streaming bottom-k sample equals batch, replay-safe WITHOUT a screen, compacts") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import graft.operators.Sketches
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-qs")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-qs-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        staged.resolve(s"$name.parquet"))
+    }
+    // three uneven slices — each batch's own bottom-k over-collects
+    // relative to its share, the union re-trims to the corpus sample
+    stage(docs.filter(col("doc_id") % 3 === 0), "a_mod0")
+    stage(docs.filter(col("doc_id") % 3 === 1), "b_mod1")
+    stage(docs.filter(col("doc_id") % 3 === 2), "c_mod2")
+    val root = Files.createTempDirectory("graft-wh-qs").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.qs")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runBottomKStream(spark, staged.toString, wh, ref, "qsamp")
+    val batch = Sketches.bottomKSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    def served(): Seq[(Long, Long, Long)] =
+      DocStreams.bottomKFromState(wh, ref, "qsamp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(served() == batch,
+      "streamed partials must re-trim to the batch bottom-k exactly")
+    // replay with NO screen: the whole corpus as ONE unseen batch
+    // shape re-asserts rows the distinct-then-retrim fold absorbs
+    stage(docs, "d_replay")
+    DocStreams.runBottomKStream(spark, staged.toString, wh, ref, "qsamp")
+    assert(served() == batch,
+      "min-union idempotence must absorb arbitrary redelivery")
+    // compaction folds the state to exactly the served k rows
+    DocStreams.compactBottomK(wh, ref, "qsamp")
+    assert(wh.readTable(ref, "qsamp").count() <= Sketches.QsK.toLong)
+    assert(served() == batch)
+  }
+
   test("streaming bloom bits equal batch, replay-safe WITHOUT a screen, compacts") {
     import org.apache.spark.sql.functions._
     import graft.extract.Warehouse
