@@ -275,6 +275,53 @@ object CorpusOps {
         col("domain"), col("blocked"), col("dup_rank"))
   }
 
+  // --- domain-level quality rollup ---------------------------------------
+
+  /** Mean-quality floor for a healthy domain, ppm. */
+  val DomainQFloor = 650000L
+  /** Canonical-URL duplicate-fraction cap for a healthy domain, ppm. */
+  val DomainDupCap = 500000L
+
+  /** Domain-level quality rollup + verdict, applied back per document
+    * — the FineWeb/RefinedWeb observation that spam concentrates by
+    * HOST: a page's own quality score is noisy, but a host whose mean
+    * quality is poor or whose fetches are mostly mirror-duplicates is
+    * bad evidence about every page it serves. Rolls the per-doc
+    * quality ppm and the canonical-URL dup rank up to the host,
+    * flags hosts crossing either threshold ([[DomainQFloor]] mean
+    * quality, [[DomainDupCap]] dup fraction), and lands the verdict
+    * back on each document next to the per-doc evidence
+    * (kept = host unflagged AND host not blocklisted).
+    *
+    * Shape: the url/dup frame reuses [[qUrlNormalize]]'s shuffles
+    * (the canon_url dup window), the quality frame is narrow, they
+    * join once on doc_id; the rollup is one host-keyed partial agg to
+    * an O(hosts) frame that BROADCASTS back — domains number in the
+    * millions at web scale, far under the corpus, and the verdict
+    * join stays a broadcast hash lookup exactly like the blocklist.
+    */
+  def qDomainFlags(s: SparkSession, dir: String): DataFrame = {
+    val url = qUrlNormalize(s, dir)
+      .select(col("doc_id"), col("host"), col("blocked"), col("dup_rank"))
+    val q = TextAnalysis.qQuality(s, dir)
+      .select(col("doc_id"),
+        round(col("quality_score") * 1000000).cast("long").as("q_ppm"))
+    val dq = url.join(q, Seq("doc_id"))
+    val dom = dq.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q_ppm")).as("sum_q"),
+        sum((col("dup_rank") > 1).cast("long")).as("n_dups"))
+      .select(col("host").as("dhost"), col("n_docs"),
+        expr("sum_q div n_docs").as("mean_q_ppm"),
+        expr("n_dups * 1000000 div n_docs").as("dup_ppm"))
+      .withColumn("domain_flagged",
+        col("mean_q_ppm") < DomainQFloor || col("dup_ppm") > DomainDupCap)
+    dq.join(broadcast(dom), col("host") === col("dhost"))
+      .select(col("doc_id"), col("host"), col("q_ppm"), col("n_docs"),
+        col("mean_q_ppm"), col("dup_ppm"), col("domain_flagged"),
+        (!col("domain_flagged") && !col("blocked")).as("kept"))
+  }
+
   // --- banned-word filter ----------------------------------------------
 
   /** Word blocklist (C4-style banned-word stage: a document with ANY
@@ -791,6 +838,7 @@ object CorpusOps {
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_bm25_search" -> qBm25Search _,
     "q_url_normalize" -> qUrlNormalize _,
+    "q_domain_flags" -> qDomainFlags _,
     "q_word_blocklist" -> qWordBlocklist _,
     "q_corpus_diff" -> qCorpusDiff _,
     "q_delta_release" -> qDeltaRelease _,
@@ -867,6 +915,46 @@ object CorpusOps {
         |  host IN ($blocked) AS blocked,
         |  row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) AS dup_rank
         |FROM c""".stripMargin
+    },
+    "q_domain_flags" -> {
+      val blocked = HostBlocklist.map(h => s"'$h'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id,
+        |    'HttpS://WwW.' || source || '.ExAmple.COM:443/' || lang || '/doc/'
+        |      || (doc_id % 64) || '?utm_source=feed&ref=r' || (doc_id % 7)
+        |      || '&pref=keep'
+        |      || '&page=' || (doc_id % 64) || '#s' || (doc_id % 5) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+        |      ':443$$', ''), '^www\\.', '') AS host
+        |  FROM u),
+        |c AS (SELECT doc_id, host,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' || host ||
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+        |        '([?&])(?:utm_[a-z_]+|ref)=[^&#]*', '\\1', 'g'),
+        |        '([?&])&+', '\\1', 'g'), '[?&]$$', '') AS canon_url
+        |  FROM h),
+        |r AS (SELECT doc_id, host, host IN ($blocked) AS blocked,
+        |    row_number() OVER (PARTITION BY canon_url ORDER BY doc_id)
+        |      AS dup_rank
+        |  FROM c),
+        |qs AS (${TextAnalysis.qualityScoreSql}),
+        |dq AS (SELECT r.doc_id, r.host, r.blocked, r.dup_rank,
+        |    round(qs.quality_score * 1000000)::BIGINT AS q_ppm
+        |  FROM r JOIN qs ON r.doc_id = qs.doc_id),
+        |dom AS (SELECT host, count(*)::BIGINT AS n_docs,
+        |    (sum(q_ppm) // count(*))::BIGINT AS mean_q_ppm,
+        |    (sum(CASE WHEN dup_rank > 1 THEN 1 ELSE 0 END) * 1000000
+        |      // count(*))::BIGINT AS dup_ppm
+        |  FROM dq GROUP BY 1),
+        |f AS (SELECT *, (mean_q_ppm < $DomainQFloor
+        |    OR dup_ppm > $DomainDupCap) AS domain_flagged FROM dom)
+        |SELECT dq.doc_id, dq.host, dq.q_ppm, f.n_docs, f.mean_q_ppm,
+        |  f.dup_ppm, f.domain_flagged,
+        |  (NOT f.domain_flagged AND NOT dq.blocked) AS kept
+        |FROM dq JOIN f ON dq.host = f.host""".stripMargin
     },
     "q_word_blocklist" -> {
       val banned = BannedWords.map(w => s"'$w'").mkString(", ")

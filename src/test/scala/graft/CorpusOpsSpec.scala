@@ -340,6 +340,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_._4).reduce(_ ^ _) == docs.map(_._1).reduce(_ ^ _))
   }
 
+  test("domain flags: rollup equals a per-host replay, verdict and kept laws hold") {
+    val url = CorpusOps.qUrlNormalize(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getBoolean(5), r.getInt(6)))
+      .toMap
+    val q = graft.operators.TextAnalysis.qQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        math.round(r.getAs[Double]("quality_score") * 1000000))
+      .toMap
+    val byHost = url.toSeq.groupBy(_._2._1)
+    val rollup = byHost.map { case (host, docs) =>
+      val n = docs.size.toLong
+      val sumQ = docs.map(d => q(d._1)).sum
+      val dups = docs.count(_._2._3 > 1).toLong
+      host -> (n, sumQ / n, dups * 1000000L / n)
+    }
+    val got = CorpusOps.qDomainFlags(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7)))
+    assert(got.length == url.size, "one verdict row per document")
+    got.foreach { case (id, host, qPpm, nDocs, meanQ, dupPpm, flagged, kept) =>
+      val (expN, expMean, expDup) = rollup(host)
+      assert(host == url(id)._1 && qPpm == q(id))
+      assert(nDocs == expN && meanQ == expMean && dupPpm == expDup,
+        s"rollup mismatch for $host")
+      assert(flagged == (meanQ < CorpusOps.DomainQFloor ||
+        dupPpm > CorpusOps.DomainDupCap), "verdict law")
+      assert(kept == (!flagged && !url(id)._2), "kept composes verdict+blocklist")
+    }
+    assert(rollup.size > 1, "fixture must span several hosts")
+    assert(got.exists(r => url(r._1)._2), "blocklisted hosts must appear")
+  }
+
   test("priority sample: exact DLT replay, heavy-item certainty, estimator accounting") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
