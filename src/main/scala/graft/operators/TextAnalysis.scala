@@ -1127,7 +1127,40 @@ object TextAnalysis {
   def qSourceDrift(s: SparkSession, dir: String): DataFrame =
     sourceDrift(Tables.documents(s, dir))
 
+  /** Cross-source n-gram containment matrix — the synthetic-data
+    * provenance monitor: when one source is generated FROM another
+    * (rephrasings, distillations, seeded generations), the share of
+    * its distinct bigrams already present in the seed source spikes
+    * long before a per-document decontamination screen fires.
+    * containment_ppm(a→b) = |bigrams(a) ∩ bigrams(b)| / |bigrams(a)|,
+    * exact over distinct 48-bit bigram hashes; the diagonal is 1e6
+    * by construction (a built-in sanity row).
+    *
+    * Shape: one distinct over (source, hash) pairs, then ONE
+    * hash-keyed self-equi-join — both sides SHUFFLE on the hash (the
+    * PMI/source-drift vocabulary discipline, never broadcast) with
+    * per-hash fan-out bounded by sources² (source tags are
+    * corpus-level, tens — the qSourceInterleave cardinality
+    * contract), then an O(sources²) partial agg and an O(sources)
+    * broadcast join for the denominators.
+    */
+  def qSourceContainment(s: SparkSession, dir: String): DataFrame = {
+    val db = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(shingleHashes(tokens(col("text")), 2)).as("h"))
+      .distinct()
+    val na = db.groupBy(col("source")).agg(count(lit(1)).as("n_a"))
+    db.toDF("src_a", "h")
+      .join(db.toDF("src_b", "h2"), col("h") === col("h2"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(na.toDF("src_a", "n_a")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_shared"),
+        expr("n_shared * 1000000 div n_a").as("containment_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_containment" -> qSourceContainment _,
     "q_quality_calibrate" -> qQualityCalibrate _,
     "q_source_drift" -> qSourceDrift _,
     "q_ngram_novelty" -> qNgramNovelty _,
@@ -1434,6 +1467,20 @@ object TextAnalysis {
         |  (n_symbols * 1000000) // n_words AS fertility_ppm,
         |  (n_chars * 1000000) // n_symbols AS chars_per_symbol_ppm
         |FROM per""".stripMargin,
+    "q_source_containment" ->
+      """WITH t AS (SELECT source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |db AS (SELECT DISTINCT source, b FROM (
+        |  SELECT source, unnest(list_transform(range(1, len(toks)),
+        |    i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1])), 1, 12))::BIGINT)) AS b
+        |  FROM t)),
+        |na AS (SELECT source, count(*)::BIGINT AS n_a FROM db GROUP BY 1),
+        |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM db a JOIN db b ON a.b = b.b GROUP BY 1, 2)
+        |SELECT pr.src_a, pr.src_b, na.n_a, pr.n_shared,
+        |  (pr.n_shared * 1000000 // na.n_a)::BIGINT AS containment_ppm
+        |FROM pr JOIN na ON pr.src_a = na.source""".stripMargin,
     "q_diversity" ->
       """WITH t AS (SELECT source,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

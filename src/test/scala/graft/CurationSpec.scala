@@ -72,6 +72,39 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("source containment equals a driver-side replay, diagonal saturates") {
+    import graft.functions.GraftFunctions.tokenHashLong
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val db: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.flatMap { case (_, t) =>
+        t.trim.toLowerCase.split("\\s+").toSeq.sliding(2)
+          .filter(_.length == 2).map(p => tokenHashLong(p(0) + p(1)))
+      }.toSet
+    }
+    val got = TextAnalysis.qSourceContainment(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for (a <- db.keys; b <- db.keys) {
+      val shared = (db(a) & db(b)).size.toLong
+      if (shared == 0) assert(!got.contains((a, b)), s"phantom row $a->$b")
+      else {
+        val (nA, nS, ppm) = got((a, b))
+        assert(nA == db(a).size.toLong && nS == shared, s"counts at $a->$b")
+        assert(ppm == shared * 1000000L / db(a).size, s"containment at $a->$b")
+      }
+    }
+    db.keys.foreach(a =>
+      assert(got((a, a))._3 == 1000000L, "diagonal containment is exactly 1e6"))
+    got.keys.filter(k => k._1 != k._2).foreach { case (a, b) =>
+      got.get((b, a)).foreach(rev =>
+        assert(got((a, b))._2 == rev._2, "shared counts are symmetric"))
+    }
+    assert(db.size > 1 && got.exists { case ((a, b), _) => a != b },
+      "fixture must produce cross-source overlap")
+  }
+
   test("json extract parses valid sidecars, flags truncated ones, fields match") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
