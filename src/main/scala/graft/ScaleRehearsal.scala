@@ -46,7 +46,12 @@ object ScaleRehearsal {
     "q_prefix_join", "q_label_prop", "q_random_walks", "q_triangles",
     "q_source_drift", "q_matryoshka", "q_html_strip", "q_walk_pairs",
     "q_preference_pairs", "q_json_extract", "q_prefix_incremental",
-    "q_delta_release", "q_quality_calibrate")
+    "q_delta_release", "q_quality_calibrate",
+    // r10 session 2: iterative peel (O(E)/round, expect ~linear),
+    // TakeOrdered family (expect flat — O(n) scan, O(k) state),
+    // vocab self-join containment, host rollup
+    "q_kcore", "q_priority_sample", "q_quantile_sketch",
+    "q_source_containment", "q_domain_flags")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(

@@ -420,6 +420,56 @@ object Relational {
       .select(col("event_type"), col("day"), col("n_events"), col("cum_events"))
   }
 
+  /** Rate-anomaly thresholds: observed/expected above the spike or
+    * below the collapse bound (ppm of the trailing mean) flags the
+    * cell, once at least [[RateMinBaseDays]] baseline days exist.
+    */
+  val RateSpikePpm = 1500000L
+  val RateCollapsePpm = 600000L
+  val RateMinBaseDays = 3L
+
+  /** Event-rate anomaly detection — the pipeline-health monitor over
+    * the event stream: per (type, day) the observed count against a
+    * trailing 7-day baseline, flagged when the ratio leaves the
+    * [collapse, spike] band. Ingestion failures show as collapses,
+    * runaway producers and replay storms as spikes — per TYPE, so one
+    * stream's failure is not averaged away by the blend (the
+    * source-drift philosophy on the time axis).
+    *
+    * Exactness discipline: the ratio is integer ppm of the trailing
+    * MEAN — n·base_n·1e6 div base_sum — with zero-history cells
+    * guarded (base_n < MinBaseDays never flags; empty baseline
+    * divides by the greatest(…,1) floor). Days with no events at all
+    * must still report (a silent day IS the anomaly), so counts ride
+    * the gap-filled (type × day) grid: both grid sides are tiny
+    * broadcasts (BNLJ, never a shuffled cartesian — the qGapfill
+    * scheme) and the only real shuffle is the daily partial agg; the
+    * baseline window is PARTITIONED by type. Int64 headroom: daily
+    * counts below ~10⁹ keep n·7·1e6 in range (documented dial).
+    */
+  def qRateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    days.crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("base_sum", coalesce(sum(col("n_events")).over(wb), lit(0L)))
+      .withColumn("base_n", count(lit(1)).over(wb))
+      .withColumn("ratio_ppm",
+        expr("n_events * base_n * 1000000 div greatest(base_sum, 1L)"))
+      .withColumn("anomaly", col("base_n") >= RateMinBaseDays &&
+        (col("ratio_ppm") > RateSpikePpm || col("ratio_ppm") < RateCollapsePpm))
+      .select(col("event_type"), col("day"), col("n_events"), col("base_sum"),
+        col("base_n"), col("ratio_ppm"), col("anomaly"))
+  }
+
   /** Set operations: INTERSECT ALL-distinct semantics + EXCEPT, both
     * compiled to hash joins by Catalyst (left-semi / left-anti over
     * distinct inputs) — no sort, partial-agg dedup first.
@@ -433,8 +483,9 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> qRangeJoin _,
     "q_gapfill" -> qGapfill _,
+    "q_rate_anomaly" -> qRateAnomaly _,
     "q_setops" -> qSetops _,
-    "q_json_extract" -> qJsonExtract _,
+    "q_props_extract" -> qJsonExtract _,
     "q_outer_join" -> qOuterJoin _,
     "q_cube" -> qCube _,
     "q_argmin" -> qArgmin _,
@@ -559,7 +610,31 @@ object Relational {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
-    "q_json_extract" ->
+    "q_rate_anomaly" ->
+      s"""WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |grid AS (SELECT t.event_type, days.day
+        |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN days),
+        |g AS (SELECT grid.event_type, grid.day, coalesce(d.n, 0)::BIGINT AS n_events
+        |  FROM grid LEFT JOIN daily d
+        |    ON d.event_type = grid.event_type AND d.day = grid.day),
+        |w AS (SELECT *,
+        |  coalesce(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS base_sum,
+        |  (count(*) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))::BIGINT AS base_n
+        |  FROM g)
+        |SELECT event_type, day, n_events, base_sum, base_n,
+        |  (n_events * base_n * 1000000 // greatest(base_sum, 1))::BIGINT AS ratio_ppm,
+        |  (base_n >= $RateMinBaseDays AND
+        |    ((n_events * base_n * 1000000 // greatest(base_sum, 1)) > $RateSpikePpm
+        |     OR (n_events * base_n * 1000000 // greatest(base_sum, 1)) < $RateCollapsePpm))
+        |    AS anomaly
+        |FROM w""".stripMargin,
+    "q_props_extract" ->
       """SELECT event_type,
         |  count(k) AS n_with_k, sum(k)::BIGINT AS sum_k,
         |  min(k) AS min_k, max(k) AS max_k

@@ -282,6 +282,39 @@ class GraphSpec extends AnyFunSuite {
         s"batch-only=${(batchCohorts.toSet -- streamedCohorts.toSet).take(3)}")
   }
 
+  test("rate anomaly equals a driver-side trailing-baseline replay") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay))
+    val d0 = ev.map(_._2).min
+    val d1 = ev.map(_._2).max
+    val types = ev.map(_._1).distinct
+    val cnt = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exp = (for (t <- types; d <- d0 to d1) yield {
+      val n = cnt.getOrElse((t, d), 0L)
+      val win = (math.max(d0, d - 7) until d).map(pd => cnt.getOrElse((t, pd), 0L))
+      val baseSum = win.sum
+      val baseN = win.length.toLong
+      val ratio = n * baseN * 1000000L / math.max(baseSum, 1L)
+      (t, d) -> (n, baseSum, baseN, ratio,
+        baseN >= Relational.RateMinBaseDays &&
+          (ratio > Relational.RateSpikePpm || ratio < Relational.RateCollapsePpm))
+    }).toMap
+    val got = Relational.qRateAnomaly(spark, sf).collect().map(r =>
+      (r.getString(0), r.getDate(1).toLocalDate.toEpochDay) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(got.length == exp.size, "every (type, day) grid cell reports")
+    got.foreach { case (k, v) =>
+      assert(v == exp(k), s"cell mismatch at $k: got $v want ${exp(k)}")
+    }
+    // warm-up cells (thin baseline) never flag; at this SF the daily
+    // counts are small enough that real Poisson noise crosses the band
+    assert(got.forall { case (_, v) => !(v._5 && v._3 < Relational.RateMinBaseDays) })
+    assert(got.exists(_._2._5), "small-count fixture should show anomalies")
+    assert(got.exists(!_._2._5), "not everything is anomalous")
+  }
+
   test("linear attribution: per-purchase shares sum to ~1e6, clicks stay windowed") {
     import graft.sources.Tables
     val rows = Relational.qAttribution(spark, sf).collect()
