@@ -832,6 +832,94 @@ object CorpusOps {
     m
   }
 
+  // --- exact per-group quantiles + robust outlier fences ----------------
+
+  /** Exact per-group discrete quantiles over an integer value column
+    * WITHOUT any per-group sort: collapse to a (g, v) HISTOGRAM (one
+    * partial-agg shuffle over ~n rows), then run a two-level
+    * distributed prefix sum — fine prefixes via a window PARTITIONED
+    * by (g, v div [[QuantCoarseDiv]]) so no task ever sorts more
+    * than one coarse bucket's distinct values, coarse-bucket
+    * prefixes via a broadcast self-join over the tiny (g, coarse)
+    * totals (the juliennePredicates pattern, same as pplBuckets).
+    * The quantile at percentile p is the MIN value whose cumulative
+    * count reaches ceil(p·n/100) — discrete lower-quantile
+    * semantics, pure integers, cross-engine exact.
+    *
+    * Cardinality contract: the broadcast sides are (groups) and
+    * (groups × coarse buckets) — corpus-level group tags (sources,
+    * languages: tens to thousands). For per-domain groups swap the
+    * broadcasts for shuffle joins; the histogram stage is unchanged.
+    *
+    * Output: one row per group with n and p`p` for each requested
+    * percentile.
+    */
+  val QuantCoarseDiv = 64L
+  def groupQuantiles(rows: DataFrame, g: String, v: String,
+                     ps: Seq[Int]): DataFrame = {
+    val hist = rows.groupBy(col(g), col(v).as("__v"))
+      .agg(count(lit(1)).as("__freq"))
+      .withColumn("__coarse", expr(s"__v div $QuantCoarseDiv"))
+    val coarseTot = hist.groupBy(col(g), col("__coarse"))
+      .agg(sum(col("__freq")).as("__ccnt"))
+    val cPrefix = coarseTot.select(col(g), col("__coarse"))
+      .join(broadcast(coarseTot.select(col(g).as("__hg"),
+        col("__coarse").as("__hc"), col("__ccnt").as("__hn"))),
+        col("__hg") === col(g) && col("__hc") < col("__coarse"), "left")
+      .groupBy(col(g), col("__coarse"))
+      .agg(coalesce(sum(col("__hn")), lit(0L)).as("__cprefix"))
+    val wFine = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(g), col("__coarse")).orderBy(col("__v"))
+      .rowsBetween(Long.MinValue, 0)
+    val ranked = hist.withColumn("__fprefix", sum(col("__freq")).over(wFine))
+      .join(broadcast(cPrefix), Seq(g, "__coarse"))
+      .withColumn("__cum", col("__cprefix") + col("__fprefix"))
+    val ns = rows.groupBy(col(g)).agg(count(lit(1)).as("n"))
+    val sel = ps.map { p =>
+      // k_p = ceil(p·n/100) in pure integer math (Spark div == DuckDB //
+      // for the non-negative operands here)
+      val k = expr(s"($p * n + 99) div 100")
+      min(when(col("__cum") >= k && k >= lit(1L), col("__v"))).as(s"p$p")
+    }
+    ranked.join(broadcast(ns), Seq(g))
+      .groupBy(col(g))
+      .agg(max(col("n")).as("n"), sel: _*)
+  }
+
+  def qGroupQuantiles(s: SparkSession, dir: String): DataFrame =
+    groupQuantiles(Tables.documents(s, dir), "source", "n_chars",
+      Seq(50, 90, 99))
+
+  /** Robust per-group outlier fences: median absolute deviation
+    * (MAD) of the value within each group, computed by running the
+    * [[groupQuantiles]] selection twice (median of v, then median of
+    * |v − median|) — the distribution-free outlier rule that, unlike
+    * mean ± k·σ, a single crawler bug can't drag. A row is an
+    * outlier when |v − med| > [[MadK]] · MAD. Output is per GROUP
+    * (n, med, mad, n_outliers, outlier_ppm) — bounded by the group
+    * count, never per-row; two histogram passes + one broadcast of
+    * the per-group fences. Pure integer arithmetic throughout.
+    */
+  val MadK = 3L
+  def madOutliers(rows: DataFrame, g: String, v: String): DataFrame = {
+    val meds = groupQuantiles(rows, g, v, Seq(50))
+      .select(col(g), col("p50").as("med"))
+    val devs = rows.join(broadcast(meds), Seq(g))
+      .withColumn("__dev", abs(col(v) - col("med")))
+    val mads = groupQuantiles(devs, g, "__dev", Seq(50))
+      .select(col(g), col("p50").as("mad"))
+    devs.join(broadcast(mads), Seq(g))
+      .groupBy(col(g))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(MadK) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_ppm", expr("n_outliers * 1000000 div n"))
+  }
+
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.documents(s, dir), "source", "n_chars")
+
   // --- registry ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -849,11 +937,55 @@ object CorpusOps {
     "q_boilerplate" -> qBoilerplate _,
     "q_chunk_windows" -> qChunkWindows _,
     "q_shard_manifest" -> qShardManifest _,
-    "q_embed_cov" -> qEmbedCov _)
+    "q_embed_cov" -> qEmbedCov _,
+    "q_group_quantiles" -> qGroupQuantiles _,
+    "q_mad_outliers" -> qMadOutliers _)
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
+  /** Shared per-group rank-selection CTE: cumulative counts over the
+    * (g, v) histogram of `src`, plus group sizes — the SQL twin of
+    * [[groupQuantiles]]'s two-level prefix (DuckDB's window runs the
+    * same CDF in one level; the VALUES are what must match).
+    */
+  private def rankCdfSqlFor(src: String, g: String, v: String): String =
+    s"""h AS (SELECT $g, $v AS qv, count(*) AS freq FROM ($src) GROUP BY 1, 2),
+      |r AS (SELECT $g, qv,
+      |    sum(freq) OVER (PARTITION BY $g ORDER BY qv)::BIGINT AS cum FROM h),
+      |ns AS (SELECT $g, count(*)::BIGINT AS n FROM ($src) GROUP BY 1)""".stripMargin
+
+  private val groupQuantilesSql =
+    s"""WITH ${rankCdfSqlFor("SELECT source, n_chars FROM documents", "source", "n_chars")}
+      |SELECT r.source, max(ns.n) AS n,
+      |  min(CASE WHEN cum >= (50 * n + 99) // 100 THEN qv END) AS p50,
+      |  min(CASE WHEN cum >= (90 * n + 99) // 100 THEN qv END) AS p90,
+      |  min(CASE WHEN cum >= (99 * n + 99) // 100 THEN qv END) AS p99
+      |FROM r JOIN ns ON r.source = ns.source GROUP BY 1""".stripMargin
+
+  private val madOutliersSql =
+    s"""WITH ${rankCdfSqlFor("SELECT source, n_chars FROM documents", "source", "n_chars")},
+      |meds AS (SELECT r.source,
+      |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN qv END) AS med
+      |  FROM r JOIN ns ON r.source = ns.source GROUP BY 1),
+      |d AS (SELECT doc.source, abs(n_chars - med) AS dev
+      |  FROM documents doc JOIN meds ON doc.source = meds.source),
+      |h2 AS (SELECT source, dev, count(*) AS freq FROM d GROUP BY 1, 2),
+      |r2 AS (SELECT source, dev,
+      |    sum(freq) OVER (PARTITION BY source ORDER BY dev)::BIGINT AS cum FROM h2),
+      |mads AS (SELECT r2.source,
+      |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN dev END) AS mad
+      |  FROM r2 JOIN ns ON r2.source = ns.source GROUP BY 1)
+      |SELECT d.source, count(*) AS n, max(meds.med) AS med, max(mads.mad) AS mad,
+      |  sum(CASE WHEN d.dev > 3 * mads.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+      |  (sum(CASE WHEN d.dev > 3 * mads.mad THEN 1 ELSE 0 END)::BIGINT * 1000000)
+      |    // count(*) AS outlier_ppm
+      |FROM d JOIN meds ON d.source = meds.source
+      |  JOIN mads ON d.source = mads.source
+      |GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_group_quantiles" -> groupQuantilesSql,
+    "q_mad_outliers" -> madOutliersSql,
     "q_heavy_hitters" ->
       s"""WITH tok AS (SELECT $toksSql AS t FROM documents),
         |bg AS (SELECT unnest(list_transform(range(1, len(t)),

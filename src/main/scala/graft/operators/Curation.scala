@@ -865,7 +865,62 @@ object Curation {
 
   // --- driver contract -----------------------------------------------
 
+  // --- release-side privacy / annotation QC --------------------------
+
+  /** k-anonymity release gate: every quasi-identifier group
+    * (nation × market segment on the customer dimension) with fewer
+    * than k members is suppressed from the release — the standard
+    * pre-publication check for any dataset that carries
+    * user-attributable rows. One partial-agg shuffle on the
+    * quasi-identifier; the verdict is per GROUP (bounded output),
+    * never per row, so the gate costs the same whether the table is
+    * 1 GB or 100 TB.
+    */
+  val KAnonK = 10
+  def kAnonGroups(rows: DataFrame, quasi: Seq[String], k: Int): DataFrame =
+    rows.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("released", col("n") >= lit(k))
+
+  def qKanon(s: SparkSession, dir: String): DataFrame =
+    kAnonGroups(Tables.customer(s, dir),
+      Seq("c_nationkey", "c_mktsegment"), KAnonK)
+
+  /** Cohen's kappa between two rule raters over the corpus — the
+    * agreement audit run before trusting any pair of automatic
+    * labelers (or a labeler against a human sample) on preference /
+    * quality data. Rater A passes docs of ≥ [[KappaMinChars]] chars;
+    * rater B passes docs of ≥ [[KappaMinTokens]] whitespace tokens.
+    * Emitted as EXACT integer tallies plus kappa as an integer
+    * fraction (num/den): kappa = (n·po − pe) / (n² − pe) with
+    * po = both_pos + both_neg and pe = a_pos·b_pos + a_neg·b_neg,
+    * so the oracle compare is bit-exact and the caller divides.
+    * One partial-agg pass, one output row.
+    */
+  val KappaMinChars = 120
+  val KappaMinTokens = 25
+  def qRaterKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(
+      (col("n_chars") >= lit(KappaMinChars)).as("a"),
+      (size(tokens(col("text"))) >= lit(KappaMinTokens)).as("b"))
+    d.agg(count(lit(1)).as("n"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("a_pos"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("b_pos"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("both_pos"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("both_neg"))
+      .withColumn("pe_num",
+        col("a_pos") * col("b_pos") +
+          (col("n") - col("a_pos")) * (col("n") - col("b_pos")))
+      .select(col("n"), col("a_pos"), col("b_pos"),
+        col("both_pos"), col("both_neg"),
+        ((col("both_pos") + col("both_neg")) * col("n") - col("pe_num"))
+          .as("kappa_num"),
+        (col("n") * col("n") - col("pe_num")).as("kappa_den"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kanon" -> qKanon _,
+    "q_rater_kappa" -> qRaterKappa _,
     "q_json_extract" -> qJsonExtract _,
     "q_html_strip" -> qHtmlStrip _,
     "q_scrub" -> qScrub _,
@@ -1017,6 +1072,27 @@ object Curation {
       |FROM a""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_kanon" ->
+      s"""SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(*) >= $KAnonK AS released
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q_rater_kappa" ->
+      s"""WITH r AS (SELECT
+        |    n_chars >= $KappaMinChars AS a,
+        |    len(string_split_regex(lower(trim(text)), '\\s+'))
+        |      >= $KappaMinTokens AS b
+        |  FROM documents),
+        |t AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS a_pos,
+        |    sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS b_pos,
+        |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS both_pos,
+        |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS both_neg
+        |  FROM r)
+        |SELECT n, a_pos, b_pos, both_pos, both_neg,
+        |  (both_pos + both_neg) * n
+        |    - (a_pos * b_pos + (n - a_pos) * (n - b_pos)) AS kappa_num,
+        |  n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos)) AS kappa_den
+        |FROM t""".stripMargin,
     "q_json_extract" -> jsonExtractOracle,
     "q_html_strip" -> htmlStripOracle,
     "q_scrub" ->

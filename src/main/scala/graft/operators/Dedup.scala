@@ -862,6 +862,29 @@ object Dedup {
     applyDedup(corpus(s, dir), minhashPairs(corpus(s, dir)))
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
 
+  /** Quality-aware survivor selection: within each near-dup cluster
+    * keep the LONGEST member (ties to the smallest id) instead of
+    * [[applyDedup]]'s min-id policy — the "keep the best copy"
+    * resolution every production dedup actually wants (the longest
+    * crawl of a page usually carries the least truncation). Same
+    * scale shape as applyDedup: components + one equi-join on
+    * doc_id; the rank window partitions on component_id
+    * (cardinality ∝ corpus, never a single-task window).
+    */
+  def dedupBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component_id"))
+      .orderBy(col("len").desc, col("doc_id"))
+    comps.join(lens, Seq("doc_id"))
+      .select(col("doc_id"), col("component_id"), col("len"),
+        (row_number().over(w) === 1).as("is_survivor"))
+  }
+
+  def qDedupBest(s: SparkSession, dir: String): DataFrame =
+    dedupBest(corpus(s, dir), minhashPairs(corpus(s, dir)))
+
   def qRepeatedSpans(s: SparkSession, dir: String): DataFrame =
     repeatedSpans(Tables.documents(s, dir))
 
@@ -918,6 +941,7 @@ object Dedup {
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_dedup_components" -> qDedupComponents _,
+    "q_dedup_best" -> qDedupBest _,
     "q_dedup_apply" -> qDedupApply _,
     "q_minhash_est" -> ((s: SparkSession, dir: String) =>
       minhashEstimates(corpus(s, dir))),
@@ -1186,6 +1210,13 @@ object Dedup {
     "q_dedup_components" ->
       s"""$componentsCtes
         |SELECT v AS doc_id, component_id FROM comps""".stripMargin,
+    "q_dedup_best" ->
+      s"""$componentsCtes
+        |SELECT c.v AS doc_id, c.component_id,
+        |  length(d.text)::BIGINT AS len,
+        |  row_number() OVER (PARTITION BY c.component_id
+        |    ORDER BY length(d.text) DESC, c.v) = 1 AS is_survivor
+        |FROM comps c JOIN ($corpusSql) d ON d.doc_id = c.v""".stripMargin,
     "q_dedup_apply" ->
       s"""$componentsCtes
         |SELECT c.doc_id, md5(c.text) AS content_hash

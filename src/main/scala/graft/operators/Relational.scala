@@ -176,6 +176,44 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), msum(col("l_quantity")).as("sum_qty"))
   }
 
+  /** Join/groupBy skew diagnostic: the 10 heaviest keys with their
+    * share of the table (ppm) and the salt factor [[Skew.saltedJoin]]
+    * would need to level them (ceil(cnt · n_keys / total), i.e. how
+    * many average keys this one is worth). One partial-agg shuffle
+    * over the key + a TakeOrdered top-10 — the join itself is never
+    * run, which is the point: at 100 TB this is the pre-flight check
+    * that decides between a plain shuffle join and a salted one.
+    * Integer arithmetic end-to-end (cross-engine exact).
+    */
+  def qSkewDiag(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("key"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        expr("(cnt * n_keys + total - 1) div total").as("salt_factor"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(10)
+  }
+
+  /** Join-cardinality estimate WITHOUT running the join: the exact
+    * self-join blow-up of events on user_id from the per-key count
+    * table alone — est_pairs = Σ c(u)², the row count the self-join
+    * WOULD produce. One partial-agg shuffle over ~n rows versus the
+    * est_pairs-row join output it predicts; at 100 TB this is the
+    * guard that catches a quadratic key before the cluster does.
+    * blowup_ppm = est_pairs·10⁶ div n_rows (integer, exact).
+    */
+  def qJoinEstimate(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        sum(col("cnt") * col("cnt")).as("est_pairs"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"), col("est_pairs"),
+        expr("est_pairs * 1000000 div n_rows").as("blowup_ppm"))
+
   /** Rollup aggregate (subtotals + grand total). */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -505,6 +543,8 @@ object Relational {
     "q_ntile" -> qNtile _,
     "q_collect" -> qCollect _,
     "q_salted" -> qSalted _,
+    "q_skew_diag" -> qSkewDiag _,
+    "q_join_estimate" -> qJoinEstimate _,
     "q_rollup" -> qRollup _,
     "q_distinct" -> qDistinct _,
     "q_union_sort" -> qUnionSort _,
@@ -781,6 +821,23 @@ object Relational {
         |  sum(l_quantity::DECIMAL(18,6))::DOUBLE AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+    "q_skew_diag" ->
+      """WITH counts AS (
+        |  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_keys, sum(cnt)::BIGINT AS total FROM counts)
+        |SELECT key, cnt,
+        |  cnt * 1000000 // total AS share_ppm,
+        |  (cnt * n_keys + total - 1) // total AS salt_factor
+        |FROM counts, stats
+        |ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+    "q_join_estimate" ->
+      """WITH counts AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT sum(cnt)::BIGINT AS n_rows, count(*) AS n_keys,
+        |  max(cnt) AS max_cnt,
+        |  sum(cnt * cnt)::BIGINT AS est_pairs,
+        |  (sum(cnt * cnt)::BIGINT * 1000000) // sum(cnt)::BIGINT AS blowup_ppm
+        |FROM counts""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,

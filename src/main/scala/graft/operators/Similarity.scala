@@ -761,6 +761,54 @@ object Similarity {
       seedCentroidsWith(all, scaledSeedStride(emb.count())), perClusterCap)
   }
 
+  /** Simplified silhouette per cluster — the clustering-quality
+    * audit for any of the quantizer consumers (semDedup, cluster
+    * sampling, IVF): each vector's silhouette is
+    * (best_cos − second_cos) / (1 − second_cos), i.e. (b − a) /
+    * max(a, b) in cosine distance against the nearest and
+    * second-nearest centroid (the "simplified" variant that scores
+    * against centroids, not all cluster members — the only form
+    * that is linear in the corpus). Per-vector values are floored
+    * to integer ppm BEFORE the cluster mean so the aggregation is
+    * order-independent and cross-engine exact. Scale shape: one
+    * broadcast-centroid scan + a vec_id-keyed top-2 window
+    * (cardinality ∝ corpus) + one partial agg on cid.
+    */
+  def silhouetteWith(all: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = all.join(broadcast(cents))
+      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
+      .select(col("vec_id"), col("cid"), col("ccos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val piv = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("cid"))).as("cid"),
+        max(when(col("rn") === 1, col("ccos"))).as("best"),
+        max(when(col("rn") === 2, col("ccos"))).as("second"))
+    val sil = piv.withColumn("sv",
+      when(col("second").isNull || col("second") >= lit(1.0), lit(0.0))
+        .otherwise((col("best") - col("second")) / (lit(1.0) - col("second"))))
+      .withColumn("s_ppm", floor(col("sv") * lit(1000000.0)).cast("long"))
+    sil.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("s_ppm")).as("sum_sil_ppm"))
+      .withColumn("mean_sil_ppm", expr("sum_sil_ppm div n_members"))
+  }
+
+  /** Fixture-pinned oracle rung (fixed [[SeedMod]] stride). */
+  def silhouette(emb: DataFrame): DataFrame = {
+    val all = quantized(emb)
+    silhouetteWith(all, seedCentroids(all))
+  }
+
+  /** Production sizing: C ≈ √n centroids via [[scaledSeedStride]] —
+    * same posture as [[semDedupScaled]].
+    */
+  def silhouetteScaled(emb: DataFrame): DataFrame = {
+    val all = quantized(emb)
+    silhouetteWith(all, seedCentroidsWith(all, scaledSeedStride(emb.count())))
+  }
+
   /** One scaled-IVF search configuration: the probe share divisor
     * (nprobe = max(NProbe, C/probeDiv) — smaller divisor ⇒ deeper
     * probes ⇒ more candidates) and the coarse quantizer. `key` is
@@ -1970,6 +2018,9 @@ object Similarity {
   def qSemDedup(s: SparkSession, dir: String): DataFrame =
     semDedup(corpus(Tables.embeddings(s, dir)))
 
+  def qSilhouette(s: SparkSession, dir: String): DataFrame =
+    silhouette(Tables.embeddings(s, dir))
+
   def qAnnBrute(s: SparkSession, dir: String): DataFrame =
     bruteTopK(Tables.embeddings(s, dir))
 
@@ -1991,6 +2042,7 @@ object Similarity {
     "q_decon_semantic" -> qDeconSemantic _,
     "q_kcenter" -> qKcenter _,
     "q_semdedup" -> qSemDedup _,
+    "q_silhouette" -> qSilhouette _,
     "q_cluster_sample" -> qClusterSample _,
     "q_ann_brute" -> qAnnBrute _,
     "q_matryoshka" -> qMatryoshka _,
@@ -2415,6 +2467,35 @@ object Similarity {
         |  row_number() OVER (PARTITION BY cid ORDER BY rh, vec_id)
         |    <= $ClusterSampleCap AS keep
         |FROM r""".stripMargin,
+    "q_silhouette" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, q,
+        |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq
+        |  FROM ($quantSql)),
+        |cents AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM n
+        |  WHERE vec_id % $SeedMod = 0),
+        |scored AS (
+        |  SELECT n.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+        |      / (sqrt(n.nq::DOUBLE) * sqrt(c.cnq::DOUBLE)) AS ccos
+        |  FROM n CROSS JOIN cents c),
+        |top2 AS (SELECT vec_id, cid, ccos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |  FROM scored),
+        |piv AS (SELECT vec_id,
+        |    max(CASE WHEN rn = 1 THEN cid END) AS cid,
+        |    max(CASE WHEN rn = 1 THEN ccos END) AS best,
+        |    max(CASE WHEN rn = 2 THEN ccos END) AS second
+        |  FROM top2 WHERE rn <= 2 GROUP BY vec_id),
+        |sil AS (SELECT vec_id, cid,
+        |    floor((CASE WHEN second IS NULL OR second >= 1.0 THEN 0.0
+        |      ELSE (best - second) / (1.0 - second) END) * 1000000.0)::BIGINT
+        |      AS s_ppm
+        |  FROM piv)
+        |SELECT cid, count(*) AS n_members,
+        |  sum(s_ppm)::BIGINT AS sum_sil_ppm,
+        |  sum(s_ppm)::BIGINT // count(*) AS mean_sil_ppm
+        |FROM sil GROUP BY cid""".stripMargin,
     "q_semdedup" ->
       s"""WITH base AS (
         |  SELECT vec_id, label, q FROM ($quantSql)

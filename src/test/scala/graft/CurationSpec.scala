@@ -1024,4 +1024,84 @@ class CurationSpec extends AnyFunSuite {
         s"$src kept $keptTok overshoots budget by a full doc")
     }
   }
+
+  test("k-anonymity gate: groups partition the table, verdict is n >= k") {
+    val rows = Curation.qKanon(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Boolean]("released")))
+    assert(rows.map(_._1).sum == Tables.customer(spark, sf).count(),
+      "quasi-identifier groups must partition the table")
+    rows.foreach { case (n, released) =>
+      assert(released == (n >= Curation.KAnonK))
+    }
+    // tighter k releases nothing the looser k suppressed
+    val loose = Curation.kAnonGroups(Tables.customer(spark, sf),
+      Seq("c_nationkey", "c_mktsegment"), 2).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getAs[Boolean]("released"))
+      .toMap
+    Curation.kAnonGroups(Tables.customer(spark, sf),
+      Seq("c_nationkey", "c_mktsegment"), Curation.KAnonK).collect()
+      .foreach { r =>
+        val key = (r.getInt(0), r.getString(1))
+        if (r.getAs[Boolean]("released")) assert(loose(key),
+          s"$key released at k=${Curation.KAnonK} but not at k=2")
+      }
+  }
+
+  test("rater kappa: exact fraction matches a driver-side replay") {
+    val row = Curation.qRaterKappa(spark, sf).collect()(0)
+    val docs = Tables.documents(spark, sf)
+      .select(col("n_chars"), col("text")).collect()
+      .map(r => (r.getLong(0) >= Curation.KappaMinChars,
+        r.getString(1).trim.toLowerCase.split("\\s+")
+          .length >= Curation.KappaMinTokens))
+    val n = docs.length.toLong
+    val aPos = docs.count(_._1).toLong
+    val bPos = docs.count(_._2).toLong
+    val bothPos = docs.count(d => d._1 && d._2).toLong
+    val bothNeg = docs.count(d => !d._1 && !d._2).toLong
+    val pe = aPos * bPos + (n - aPos) * (n - bPos)
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("a_pos") == aPos)
+    assert(row.getAs[Long]("b_pos") == bPos)
+    assert(row.getAs[Long]("both_pos") == bothPos)
+    assert(row.getAs[Long]("both_neg") == bothNeg)
+    assert(row.getAs[Long]("kappa_num") == (bothPos + bothNeg) * n - pe)
+    assert(row.getAs[Long]("kappa_den") == n * n - pe)
+    // kappa ∈ [-1, 1]: |num| <= den (den > 0 unless a rater is constant)
+    if (row.getAs[Long]("kappa_den") > 0)
+      assert(math.abs(row.getAs[Long]("kappa_num")) <= row.getAs[Long]("kappa_den"))
+  }
+
+  test("skew diag: descending heavy keys, salt factor law replayed") {
+    val rows = Relational.qSkewDiag(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "top-10 must be descending by cnt")
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val nKeys = counts.size.toLong
+    rows.foreach { r =>
+      val cnt = r.getAs[Long]("cnt")
+      assert(cnt == counts(r.getAs[Long]("key")))
+      assert(r.getAs[Long]("share_ppm") == cnt * 1000000L / total)
+      assert(r.getAs[Long]("salt_factor") ==
+        (cnt * nKeys + total - 1) / total)
+      assert(r.getAs[Long]("salt_factor") >= 1L)
+    }
+  }
+
+  test("join estimate equals the materialized self-join row count") {
+    val est = Relational.qJoinEstimate(spark, sf).collect()(0)
+    val ev = Tables.events(spark, sf).select(col("user_id"))
+    val actual = ev.join(ev.withColumnRenamed("user_id", "u2"),
+      col("user_id") === col("u2")).count()
+    assert(est.getAs[Long]("est_pairs") == actual,
+      "sum of c(u)^2 must equal the self-join cardinality")
+    assert(est.getAs[Long]("est_pairs") >= est.getAs[Long]("n_rows"))
+    assert(est.getAs[Long]("max_cnt") * est.getAs[Long]("max_cnt")
+      <= est.getAs[Long]("est_pairs"))
+  }
 }

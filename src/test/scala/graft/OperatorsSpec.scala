@@ -1190,4 +1190,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(out.map(_.getLong(1)).toSeq == expect, "selection order matches greedy replay")
   }
+
+  test("dedup best-survivor: one survivor per cluster, longest wins") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // longest
+      (3L, "completely different words entirely here now"),
+      (4L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupBest(docs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getAs[Boolean]("is_survivor"))).toMap
+    assert(out.size == 4)
+    // cluster {1,2}: 2 is longer, survives despite the larger id
+    assert(out(2L)._3 && !out(1L)._3)
+    // cluster {3,4}: equal length, min id breaks the tie
+    assert(out(3L)._3 && !out(4L)._3)
+    // exactly one survivor per component
+    out.values.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.count(_._3) == 1)
+    }
+  }
+
+  test("silhouette: members partition the corpus, values bounded, clone boost") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.silhouette(emb).collect()
+    assert(out.map(_.getAs[Long]("n_members")).sum == emb.count())
+    out.foreach { r =>
+      val mean = r.getAs[Long]("mean_sil_ppm")
+      assert(mean >= -1000000L && mean <= 1000000L,
+        s"silhouette ppm out of [-1, 1]: $mean")
+      assert(r.getAs[Long]("sum_sil_ppm") <= r.getAs[Long]("n_members") * 1000000L)
+    }
+    // scaled path: same partition law under the production stride
+    val scaled = Similarity.silhouetteScaled(emb).collect()
+    assert(scaled.map(_.getAs[Long]("n_members")).sum == emb.count())
+  }
 }
