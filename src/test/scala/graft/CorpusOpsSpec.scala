@@ -435,4 +435,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(variance - lambda) <= 0.01 * math.abs(lambda) + 1e-9,
       s"projection variance $variance vs eigenvalue $lambda")
   }
+
+  test("group quantiles match a driver-side sorted replay") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val got = CorpusOps.qGroupQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p50"), r.getAs[Long]("p90"),
+          r.getAs[Long]("p99"))).toMap
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val vs = g.map(_._2).sorted
+      def q(p: Int): Long = vs(((p.toLong * vs.length + 99) / 100).toInt - 1)
+      val (n, p50, p90, p99) = got(src)
+      assert(n == vs.length)
+      assert(p50 == q(50), s"$src p50")
+      assert(p90 == q(90), s"$src p90")
+      assert(p99 == q(99), s"$src p99")
+    }
+  }
+
+  test("MAD outliers match a driver-side robust-fence replay") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val got = CorpusOps.qMadOutliers(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("med"), r.getAs[Long]("mad"),
+          r.getAs[Long]("n_outliers"), r.getAs[Long]("outlier_ppm"))).toMap
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      def med(xs: Seq[Long]): Long = {
+        val s = xs.sorted
+        s(((50L * s.length + 99) / 100).toInt - 1)
+      }
+      val m = med(g.map(_._2).toSeq)
+      val devs = g.map(x => math.abs(x._2 - m)).toSeq
+      val mad = med(devs)
+      val out = devs.count(_ > CorpusOps.MadK * mad).toLong
+      val (n, gm, gmad, gout, ppm) = got(src)
+      assert(n == g.length && gm == m && gmad == mad && gout == out,
+        s"$src: got ($n,$gm,$gmad,$gout) want (${g.length},$m,$mad,$out)")
+      assert(ppm == out * 1000000L / g.length)
+    }
+  }
 }
