@@ -161,6 +161,50 @@ object Graph {
           .otherwise(lit(0L)).as("clustering_ppm"))
   }
 
+  /** Common-neighbor link prediction over an undirected graph — the
+    * candidate generator for graph-augmented retrieval / entity
+    * resolution: for every non-adjacent pair (a, b) sharing at least
+    * [[LinkMinCommon]] neighbors, emit the common-neighbor count and
+    * the neighbor-set Jaccard (integer ppm). The pair space is
+    * generated by a wedge self-join CENTERED on each shared
+    * neighbor, so cost is Σ deg(c)² over centers — and centers with
+    * degree > [[LinkHubCap]] are excluded (a super-hub contributes
+    * deg² pairs and no signal; the standard production cap, which
+    * makes `common` a documented lower bound on the true
+    * intersection). Everything is equi-joins + one (a, b) partial
+    * agg; degrees for the Jaccard denominator stay UNCAPPED.
+    */
+  val LinkHubCap = 64L
+  val LinkMinCommon = 2L
+  def linkPredict(und: DataFrame): DataFrame = {
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val centers = deg.filter(col("deg") <= lit(LinkHubCap)).select(col("u").as("c"))
+    val half = und.join(centers, col("v") === col("c"))
+      .select(col("u"), col("v"))
+    val cn = half.select(col("v"), col("u").as("a"))
+      .join(half.select(col("v"), col("u").as("b")), Seq("v"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    val existing = und.filter(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+    cn.join(existing, Seq("a", "b"), "left_anti")
+      .filter(col("common") >= lit(LinkMinCommon))
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        expr("common * 1000000 div (deg_a + deg_b - common)").as("jaccard_ppm"))
+  }
+
+  def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+    linkPredict(und)
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007, the deterministic synchronous variant) over the
     * undirected closure of the triangle fixture — the cheap
@@ -352,7 +396,8 @@ object Graph {
     "q_random_walks" -> qRandomWalks _,
     "q_walk_pairs" -> qWalkPairs _,
     "q_kcore" -> qKcore _,
-    "q_triangles" -> qTriangles _)
+    "q_triangles" -> qTriangles _,
+    "q_link_predict" -> qLinkPredict _)
 
   private def oracleSql: String = {
     val prCte =
@@ -533,5 +578,32 @@ object Graph {
     "q_random_walks" -> randomWalksSql,
     "q_walk_pairs" -> walkPairsSql,
     "q_kcore" -> kcoreSql,
-    "q_triangles" -> trianglesSql)
+    "q_triangles" -> trianglesSql,
+    "q_link_predict" -> linkPredictSql)
+
+  private def linkPredictSql: String =
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+      |    FROM documents CROSS JOIN nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id + 2) % nn.n FROM documents CROSS JOIN nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 7 + 3) % nn.n FROM documents CROSS JOIN nn)),
+      |und AS (SELECT DISTINCT u, v FROM (
+      |  SELECT src AS u, dst AS v FROM e WHERE src != dst
+      |  UNION ALL SELECT dst, src FROM e WHERE src != dst)),
+      |udeg AS (SELECT u, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+      |half AS (SELECT und.u, und.v FROM und
+      |  JOIN udeg d ON und.v = d.u WHERE d.deg <= $LinkHubCap),
+      |cn AS (SELECT h1.u AS a, h2.u AS b, count(*)::BIGINT AS common
+      |  FROM half h1 JOIN half h2 ON h1.v = h2.v AND h1.u < h2.u
+      |  GROUP BY 1, 2),
+      |ex AS (SELECT u AS a, v AS b FROM und WHERE u < v)
+      |SELECT cn.a, cn.b, common, da.deg AS deg_a, db.deg AS deg_b,
+      |  (common * 1000000) // (da.deg + db.deg - common) AS jaccard_ppm
+      |FROM cn JOIN udeg da ON cn.a = da.u JOIN udeg db ON cn.b = db.u
+      |WHERE common >= $LinkMinCommon
+      |  AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.a = cn.a AND ex.b = cn.b)
+      |""".stripMargin
 }

@@ -203,6 +203,22 @@ object Sketches {
         (col("est_cnt") - col("exact_cnt")).as("over_cnt"))
   }
 
+  /** Count-min JOIN-SIZE estimate (sketch inner product, CM05 §4.2):
+    * |A ⋈ B on key| = Σ_k a(k)·b(k), upper-bounded by
+    * min over rows r of Σ_b cmA[r][b]·cmB[r][b] and within
+    * (e/width)·|A|·|B| of it w.p. 1 − e^−depth. The sketch twin of
+    * Relational.qJoinEstimate for sides that never co-locate (two
+    * streams, two clusters, a catalog of pre-sketched tables): each
+    * side collapses to ≤ 4096 longs, the estimate is a 4096-row
+    * join — no key ever shuffles. Output one row: est_pairs.
+    */
+  def cmJoinEstimate(aKeys: DataFrame, bKeys: DataFrame): DataFrame =
+    countMinSketch(aKeys)
+      .join(countMinSketch(bKeys).withColumnRenamed("cnt", "cnt_b"),
+        Seq("r", "bucket"))
+      .groupBy(col("r")).agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("est_pairs"))
+
   // --- HyperLogLog-style distinct sketch ----------------------------------
 
   /** Register count (2^6). Standard error ≈ 1.04/√64 = 13%. */

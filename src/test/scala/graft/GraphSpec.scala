@@ -362,4 +362,37 @@ class GraphSpec extends AnyFunSuite {
     assert(day0Users == distinctUsers,
       "every user appears exactly once at their cohort's offset 0")
   }
+
+  test("link prediction matches a driver-side common-neighbor replay") {
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    // undirected closure of the triEdges fixture, adjacency sets
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    def add(a: Long, b: Long): Unit = if (a != b) {
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    (0L until n).foreach { u =>
+      add(u, (u + 1) % n); add(u, (u + 2) % n); add(u, (u * 7 + 3) % n)
+    }
+    val got = Graph.qLinkPredict(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("jaccard_ppm"))).toMap
+    // brute force: all non-adjacent pairs with >= MinCommon shared
+    // neighbors whose shared neighbors pass the hub cap (none is
+    // capped on this fixture — assert that so the cap stays honest)
+    assert(adj.values.forall(_.size <= Graph.LinkHubCap),
+      "fixture must not hide the cap branch")
+    val want = for {
+      a <- adj.keys.toSeq; b <- adj.keys.toSeq
+      if a < b && !adj(a).contains(b)
+      cn = (adj(a) & adj(b)).size.toLong
+      if cn >= Graph.LinkMinCommon
+    } yield (a, b) -> cn
+    assert(got.keySet == want.map(_._1).toSet, "candidate pair set")
+    want.foreach { case (k, cn) =>
+      assert(got(k)._1 == cn, s"common count at $k")
+      val (da, db) = (adj(k._1).size.toLong, adj(k._2).size.toLong)
+      assert(got(k)._2 == cn * 1000000L / (da + db - cn), s"jaccard at $k")
+    }
+  }
 }

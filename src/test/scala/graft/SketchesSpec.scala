@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Sketches
+import graft.operators.{Relational, Sketches}
 import graft.functions.GraftFunctions.tokenHashLong
 
 /** Structural laws for the mergeable-sketch tier (value-level parity
@@ -281,5 +281,20 @@ class SketchesSpec extends AnyFunSuite {
     val merged = (shardA ++ shardB).sortBy(v => (v._3, v._1)).take(Sketches.QsK)
     assert(merged.map(_._1).toSeq == sampR.map(_._1).toSeq,
       "union-then-retrim must equal the whole-corpus bottom-k")
+  }
+
+  test("count-min join estimate brackets the exact self-join size") {
+    val keys = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id").cast("string").as("w"))
+    val est = Sketches.cmJoinEstimate(keys, keys)
+      .head.getAs[Long]("est_pairs")
+    val exact = Relational.qJoinEstimate(spark, sf)
+      .head.getAs[Long]("est_pairs")
+    assert(est >= exact, "CM inner product never underestimates")
+    val n = keys.count()
+    // CM05 §4.2: overshoot <= (e/width)·|A|·|B| w.p. 1 - e^-depth;
+    // deterministic fixture, so assert the bound outright
+    assert(est - exact <= math.ceil(math.E / Sketches.CmWidth * n * n).toLong,
+      s"overshoot ${est - exact} beyond the CM05 bound")
   }
 }
