@@ -51,7 +51,19 @@ object ScaleRehearsal {
     // TakeOrdered family (expect flat — O(n) scan, O(k) state),
     // vocab self-join containment, host rollup
     "q_kcore", "q_priority_sample", "q_quantile_sketch",
-    "q_source_containment", "q_domain_flags")
+    "q_source_containment", "q_domain_flags",
+    // r10 session 3: grouped selection (histogram-sized after one
+    // partial agg — expect ~linear), robust fences (two passes of
+    // same), best-survivor dedup (components + join), link
+    // prediction (wedge join, Σdeg² with capped hubs), rater kappa
+    // (one pass), silhouette oracle rung (n·C at fixed SeedMod — the
+    // documented fixture-pinned quadratic; the scaled twin below is
+    // the production path). q_skew_diag / q_join_estimate / q_kanon
+    // are omitted only because /tmp/sf1 carries documents+embeddings;
+    // each is a single partial-agg count shuffle (+ TakeOrdered for
+    // skew) — the exact shape q_dedup_exact measures at ~1x
+    "q_group_quantiles", "q_mad_outliers", "q_dedup_best",
+    "q_link_predict", "q_rater_kappa", "q_silhouette")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(
@@ -95,6 +107,9 @@ object ScaleRehearsal {
     }),
     "knn_graph_scaled" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.knnGraphScaled(
+        graft.sources.Tables.embeddings(s, dir))),
+    "silhouette_scaled" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Similarity.silhouetteScaled(
         graft.sources.Tables.embeddings(s, dir))),
     "pq_train" -> ((s: SparkSession, dir: String) => {
       val norm = graft.operators.Similarity.normalizedQ(

@@ -453,6 +453,98 @@ object EventStreams {
       }
   }
 
+  // --- streaming rate-anomaly monitor ------------------------------------
+
+  final case class RateState(lastFinal: Int, ring: List[Long],
+                             pending: Map[Int, Long])
+  final case class RateRow(event_type: String, day_idx: Int, n_events: Long,
+                           base_sum: Long, base_n: Long, ratio_ppm: Long,
+                           anomaly: Boolean)
+
+  /** Streaming twin of Relational.qRateAnomaly — the pipeline-health
+    * monitor run ON the stream instead of over yesterday's batch:
+    * per event type, every day's count is compared to its
+    * trailing-7-day baseline the moment the watermark FINALIZES the
+    * day (strictly: day d emits once no admissible arrival can still
+    * land in it, wmDay > d), including the gap days with zero events
+    * — a silent day IS the anomaly, so finalization advances over
+    * gaps, driven by the event-time timeout as the watermark moves.
+    * `gridStart` anchors day 0 (the monitor's install date — the
+    * deployment twin of the batch grid's global min day); the
+    * warm-up guard (base_n ≥ RateMinBaseDays) then agrees with the
+    * batch grid exactly, spec-pinned per finalized (type, day).
+    * State per type: ≤7 trailing counts + the in-flight
+    * watermark-window day partials — O(types) total, never O(events).
+    */
+  def statefulRateAnomaly(events: DataFrame, maxDisorder: String,
+                          gridStart: String)
+      : org.apache.spark.sql.Dataset[RateRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.Relational
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gridStartEpochDay = java.time.LocalDate.parse(gridStart).toEpochDay
+    events
+      .withWatermark("ts", maxDisorder)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit(gridStart))).as("day"),
+        col("ts"))
+      .as[(String, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, evs: Iterator[(String, Int, java.sql.Timestamp)],
+         state: GroupState[RateState]) =>
+          val prev = state.getOption.getOrElse(RateState(-1, Nil, Map.empty))
+          var pending = prev.pending
+          evs.foreach { case (_, d, _) =>
+            if (d > prev.lastFinal) // late-beyond-watermark days are final; drop
+              pending = pending.updated(d, pending.getOrElse(d, 0L) + 1L)
+          }
+          // a day d is final once every admissible future arrival
+          // (ts >= watermark) lands strictly after it
+          val wmDay = (state.getCurrentWatermarkMs() / 86400000L) - gridStartEpochDay
+          var st = prev.copy(pending = pending)
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateRow]
+          var d = st.lastFinal + 1
+          while (d < wmDay) {
+            val cnt = st.pending.getOrElse(d, 0L)
+            val baseSum = st.ring.sum
+            val baseN = st.ring.size.toLong
+            val ratio = cnt * baseN * 1000000L / math.max(baseSum, 1L)
+            out += RateRow(typ, d, cnt, baseSum, baseN, ratio,
+              baseN >= Relational.RateMinBaseDays &&
+                (ratio > Relational.RateSpikePpm ||
+                  ratio < Relational.RateCollapsePpm))
+            st = RateState(d, (st.ring :+ cnt).takeRight(7), st.pending - d)
+            d += 1
+          }
+          state.update(st)
+          // keep finalizing gap days as the watermark advances, even
+          // if this type never sees another event (also when the
+          // watermark is still 0 — a first batch that contains a
+          // type's whole history would otherwise never be revisited)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          out.iterator
+      }
+  }
+
+  /** Runs the streaming rate-anomaly monitor over a staged directory
+    * (one file per micro-batch; the spec's jittered-delivery harness).
+    */
+  def runRateAnomalyToMemory(spark: SparkSession, stagedDir: String,
+                             maxDisorder: String, gridStart: String,
+                             name: String = "events_rate_anom"): DataFrame = {
+    val src = spark.readStream.schema(rawSchema(TimestampType))
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir).toDF()
+    val q = statefulRateAnomaly(src, maxDisorder, gridStart)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Runs the buffered funnel over a staged directory of event files
     * (one file per micro-batch; the spec's jittered-delivery harness).
     */

@@ -315,6 +315,69 @@ class GraphSpec extends AnyFunSuite {
     assert(got.exists(!_._2._5), "not everything is anomalous")
   }
 
+  test("streaming rate anomaly equals batch on every watermark-finalized day") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.Tables
+    val events = Tables.events(spark, sf)
+    val schema = graft.streaming.EventStreams.rawSchema(
+      org.apache.spark.sql.types.TimestampType)
+    val ordered = events.select(schema.fieldNames.map(col): _*)
+    // same jittered-delivery harness as the buffered funnel test:
+    // disorder bounded at 6h, watermark told to expect 12h
+    val jittered = ordered.withColumn("dk",
+        unix_micros(col("ts")) + (col("event_id") % 7 - lit(3)) * lit(3600000000L))
+      .orderBy("dk").drop("dk").collect()
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val staged = java.nio.file.Files.createTempDirectory("graft-evrate")
+    var mtime = System.currentTimeMillis()
+    def writeChunk(rows: Seq[org.apache.spark.sql.Row], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evrate-tmp")
+      spark.createDataFrame(rows.asJava, schema)
+        .coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val part = java.nio.file.Files.list(tmp.resolve("d")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      val dst = staged.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      mtime += 2000
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    for ((chunk, i) <- jittered.grouped(2000).zipWithIndex)
+      writeChunk(chunk.toSeq, f"chunk$i%03d")
+    // sentinels push the watermark a month past the data so every
+    // real day finalizes; their type is screened out of the compare
+    for (j <- 0 until 2)
+      writeChunk(Seq(org.apache.spark.sql.Row(10000000L + j,
+        new java.sql.Timestamp(maxTs + (30L + j) * 86400000L),
+        -1L, "noop", 0.0, "{}")), s"sentinel$j")
+    val d0 = events.agg(min(to_date(col("ts")))).head.getDate(0)
+      .toLocalDate
+    val batch = Relational.qRateAnomaly(spark, sf).collect().map { r =>
+      val idx = (r.getDate(1).toLocalDate.toEpochDay - d0.toEpochDay).toInt
+      (r.getString(0), idx) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6))
+    }.toMap
+    val maxIdx = batch.keys.map(_._2).max
+    val streamed = graft.streaming.EventStreams
+      .runRateAnomalyToMemory(spark, staged.toString, "12 hours", d0.toString)
+      .filter(col("event_type") =!= "noop")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6))).toMap
+    // every batch-grid cell was finalized (sentinels ran the
+    // watermark out) and matches the streaming emission exactly
+    batch.foreach { case (k, v) =>
+      assert(streamed.get(k).contains(v),
+        s"cell $k: streamed ${streamed.get(k)} vs batch $v")
+    }
+    // zero-count tail days past the data (finalized by the sentinel
+    // watermark) are the monitor continuing over silence — all flagged
+    // collapses once the baseline drains, none inside the batch range
+    val tail = streamed.keys.filter(_._2 > maxIdx)
+    assert(tail.nonEmpty, "sentinels must have finalized tail days")
+    assert(streamed.exists(_._2._5), "fixture anomalies must surface")
+  }
+
   test("linear attribution: per-purchase shares sum to ~1e6, clicks stay windowed") {
     import graft.sources.Tables
     val rows = Relational.qAttribution(spark, sf).collect()
