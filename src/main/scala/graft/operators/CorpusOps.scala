@@ -182,6 +182,17 @@ object CorpusOps {
     import s.implicits._
     val qterms = Bm25Queries.toDF("qid", "qtext")
       .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
+    bm25TopKFor(s, dir, qterms)
+  }
+
+  /** BM25 scoring core against an external (qid, term) query frame —
+    * the seam [[qBm25Search]] and [[qRetrievalEval]] share.
+    * Cardinality contract: the query set broadcasts (a bounded
+    * workload / eval set, hundreds to thousands); the corpus side
+    * never does.
+    */
+  def bm25TopKFor(s: SparkSession, dir: String, qterms: DataFrame,
+                  topK: Int = Bm25TopK): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -211,8 +222,35 @@ object CorpusOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score_ppm").desc, col("doc_id"))
     scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= Bm25TopK)
+      .where(col("rnk") <= topK)
       .select(col("qid"), col("doc_id"), col("score_ppm"), col("rnk"))
+  }
+
+  /** Retrieval-quality eval harness (MRR@k): a deterministic gold
+    * set — every [[EvalQueryMod]]-th document queried by its own
+    * first-[[EvalPrefixTokens]]-token prefix — run through the SAME
+    * BM25 plan as production retrieval, emitting the gold document's
+    * rank and reciprocal rank (integer ppm; 0 when the gold misses
+    * the top-k). This is the regression gate a retrieval stack runs
+    * per index build; the self-prefix gold is the standard
+    * no-labels-needed pseudo-query trick. Same scale shape as
+    * [[bm25TopKFor]] plus one qid equi-join.
+    */
+  val EvalQueryMod = 50L
+  val EvalPrefixTokens = 5
+  def qRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val qs = Tables.documents(s, dir)
+      .filter(col("doc_id") % EvalQueryMod === 0)
+      .select(col("doc_id").as("qid"),
+        array_distinct(slice(tokens(col("text")), 1, EvalPrefixTokens)).as("qtoks"))
+    val qterms = qs.select(col("qid"), explode(col("qtoks")).as("term"))
+    val ranked = bm25TopKFor(s, dir, qterms)
+    qs.select(col("qid"))
+      .join(ranked.filter(col("doc_id") === col("qid"))
+        .select(col("qid"), col("rnk")), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("rnk").cast("long"), lit(0L)).as("gold_rank"),
+        coalesce(expr("1000000 div cast(rnk AS bigint)"), lit(0L)).as("rr_ppm"))
   }
 
   // --- URL canonicalization --------------------------------------------
@@ -832,6 +870,47 @@ object CorpusOps {
     m
   }
 
+  // --- token-balanced shard assignment -----------------------------------
+
+  /** Token-balanced release shards: docs ranked by (token count
+    * DESC, doc_id) and dealt round-robin across [[NShards]] — the
+    * sorted-greedy bin packing whose per-shard token totals differ
+    * by at most one doc per dealing round (the classic LPT bound),
+    * versus hash routing's √n-scale luck. The global rank rides the
+    * two-level prefix discipline: fine rank windows partition on the
+    * token-count VALUE, offsets come from a broadcast self-join over
+    * the tiny (nt, count) histogram — no corpus-wide sort or global
+    * window. (Fine partitions are per distinct length; a corpus
+    * whose lengths concentrate on one value — e.g. everything
+    * truncated to one cap — would need a sub-bucket level, the
+    * epochShuffle structure.) Output per shard: docs, tokens, and
+    * token share as ppm of perfect balance (1e6 = exact; int64
+    * headroom: tokens·NShards·1e6 < 2^63 ⇒ corpora under ~5.7e11
+    * tokens per balance run — shard the run above that).
+    */
+  def shardBalance(docs: DataFrame, nShards: Int = NShards): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("nt"))
+    val hist = t.groupBy(col("nt")).agg(count(lit(1)).as("c"))
+    val pref = hist.select(col("nt"))
+      .join(broadcast(hist.select(col("nt").as("hn"), col("c").as("hc"))),
+        col("hn") > col("nt"), "left")
+      .groupBy(col("nt")).agg(coalesce(sum(col("hc")), lit(0L)).as("off"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nt")).orderBy(col("doc_id"))
+    val agg = t.withColumn("fr", row_number().over(wf))
+      .join(broadcast(pref), Seq("nt"))
+      .withColumn("shard", (col("off") + col("fr") - 1) % nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+    agg.crossJoin(broadcast(agg.agg(sum(col("tokens")).as("tt"))))
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        expr(s"tokens * $nShards * 1000000 div tt").as("balance_ppm"))
+  }
+
+  def qShardBalance(s: SparkSession, dir: String): DataFrame =
+    shardBalance(Tables.documents(s, dir))
+
   // --- exact per-group quantiles + robust outlier fences ----------------
 
   /** Exact per-group discrete quantiles over an integer value column
@@ -939,7 +1018,9 @@ object CorpusOps {
     "q_shard_manifest" -> qShardManifest _,
     "q_embed_cov" -> qEmbedCov _,
     "q_group_quantiles" -> qGroupQuantiles _,
-    "q_mad_outliers" -> qMadOutliers _)
+    "q_mad_outliers" -> qMadOutliers _,
+    "q_retrieval_eval" -> qRetrievalEval _,
+    "q_shard_balance" -> qShardBalance _)
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -983,7 +1064,50 @@ object CorpusOps {
       |  JOIN mads ON d.source = mads.source
       |GROUP BY 1""".stripMargin
 
+  private val retrievalEvalSql =
+    s"""WITH q AS (SELECT doc_id AS qid,
+      |    list_distinct(($toksSql)[1:$EvalPrefixTokens]) AS qtoks
+      |  FROM documents WHERE doc_id % $EvalQueryMod = 0),
+      |qt AS (SELECT qid, unnest(qtoks) AS term FROM q),
+      |tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT term, count(*)::BIGINT AS dfreq FROM tf GROUP BY 1),
+      |st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+      |  (SELECT sum(dl)::DOUBLE FROM dl) AS tot_dl),
+      |scored AS (
+      |  SELECT qt.qid, tf.doc_id,
+      |    sum(round(((st.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5))
+      |      * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+      |          / (st.tot_dl / st.n_docs)))) * 1000000.0, 0)::BIGINT)::BIGINT
+      |      AS score_ppm
+      |  FROM tf JOIN qt ON tf.term = qt.term
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  JOIN dfreq df ON tf.term = df.term
+      |  CROSS JOIN st
+      |  GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, score_ppm,
+      |  row_number() OVER (PARTITION BY qid ORDER BY score_ppm DESC, doc_id) AS rnk
+      |  FROM scored)
+      |SELECT q.qid, coalesce(r.rnk, 0)::BIGINT AS gold_rank,
+      |  coalesce(1000000 // r.rnk, 0)::BIGINT AS rr_ppm
+      |FROM q LEFT JOIN r
+      |  ON r.qid = q.qid AND r.doc_id = q.qid AND r.rnk <= $Bm25TopK""".stripMargin
+
+  private val shardBalanceSql =
+    s"""WITH t AS (SELECT doc_id, len($toksSql)::BIGINT AS nt FROM documents),
+      |r AS (SELECT doc_id, nt,
+      |    row_number() OVER (ORDER BY nt DESC, doc_id) AS rnk FROM t),
+      |a AS (SELECT (rnk - 1) % $NShards AS shard, count(*) AS n_docs,
+      |    sum(nt)::BIGINT AS tokens FROM r GROUP BY 1),
+      |tot AS (SELECT sum(tokens)::BIGINT AS tt FROM a)
+      |SELECT shard, n_docs, tokens,
+      |  (tokens * $NShards * 1000000) // tt AS balance_ppm
+      |FROM a, tot""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_retrieval_eval" -> retrievalEvalSql,
+    "q_shard_balance" -> shardBalanceSql,
     "q_group_quantiles" -> groupQuantilesSql,
     "q_mad_outliers" -> madOutliersSql,
     "q_heavy_hitters" ->

@@ -436,6 +436,41 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"projection variance $variance vs eigenvalue $lambda")
   }
 
+  test("shard balance: partition laws and the sorted-round-robin spread bound") {
+    val docs = Tables.documents(spark, sf)
+    val out = CorpusOps.qShardBalance(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("tokens"), r.getAs[Long]("balance_ppm")))
+    assert(out.length == CorpusOps.NShards)
+    val nts = docs.select(size(tokens(col("text"))).cast("long")).collect()
+      .map(_.getLong(0))
+    assert(out.map(_._2).sum == nts.length)
+    assert(out.map(_._3).sum == nts.sum)
+    // LPT round-robin: the telescoping bound caps the shard spread
+    // at one maximum document
+    assert(out.map(_._3).max - out.map(_._3).min <= nts.max,
+      s"spread ${out.map(_._3).max - out.map(_._3).min} > max doc ${nts.max}")
+    out.foreach { case (_, _, tk, ppm) =>
+      assert(ppm == tk * CorpusOps.NShards * 1000000L / nts.sum)
+    }
+  }
+
+  test("retrieval eval: one row per gold query, rank/rr law") {
+    val rows = CorpusOps.qRetrievalEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("gold_rank"), r.getAs[Long]("rr_ppm")))
+    val nGold = Tables.documents(spark, sf)
+      .filter(col("doc_id") % CorpusOps.EvalQueryMod === 0).count()
+    assert(rows.length == nGold)
+    rows.foreach { case (qid, rank, rr) =>
+      assert(qid % CorpusOps.EvalQueryMod == 0)
+      assert(rank >= 0 && rank <= CorpusOps.Bm25TopK)
+      assert(rr == (if (rank > 0) 1000000L / rank else 0L), s"rr law at $qid")
+    }
+    // the self-prefix gold must be findable for at least one query —
+    // a ranking bug that never surfaces gold would otherwise pass
+    assert(rows.exists(_._2 > 0), "no gold doc reached the top-k")
+  }
+
   test("group quantiles match a driver-side sorted replay") {
     val rows = Tables.documents(spark, sf)
       .select(col("source"), col("n_chars")).collect()
