@@ -453,6 +453,45 @@ object EventStreams {
       }
   }
 
+  /** Native session-window streaming aggregation — Spark's built-in
+    * `session_window` (gap-merged event-time sessions, state expired
+    * by the watermark) as the zero-custom-state alternative to
+    * [[statefulSessionSummary]]: at cluster scale this is the form
+    * to prefer, since merging/expiry run inside the state store
+    * rather than user code. Gap semantics differ from the batch
+    * sessionizer at EXACT gap equality only: the batch rule keeps a
+    * diff == gap event in-session (`> gap` starts new), while
+    * session_window's half-open [start, last+gap) boundary starts a
+    * new one — spec-pinned equal on the fixture, where micro-second
+    * timestamps make exact-gap collisions nonexistent.
+    * Output: (user_id, session_start, session_end_gap = last+gap,
+    * n_events), append mode — a session emits once finalized.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end_gap"), col("n_events"))
+
+  /** Runs the native session-window aggregation over a staged
+    * directory (append mode — the spec's sentinel file runs the
+    * watermark out so every real session finalizes).
+    */
+  def runSessionWindowToMemory(spark: SparkSession, stagedDir: String,
+                               name: String = "events_sesswin"): DataFrame = {
+    val src = spark.readStream.schema(rawSchema(TimestampType))
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir).toDF()
+    val q = sessionWindowAgg(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   // --- streaming rate-anomaly monitor ------------------------------------
 
   final case class RateState(lastFinal: Int, ring: List[Long],

@@ -27,6 +27,43 @@ class StreamingSpec extends AnyFunSuite {
       s"divergence: stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("native session_window aggregation matches the batch sessionizer") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{col, max}
+    val events = graft.sources.Tables.events(spark, sf)
+    val schema = EventStreams.rawSchema(
+      org.apache.spark.sql.types.TimestampType)
+    val staged = java.nio.file.Files.createTempDirectory("graft-sesswin")
+    def writeChunk(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sesswin-tmp")
+      df.coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val part = java.nio.file.Files.list(tmp.resolve("d")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      val dst = staged.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    writeChunk(events.select(schema.fieldNames.map(col): _*), "data", t0)
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0).getTime
+    writeChunk(spark.createDataFrame(Seq(org.apache.spark.sql.Row(
+      10000001L, new java.sql.Timestamp(maxTs + 30L * 86400000L),
+      -1L, "noop", 0.0, "{}")).asJava, schema), "sentinel", t0 + 2000)
+    val streamed = EventStreams.runSessionWindowToMemory(spark, staged.toString)
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+    val batch = graft.operators.Relational.qSessionize(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"divergence: stream-only=${(streamed -- batch).take(3)} " +
+        s"batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("stream-stream interval join matches the batch join") {
     val streamed = EventStreams.runIntervalJoinToMemory(spark, sf)
       .collect().map(_.toString).sorted
