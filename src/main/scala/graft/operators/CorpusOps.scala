@@ -226,31 +226,71 @@ object CorpusOps {
       .select(col("qid"), col("doc_id"), col("score_ppm"), col("rnk"))
   }
 
-  /** Retrieval-quality eval harness (MRR@k): a deterministic gold
-    * set — every [[EvalQueryMod]]-th document queried by its own
-    * first-[[EvalPrefixTokens]]-token prefix — run through the SAME
-    * BM25 plan as production retrieval, emitting the gold document's
-    * rank and reciprocal rank (integer ppm; 0 when the gold misses
-    * the top-k). This is the regression gate a retrieval stack runs
-    * per index build; the self-prefix gold is the standard
-    * no-labels-needed pseudo-query trick. Same scale shape as
-    * [[bm25TopKFor]] plus one qid equi-join.
+  /** Retrieval-quality eval harness (MRR@k): a gold query set run
+    * through the SAME BM25 plan as production retrieval, emitting
+    * each gold document's rank and reciprocal rank (integer ppm; 0
+    * when the gold misses the top-k). This is the regression gate a
+    * retrieval stack runs per index build.
     */
   val EvalQueryMod = 50L
   val EvalPrefixTokens = 5
-  def qRetrievalEval(s: SparkSession, dir: String): DataFrame = {
-    val qs = Tables.documents(s, dir)
-      .filter(col("doc_id") % EvalQueryMod === 0)
-      .select(col("doc_id").as("qid"),
-        array_distinct(slice(tokens(col("text")), 1, EvalPrefixTokens)).as("qtoks"))
-    val qterms = qs.select(col("qid"), explode(col("qtoks")).as("term"))
-    val ranked = bm25TopKFor(s, dir, qterms)
-    qs.select(col("qid"))
-      .join(ranked.filter(col("doc_id") === col("qid"))
-        .select(col("qid"), col("rnk")), Seq("qid"), "left")
+
+  /** Bounded default gold-set size (r10 verdict #2): the eval set
+    * must honor [[bm25TopKFor]]'s broadcast contract, so the default
+    * picks a FIXED number of documents, never a corpus share.
+    */
+  val EvalGoldK = 64
+
+  /** PRODUCTION retrieval-eval API: score an external gold frame
+    * (qid, qtoks: array&lt;string&gt;, gold_doc) through
+    * [[bm25TopKFor]]. Cardinality contract (inherited): the gold
+    * frame is a bounded eval set (hundreds to thousands) and
+    * broadcasts; the corpus side never does. Mirrors
+    * `contrastivePairsFor`'s external-anchor pattern.
+    */
+  def retrievalEvalFor(s: SparkSession, dir: String, gold: DataFrame,
+                       topK: Int = Bm25TopK): DataFrame = {
+    val qterms = gold.select(col("qid"), explode(col("qtoks")).as("term"))
+    val hit = bm25TopKFor(s, dir, qterms, topK)
+      .select(col("qid"), col("doc_id").as("gold_doc"), col("rnk"))
+    gold.select(col("qid"), col("gold_doc"))
+      .join(hit, Seq("qid", "gold_doc"), "left")
       .select(col("qid"),
         coalesce(col("rnk").cast("long"), lit(0L)).as("gold_rank"),
         coalesce(expr("1000000 div cast(rnk AS bigint)"), lit(0L)).as("rr_ppm"))
+  }
+
+  /** Default gold set: [[EvalGoldK]] documents hash-picked by
+    * tokenHash(doc_id) (TakeOrdered — O(n) scan, O(K) driver state,
+    * no global sort), each querying its own
+    * first-[[EvalPrefixTokens]]-token prefix — the standard
+    * no-labels-needed pseudo-query trick, now at a FIXED size so the
+    * broadcast side cannot grow with the corpus.
+    */
+  def defaultEvalGold(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .orderBy(tokenHash(col("doc_id").cast("string")), col("doc_id"))
+      .limit(EvalGoldK)
+      .select(col("doc_id").as("qid"),
+        array_distinct(slice(tokens(col("text")), 1, EvalPrefixTokens)).as("qtoks"),
+        col("doc_id").as("gold_doc"))
+
+  def qRetrievalEval(s: SparkSession, dir: String): DataFrame =
+    retrievalEvalFor(s, dir, defaultEvalGold(s, dir))
+
+  /** The ∝n rung: every [[EvalQueryMod]]-th document as a pseudo
+    * query — the documented EXACT-baseline form (evaluates 1/50th of
+    * the whole corpus; useful for one-off full-corpus audits, NOT
+    * for the per-build gate — its query side grows linearly with the
+    * corpus and violates the broadcast contract the default honors).
+    */
+  def retrievalEvalExhaustive(s: SparkSession, dir: String): DataFrame = {
+    val gold = Tables.documents(s, dir)
+      .filter(col("doc_id") % EvalQueryMod === 0)
+      .select(col("doc_id").as("qid"),
+        array_distinct(slice(tokens(col("text")), 1, EvalPrefixTokens)).as("qtoks"),
+        col("doc_id").as("gold_doc"))
+    retrievalEvalFor(s, dir, gold)
   }
 
   // --- URL canonicalization --------------------------------------------
@@ -1067,7 +1107,9 @@ object CorpusOps {
   private val retrievalEvalSql =
     s"""WITH q AS (SELECT doc_id AS qid,
       |    list_distinct(($toksSql)[1:$EvalPrefixTokens]) AS qtoks
-      |  FROM documents WHERE doc_id % $EvalQueryMod = 0),
+      |  FROM documents
+      |  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT, doc_id
+      |  LIMIT $EvalGoldK),
       |qt AS (SELECT qid, unnest(qtoks) AS term FROM q),
       |tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),

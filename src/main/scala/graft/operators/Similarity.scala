@@ -771,21 +771,22 @@ object Similarity {
     * that is linear in the corpus). Per-vector values are floored
     * to integer ppm BEFORE the cluster mean so the aggregation is
     * order-independent and cross-engine exact. Scale shape: one
-    * broadcast-centroid scan + a vec_id-keyed top-2 window
-    * (cardinality ∝ corpus) + one partial agg on cid.
+    * broadcast-centroid scan whose n×C expansion collapses MAP-SIDE
+    * through the [[graft.functions.Top2Cos]] partial aggregation
+    * (two (score,id) slots per buffer — the IVF-assignment idiom;
+    * the earlier `row_number` window shuffled and per-key-sorted all
+    * n×C rows and SCALE_r10 measured it at 16.2× for 10× rows) +
+    * one partial agg on cid.
     */
   def silhouetteWith(all: DataFrame, cents: DataFrame): DataFrame = {
     val scored = all.join(broadcast(cents))
       .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
       .select(col("vec_id"), col("cid"), col("ccos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val piv = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
-      .groupBy(col("vec_id"))
-      .agg(max(when(col("rn") === 1, col("cid"))).as("cid"),
-        max(when(col("rn") === 1, col("ccos"))).as("best"),
-        max(when(col("rn") === 2, col("ccos"))).as("second"))
+    val top2 = org.apache.spark.sql.functions.udaf(graft.functions.Top2Cos)
+    val piv = scored.groupBy(col("vec_id"))
+      .agg(top2(col("ccos"), col("cid")).as("t2"))
+      .select(col("vec_id"), col("t2._1").as("cid"), col("t2._2").as("best"),
+        when(col("t2._4") >= 2, col("t2._3")).as("second"))
     val sil = piv.withColumn("sv",
       when(col("second").isNull || col("second") >= lit(1.0), lit(0.0))
         .otherwise((col("best") - col("second")) / (lit(1.0) - col("second"))))

@@ -458,17 +458,26 @@ class CorpusOpsSpec extends AnyFunSuite {
   test("retrieval eval: one row per gold query, rank/rr law") {
     val rows = CorpusOps.qRetrievalEval(spark, sf).collect()
       .map(r => (r.getLong(0), r.getAs[Long]("gold_rank"), r.getAs[Long]("rr_ppm")))
-    val nGold = Tables.documents(spark, sf)
-      .filter(col("doc_id") % CorpusOps.EvalQueryMod === 0).count()
-    assert(rows.length == nGold)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == math.min(CorpusOps.EvalGoldK.toLong, nDocs))
     rows.foreach { case (qid, rank, rr) =>
-      assert(qid % CorpusOps.EvalQueryMod == 0)
       assert(rank >= 0 && rank <= CorpusOps.Bm25TopK)
       assert(rr == (if (rank > 0) 1000000L / rank else 0L), s"rr law at $qid")
     }
     // the self-prefix gold must be findable for at least one query —
     // a ranking bug that never surfaces gold would otherwise pass
     assert(rows.exists(_._2 > 0), "no gold doc reached the top-k")
+    // the ∝n exhaustive rung (documented exact baseline) obeys the
+    // same laws over its every-Mod-th gold set
+    val ex = CorpusOps.retrievalEvalExhaustive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("gold_rank"), r.getAs[Long]("rr_ppm")))
+    val nGold = Tables.documents(spark, sf)
+      .filter(col("doc_id") % CorpusOps.EvalQueryMod === 0).count()
+    assert(ex.length == nGold)
+    ex.foreach { case (qid, rank, rr) =>
+      assert(qid % CorpusOps.EvalQueryMod == 0)
+      assert(rr == (if (rank > 0) 1000000L / rank else 0L), s"rr law at $qid")
+    }
   }
 
   test("group quantiles match a driver-side sorted replay") {

@@ -199,6 +199,36 @@ class PlanSpec extends AnyFunSuite {
       "brute-force broadcast side is not the query side")
   }
 
+  test("retrieval eval: gold set is bounded and broadcasts; corpus never does") {
+    // r10 verdict #2: the default gold set must be a FIXED size
+    // (TakeOrdered hash-pick), not a corpus share, so the query-side
+    // broadcast in bm25TopKFor cannot grow with the corpus
+    val gold = operators.CorpusOps.defaultEvalGold(spark, sf)
+    val gp = plan(gold)
+    assert(gp.contains("TakeOrderedAndProject"),
+      "gold pick is not a TakeOrdered (O(n) scan, O(K) state):\n" + gp.take(400))
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    assert(gold.count() == math.min(operators.CorpusOps.EvalGoldK.toLong, nDocs))
+    val eval = operators.CorpusOps.qRetrievalEval(spark, sf)
+    eval.collect()
+    val p = plan(eval)
+    // the qterms/dfreq sides broadcast; the corpus tf side shuffles
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    // the ONLY nested-loop joins allowed are the deliberate 1-row
+    // scalar-stats broadcast crosses (n_docs × tot_dl, scored ×
+    // stats): every BNLJ must be a BuildRight Cross — a shape whose
+    // fan-out is 1 when the build side is a scalar aggregate
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight, Cross")), p.take(500))
+    // an external gold frame rides the same plan (production API)
+    import spark.implicits._
+    val ext = Seq((900001L, Seq("customer", "table"), 3L))
+      .toDF("qid", "qtoks", "gold_doc")
+    val out = operators.CorpusOps.retrievalEvalFor(spark, sf, ext).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 900001L)
+  }
+
   test("ANN dedup/window exchanges carry no vector payload") {
     // r4 verdict #8: candidate dedup used to shuffle the ~0.5 KB
     // quantized vectors per candidate row. cos is now computed
