@@ -63,7 +63,11 @@ object ScaleRehearsal {
     // each is a single partial-agg count shuffle (+ TakeOrdered for
     // skew) — the exact shape q_dedup_exact measures at ~1x
     "q_group_quantiles", "q_mad_outliers", "q_dedup_best",
-    "q_link_predict", "q_rater_kappa", "q_silhouette")
+    "q_link_predict", "q_rater_kappa", "q_silhouette",
+    // r11: the r10-verdict fixes — bounded-gold MRR eval (expect
+    // ~linear: BM25 corpus stats dominate, gold set fixed),
+    // domain flags (host shuffle join replacing the forced broadcast)
+    "q_retrieval_eval")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(
@@ -111,6 +115,20 @@ object ScaleRehearsal {
     "silhouette_scaled" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.silhouetteScaled(
         graft.sources.Tables.embeddings(s, dir))),
+    // r11: large-star/small-star CC on a deliberately CHAINED pair
+    // graph (every doc linked to the next — diameter = corpus size,
+    // the shape that makes min-label propagation need ∝n rounds;
+    // LS must stay O(log n) rounds so the ratio stays near-linear)
+    "cc_ls_chain" -> ((s: SparkSession, dir: String) => {
+      val ids = graft.sources.Tables.documents(s, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"))
+      val chain = ids.select(
+        org.apache.spark.sql.functions.col("doc_id").as("doc_a"),
+        (org.apache.spark.sql.functions.col("doc_id") + 1).as("doc_b"))
+        .join(ids.select(org.apache.spark.sql.functions.col("doc_id").as("doc_b")),
+          Seq("doc_b"), "left_semi")
+      graft.operators.Dedup.connectedComponentsLS(chain)
+    }),
     "pq_train" -> ((s: SparkSession, dir: String) => {
       val norm = graft.operators.Similarity.normalizedQ(
         graft.sources.Tables.embeddings(s, dir))

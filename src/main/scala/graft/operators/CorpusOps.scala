@@ -374,9 +374,11 @@ object CorpusOps {
     * Shape: the url/dup frame reuses [[qUrlNormalize]]'s shuffles
     * (the canon_url dup window), the quality frame is narrow, they
     * join once on doc_id; the rollup is one host-keyed partial agg to
-    * an O(hosts) frame that BROADCASTS back — domains number in the
-    * millions at web scale, far under the corpus, and the verdict
-    * join stays a broadcast hash lookup exactly like the blocklist.
+    * an O(hosts) frame, and the verdict lands via a host-keyed
+    * SHUFFLE equi-join — unlike the constant-size blocklist, hosts
+    * number in the millions at web scale, so a forced broadcast here
+    * would grow with the web graph (r10 advice). AQE still elects a
+    * broadcast when the rollup happens to be small.
     */
   def qDomainFlags(s: SparkSession, dir: String): DataFrame = {
     val url = qUrlNormalize(s, dir)
@@ -394,7 +396,7 @@ object CorpusOps {
         expr("n_dups * 1000000 div n_docs").as("dup_ppm"))
       .withColumn("domain_flagged",
         col("mean_q_ppm") < DomainQFloor || col("dup_ppm") > DomainDupCap)
-    dq.join(broadcast(dom), col("host") === col("dhost"))
+    dq.join(dom, col("host") === col("dhost"))
       .select(col("doc_id"), col("host"), col("q_ppm"), col("n_docs"),
         col("mean_q_ppm"), col("dup_ppm"), col("domain_flagged"),
         (!col("domain_flagged") && !col("blocked")).as("kept"))

@@ -297,6 +297,90 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("component_id"))
   }
 
+  /** Connected components via LARGE-STAR / SMALL-STAR alternation
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round alternative to
+    * [[connectedComponents]]' min-label propagation, which needs
+    * O(diameter) rounds and makes chain-shaped dup clusters (URL
+    * redirect chains, boilerplate gradients) the tail risk of a
+    * 100 TB web graph. Same signature, same output, spec-pinned
+    * equal to [[connectedComponents]] on the fixtures.
+    *
+    * Each round is two edge-keyed partial-agg + equi-join passes
+    * over an edge set that only ever SHRINKS toward the star graph
+    * (every node pointing at its component min); convergence is an
+    * order-independent xxhash64 edge-set checksum — one scalar agg
+    * per round, the [[connectedComponents]] label-sum discipline.
+    */
+  def connectedComponentsLS(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsLSRounds(pairs, maxIter)._1
+
+  /** [[connectedComponentsLS]] + the measured round count (the spec
+    * asserts rounds ≪ diameter on a chain fixture).
+    */
+  private[graft] def connectedComponentsLSRounds(pairs: DataFrame,
+                                                 maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def checksum(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(0)).cast("decimal(38,0)")).collect()(0)
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    // large-star: every node u links its STRICTLY LARGER neighbors
+    // to min(Γ(u) ∪ {u}) — output edges all point high → low
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      sym.join(mins, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // small-star: every node u (over its smaller neighborhood — all
+    // edges point high → low here) links those neighbors AND itself
+    // to the neighborhood min
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val j = e.join(mins, Seq("src"))
+      j.select(col("dst").as("v"), col("m"))
+        .unionAll(mins.select(col("src").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    var edges = cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var (prevN, prevSum) = checksum(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      val next = cut(smallStar(largeStar(edges)))
+      val (curN, curSum) = checksum(next)
+      converged = curN == prevN && curSum == prevSum
+      prevN = curN; prevSum = curSum
+      edges = next
+      rounds += 1
+    }
+    // fixpoint = star graph: every non-min node has exactly the edge
+    // (v, component min); min nodes label themselves. Degenerate
+    // self-pair vertices (filtered from the edge set) label
+    // themselves via the coalesce, matching [[connectedComponents]].
+    val labels = edges.select(col("src").as("doc_id"), col("dst").as("component_id"))
+      .unionAll(edges.select(col("dst").as("doc_id"), col("dst").as("component_id")))
+      .distinct()
+    val verts = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val out = verts.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("component_id"))
+    (out, rounds)
+  }
+
   /** Estimator quality for MinHash: per candidate pair, the
     * signature-agreement estimate (matching components / K) next to
     * the exact shingle-set Jaccard — the number you watch when
@@ -858,6 +942,13 @@ object Dedup {
   def qDedupComponents(s: SparkSession, dir: String): DataFrame =
     connectedComponents(minhashPairs(corpus(s, dir)))
 
+  /** The large-star/small-star alternation on the SAME pair graph —
+    * identical output by construction (one oracle serves both), but
+    * O(log n) rounds instead of O(diameter).
+    */
+  def qDedupComponentsLs(s: SparkSession, dir: String): DataFrame =
+    connectedComponentsLS(minhashPairs(corpus(s, dir)))
+
   def qDedupApply(s: SparkSession, dir: String): DataFrame =
     applyDedup(corpus(s, dir), minhashPairs(corpus(s, dir)))
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
@@ -941,6 +1032,7 @@ object Dedup {
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_dedup_components" -> qDedupComponents _,
+    "q_dedup_components_ls" -> qDedupComponentsLs _,
     "q_dedup_best" -> qDedupBest _,
     "q_dedup_apply" -> qDedupApply _,
     "q_minhash_est" -> ((s: SparkSession, dir: String) =>
@@ -1208,6 +1300,9 @@ object Dedup {
       keepFirstSqlFor("SELECT doc_id, text FROM documents"),
     "q_span_long" -> keepFirstSqlFor(spanLongFixtureSql),
     "q_dedup_components" ->
+      s"""$componentsCtes
+        |SELECT v AS doc_id, component_id FROM comps""".stripMargin,
+    "q_dedup_components_ls" ->
       s"""$componentsCtes
         |SELECT v AS doc_id, component_id FROM comps""".stripMargin,
     "q_dedup_best" ->

@@ -39,22 +39,33 @@ object Similarity {
                             nb: org.apache.spark.sql.Column) =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
+  /** The centroid table as ONE broadcast row holding
+    * array<struct<cid, cq, cnq>> — the input [[NearestCentroid]]
+    * map-side assignment consumes. Same O(C·Dim) bytes the broadcast
+    * hash join shipped; C is bounded by construction (seeded stride /
+    * √n scaled stride), so one row holds it comfortably.
+    */
+  private def centsArray(cents: DataFrame): DataFrame =
+    broadcast(cents.agg(
+      collect_list(struct(col("cid"), col("cq"), col("cnq"))).as("carr")))
+
   /** Nearest-centroid assignment over a quantized corpus: the IVF
     * coarse-quantizer step shared by semDedup, clusterBalancedSample
-    * and the streaming semantic dedup. Broadcast centroids; q/nq
-    * ride inside the max_by value struct so the corpus reaches its
-    * reducer once — one agg shuffle, no assignment re-join. Output:
-    * (vec_id, cid, ccos, q, nq).
+    * and the streaming semantic dedup. The argmax runs MAP-SIDE via
+    * the codegen'd [[graft.functions.VecExpressions.nearestCentroid]]
+    * loop over the 1-row broadcast centroid array — zero exchanges,
+    * no n×C row expansion, vectors never shuffle (the earlier
+    * broadcast-join + groupBy(vec_id) max_by shape shipped q/nq
+    * arrays through the agg exchange — the r10 plan-audit `arrexch`
+    * rows). Output: (vec_id, cid, ccos, q, nq).
     */
   def assignClusters(all: DataFrame, cents: DataFrame): DataFrame =
-    all.join(broadcast(cents))
-      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cid"), col("ccos"), col("q"), col("nq")),
-        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("best"))
+    all.crossJoin(centsArray(cents))
+      .withColumn("best",
+        graft.functions.VecExpressions.nearestCentroid(col("q"), col("nq"), col("carr")))
       .select(col("vec_id"), col("best").getField("cid").as("cid"),
         col("best").getField("ccos").as("ccos"),
-        col("best").getField("q").as("q"), col("best").getField("nq").as("nq"))
+        col("q"), col("nq"))
 
   /** Near-dup pairs (exact cos ≥ threshold verify), blocked on
     * (label, LSH table, LSH bucket). Label alone is NOT a scale-safe
@@ -205,22 +216,34 @@ object Similarity {
     */
   def semDedupWith(all: DataFrame, cents: DataFrame,
                    threshold: Double = SemDedupThreshold): DataFrame = {
+    // map-side assignment (zero exchanges), then the vector packs to
+    // a 4-byte-per-component binary BEFORE the cid shuffle: the
+    // within-cluster pair join only ever needs dot products, and the
+    // packed form halves the exchange bytes versus array<bigint>
+    // while computing the bit-identical int64 sum (PackedIntDot).
+    // This cid exchange is the ONE shuffle whose vector payload is
+    // inherent — exact within-cluster cosine needs both members'
+    // vectors on one reducer.
     val assigned = assignClusters(all, cents)
+      .withColumn("qp", graft.functions.VecExpressions.packQ(col("q")))
+      .drop("q")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(col("ccos").desc, col("vec_id"))
     val ranked = assigned.withColumn("rn", row_number().over(w))
-    val hi = ranked.select(col("cid"), col("rn").as("rn_a"),
-      col("q").as("qa"), col("nq").as("nqa"))
-    val lo = ranked.select(col("cid"), col("vec_id").as("dup_id"),
-      col("rn").as("rn_b"), col("q").as("qb"), col("nq").as("nqb"))
+    val side = ranked.select(col("cid"), col("vec_id"), col("rn"),
+      col("qp"), col("nq"))
     // threshold filter runs inside the co-located cluster join; only
     // bare dup ids reach the distinct exchange (r4 verdict #8 payload
     // discipline)
-    val dropped = hi.join(lo, Seq("cid"))
-      .filter(col("rn_a") < col("rn_b"))
-      .withColumn("cos", cosine(dotQ(col("qa"), col("qb")), col("nqa"), col("nqb")))
+    val a = side.alias("a")
+    val b = side.alias("b")
+    val dropped = a.join(b, col("a.cid") === col("b.cid")
+        && col("a.rn") < col("b.rn"))
+      .withColumn("cos", cosine(
+        graft.functions.VecExpressions.packedDot(col("a.qp"), col("b.qp")),
+        col("a.nq"), col("b.nq")))
       .filter(col("cos") >= threshold)
-      .select(col("dup_id").as("vec_id")).distinct()
+      .select(col("b.vec_id").as("vec_id")).distinct()
     ranked.join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), round(col("ccos"), 6).as("cos_c"),
         coalesce(col("is_dup"), lit(false)) =!= lit(true) as "keep")
@@ -922,29 +945,23 @@ object Similarity {
                                       broadcastQueries: Boolean = true,
                                       excludeSelf: Boolean = false,
                                       nprobe: Int = NProbe): DataFrame = {
-    val scored = all.join(broadcast(cents))
-      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
-    // nearest centroid per vector: partial-aggregatable argmax with a
-    // (cos desc, cid asc) tie-break. q/nq ride INSIDE the max_by
-    // value struct (constant per vec_id), so the corpus vectors
-    // reach their reducer once through the agg exchange instead of a
-    // separate re-join — one shuffle, not two — while the grouping
-    // key stays the hashable vec_id (an array grouping key would
-    // demote the agg to a sort-based one)
-    val assigned = scored.groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cid"), col("q"), col("nq")),
-        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("best"))
-      .select(col("vec_id"), col("best").getField("cid").as("cid"),
-        col("best").getField("q").as("q"), col("best").getField("nq").as("nq"))
-    // queries probe their NProbe nearest lists; per-query windows are
-    // NProbe-deep regardless of query-set size
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val probesRaw = qsQuant.join(broadcast(cents))
-      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
-      .withColumn("crn", row_number().over(wq)).filter(col("crn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cid"),
+    // nearest centroid per vector: map-side codegen'd argmax over the
+    // 1-row broadcast centroid array — no n×C expansion, no agg
+    // exchange, the corpus vectors never shuffle (r10 `arrexch` fix;
+    // [[assignClusters]] documents the shape)
+    val assigned = assignClusters(all, cents)
+      .select(col("vec_id"), col("cid"), col("q"), col("nq"))
+    // queries probe their NProbe nearest lists — ALSO map-side (the
+    // k-slot insertion twin of the assignment argmax): the earlier
+    // per-query row_number window shuffled query×C rows carrying the
+    // query vectors whenever the query set was corpus-sized
+    val probesRaw = qsQuant.crossJoin(centsArray(cents))
+      .select(col("vec_id").as("query_id"),
+        explode(graft.functions.VecExpressions.nearestCentroidsK(
+          col("q"), col("nq"), col("carr"), nprobe)).as("probe"),
         col("q").as("q_q"), col("nq").as("nq_q"))
+      .select(col("query_id"), col("probe").getField("cid").as("cid"),
+        col("q_q"), col("nq_q"))
     val probes = if (broadcastQueries) broadcast(probesRaw) else probesRaw
     // cos pre-dedup: the cross-list dedup and top-k window exchanges
     // carry (query_id, vec_id, cos) only — dup dot products bounded
@@ -984,14 +1001,11 @@ object Similarity {
     */
   val TrainIters = 2
   private def lloydIter(all: DataFrame, cents: DataFrame): DataFrame = {
-    // q rides inside the max_by value — no assignment re-join
-    val assigned = all.join(broadcast(cents))
-      .withColumn("ccos", cosine(dotQ(col("q"), col("cq")), col("nq"), col("cnq")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cid"), col("q")),
-        struct(col("ccos"), (-col("cid")).cast("double").as("neg"))).as("best"))
-      .select(col("vec_id"), col("best").getField("cid").as("cid"),
-        col("best").getField("q").as("q"))
+    // map-side argmax (see assignClusters) — the assignment step of
+    // each Lloyd iteration costs ZERO exchanges; only the (cid, pos)
+    // mean aggregation below shuffles, and it carries scalars
+    val assigned = assignClusters(all, cents)
+      .select(col("vec_id"), col("cid"), col("q"))
     // per-(cluster, position) mean, then rebuild the vector sorted
     // by position (struct sort keys on pos first; pos is unique)
     assigned

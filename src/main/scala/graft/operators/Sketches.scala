@@ -211,13 +211,23 @@ object Sketches {
     * streams, two clusters, a catalog of pre-sketched tables): each
     * side collapses to ≤ 4096 longs, the estimate is a 4096-row
     * join — no key ever shuffles. Output one row: est_pairs.
+    *
+    * A depth row with ZERO overlapping non-empty buckets has true
+    * inner product 0 and must contribute 0 to the min (r10 advice:
+    * the earlier inner join silently dropped such rows, so disjoint
+    * key sets grossly overestimated — and fully disjoint sketches
+    * returned a NULL instead of 0). The left join from a generated
+    * 0..depth−1 row frame guarantees every depth row votes.
     */
-  def cmJoinEstimate(aKeys: DataFrame, bKeys: DataFrame): DataFrame =
-    countMinSketch(aKeys)
+  def cmJoinEstimate(aKeys: DataFrame, bKeys: DataFrame): DataFrame = {
+    val ip = countMinSketch(aKeys)
       .join(countMinSketch(bKeys).withColumnRenamed("cnt", "cnt_b"),
         Seq("r", "bucket"))
       .groupBy(col("r")).agg(sum(col("cnt") * col("cnt_b")).as("ip"))
-      .agg(min(col("ip")).as("est_pairs"))
+    aKeys.sparkSession.range(CmDepth).select(col("id").as("r"))
+      .join(ip, Seq("r"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_pairs"))
+  }
 
   // --- HyperLogLog-style distinct sketch ----------------------------------
 

@@ -590,6 +590,41 @@ object DocStreams {
     q.stop()
   }
 
+  /** Takedown compaction for the EXACT-dedup posting index (r10
+    * verdict #5): [[runExactDedupStream]]'s postings + sz sidecar
+    * are append-only (dup docs stay unindexed so replays re-flag);
+    * when docs are DELETED (takedown / retention), this rewrites
+    * both tables survivors-only — same LSM-style re-cluster as
+    * [[compactIndex]] (band index) and [[compactSearchIndex]]
+    * (BM25): range-partition + sort on (partition key, probe key)
+    * so post-compaction min/max stats are sharp again, fresh blooms
+    * on the probe key. Post-compaction serving must equal a fresh
+    * survivors-only index (spec-pinned, the 45g discipline).
+    */
+  def compactExactIndex(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                        postTable: String, deletedDocs: DataFrame): Unit = {
+    val del = deletedDocs.select(col("doc_id"))
+    val kept = wh.readTable(ref, postTable)
+      .join(del, Seq("doc_id"), "left_anti")
+      .transform(cut)
+      .repartitionByRange(col("bucket"), col("h"))
+      .sortWithinPartitions(col("bucket"), col("h"))
+    wh.writeTablePartitioned(kept, ref, postTable, Seq("bucket"),
+      bloomWriteOptions("h",
+        math.max(1L, kept.count() / math.max(1, kept.rdd.getNumPartitions))))
+    val szTable = s"${postTable}_sz"
+    if (wh.tableExists(ref, szTable)) {
+      val keptSz = wh.readTable(ref, szTable)
+        .join(del, Seq("doc_id"), "left_anti")
+        .transform(cut)
+        .repartitionByRange(col("id_bucket"), col("doc_id"))
+        .sortWithinPartitions(col("id_bucket"), col("doc_id"))
+      wh.writeTablePartitioned(keptSz, ref, szTable, Seq("id_bucket"),
+        bloomWriteOptions("doc_id",
+          math.max(1L, keptSz.count() / math.max(1, keptSz.rdd.getNumPartitions))))
+    }
+  }
+
   /** One packed doc: where it landed in its stream's running
     * concatenation. */
   final case class PackedDoc(stream: Long, doc_id: Long, n_tok: Long,

@@ -94,6 +94,35 @@ class OperatorsSpec extends AnyFunSuite {
       "the duplicate cluster must stay one component")
   }
 
+  test("large-star/small-star components equal min-label CC; rounds << diameter") {
+    import spark.implicits._
+    // (a) real near-dup fixture: LS must equal the propagation CC
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val pairs = Dedup.minhashPairs(docs)
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(Dedup.connectedComponentsLS(pairs)) ==
+      asMap(Dedup.connectedComponents(pairs)),
+      "LS components diverge from min-label CC on the near-dup fixture")
+    // (b) the adversarial shape: a 300-node CHAIN (diameter 300 —
+    // the URL-redirect-chain dup cluster). Min-label needs ~diameter
+    // rounds (maxIter raised so it actually converges); LS must
+    // converge in O(log n) rounds
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (lsLabels, rounds) = Dedup.connectedComponentsLSRounds(chain, maxIter = 50)
+    val ls = asMap(lsLabels)
+    assert(ls.size == 300 && ls.values.forall(_ == 0L),
+      "chain must collapse to one component rooted at 0")
+    assert(rounds <= 12, s"LS took $rounds rounds on a 300-chain (diameter 300)")
+    assert(ls == asMap(Dedup.connectedComponents(chain, maxIter = 400)),
+      "LS diverges from converged min-label CC on the chain")
+    // (c) mixed fixture incl. a self-pair degenerate vertex
+    val mixed = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L))
+      .toDF("doc_a", "doc_b")
+    assert(asMap(Dedup.connectedComponentsLS(mixed)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 7L -> 7L))
+  }
+
   test("hot simhash buckets degrade to star edges with hamming verified") {
     import spark.implicits._
     val n = 200

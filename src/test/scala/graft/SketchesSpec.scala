@@ -296,5 +296,17 @@ class SketchesSpec extends AnyFunSuite {
     // deterministic fixture, so assert the bound outright
     assert(est - exact <= math.ceil(math.E / Sketches.CmWidth * n * n).toLong,
       s"overshoot ${est - exact} beyond the CM05 bound")
+    // disjoint key sets: with CmWidth buckets and a handful of keys
+    // per side, some depth row has zero overlapping non-empty buckets
+    // — its inner product is 0 and must drive the min to 0 (the r10
+    // inner-join shape dropped the row and overestimated; fully
+    // disjoint sketches even returned NULL)
+    import spark.implicits._
+    val left = Seq("a1", "a2", "a3").toDF("w")
+    val right = Seq("zz7", "zz8", "zz9").toDF("w")
+    val dis = Sketches.cmJoinEstimate(left, right).head
+    assert(!dis.isNullAt(0), "disjoint estimate must be 0, not NULL")
+    assert(dis.getAs[Long]("est_pairs") == 0L,
+      s"disjoint keys estimated ${dis.getAs[Long]("est_pairs")} pairs")
   }
 }

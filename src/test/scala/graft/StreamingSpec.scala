@@ -1116,6 +1116,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(wh.readTable(ref, "xpost").count() == postsBefore,
       "replay grew the posting index")
     assert(verdicts() == got, "replay changed the verdicts")
+    // takedown compaction (the 45g pin): delete a quarter of the
+    // docs; the compacted postings + sidecar must equal a FRESH
+    // survivors-only index, and serving a new batch against the
+    // compacted index must equal serving it against the fresh one
+    val delIds = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    DocStreams.compactExactIndex(wh, ref, "xpost",
+      docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")))
+    def postsOf(w: Warehouse, r: Warehouse.DatasetRef, t: String): Set[(Long, Long)] =
+      w.readTable(r, t).select(col("doc_id"), col("h")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    def szOf(w: Warehouse, r: Warehouse.DatasetRef, t: String): Set[(Long, Long)] =
+      w.readTable(r, t).select(col("doc_id"), col("sz")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(postsOf(wh, ref, "xpost").forall(p => !delIds(p._1)),
+      "compaction left postings of deleted docs")
+    assert(szOf(wh, ref, "xpost_sz").forall(p => !delIds(p._1)),
+      "compaction left sidecar rows of deleted docs")
+    // fresh survivors-only index in a separate warehouse
+    val survivorIds = indexed -- delIds
+    val survivors = docs.filter(col("doc_id").isin(survivorIds.toSeq: _*))
+    val root2 = Files.createTempDirectory("graft-wh-xd2").toString
+    val wh2 = new Warehouse(root2, spark)
+    val ref2 = Warehouse.DatasetRef.fromString("proj.xd2")
+    wh2.createDataset(ref2, Warehouse.DatasetMeta())
+    val staged2 = Files.createTempDirectory("graft-xd2")
+    def stageAt(dir: java.nio.file.Path,
+                df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-xd2-$name")
+      df.select(col("doc_id"), lit("x").as("source"), lit("en").as("lang"),
+          col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        dir.resolve(s"$name.parquet"))
+    }
+    stageAt(staged2, survivors, "a_survivors")
+    DocStreams.runExactDedupStream(spark, staged2.toString, wh2, ref2,
+      "ypost", "ydup")
+    assert(postsOf(wh, ref, "xpost") == postsOf(wh2, ref2, "ypost"),
+      "compacted postings differ from a fresh survivors-only index")
+    assert(szOf(wh, ref, "xpost_sz") == szOf(wh2, ref2, "ypost_sz"),
+      "compacted sidecar differs from a fresh survivors-only index")
+    // serving equality: the same new batch probes both indexes
+    val twins2 = docs.select((col("doc_id") + 2 * Dedup.Shift).as("doc_id"),
+      col("text"))
+    val stagedNewA = Files.createTempDirectory("graft-xd-newa")
+    val stagedNewB = Files.createTempDirectory("graft-xd-newb")
+    stageAt(stagedNewA, twins2, "e_twins2")
+    stageAt(stagedNewB, twins2, "e_twins2")
+    DocStreams.runExactDedupStream(spark, stagedNewA.toString, wh, ref,
+      "xpost", "xdup")
+    DocStreams.runExactDedupStream(spark, stagedNewB.toString, wh2, ref2,
+      "ypost", "ydup")
+    def newVerdicts(w: Warehouse, r: Warehouse.DatasetRef, t: String): Set[(Long, Long, Long)] =
+      w.readTable(r, t).select(col("new_doc"), col("matched_doc"),
+          col("jaccard_ppm"))
+        .filter(col("new_doc") >= 2 * Dedup.Shift).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(newVerdicts(wh, ref, "xdup") == newVerdicts(wh2, ref2, "ydup"),
+      "post-takedown serving differs from the fresh survivors-only index")
   }
 
   test("streaming length histogram equals batch row-for-row, replays idempotently, compacts") {
