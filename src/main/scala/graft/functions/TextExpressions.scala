@@ -118,11 +118,54 @@ case class SimHash48(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer — in the JDK):
+  * the canonical-composition pass a text pipeline runs before any
+  * hashing/dedup, because byte-distinct encodings of the same
+  * rendered text ("e"+U+0301 vs U+00E9) would otherwise defeat
+  * exact dedup and split token statistics. Spark has no builtin;
+  * a native expression keeps it codegen'd (the UDF alternative
+  * would break the whole-stage span of the cleaning pipeline).
+  * Cross-engine: DuckDB's nfc_normalize (utf8proc) produces the
+  * same canonical composition — the oracle compares md5s of the
+  * normalized bytes.
+  */
+case class UnicodeNfc(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"unicode_nfc expects string, got $t")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    UnicodeNfc.nfc(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.UnicodeNfc.nfc($s)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object UnicodeNfc {
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    // fast path: already composed (the overwhelmingly common case)
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftColumnBridge
 
   def shingleHash48(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHash48(GraftColumnBridge.expression(tokens), n))
+
+  def unicodeNfc(c: Column): Column =
+    GraftColumnBridge.column(UnicodeNfc(GraftColumnBridge.expression(c)))
 
   def simHash48(tokens: Column): Column =
     GraftColumnBridge.column(SimHash48(GraftColumnBridge.expression(tokens)))

@@ -124,6 +124,31 @@ object Curation {
       tokenHash(htmlStrip(col("h"))).as("clean_hash"))
   }
 
+  /** Unicode NFC normalization audit — the cleaning pass that runs
+    * BEFORE any hash-keyed stage (exact dedup, shingles, URL canon):
+    * byte-distinct encodings of identical rendered text ("e"+U+0301
+    * vs U+00E9) split content hashes and token statistics. The
+    * harness augments each doc with a composed-or-decomposed accent
+    * (by id parity) so both branches of the normalizer are exercised
+    * at every SF; `already_nfc` is the falsifiable signal (odd ids
+    * arrive composed, even ids do not), `norm_hash` certifies the
+    * normalized BYTES against DuckDB's utf8proc nfc_normalize.
+    * Per-row codegen'd expression ([[graft.functions.UnicodeNfc]]);
+    * narrow, no shuffle.
+    */
+  def qUnicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextExpressions.unicodeNfc
+    val raw = concat(col("text"),
+      when(col("doc_id") % 2 === 0, lit("e\u0301")).otherwise(lit("\u00e9")))
+    Tables.documents(s, dir)
+      .withColumn("raw", raw)
+      .withColumn("norm", unicodeNfc(col("raw")))
+      .select(col("doc_id"),
+        (col("raw") === col("norm")).as("already_nfc"),
+        tokenHash(col("norm")).as("norm_hash"),
+        length(col("norm")).cast("long").as("n_chars"))
+  }
+
   // --- semi-structured (JSON) ingest ---------------------------------
 
   /** Every JsonCorruptMod-th record is truncated — the malformed-
@@ -923,6 +948,7 @@ object Curation {
     "q_rater_kappa" -> qRaterKappa _,
     "q_json_extract" -> qJsonExtract _,
     "q_html_strip" -> qHtmlStrip _,
+    "q_unicode_norm" -> qUnicodeNorm _,
     "q_scrub" -> qScrub _,
     "q_chunk_dedup" -> qChunkDedup _,
     "q_cdc_chunks" -> qCdcChunks _,
@@ -1095,6 +1121,15 @@ object Curation {
         |FROM t""".stripMargin,
     "q_json_extract" -> jsonExtractOracle,
     "q_html_strip" -> htmlStripOracle,
+    "q_unicode_norm" ->
+      s"""WITH r AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE chr(233) END
+        |    AS raw FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM r)
+        |SELECT doc_id, (raw = norm) AS already_nfc,
+        |  ('0x' || substr(md5(norm), 1, 12))::BIGINT AS norm_hash,
+        |  length(norm)::BIGINT AS n_chars
+        |FROM n""".stripMargin,
     "q_scrub" ->
       s"""WITH a AS (SELECT doc_id, ($augSql) AS aug FROM documents),
         |s AS (SELECT doc_id, aug,

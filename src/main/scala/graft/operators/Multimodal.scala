@@ -10,13 +10,18 @@ import org.apache.spark.sql.functions._
   * BMP bytes through javax.imageio (in the JDK, no external libs)
   * and extracts true dimensions + a quadrant-mean feature vector;
   * [[pngTable]] renders deterministic PNGs so the path is exercised
-  * end-to-end on genuine image bytes. AUDIO/VIDEO decode stays
-  * STUBBED (`FakeDecoder`, honest md5-derived pseudo-metadata — no
-  * ffmpeg-class libs in this container); undecodable payloads fall
-  * back to the stub flagged media_type="undecodable". Everything
-  * around the decoders — binary column handling, schema, the
-  * mapPartitions-with-batching shape a native decoder wants,
-  * partition sizing — is identical for both paths and spec-tested.
+  * end-to-end on genuine image bytes. AUDIO decode is REAL for
+  * WAV/PCM (r11): [[WavDecoder]] parses RIFF headers and PCM frames
+  * through javax.sound.sampled (also in the JDK) — format metadata
+  * + exact integer signal features, certified against a closed-form
+  * md5 oracle (`q_audio_meta`, the phash discipline). Compressed
+  * audio (mp3/ogg) and VIDEO stay STUBBED (`FakeDecoder`, honest
+  * md5-derived pseudo-metadata — no ffmpeg-class libs in this
+  * container); undecodable payloads fall back to the stub flagged
+  * media_type="undecodable". Everything around the decoders —
+  * binary column handling, schema, the mapPartitions-with-batching
+  * shape a native decoder wants, partition sizing — is identical
+  * for all paths and spec-tested.
   */
 object Multimodal {
 
@@ -309,9 +314,207 @@ object Multimodal {
       phashPairs(imagePhash(phashFixtureTable(s, dir)).toDF())
         .select(col("doc_a"), col("doc_b")))
 
+  // --- REAL audio decode (WAV/PCM via javax.sound.sampled) -------------
+
+  /** One decoded audio payload: format metadata straight from the
+    * RIFF header + exact INTEGER signal features over the PCM
+    * samples (sum of squares = energy, peak amplitude, strict
+    * sign-flip zero crossings) — integers so the oracle compare is
+    * exact, and the standard inputs to loudness/silence/clipping
+    * gates in an audio curation pipeline.
+    */
+  final case class AudioRow(doc_id: Long, sample_rate: Long, channels: Long,
+                            n_samples: Long, sumsq: Long, peak_abs: Long,
+                            zero_cross: Long)
+
+  /** REAL audio decode via javax.sound.sampled (in the JDK — no
+    * external codec libs): WAV/AIFF/AU PCM payloads parse fully
+    * (header + frames); compressed codecs (mp3/ogg — genuinely
+    * lib-blocked) return None and callers fall back to the stub.
+    * First channel only for the signal features (the mono-mixdown
+    * convention); 16-bit signed little-endian PCM assumed for the
+    * sample walk, which [[syntheticWav]] pins and real pipelines
+    * normalize to on ingest.
+    */
+  object WavDecoder {
+    def decode(r: MediaRow): Option[AudioRow] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        val bps = fmt.getSampleSizeInBits / 8
+        if (bps != 2) None
+        else {
+          val stride = bps * fmt.getChannels
+          val n = bytes.length / stride
+          var sumsq = 0L; var peak = 0L; var zc = 0L; var prev = 0
+          var i = 0
+          while (i < n) {
+            val off = i * stride
+            val s = (((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)).toShort.toInt
+            sumsq += s.toLong * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > 0 && s.toLong * prev < 0L) zc += 1
+            prev = s; i += 1
+          }
+          Some(AudioRow(r.doc_id, fmt.getSampleRate.toLong,
+            fmt.getChannels.toLong, n, sumsq, peak, zc))
+        }
+      } catch { case _: Exception => None }
+
+    def decodeBatch(batch: Seq[MediaRow]): Seq[AudioRow] =
+      batch.flatMap(decode)
+
+    /** The raw first-channel 16-bit PCM samples of a decodable WAV —
+      * the input to signal-level fingerprints ([[audioFingerprint]]).
+      */
+    def pcmSamples(r: MediaRow): Option[Array[Int]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        val bps = fmt.getSampleSizeInBits / 8
+        if (bps != 2) None
+        else {
+          val stride = bps * fmt.getChannels
+          val n = bytes.length / stride
+          Some(Array.tabulate(n) { i =>
+            val off = i * stride
+            (((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)).toShort.toInt
+          })
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** Batched REAL audio decode — the javax.sound twin of
+    * [[decodeImages]]: narrow mapPartitions, no shuffle.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(WavDecoder.decodeBatch))
+  }
+
+  /** Closed-form WAV fixture (the [[syntheticGridPng]] discipline):
+    * sample t of doc `id` is the md5₄₈("au_id_t") residue mapped to
+    * [−10000, 10000] — pseudorandom yet computable by both engines —
+    * written through the REAL javax.sound WAV encoder (RIFF header +
+    * 16-bit LE mono PCM at 8 kHz). A hash-green `q_audio_meta`
+    * therefore certifies encode→RIFF-parse→PCM-walk end-to-end
+    * against pure-arithmetic ground truth.
+    */
+  val AudioSamples = 64
+  val AudioRateHz = 8000
+  val AudioFixtureCap = 2000L
+
+  def syntheticWav(id: Long, twin: Boolean = false): Array[Byte] = {
+    val data = new Array[Byte](AudioSamples * 2)
+    for (t <- 0 until AudioSamples) {
+      val base = (graft.functions.GraftFunctions.tokenHashLong(s"au_${id}_$t")
+        % 20001L - 10000L).toInt
+      val v = if (twin && t == AudioTwinT) base + 500 else base
+      data(2 * t) = (v & 0xff).toByte
+      data(2 * t + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      AudioRateHz.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, AudioSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  def audioFixtureTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .filter(_ < AudioFixtureCap)
+      .map(id => MediaRow(id, syntheticWav(id)))
+  }
+
+  def qAudioMeta(s: SparkSession, dir: String): DataFrame =
+    decodeAudio(audioFixtureTable(s, dir)).toDF()
+
+  // --- audio near-dup (energy-envelope fingerprint) ---------------------
+
+  /** 31-bit energy-envelope fingerprint over a REAL WAV decode — the
+    * dHash discipline on audio: split the PCM stream into 2-sample
+    * frames, compute exact integer frame energies Σs², set bit f
+    * when e(f) > e(f+1). Re-encodes and small edits perturb few
+    * frames, so near-identical clips land within a couple of bits;
+    * unrelated clips are ~15 bits apart.
+    */
+  val AudioFpFrames = 32
+  final case class AudioFpRow(doc_id: Long, afp: Long)
+
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFpRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { r =>
+      WavDecoder.pcmSamples(r).map { s =>
+        val nf = s.length / 2
+        val e = Array.tabulate(nf)(f =>
+          s(2 * f).toLong * s(2 * f) + s(2 * f + 1).toLong * s(2 * f + 1))
+        var bits = 0L
+        var f = 0
+        while (f < nf - 1) { if (e(f) > e(f + 1)) bits |= 1L << f; f += 1 }
+        AudioFpRow(r.doc_id, bits)
+      }
+    }))
+  }
+
+  /** Hamming-≤-2 near-dup pairs via 3-chunk (11-bit) pigeonhole
+    * blocking on the 31-bit fingerprint — any pair within distance 2
+    * shares ≥ 1 chunk; exact hamming verifies candidates. Shuffle is
+    * keyed on chunk value, never n².
+    */
+  val AudioMaxHam = 2
+
+  def audioPairs(fp: DataFrame, maxHam: Int = AudioMaxHam): DataFrame = {
+    require(maxHam <= 2, "3-chunk pigeonhole blocking is complete only to hamming 2")
+    val chunks = fp.select(col("doc_id"), col("afp"),
+        explode(sequence(lit(0), lit(2))).as("c"))
+      .withColumn("cv", expr("shiftright(afp, 11 * c) & 2047"))
+    val a = chunks.toDF("doc_a", "fp_a", "c_a", "cv_a")
+    val b = chunks.toDF("doc_b", "fp_b", "c_b", "cv_b")
+    a.join(b, col("c_a") === col("c_b") && col("cv_a") === col("cv_b")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .distinct()
+  }
+
+  /** Near-dup TWIN fixture (the [[syntheticGridPng]] twin
+    * discipline): doc id+AudioShift carries the SAME closed-form
+    * signal with exactly ONE sample ([[AudioTwinT]]) nudged +500 —
+    * one frame energy moves, so at most the two adjacent envelope
+    * comparisons flip: a real re-encode/retouch profile with
+    * closed-form ground truth.
+    */
+  val AudioShift = 8000000L
+  val AudioTwinT = 10
+
+  def audioNeardupTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .filter(_ < AudioFixtureCap)
+      .flatMap(id => Seq(
+        MediaRow(id, syntheticWav(id)),
+        MediaRow(id + AudioShift, syntheticWav(id, twin = true))))
+  }
+
+  def qAudioNeardup(s: SparkSession, dir: String): DataFrame =
+    audioPairs(audioFingerprint(audioNeardupTable(s, dir)).toDF())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_phash" -> qImagePhash _,
-    "q_image_dedup" -> qImageDedup _)
+    "q_image_dedup" -> qImageDedup _,
+    "q_audio_meta" -> qAudioMeta _,
+    "q_audio_neardup" -> qAudioNeardup _)
 
   /** Shared oracle CTE chain ending in `h(doc_id, phash)` — the
     * pure-arithmetic twin of render→decode→sample→dHash over the
@@ -342,6 +545,44 @@ object Multimodal {
       |  FROM b GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_audio_meta" ->
+      s"""WITH base AS (SELECT doc_id FROM documents WHERE doc_id < $AudioFixtureCap),
+        |s AS (SELECT b.doc_id, t.t AS t,
+        |    ('0x' || substr(md5('au_' || b.doc_id || '_' || t.t), 1, 12))::BIGINT
+        |      % 20001 - 10000 AS v
+        |  FROM base b, range(0, $AudioSamples) t(t)),
+        |z AS (SELECT doc_id, t, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv FROM s)
+        |SELECT doc_id, $AudioRateHz::BIGINT AS sample_rate, 1::BIGINT AS channels,
+        |  $AudioSamples::BIGINT AS n_samples,
+        |  sum(v * v)::BIGINT AS sumsq, max(abs(v))::BIGINT AS peak_abs,
+        |  sum(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS zero_cross
+        |FROM z GROUP BY doc_id""".stripMargin,
+    "q_audio_neardup" ->
+      s"""WITH base AS (SELECT doc_id FROM documents WHERE doc_id < $AudioFixtureCap),
+        |ids AS (SELECT doc_id, 0 AS tw FROM base
+        |  UNION ALL SELECT doc_id + $AudioShift, 1 FROM base),
+        |s AS (SELECT i.doc_id, t.t AS t,
+        |    ('0x' || substr(md5('au_' ||
+        |        (i.doc_id - CASE WHEN i.tw = 1 THEN $AudioShift ELSE 0 END) ||
+        |        '_' || t.t), 1, 12))::BIGINT % 20001 - 10000
+        |    + CASE WHEN i.tw = 1 AND t.t = $AudioTwinT THEN 500 ELSE 0 END AS v
+        |  FROM ids i, range(0, $AudioSamples) t(t)),
+        |e AS (SELECT doc_id, t // 2 AS f, sum(v * v)::BIGINT AS ev
+        |  FROM s GROUP BY 1, 2),
+        |b AS (SELECT doc_id, f,
+        |    CASE WHEN ev > lead(ev) OVER (PARTITION BY doc_id ORDER BY f)
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM e),
+        |h AS (SELECT doc_id,
+        |    bit_or(CASE WHEN f < ${AudioFpFrames - 1}
+        |      THEN bit::BIGINT << f ELSE 0 END) AS afp
+        |  FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= $AudioMaxHam""".stripMargin,
     "q_image_phash" ->
       s"""WITH $phashCtes
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -357,14 +357,31 @@ object Sampling {
     * The corpus is scanned twice (once per TakeOrdered consumer);
     * both scans are narrow.
     */
-  def qPrioritySample(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  def qPrioritySample(s: SparkSession, dir: String): DataFrame =
+    prioritySampleFrom(prioritized(Tables.documents(s, dir)))
+
+  /** The deterministic priority assignment — a PURE function of
+    * (doc_id, weight), which is what makes the streaming twin
+    * replay-safe by algebra (a redelivered doc re-derives the same
+    * draw).
+    */
+  private[graft] def prioritized(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         greatest(size(tokens(col("text"))).cast("long"), lit(1L)).as("weight"))
       .withColumn("h", tokenHash(col("doc_id").cast("string")) + lit(1L))
       .withColumn("priority",
         expr("CAST(weight AS DECIMAL(38,0)) * 281474976710656 div h"))
       .select(col("doc_id"), col("weight"), col("priority"))
+
+  /** Sample + τ-estimator from a (doc_id, weight, priority)
+    * candidate frame — shared by the batch operator and the
+    * streaming state server, so both emit identical rows. The input
+    * may be any SUPERSET of the global top-(k+1) (the bottom-k merge
+    * law: top-(k+1) of a union is inside the union of per-shard
+    * top-(k+1)s).
+    */
+  private[graft] def prioritySampleFrom(d: DataFrame): DataFrame = {
     val top = d.orderBy(col("priority").desc, col("doc_id").asc)
       .limit(PriorityK + 1)
     // the minimum of (priority, -doc_id) over the k+1 frame IS the

@@ -45,7 +45,7 @@ object Similarity {
     * hash join shipped; C is bounded by construction (seeded stride /
     * √n scaled stride), so one row holds it comfortably.
     */
-  private def centsArray(cents: DataFrame): DataFrame =
+  private[graft] def centsArray(cents: DataFrame): DataFrame =
     broadcast(cents.agg(
       collect_list(struct(col("cid"), col("cq"), col("cnq"))).as("carr")))
 
@@ -951,6 +951,23 @@ object Similarity {
     // [[assignClusters]] documents the shape)
     val assigned = assignClusters(all, cents)
       .select(col("vec_id"), col("cid"), col("q"), col("nq"))
+    ivfCandidatesFromPostings(assigned, cents, qsQuant,
+      broadcastQueries, excludeSelf, nprobe)
+  }
+
+  /** Candidate generation from an ALREADY-ASSIGNED posting frame
+    * (vec_id, cid, q, nq) — the seam [[ivfCandidatesFor]] shares
+    * with warehouse-served streaming IVF postings
+    * (DocStreams.ivfServeFromIndex): both paths rank with the
+    * identical probe/join/dedup plan, so the streaming index serves
+    * EXACTLY the batch operator's results.
+    */
+  private[graft] def ivfCandidatesFromPostings(assigned: DataFrame,
+                                               cents: DataFrame,
+                                               qsQuant: DataFrame,
+                                               broadcastQueries: Boolean = true,
+                                               excludeSelf: Boolean = false,
+                                               nprobe: Int = NProbe): DataFrame = {
     // queries probe their NProbe nearest lists — ALSO map-side (the
     // k-slot insertion twin of the assignment argmax): the earlier
     // per-query row_number window shuffled query×C rows carrying the
@@ -974,21 +991,41 @@ object Similarity {
       .dropDuplicates("query_id", "vec_id")
   }
 
+  /** Final per-query ranking of a (query_id, vec_id, cos) candidate
+    * frame — per-query window, WindowGroupLimit-pushed, shared by
+    * every IVF consumer so streaming-served and batch results rank
+    * identically (same tie-break, same 1e-6 rounding).
+    */
+  private[graft] def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** IVF search against an arbitrary centroid set and an arbitrary
     * QUANTIZED query set (vec_id, label, q, nq).
     */
   private def searchIvfFor(all: DataFrame, cents: DataFrame, qsQuant: DataFrame,
                            k: Int, broadcastQueries: Boolean = true,
                            excludeSelf: Boolean = false,
-                           nprobe: Int = NProbe): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    ivfCandidatesFor(all, cents, qsQuant, broadcastQueries, excludeSelf, nprobe)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        round(col("cos"), 6).as("cos_sim"))
-  }
+                           nprobe: Int = NProbe): DataFrame =
+    rankCandidates(
+      ivfCandidatesFor(all, cents, qsQuant, broadcastQueries, excludeSelf, nprobe), k)
+
+  /** External-query IVF search with CALLER-PINNED centroids — the
+    * batch twin the streaming warehouse index is spec-pinned against
+    * (a streamed index must serve exactly what a batch build over
+    * the same corpus and the same pinned quantizer would).
+    */
+  def ivfTopKForCents(emb: DataFrame, cents: DataFrame, queries: DataFrame,
+                      k: Int = TopK, broadcastQueries: Boolean = true,
+                      excludeSelf: Boolean = false,
+                      nprobe: Int = NProbe): DataFrame =
+    searchIvfFor(quantized(emb), cents, quantized(queries), k,
+      broadcastQueries, excludeSelf, nprobe)
 
   /** Trained coarse quantizer: TrainIters full Lloyd iterations from
     * the deterministic seeds. Each iteration is one broadcast of the

@@ -1021,6 +1021,138 @@ object DocStreams {
     stats.toSeq
   }
 
+  /** STREAMING IVF ANN INDEX — the search twin of
+    * [[runSemDedupToWarehouse]] (which keeps dedup survivors): every
+    * UNIQUE arriving vector is assigned map-side to its nearest
+    * pinned centroid ([[graft.operators.Similarity.assignClusters]],
+    * zero exchanges) and APPENDED to cid-bucketed posting lists —
+    * the warehouse-resident IVF index a production retrieval stack
+    * maintains incrementally instead of rebuilding per corpus drop.
+    * Centroids are CALLER-PINNED (the streaming-decon pinned-model
+    * discipline: a quantizer that drifted with the stream would
+    * re-assign history). The vec_id sidecar is the replay screen —
+    * redelivered files append nothing. Per-batch I/O: one pruned
+    * sidecar read (id buckets + bloom) + one append; the index is
+    * never rewritten outside [[compactIvfIndex]].
+    */
+  def runIvfIndexStream(spark: SparkSession, stagedDir: String,
+                        cents: DataFrame,
+                        wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                        indexTable: String): Unit = {
+    import graft.operators.Similarity
+    val idsTable = s"${indexTable}_ids"
+    val pinned = cut(cents)
+    val q = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nBuckets = indexBuckets(spark)
+        val pushMax = lookupPushdownMax(spark)
+        val batchIds = batch.toDF().select(col("vec_id")).distinct()
+          .withColumn("id_bucket", bucketOf(col("vec_id"), nBuckets))
+          .transform(cut)
+        val touchedIdB = batchIds.select("id_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val batchVecIds = batchIds.select("vec_id").limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
+        val seen =
+          if (wh.tableExists(ref, idsTable))
+            indexLookup(wh, ref, idsTable, "id_bucket", touchedIdB,
+              "vec_id", batchVecIds, HashIndexReadOptions)._1.select(col("vec_id"))
+          else
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("vec_id", LongType))))
+        val fresh = batch.toDF().join(seen, Seq("vec_id"), "left_anti")
+          .transform(cut)
+        if (fresh.isEmpty) ()
+        else {
+          val assigned = Similarity.assignClusters(Similarity.quantized(fresh), pinned)
+            .withColumn("bucket",
+              pmod(col("cid"), lit(nBuckets.toLong)).cast("int"))
+            .select(col("vec_id"), col("cid"), col("q"), col("nq"), col("bucket"))
+            .repartition(col("bucket"))
+            .sortWithinPartitions(col("bucket"), col("cid"))
+          wh.appendTablePartitioned(assigned, ref, indexTable, Seq("bucket"))
+          val ids = batchIds
+            .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .repartition(col("id_bucket"))
+            .sortWithinPartitions(col("id_bucket"), col("vec_id"))
+          wh.appendTablePartitioned(ids, ref, idsTable, Seq("id_bucket"),
+            bloomWriteOptions("vec_id",
+              batchIds.count() / math.max(1, touchedIdB.size)))
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Serve external queries FROM the warehouse IVF postings: probe
+    * selection runs map-side over the SAME pinned centroids, the
+    * posting read prunes to exactly the probed cid buckets (cid
+    * keyset pushed to row groups — the r5 read-shape discipline:
+    * per-query-batch I/O rides nprobe × list occupancy, never the
+    * index), and candidates rank through the IDENTICAL
+    * [[graft.operators.Similarity.ivfCandidatesFromPostings]] /
+    * rankCandidates plan as batch IVF — so the streamed index
+    * serves EXACTLY what [[graft.operators.Similarity.ivfTopKForCents]]
+    * computes over the same corpus (spec-pinned).
+    */
+  def ivfServeFromIndex(spark: SparkSession,
+                        wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                        indexTable: String, cents: DataFrame,
+                        queries: DataFrame,
+                        k: Int = graft.operators.Similarity.TopK,
+                        nprobe: Int = graft.operators.Similarity.NProbe): DataFrame = {
+    import graft.operators.Similarity
+    val nBuckets = indexBuckets(spark)
+    val pushMax = lookupPushdownMax(spark)
+    val qsQuant = Similarity.quantized(queries)
+    val probed = qsQuant.crossJoin(Similarity.centsArray(cents))
+      .select(explode(graft.functions.VecExpressions.nearestCentroidsK(
+        col("q"), col("nq"), col("carr"), nprobe)).as("probe"))
+      .select(col("probe").getField("cid").as("cid")).distinct()
+      .transform(cut)
+    val touchedB = probed
+      .select(pmod(col("cid"), lit(nBuckets.toLong)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val probeCids = probed.limit(pushMax + 1).collect().map(_.getLong(0)).toSeq
+    val postings = indexLookup(wh, ref, indexTable,
+      "bucket", touchedB, "cid", probeCids)._1
+      .select(col("vec_id"), col("cid"), col("q"), col("nq"))
+    Similarity.rankCandidates(
+      Similarity.ivfCandidatesFromPostings(postings, cents, qsQuant,
+        broadcastQueries = true, excludeSelf = false, nprobe), k)
+  }
+
+  /** Takedown compaction for the streaming IVF index: survivors-only
+    * rewrite of postings + sidecar, re-clustered on (bucket, cid) —
+    * the [[compactIndex]] discipline; post-takedown serving must
+    * equal a batch IVF over the surviving corpus (spec-pinned).
+    */
+  def compactIvfIndex(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                      indexTable: String, deletedVecs: DataFrame): Unit = {
+    val del = deletedVecs.select(col("vec_id"))
+    val kept = wh.readTable(ref, indexTable)
+      .join(del, Seq("vec_id"), "left_anti")
+      .transform(cut)
+      .repartitionByRange(col("bucket"), col("cid"))
+      .sortWithinPartitions(col("bucket"), col("cid"))
+    wh.writeTablePartitioned(kept, ref, indexTable, Seq("bucket"))
+    val idsTable = s"${indexTable}_ids"
+    if (wh.tableExists(ref, idsTable)) {
+      val keptIds = wh.readTable(ref, idsTable)
+        .join(del, Seq("vec_id"), "left_anti")
+        .transform(cut)
+        .repartitionByRange(col("id_bucket"), col("vec_id"))
+        .sortWithinPartitions(col("id_bucket"), col("vec_id"))
+      wh.writeTablePartitioned(keptIds, ref, idsTable, Seq("id_bucket"),
+        bloomWriteOptions("vec_id",
+          math.max(1L, keptIds.count() / math.max(1, keptIds.rdd.getNumPartitions))))
+    }
+  }
+
   /** Streaming benchmark decontamination: the benchmark's distinct
     * 5-gram shingle set is computed ONCE (it is small by
     * construction and broadcasts), and every arriving micro-batch is
@@ -1959,6 +2091,78 @@ object DocStreams {
         lit("compact").as("batch_key"), col("doc_id"), col("v"), col("h"))
       .withColumn("pbucket",
         pmod(xxhash64(col("qs_key")), lit(indexBuckets(spark).toLong)).cast("int"))
+      .transform(cut)
+    wh.writeTablePartitioned(folded, ref, sampTable, Seq("pbucket"))
+  }
+
+  /** STREAMING priority sample (Duffield-Lund-Thorup weighted
+    * sampling without replacement) — the weighted mirror of
+    * [[runBottomKStream]]: priorities are PURE functions of
+    * (doc_id, weight) ([[graft.operators.Sampling.prioritized]]), so
+    * each micro-batch appends its own top-(k+1) candidates keyed by
+    * a content-derived batch key (redelivery upserts the same rows)
+    * and serving re-trims the union — the top-(k+1) merge law makes
+    * the served sample EXACTLY the batch operator's, including the
+    * τ threshold and the unbiased ŵ estimator (spec-pinned). State
+    * is O(batches × (k+1)) tiny scalar rows, foldable to one
+    * top-(k+1) by [[compactPrioritySample]].
+    */
+  def runPrioritySampleStream(spark: SparkSession, stagedDir: String,
+                              wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                              sampTable: String): Unit = {
+    import graft.operators.Sampling
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        if (b.isEmpty) ()
+        else {
+          val keyRow = b.agg(min(col("doc_id")), max(col("doc_id")),
+            count(lit(1))).head
+          val batchKey = s"${keyRow.getLong(0)}-${keyRow.getLong(1)}-${keyRow.getLong(2)}"
+          val partial = Sampling.prioritized(b)
+            .orderBy(col("priority").desc, col("doc_id").asc)
+            .limit(Sampling.PriorityK + 1)
+            .select(concat(lit(batchKey), lit("#"), col("doc_id")).as("pr_key"),
+              lit(batchKey).as("batch_key"),
+              col("doc_id"), col("weight"), col("priority"))
+          upsertPartitioned(wh, ref, sampTable, partial, "pr_key")
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The sample + τ estimator served from streamed candidates:
+    * distinct rows (idempotence fold) through the SAME
+    * [[graft.operators.Sampling.prioritySampleFrom]] tail as the
+    * batch operator.
+    */
+  def prioritySampleFromState(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                              sampTable: String): DataFrame =
+    graft.operators.Sampling.prioritySampleFrom(
+      wh.readTable(ref, sampTable)
+        .select(col("doc_id"), col("weight"), col("priority")).distinct())
+
+  /** Fold stored candidates to the global top-(k+1) — NOT the final
+    * k-sample: the boundary row defines τ and must survive the fold
+    * (retrim of a retrim is a no-op, so serving is unchanged).
+    */
+  def compactPrioritySample(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                            sampTable: String): Unit = {
+    val spark = wh.readTable(ref, sampTable).sparkSession
+    val folded = wh.readTable(ref, sampTable)
+      .select(col("doc_id"), col("weight"), col("priority")).distinct()
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(graft.operators.Sampling.PriorityK + 1)
+      .select(concat(lit("compact#"), col("doc_id")).as("pr_key"),
+        lit("compact").as("batch_key"),
+        col("doc_id"), col("weight"), col("priority"))
+      .withColumn("pbucket",
+        pmod(xxhash64(col("pr_key")), lit(indexBuckets(spark).toLong)).cast("int"))
       .transform(cut)
     wh.writeTablePartitioned(folded, ref, sampTable, Seq("pbucket"))
   }

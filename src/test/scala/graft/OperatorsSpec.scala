@@ -1013,6 +1013,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fallback.forall(_.features.length == 8))
   }
 
+  test("real WAV decode recovers format and exact PCM features") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.decodeAudio(Multimodal.audioFixtureTable(spark, sf))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.sample_rate == Multimodal.AudioRateHz
+      && r.channels == 1 && r.n_samples == Multimodal.AudioSamples))
+    // driver-side replay of the closed-form signal: decode must
+    // reproduce the exact integer features
+    rows.take(25).foreach { r =>
+      val s = (0 until Multimodal.AudioSamples).map(t =>
+        (graft.functions.GraftFunctions.tokenHashLong(s"au_${r.doc_id}_$t")
+          % 20001L - 10000L))
+      assert(r.sumsq == s.map(v => v * v).sum, s"sumsq off for ${r.doc_id}")
+      assert(r.peak_abs == s.map(math.abs).max)
+      assert(r.zero_cross ==
+        s.sliding(2).count(p => p.head * p.last < 0))
+    }
+    // non-audio bytes are skipped, not mis-decoded
+    assert(Multimodal.decodeAudio(Multimodal.mediaTable(spark, sf))
+      .collect().isEmpty, "text payloads must not parse as WAV")
+    // and real PNG bytes are not audio either
+    assert(Multimodal.decodeAudio(Multimodal.pngTable(spark, sf))
+      .collect().isEmpty, "PNG payloads must not parse as WAV")
+  }
+
+  test("audio near-dup: every twin found within hamming 2, blocking complete") {
+    import graft.operators.Multimodal
+    val pairs = Multimodal.qAudioNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nBase = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < Multimodal.AudioFixtureCap).count()
+    // every (id, id+Shift) twin pair surfaces — the one-perturbed-
+    // sample retouch flips at most the two adjacent envelope bits
+    val twins = pairs.filter(p => p._2 == p._1 + Multimodal.AudioShift)
+    assert(twins.length == nBase, s"${nBase - twins.length} twins missed")
+    assert(twins.forall(_._3 <= Multimodal.AudioMaxHam))
+    // blocking completeness: pairs equal a brute-force hamming scan
+    val fps = Multimodal.audioFingerprint(
+      Multimodal.audioNeardupTable(spark, sf)).collect()
+      .map(r => (r.doc_id, r.afp))
+    val brute = (for {
+      a <- fps; b <- fps if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2)
+      if h <= Multimodal.AudioMaxHam
+    } yield (a._1, b._1, h.toLong)).toSet
+    assert(pairs.toSet == brute, "pigeonhole blocking missed a pair")
+  }
+
   test("multimodal resize preserves aspect and never upscales") {
     val decoded = Multimodal.decode(Multimodal.mediaTable(spark, sf))
     val resized = Multimodal.resize(decoded, 320, 240).collect()

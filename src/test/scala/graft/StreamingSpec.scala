@@ -283,6 +283,62 @@ class StreamingSpec extends AnyFunSuite {
       "re-submitted copy of the deleted doc was not admitted as new")
   }
 
+  test("streaming IVF index serves exactly the batch search; replay + takedown") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    import graft.extract.Warehouse
+    import graft.operators.Similarity
+    import graft.streaming.DocStreams
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    // two micro-batches split by id parity; pinned seeded centroids
+    val staged = Files.createTempDirectory("graft-ivfidx")
+    def stageAt(dir: java.nio.file.Path,
+                df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-ivfidx-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        dir.resolve(s"$name.parquet"))
+    }
+    stageAt(staged, emb.filter(col("vec_id") % 2 === 0), "a_even")
+    stageAt(staged, emb.filter(col("vec_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-ivfidx").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.ivfidx")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    val cents = Similarity.seedCentroids(Similarity.quantized(emb))
+      .localCheckpoint()
+    DocStreams.runIvfIndexStream(spark, staged.toString, cents, wh, ref, "ivfpost")
+    assert(wh.readTable(ref, "ivfpost").count() == emb.count(),
+      "index must hold every unique vector")
+    val queries = Similarity.defaultQueries(emb)
+    def serve(): Seq[(Long, Long, Int, Double)] =
+      DocStreams.ivfServeFromIndex(spark, wh, ref, "ivfpost", cents, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSeq.sorted
+    val batchTwin = Similarity.ivfTopKForCents(emb, cents, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(serve() == batchTwin,
+      "warehouse-served IVF differs from the batch operator")
+    // replay: full redelivery appends nothing, serving unchanged
+    stageAt(staged, emb.filter(col("vec_id") % 2 === 0), "c_replay_even")
+    DocStreams.runIvfIndexStream(spark, staged.toString, cents, wh, ref, "ivfpost")
+    assert(wh.readTable(ref, "ivfpost").count() == emb.count(),
+      "replay grew the posting index")
+    assert(serve() == batchTwin, "replay changed the served results")
+    // takedown: drop a quarter of the vectors; serving must equal a
+    // batch IVF over the SURVIVING corpus under the same pinned cents
+    val deleted = emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"))
+    DocStreams.compactIvfIndex(wh, ref, "ivfpost", deleted)
+    val survivors = emb.filter(col("vec_id") % 4 =!= 0)
+    val afterTwin = Similarity.ivfTopKForCents(survivors, cents, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(serve() == afterTwin,
+      "post-takedown serving differs from batch IVF over the survivors")
+  }
+
   test("streaming semantic dedup: append-shaped index, clones flagged cross-batch") {
     import org.apache.spark.sql.functions._
     import java.nio.file.{Files, Paths}
@@ -1308,6 +1364,49 @@ class StreamingSpec extends AnyFunSuite {
     // compaction folds the state to exactly the served k rows
     DocStreams.compactBottomK(wh, ref, "qsamp")
     assert(wh.readTable(ref, "qsamp").count() <= Sketches.QsK.toLong)
+    assert(served() == batch)
+  }
+
+  test("streaming priority sample equals batch incl. tau, replay-safe, compacts") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import graft.operators.Sampling
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-prs")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-prs-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        staged.resolve(s"$name.parquet"))
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "a_even")
+    stage(docs.filter(col("doc_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-prs").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.prs")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runPrioritySampleStream(spark, staged.toString, wh, ref, "prsamp")
+    def six(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Long, Long)] =
+      df.select(col("doc_id"), col("weight"), col("priority").cast("long"),
+          col("tau").cast("long"), col("w_hat").cast("long"), col("p_ppm").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sorted.toSeq
+    val batch = six(Sampling.qPrioritySample(spark, sf))
+    def served(): Seq[(Long, Long, Long, Long, Long, Long)] =
+      six(DocStreams.prioritySampleFromState(wh, ref, "prsamp"))
+    assert(batch.nonEmpty && served() == batch,
+      "streamed candidates must re-trim to the batch sample incl. tau/w_hat")
+    // replay with NO screen: redelivery upserts the same keyed rows
+    stage(docs, "d_replay")
+    DocStreams.runPrioritySampleStream(spark, staged.toString, wh, ref, "prsamp")
+    assert(served() == batch, "redelivery changed the served sample")
+    // compaction folds to the global top-(k+1), serving unchanged
+    DocStreams.compactPrioritySample(wh, ref, "prsamp")
+    assert(wh.readTable(ref, "prsamp").count() <= Sampling.PriorityK + 1L)
     assert(served() == batch)
   }
 
