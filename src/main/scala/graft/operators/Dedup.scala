@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -1017,7 +1017,123 @@ object Dedup {
       |        FROM range(0, $SpanLongFillerN) t(i)) || ' $spanLongRun' AS text
       |    UNION ALL SELECT 5000002, 'xx yy zz $spanLongRun'""".stripMargin
 
+  // --- edit-distance similarity join (PassJoin) ------------------------
+
+  /** Edit-distance threshold for the join (≤ 2 single-char edits). */
+  val EditMaxK = 2
+  /** Normalized join-key prefix length (chars). */
+  val EditKeyLen = 24
+  /** Shortest key the k+1-segment scheme partitions (k+1 non-empty
+    * segments need at least k+1 chars).
+    */
+  val EditMinLen: Int = EditMaxK + 1
+
+  /** ASCII-normalized fixed-length join key: strip every char outside
+    * [A-Za-z0-9 ] BEFORE lowercasing (ASCII-only lower is identical
+    * in every engine; Unicode lower is not — and DuckDB's
+    * `levenshtein` counts BYTES, so the key must be ASCII for the
+    * oracle to measure the same distance Spark does), then take the
+    * first [[EditKeyLen]] chars. A narrow codegen'd projection.
+    */
+  def editKeys(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      substring(lower(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")),
+        1, EditKeyLen).as("key"))
+      .filter(length(col("key")) >= EditMinLen)
+
+  /** Even k+1-way partition of a length-L key (PassJoin, Li et al.,
+    * VLDB'11): with q = L div (k+1) and r = L mod (k+1), the first
+    * k+1−r segments have length q and the last r have q+1; returns
+    * (i, start, len) columns for segment index column `i` (1-based
+    * start, matching SQL substring).
+    */
+  private def segGeom(lenCol: Column, i: Column): (Column, Column) = {
+    val kp1 = lit(EditMaxK + 1)
+    val q = floor(lenCol / kp1).cast("int")
+    val r = lenCol % kp1
+    val li = q + when(i >= kp1 - r, 1).otherwise(0)
+    val st = lit(1) + i * q + greatest(lit(0), i - (kp1 - r))
+    (st, li)
+  }
+
+  /** All-pairs edit-distance join: every unordered (doc_a, doc_b)
+    * pair whose normalized keys are within [[EditMaxK]] Levenshtein
+    * edits, with the exact distance. PassJoin candidate generation:
+    * each key is evenly cut into k+1 segments (index side); by
+    * pigeonhole an optimal ≤ k-edit alignment leaves at least one
+    * segment of `a` untouched, and that segment appears VERBATIM in
+    * `b` shifted by at most k (the net insertions/deletions before
+    * it). The probe side therefore enumerates, for each key `b`,
+    * every candidate partner length lr ∈ [len(b)−k, len(b)+k], each
+    * segment's geometry AT THAT LENGTH, and the ≤ 2k+1 substrings of
+    * `b` inside the shift window — a pure EQUI-join on
+    * (partner_len, segment_index, substring), never a cartesian.
+    * Fan-out is constant per row ((2k+1)·(k+1)·(2k+1) ≈ 75 probe
+    * rows at k=2); candidates dedup on the pair key before the
+    * O(len²) verify, so the only data-dependent cost is the true
+    * near-pair mass plus segment-collision noise. Hot segment values
+    * (boilerplate prefixes) bound fan-out by the segment's
+    * selectivity — at web scale, salt the key with one extra context
+    * char or raise [[EditKeyLen]] rather than capping, since the
+    * family's contract is EXACT (no false negatives).
+    *
+    * Reference has no edit-distance tier (dumpty dedups on content
+    * hash only); this implements the standard PassJoin scheme on the
+    * [[prefixJoinPairs]] discipline: bucketed candidates + exact
+    * verify, zero O(n²) stages.
+    */
+  def editJoinPairs(docs: DataFrame, maxK: Int = EditMaxK): DataFrame = {
+    require(maxK == EditMaxK,
+      s"segment scheme is sized for k=$EditMaxK (k+1 segments)")
+    val k = lit(maxK)
+    val keys = editKeys(docs).withColumn("ls", length(col("key")))
+    // index side: the k+1 segments of every key
+    val idx = keys
+      .select(col("doc_id").as("doc_a"), col("key").as("key_a"),
+        col("ls").as("len_a"),
+        explode(sequence(lit(0), k)).as("i"))
+    val (ist, ili) = segGeom(col("len_a"), col("i"))
+    val segs = idx.select(col("doc_a"), col("key_a"), col("len_a"), col("i"),
+      col("key_a").substr(ist, ili).as("seg"))
+    // probe side: substrings of every key in the shifted windows of
+    // each candidate partner length's segments
+    val probe0 = keys
+      .select(col("doc_id").as("doc_b"), col("key").as("key_b"),
+        col("ls").as("len_b"),
+        explode(sequence(col("ls") - k, col("ls") + k)).as("lr"))
+      .filter(col("lr") >= EditMinLen && col("lr") <= EditKeyLen)
+      .select(col("doc_b"), col("key_b"), col("len_b"), col("lr"),
+        explode(sequence(lit(0), k)).as("i"))
+    val (pst, pli) = segGeom(col("lr"), col("i"))
+    val probe = probe0
+      .withColumn("st", pst).withColumn("li", pli)
+      .select(col("doc_b"), col("key_b"), col("len_b"), col("lr"), col("i"),
+        col("li"),
+        explode(sequence(col("st") - k, col("st") + k)).as("p"))
+      .filter(col("p") >= 1 && col("p") <= col("len_b") - col("li") + 1)
+      .select(col("doc_b"), col("key_b"), col("len_b"), col("lr"), col("i"),
+        col("key_b").substr(col("p"), col("li")).as("sub"))
+    val cand = segs.join(probe,
+        col("len_a") === col("lr") && segs("i") === probe("i") &&
+          col("seg") === col("sub") && col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        when(col("doc_a") < col("doc_b"), col("key_a"))
+          .otherwise(col("key_b")).as("key_a"),
+        when(col("doc_a") < col("doc_b"), col("key_b"))
+          .otherwise(col("key_a")).as("key_b"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("long"))
+      .filter(col("dist") <= maxK)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  def qEditJoin(s: SparkSession, dir: String): DataFrame =
+    editJoinPairs(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edit_join" -> qEditJoin _,
     "q_prefix_join" -> qPrefixJoin _,
     "q_prefix_incremental" -> qPrefixIncremental _,
     "q_span_long" -> qSpanLong _,
@@ -1229,6 +1345,16 @@ object Dedup {
       |        >= $PrefixTauPpm""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_edit_join" ->
+      s"""WITH s AS (SELECT doc_id,
+        |    substring(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')),
+        |      1, $EditKeyLen) AS key FROM documents),
+        |f AS (SELECT * FROM s WHERE length(key) >= $EditMinLen)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.key, b.key)::BIGINT AS dist
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |  AND abs(length(a.key) - length(b.key)) <= $EditMaxK
+        |WHERE levenshtein(a.key, b.key) <= $EditMaxK""".stripMargin,
     "q_prefix_incremental" -> prefixIncrementalSql,
     "q_prefix_join" -> prefixJoinSql,
     "q_sketch_overlap" -> {

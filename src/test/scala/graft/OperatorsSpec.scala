@@ -1305,4 +1305,107 @@ class OperatorsSpec extends AnyFunSuite {
     val scaled = Similarity.silhouetteScaled(emb).collect()
     assert(scaled.map(_.getAs[Long]("n_members")).sum == emb.count())
   }
+
+  test("edit join equals brute-force levenshtein over docs + engineered twins") {
+    import spark.implicits._
+    // engineered twins exercise normalization (case/punct), pure
+    // substitution (distance exactly 1), deletion (≤ 2 after the
+    // 24-char window refills), and a far miss
+    val extra = Seq(
+      (900001L, "edit base alpha beta gamma"),
+      (900002L, "edYt, base alpha beta gamma!!"), // 1 sub + stripped junk
+      (900003L, "edt base alpha beta gamma"),     // 1 deletion
+      (900004L, "zzqv wwyx kkjh mmnb ppoi")       // far from everything
+    ).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).unionAll(extra)
+    val got = Dedup.editJoinPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val keys = Dedup.editKeys(docs)
+    val brute = keys.toDF("doc_a", "key_a")
+      .join(keys.toDF("doc_b", "key_b"),
+        col("doc_a") < col("doc_b") &&
+          abs(length(col("key_a")) - length(col("key_b"))) <= Dedup.EditMaxK)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))
+      .filter(col("dist") <= Dedup.EditMaxK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"edit join must equal brute force: missing=${(brute -- got).take(3)} " +
+        s"extra=${(got -- brute).take(3)}")
+    assert(got.contains((900001L, 900002L, 1L)), "substitution twin at dist 1")
+    assert(got.exists(p => p._1 == 900001L && p._2 == 900003L), "deletion twin")
+    assert(!got.exists(p => p._1 == 900004L || p._2 == 900004L), "far miss")
+  }
+
+  test("edit join candidate scheme is complete under random ≤k-edit mutations") {
+    import spark.implicits._
+    // seeded mutations over normalized-form bases ≤ 22 chars: after
+    // ≤ 2 inserts the key window never truncates, so levenshtein on
+    // the keys is ≤ the edit count and every pair MUST be found
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    def randChar() = alpha(rnd.nextInt(alpha.length))
+    val rows = (0 until 40).flatMap { g =>
+      val len = 10 + rnd.nextInt(13) // 10..22
+      val base = Array.fill(len)(randChar()).mkString
+      val nEdits = 1 + rnd.nextInt(Dedup.EditMaxK)
+      val mutated = (0 until nEdits).foldLeft(base) { (s, _) =>
+        val p = rnd.nextInt(s.length)
+        rnd.nextInt(3) match {
+          case 0 => s.updated(p, randChar())                       // sub
+          case 1 if s.length > 10 => s.take(p) + s.drop(p + 1)     // del
+          case _ => s.take(p) + randChar() + s.drop(p)             // ins
+        }
+      }
+      Seq((1000000L + 2 * g, base), (1000001L + 2 * g, mutated))
+    }.toDF("doc_id", "text")
+    val got = Dedup.editJoinPairs(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 40).map(g => (1000000L + 2 * g, 1000001L + 2 * g)).toSet
+    // every (base, mutated) pair is within k edits by construction —
+    // other cross-group collisions may legitimately also appear
+    assert(want.subsetOf(got),
+      s"PassJoin missed engineered pairs: ${(want -- got).take(5)}")
+  }
+
+  test("mp4 box writer round-trips through the parser to closed-form values") {
+    import graft.functions.GraftFunctions.tokenHashLong
+    for (id <- Seq(0L, 1L, 7L, 399L)) {
+      val got = Multimodal.Mp4Parser.parse(
+        Multimodal.MediaRow(id, Multimodal.syntheticMp4(id)))
+      val ts = 1000L + tokenHashLong(s"vt_$id") % 49001L
+      val dur = tokenHashLong(s"vd_$id") % 10000000L
+      val nTracks = 1L + tokenHashLong(s"vn_$id") % 3L
+      assert(got.ok && got.brand == "isom")
+      assert(got.timescale == ts && got.duration_ticks == dur)
+      assert(got.duration_ms == dur * 1000L / ts)
+      assert(got.n_tracks == nTracks && got.n_video == 1L &&
+        got.n_audio == nTracks - 1L)
+      assert(got.width == 16L * (1L + tokenHashLong(s"vw_$id") % 240L))
+      assert(got.height == 16L * (1L + tokenHashLong(s"vh_$id") % 135L))
+    }
+  }
+
+  test("mp4 parser survives malformed payloads and handles v1/largesize boxes") {
+    import Multimodal.{Mp4, Mp4Parser, MediaRow}
+    // garbage, truncation mid-box, and empty all land ok=false
+    assert(!Mp4Parser.parse(MediaRow(1L, "not a video".getBytes)).ok)
+    assert(!Mp4Parser.parse(MediaRow(2L, Multimodal.syntheticMp4(5L).take(40))).ok)
+    assert(!Mp4Parser.parse(MediaRow(3L, Array.emptyByteArray)).ok)
+    // a PNG is a well-formed binary that is NOT ISO-BMFF
+    assert(!Mp4Parser.parse(
+      MediaRow(4L, Multimodal.syntheticGridPng(1L, twin = false))).ok)
+    // version-1 mvhd (64-bit times) wrapped in a largesize moov box
+    val mvhdV1Body = Mp4.u32(1L << 24) ++ new Array[Byte](16) ++
+      Mp4.u32(90000L) ++ Mp4.u32(0) ++ Mp4.u32(450000L) ++
+      Mp4.u32(0x00010000L) ++ Mp4.u16(0x0100) ++ new Array[Byte](78)
+    val mvhdV1 = Mp4.u32(mvhdV1Body.length + 8L) ++ "mvhd".getBytes ++ mvhdV1Body
+    val inner = mvhdV1 ++ Mp4.trak(1L, 450000L, 90000L, 640L, 480L, "vide")
+    val moov64 = Mp4.u32(1L) ++ "moov".getBytes ++
+      Mp4.u32(0) ++ Mp4.u32(inner.length + 16L) ++ inner
+    val got = Mp4Parser.parse(MediaRow(9L, Mp4.ftyp ++ moov64))
+    assert(got.ok && got.timescale == 90000L && got.duration_ticks == 450000L)
+    assert(got.duration_ms == 5000L && got.width == 640L && got.n_video == 1L)
+  }
 }
