@@ -527,9 +527,90 @@ object Sketches {
         col("rk_s"), col("rk_n"), col("n_corpus"), col("n_sample"))
   }
 
+  // --- KMV set-operation sketch -----------------------------------------
+
+  /** KMV synopsis size (k smallest distinct hashes per source). */
+  val KmvK = 256
+  /** Hash range: tokenHash / shingleHashes are 48-bit md5 prefixes,
+    * uniform on [0, 2^48).
+    */
+  val KmvH: Long = 1L << 48
+  /** The unbiased-estimator numerator (k−1)·H (Beyer et al. 2007). */
+  val KmvNum: Long = (KmvK - 1).toLong * KmvH
+
+  /** Per-source KMV synopsis: the [[KmvK]] smallest DISTINCT shingle
+    * hashes, built by one bounded-state partial aggregation
+    * ([[graft.functions.BottomKSet]]) — O(k) task state however many
+    * billions of distinct shingles a source owns, no pre-`distinct`
+    * shuffle, no per-source sort. The k-trim commutes with union, so
+    * per-shard synopses merge with no coordination (the HLL posture),
+    * but unlike HLL the surviving hash VALUES support intersection
+    * estimates too ([[kmvSetOps]]) — the one set operation HLL's
+    * registers cannot answer. Same 3-shingle universe as
+    * `q_source_overlap` / `q_sketch_overlap`, so all three tiers
+    * (exact matrix / minhash Jaccard / KMV cardinalities) measure the
+    * same sets.
+    */
+  def kmvSourceSketch(docs: DataFrame): DataFrame = {
+    val bk = udaf(new graft.functions.BottomKSet(KmvK))
+    docs.select(col("source"),
+        explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+      .groupBy(col("source")).agg(bk(col("h")).as("kmv"))
+  }
+
+  /** Distinct-count estimate from a KMV synopsis column: exact when
+    * the synopsis is untrimmed (it IS the distinct set), else the
+    * unbiased (k−1)·H / h₍k₎ (Beyer et al. SIGMOD'07) in pure int64
+    * — (k−1)·H ≈ 7.2e16 cannot overflow, and `div` keeps the
+    * arithmetic reproducible in DuckDB (`//`).
+    */
+  private def kmvEst(arr: String): Column =
+    when(size(col(arr)) < KmvK, size(col(arr)).cast("long"))
+      .otherwise(expr(s"${KmvNum}L div element_at($arr, $KmvK)"))
+
+  /** Pairwise source set-operation estimates from KMV synopses:
+    * distinct cardinality per side, union (the k-trim of the merged
+    * synopses is itself the union's KMV), intersection (ρ·D̂ over the
+    * merged synopsis — Beyer et al.'s set-expression estimator), and
+    * the implied Jaccard. The sketch table is sources-sized, so the
+    * pair stage is a broadcast self-join over O(sources²) rows with
+    * O(k) array work each — nothing corpus-proportional survives the
+    * one partial-agg shuffle in [[kmvSourceSketch]]. When a pair's
+    * merged synopsis is untrimmed (small sources), every column is
+    * EXACT by construction: est_union = |A∪B|, n_inter = |A∩B|, and
+    * the ρ·D̂ product collapses to |A∩B| — the small-case degeneracy
+    * the spec pins. The ρ·D̂ product rides DECIMAL(38,0) (the PMI
+    * idiom): n_inter·est_union can reach 256·7.2e16 ≈ 1.8e19, past
+    * int64.
+    */
+  def kmvSetOps(docs: DataFrame): DataFrame = {
+    val sk = kmvSourceSketch(docs)
+    val a = sk.select(col("source").as("src_a"), col("kmv").as("kmv_a"))
+    val b = sk.select(col("source").as("src_b"), col("kmv").as("kmv_b"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("kmv_u",
+        slice(array_sort(array_distinct(concat(col("kmv_a"), col("kmv_b")))),
+          1, KmvK))
+      .withColumn("n_inter", expr(
+        "cast(size(filter(kmv_u, x -> array_contains(kmv_a, x)" +
+          " AND array_contains(kmv_b, x))) as long)"))
+      .withColumn("est_union", kmvEst("kmv_u"))
+      .withColumn("est_inter", expr(
+        "cast((cast(n_inter as decimal(38,0)) * est_union)" +
+          " div size(kmv_u) as long)"))
+      .select(col("src_a"), col("src_b"),
+        kmvEst("kmv_a").as("est_a"), kmvEst("kmv_b").as("est_b"),
+        col("est_union"), col("n_inter"), col("est_inter"),
+        expr(s"(n_inter * 1000000L) div size(kmv_u)").as("est_jaccard_ppm"))
+  }
+
+  def qKmvSetOps(s: SparkSession, dir: String): DataFrame =
+    kmvSetOps(Tables.documents(s, dir))
+
   // --- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_setops" -> qKmvSetOps _,
     "q_pmi_phrases" -> qPmiPhrases _,
     "q_phrase_apply" -> qPhraseApply _,
     "q_count_min" -> qCountMin _,
@@ -541,6 +622,40 @@ object Sketches {
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "q_kmv_setops" ->
+      s"""WITH tok AS (
+        |  SELECT source, unnest(hs) AS h FROM (
+        |    SELECT source,
+        |      list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |        i -> ('0x' || substr(md5(concat_ws('', toks[i], toks[i+1], toks[i+2])), 1, 12))::BIGINT)
+        |        AS hs
+        |    FROM (SELECT source, $toksSql AS toks FROM documents))),
+        |d AS (SELECT DISTINCT source, h FROM tok),
+        |bk AS (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d),
+        |sk AS (SELECT source, h FROM bk WHERE rn <= $KmvK),
+        |st AS (SELECT source, count(*)::BIGINT AS n, max(h) AS hk
+        |  FROM sk GROUP BY source),
+        |est AS (SELECT source, n,
+        |    CASE WHEN n < $KmvK THEN n ELSE $KmvNum // hk END AS e FROM st),
+        |pr AS (SELECT a.source AS sa, b.source AS sb, a.e AS est_a, b.e AS est_b
+        |  FROM est a JOIN est b ON a.source < b.source),
+        |uni AS (SELECT p.sa, p.sb, s.h, count(*)::BIGINT AS sides
+        |  FROM pr p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+        |  GROUP BY p.sa, p.sb, s.h),
+        |ubk AS (SELECT sa, sb, h, sides,
+        |    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM uni),
+        |us AS (SELECT sa, sb, count(*)::BIGINT AS un, max(h) AS uhk,
+        |    sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END)::BIGINT AS ni
+        |  FROM ubk WHERE rn <= $KmvK GROUP BY sa, sb),
+        |f AS (SELECT sa, sb, un, ni,
+        |    CASE WHEN un < $KmvK THEN un ELSE $KmvNum // uhk END AS est_union
+        |  FROM us)
+        |SELECT p.sa AS src_a, p.sb AS src_b, p.est_a, p.est_b,
+        |  f.est_union, f.ni AS n_inter,
+        |  ((f.ni::HUGEINT * f.est_union::HUGEINT) // f.un)::BIGINT AS est_inter,
+        |  ((f.ni * 1000000) // f.un)::BIGINT AS est_jaccard_ppm
+        |FROM pr p JOIN f ON f.sa = p.sa AND f.sb = p.sb""".stripMargin,
     "q_quantile_sketch" ->
       s"""WITH d AS (SELECT doc_id, len($toksSql)::BIGINT AS v,
         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS h

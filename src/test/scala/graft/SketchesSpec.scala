@@ -309,4 +309,84 @@ class SketchesSpec extends AnyFunSuite {
     assert(dis.getAs[Long]("est_pairs") == 0L,
       s"disjoint keys estimated ${dis.getAs[Long]("est_pairs")} pairs")
   }
+
+  test("kmv synopsis: bounded aggregator equals exact bottom-k distinct") {
+    import graft.functions.GraftFunctions.{shingleHashes, tokens}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = Sketches.kmvSourceSketch(docs).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    // exact replay: distinct shingle hashes per source, sorted, take k
+    val exact = docs.select(col("source"),
+        explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.take(Sketches.KmvK).toSeq).toMap
+    assert(got == exact, "aggregator must produce the exact bottom-k set")
+    assert(got.values.exists(_.size == Sketches.KmvK),
+      "fixture must exercise the trimmed (k-full) path")
+  }
+
+  test("kmv merge law: shard-synopsis union retrims to the whole, idempotent") {
+    val agg = new graft.functions.BottomKSet(8)
+    val vals = (1 to 40).map(i => tokenHashLong(s"kmv_$i"))
+    def fold(vs: Seq[Long]) = vs.foldLeft(agg.zero)(agg.reduce)
+    val whole = fold(vals)
+    val (a, b) = vals.splitAt(17)
+    assert(agg.merge(fold(a), fold(b)).toSeq == whole.toSeq,
+      "merge of shard synopses must equal the whole-stream synopsis")
+    assert(agg.merge(whole, whole).toSeq == whole.toSeq, "self-merge is identity")
+    // replay-idempotence: re-reducing every seen value changes nothing
+    assert(vals.foldLeft(whole)(agg.reduce).toSeq == whole.toSeq)
+    assert(whole.toSeq == vals.distinct.sorted.take(8),
+      "synopsis IS the bottom-k distinct set")
+  }
+
+  test("kmv set ops: trimmed estimates near exact, untrimmed pairs exact") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{shingleHashes, tokens}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // exact per-source distinct shingle sets for the whole fixture
+    val sets = docs.select(col("source"),
+        explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = Sketches.kmvSetOps(docs).collect()
+    assert(rows.length > 1)
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (ea, eu) = (sets(sa).size.toLong, (sets(sa) | sets(sb)).size.toLong)
+      val ei = (sets(sa) & sets(sb)).size.toLong
+      // k=256 ⇒ σ ≈ 1/√(k−2) ≈ 6.3%; deterministic fixture, assert 4σ
+      def near(est: Long, exact: Long, what: String): Unit =
+        assert(math.abs(est - exact) <= math.max(4, exact / 4),
+          s"$sa/$sb $what: est=$est exact=$exact")
+      near(r.getAs[Long]("est_a"), ea, "distinct A")
+      near(r.getAs[Long]("est_union"), eu, "union")
+      // intersections are sparse in the fixture: ρ·D̂ is only a few
+      // synopsis slots, so pin the sign/scale, not a tight band
+      assert(r.getAs[Long]("est_inter") >= 0 &&
+        r.getAs[Long]("est_inter") <= r.getAs[Long]("est_union"))
+      if (ei == 0)
+        assert(r.getAs[Long]("n_inter") <= 2,
+          s"$sa/$sb: disjoint sources must not fill intersection slots")
+    }
+    // engineered untrimmed pair: < k distinct shingles per source ⇒
+    // every column collapses to the EXACT set cardinality
+    val tiny = Seq(
+      ("s1", "alpha beta gamma delta epsilon zeta"),
+      ("s1", "eta theta iota kappa"),
+      ("s2", "alpha beta gamma delta epsilon zeta lambda"))
+      .toDF("source", "text")
+    val t = Sketches.kmvSetOps(tiny).collect().head
+    val ts = Seq("s1", "s2").map(s => tiny.filter(col("source") === s)
+      .select(explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+      .distinct().as[Long].collect().toSet)
+    assert(t.getAs[Long]("est_a") == ts(0).size.toLong)
+    assert(t.getAs[Long]("est_b") == ts(1).size.toLong)
+    assert(t.getAs[Long]("est_union") == (ts(0) | ts(1)).size.toLong)
+    assert(t.getAs[Long]("n_inter") == (ts(0) & ts(1)).size.toLong)
+    assert(t.getAs[Long]("est_inter") == (ts(0) & ts(1)).size.toLong,
+      "untrimmed ρ·D̂ must collapse to the exact intersection")
+  }
 }
