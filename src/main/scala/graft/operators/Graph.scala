@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.tokenHash
 import graft.sources.Tables
 
 /** Graph analytics over the document corpus (link-graph shape:
@@ -390,7 +391,101 @@ object Graph {
     } finally { und.unpersist(); () }
   }
 
+  // --- neighborhood function (hop plot) ---------------------------------
+
+  /** Hops audited by the exact rung and rehearsed by HyperBall. */
+  val HopT = 4
+
+  /** Exact t-hop reachability pairs (v, u): u ∈ B(v, t) under
+    * directed edges — t rounds of frontier equi-join on the edge
+    * source + distinct, the PageRank round discipline with `cut()`
+    * lineage truncation. EXACT rung: pair mass is Σ|B(v,t)| by
+    * definition, which is precisely the cost HyperBall exists to
+    * avoid — [[hyperBallRegisters]] is the production form whose
+    * registers this rung certifies (GraphSpec pins bit-equality).
+    */
+  def reachPairs(docs: DataFrame, e: DataFrame, hops: Int): DataFrame = {
+    var reach = docs.select(col("doc_id").as("v"), col("doc_id").as("u"))
+    for (_ <- 1 to hops) {
+      reach = cut(reach.join(e, reach("u") === e("src"))
+        .select(col("v"), col("dst").as("u"))
+        .unionAll(reach).distinct())
+    }
+    reach
+  }
+
+  /** Hop plot / neighborhood function N(t) = Σ_v |B(v,t)| for
+    * t = 0..[[HopT]] (Palmer et al. KDD'02's statistic): the
+    * effective-diameter / connectivity-growth curve of the link
+    * graph. Output is HopT+1 rows built from bounded driver scalars
+    * (one count per hop — the k-center O(K)-collect posture).
+    */
+  def qHopPlot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    var reach = docs.select(col("doc_id").as("v"), col("doc_id").as("u"))
+    val counts = scala.collection.mutable.ArrayBuffer((0L, reach.count()))
+    for (t <- 1 to HopT) {
+      reach = cut(reach.join(e, reach("u") === e("src"))
+        .select(col("v"), col("dst").as("u"))
+        .unionAll(reach).distinct())
+      counts += ((t.toLong, reach.count()))
+    }
+    counts.toSeq.toDF("t", "n_pairs")
+  }
+
+  /** HyperBall (Boldi & Vigna, WebGraph 2013): per-node HLL
+    * registers of B(v, t), iterated as regs_t(v) = elementwise-max
+    * over {regs_{t-1}(v)} ∪ {regs_{t-1}(w) : (v,w) ∈ E}. Because
+    * HLL registers of a union are the elementwise max, the iterated
+    * registers EQUAL the registers of the exact ball membership at
+    * every t — propagation loses nothing (the law GraphSpec pins
+    * bit-exactly against [[reachPairs]]); only the final estimate
+    * carries the 1.04/√m HLL error. State is ≤ m sparse rows per
+    * node, each round one edge equi-join + one (v, bucket) max fold
+    * — O(E·m̃) per round with NO per-node ball materialization, which
+    * is what makes N(t) computable on a 100 TB web graph where
+    * Σ|B(v,t)| pairs would dwarf the corpus. Same register/rank
+    * arithmetic as [[Sketches.hllRegisters]] (m=64, 48-bit md5-prefix
+    * hash); a production deployment would pack the 64 registers into
+    * one binary column to cut the row count 64× — the long format
+    * keeps the fold a plain codegen'd max.
+    */
+  def hyperBallRegisters(docs: DataFrame, e: DataFrame, hops: Int): DataFrame = {
+    val h = tokenHash(col("u").cast("string"))
+    var regs = docs.select(col("doc_id").as("v"), col("doc_id").as("u"))
+      .select(col("v"), (h % Sketches.HllM).as("bucket"),
+        Sketches.hllRank(h).as("rank"))
+    for (_ <- 1 to hops) {
+      val upd = e.join(regs, e("dst") === regs("v"))
+        .select(e("src").as("v"), col("bucket"), col("rank"))
+      regs = cut(regs.unionAll(upd)
+        .groupBy(col("v"), col("bucket")).agg(max(col("rank")).as("rank")))
+    }
+    regs
+  }
+
+  /** Per-node ball-size estimates from HyperBall registers — the
+    * Flajolet raw estimator with linear-counting correction
+    * (the [[Sketches.hllEstimate]] arithmetic, distributed: one
+    * (v)-keyed partial agg, no driver state).
+    */
+  def hyperBallEstimate(regs: DataFrame): DataFrame = {
+    val m = Sketches.HllM.toDouble
+    val zeros = lit(m) - col("nb")
+    val raw = lit(0.709 * m * m) / (col("zpart") + zeros)
+    regs.groupBy(col("v"))
+      .agg(sum(pow(lit(2.0), -col("rank"))).as("zpart"),
+        count(lit(1)).as("nb"))
+      .select(col("v"),
+        when(raw <= 2.5 * m && zeros > 0,
+          lit(m) * log(lit(m) / zeros)).otherwise(raw).as("est_ball"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hopplot" -> qHopPlot _,
     "q_pagerank" -> qPagerank _,
     "q_label_prop" -> qLabelProp _,
     "q_random_walks" -> qRandomWalks _,
@@ -572,7 +667,30 @@ object Graph {
       |FROM s$KcoreRounds s LEFT JOIN fd ON s.v = fd.v""".stripMargin
   }
 
+  private def hopPlotSql: String = {
+    val rounds = (1 to HopT).map { t =>
+      s"""r$t AS (SELECT DISTINCT v, u FROM (
+        |  SELECT v, u FROM r${t - 1}
+        |  UNION ALL
+        |  SELECT r.v, e.dst FROM r${t - 1} r JOIN e ON r.u = e.src))""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to HopT)
+      .map(t => s"SELECT $t::BIGINT AS t, (SELECT count(*) FROM r$t)::BIGINT AS n_pairs")
+      .mkString("\nUNION ALL ")
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+      |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+      |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+      |r0 AS (SELECT doc_id AS v, doc_id AS u FROM documents),
+      |$rounds
+      |$sel""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_hopplot" -> hopPlotSql,
     "q_pagerank" -> oracleSql,
     "q_label_prop" -> labelPropSql,
     "q_random_walks" -> randomWalksSql,

@@ -458,4 +458,55 @@ class GraphSpec extends AnyFunSuite {
       assert(got(k)._2 == cn * 1000000L / (da + db - cn), s"jaccard at $k")
     }
   }
+
+  test("hyperball: iterated registers EQUAL registers of the exact balls") {
+    import graft.functions.GraftFunctions.tokenHash
+    import graft.operators.Sketches
+    val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
+    val n = docs.count()
+    val e = Graph.edges(docs, n)
+    val iterated = Graph.hyperBallRegisters(docs, e, Graph.HopT).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ground truth: HLL registers computed DIRECTLY from the exact
+    // ball membership — propagation must lose nothing (max-union law)
+    val h = tokenHash(col("u").cast("string"))
+    val direct = Graph.reachPairs(docs, e, Graph.HopT)
+      .select(col("v"), (h % Sketches.HllM).as("bucket"),
+        Sketches.hllRank(h).as("rank"))
+      .groupBy(col("v"), col("bucket")).agg(max(col("rank")).as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(iterated == direct,
+      "HyperBall register propagation must be bit-identical to the " +
+        "registers of the exact reachability sets")
+  }
+
+  test("hyperball: estimates track exact ball sizes; hop plot is monotone") {
+    val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
+    val n = docs.count()
+    val e = Graph.edges(docs, n)
+    val est = Graph.hyperBallEstimate(
+        Graph.hyperBallRegisters(docs, e, Graph.HopT)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = Graph.reachPairs(docs, e, Graph.HopT)
+      .groupBy(col("v")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // balls are small (<= ~2^t+... members) so the m=64 sketch sits in
+    // its linear-counting regime: per-node error is tight, and the
+    // aggregate N(t) estimate must land within a few percent
+    val nHat = est.values.sum
+    val nTrue = exact.values.sum.toDouble
+    assert(math.abs(nHat - nTrue) / nTrue < 0.10,
+      s"aggregate neighborhood estimate off: $nHat vs $nTrue")
+    val perNodeOk = exact.count { case (v, c) =>
+      math.abs(est(v) - c) <= math.max(2.0, 0.35 * c) }
+    assert(perNodeOk >= (exact.size * 95) / 100,
+      s"per-node estimates outside band: ${exact.size - perNodeOk}")
+    // hop plot: N(t) non-decreasing in t, N(0) = n
+    val hp = Graph.qHopPlot(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(hp.head == (0L, n), "N(0) is one pair per node")
+    assert(hp.sliding(2).forall(w => w(1)._2 >= w(0)._2), "monotone growth")
+    assert(hp.last._2 > n, "the fixture graph must actually expand")
+  }
 }
