@@ -484,7 +484,21 @@ object Graph {
           lit(m) * log(lit(m) / zeros)).otherwise(raw).as("est_ball"))
   }
 
+  /** Oracle rung for HyperBall: the full register table after
+    * [[HopT]] rounds. Because propagation is lossless (registers of
+    * a union are the elementwise max), the DuckDB twin can compute
+    * the same integers DIRECTLY from the exact reachability sets —
+    * so the oracle certifies the iterated distributed computation,
+    * not a reimplementation of it.
+    */
+  def qHyperBall(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    hyperBallRegisters(docs, edges(docs, n), HopT)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hyperball" -> qHyperBall _,
     "q_hopplot" -> qHopPlot _,
     "q_pagerank" -> qPagerank _,
     "q_label_prop" -> qLabelProp _,
@@ -689,7 +703,34 @@ object Graph {
       |$sel""".stripMargin
   }
 
+  private def hyperBallSql: String = {
+    import Sketches.{HllM, HllZeroRank}
+    val rounds = (1 to HopT).map { t =>
+      s"""r$t AS (SELECT DISTINCT v, u FROM (
+        |  SELECT v, u FROM r${t - 1}
+        |  UNION ALL
+        |  SELECT r.v, e.dst FROM r${t - 1} r JOIN e ON r.u = e.src))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+      |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+      |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+      |r0 AS (SELECT doc_id AS v, doc_id AS u FROM documents),
+      |$rounds,
+      |hh AS (SELECT v,
+      |    ('0x' || substr(md5(u::VARCHAR), 1, 12))::BIGINT AS h FROM r$HopT)
+      |SELECT v, h % $HllM AS bucket,
+      |  max(CASE WHEN h // $HllM = 0 THEN $HllZeroRank
+      |    ELSE length(bin((h // $HllM) & -(h // $HllM)))::BIGINT END)::BIGINT
+      |    AS rank
+      |FROM hh GROUP BY v, h % $HllM""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_hyperball" -> hyperBallSql,
     "q_hopplot" -> hopPlotSql,
     "q_pagerank" -> oracleSql,
     "q_label_prop" -> labelPropSql,
