@@ -67,7 +67,14 @@ object ScaleRehearsal {
     // r11: the r10-verdict fixes — bounded-gold MRR eval (expect
     // ~linear: BM25 corpus stats dominate, gold set fixed),
     // domain flags (host shuffle join replacing the forced broadcast)
-    "q_retrieval_eval")
+    "q_retrieval_eval",
+    // r11 session 4: PassJoin edit join (constant per-row candidate
+    // fan-out — the question is segment-collision noise growth), KMV
+    // set ops (one bounded partial agg + sources² broadcast-NL —
+    // expect ~linear scan cost), hop plot + HyperBall (per-round
+    // frontier/register equi-joins; exact rung carries the pair
+    // mass, HyperBall must stay near-linear)
+    "q_edit_join", "q_kmv_setops", "q_hopplot", "q_hyperball")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(

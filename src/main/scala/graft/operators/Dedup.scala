@@ -1021,8 +1021,13 @@ object Dedup {
 
   /** Edit-distance threshold for the join (≤ 2 single-char edits). */
   val EditMaxK = 2
-  /** Normalized join-key prefix length (chars). */
-  val EditKeyLen = 24
+  /** Normalized join-key prefix length (chars). Sized so each of the
+    * k+1 segments is ~11 chars: natural-language 8-char substrings
+    * collide heavily (the sf1 rehearsal measured the candidate mass
+    * superlinear at segment length 8), 11-char ones are rare enough
+    * that candidate growth tracks the true pair mass.
+    */
+  val EditKeyLen = 32
   /** Shortest key the k+1-segment scheme partitions (k+1 non-empty
     * segments need at least k+1 chars).
     */
@@ -1113,20 +1118,23 @@ object Dedup {
       .filter(col("p") >= 1 && col("p") <= col("len_b") - col("li") + 1)
       .select(col("doc_b"), col("key_b"), col("len_b"), col("lr"), col("i"),
         col("key_b").substr(col("p"), col("li")).as("sub"))
-    val cand = segs.join(probe,
+    // verify BEFORE the dedup exchange: the banded levenshtein
+    // (O(len·k), early-exit past the threshold) runs map-side on
+    // every candidate occurrence, so the only rows that ever cross a
+    // shuffle are TRUE pairs (plus their ≤(2k+1)(k+1) positional
+    // duplicates) — shuffling the raw segment-collision mass through
+    // a distinct was the sf1 rehearsal's 39× superlinear step; with
+    // collision mass ≫ pair mass, redundant ≤75-op verifies are the
+    // cheaper side of the trade by orders of magnitude
+    segs.join(probe,
         col("len_a") === col("lr") && segs("i") === probe("i") &&
           col("seg") === col("sub") && col("doc_a") =!= col("doc_b"))
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b"), maxK).cast("long"))
+      .filter(col("dist") >= 0)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
-        when(col("doc_a") < col("doc_b"), col("key_a"))
-          .otherwise(col("key_b")).as("key_a"),
-        when(col("doc_a") < col("doc_b"), col("key_b"))
-          .otherwise(col("key_a")).as("key_b"))
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("dist"))
       .distinct()
-    cand
-      .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("long"))
-      .filter(col("dist") <= maxK)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
   def qEditJoin(s: SparkSession, dir: String): DataFrame =
