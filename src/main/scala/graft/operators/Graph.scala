@@ -453,17 +453,23 @@ object Graph {
     * one binary column to cut the row count 64× — the long format
     * keeps the fold a plain codegen'd max.
     */
-  def hyperBallRegisters(docs: DataFrame, e: DataFrame, hops: Int): DataFrame = {
+  private def hbInit(docs: DataFrame): DataFrame = {
     val h = tokenHash(col("u").cast("string"))
-    var regs = docs.select(col("doc_id").as("v"), col("doc_id").as("u"))
+    docs.select(col("doc_id").as("v"), col("doc_id").as("u"))
       .select(col("v"), (h % Sketches.HllM).as("bucket"),
         Sketches.hllRank(h).as("rank"))
-    for (_ <- 1 to hops) {
-      val upd = e.join(regs, e("dst") === regs("v"))
-        .select(e("src").as("v"), col("bucket"), col("rank"))
-      regs = cut(regs.unionAll(upd)
-        .groupBy(col("v"), col("bucket")).agg(max(col("rank")).as("rank")))
-    }
+  }
+
+  private def hbRound(regs: DataFrame, e: DataFrame): DataFrame = {
+    val upd = e.join(regs, e("dst") === regs("v"))
+      .select(e("src").as("v"), col("bucket"), col("rank"))
+    cut(regs.unionAll(upd)
+      .groupBy(col("v"), col("bucket")).agg(max(col("rank")).as("rank")))
+  }
+
+  def hyperBallRegisters(docs: DataFrame, e: DataFrame, hops: Int): DataFrame = {
+    var regs = hbInit(docs)
+    for (_ <- 1 to hops) regs = hbRound(regs, e)
     regs
   }
 
@@ -497,7 +503,59 @@ object Graph {
     hyperBallRegisters(docs, edges(docs, n), HopT)
   }
 
+  /** Exact harmonic centrality over ≤[[HopT]] hops: hc(v) =
+    * Σ_{t=1..T} (|B(v,t)| − |B(v,t−1)|) / t, in exact ppm integers
+    * (each hop's shell weighted by 1/t — Boldi & Vigna's preferred
+    * centrality, finite on disconnected graphs where closeness is
+    * not). Per hop: the [[reachPairs]] frontier round + one (v)
+    * count fold + one n-row equi-join into the accumulator — the
+    * exact rung; [[hyperBallHarmonic]] is the production estimate
+    * whose whole point is skipping the Σ|B| pair mass.
+    */
+  def qHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    var reach = docs.select(col("doc_id").as("v"), col("doc_id").as("u"))
+    var prev = reach.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    var acc = docs.select(col("doc_id").as("v"), lit(0L).as("hc_ppm"))
+    for (t <- 1 to HopT) {
+      reach = cut(reach.join(e, reach("u") === e("src"))
+        .select(col("v"), col("dst").as("u"))
+        .unionAll(reach).distinct())
+      val cur = reach.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      acc = cut(acc.join(prev.toDF("v", "cp"), Seq("v"))
+        .join(cur.toDF("v", "cc"), Seq("v"))
+        .select(col("v"),
+          expr(s"hc_ppm + ((cc - cp) * 1000000L div $t)").as("hc_ppm")))
+      prev = cur
+    }
+    acc
+  }
+
+  /** HyperBall harmonic-centrality estimate: the same telescoping
+    * shell sum over per-round HLL ball estimates — registers iterate
+    * by [[hbRound]], never a reachability pair. Float-valued (the
+    * estimator is), so spec-gated against [[qHarmonic]] rather than
+    * oracle-hashed.
+    */
+  def hyperBallHarmonic(docs: DataFrame, e: DataFrame, hops: Int): DataFrame = {
+    var regs = hbInit(docs)
+    var prev = hyperBallEstimate(regs).toDF("v", "ep")
+    var acc = docs.select(col("doc_id").as("v"), lit(0.0).as("hc_est"))
+    for (t <- 1 to hops) {
+      regs = hbRound(regs, e)
+      val cur = hyperBallEstimate(regs).toDF("v", "ec")
+      acc = cut(acc.join(prev, Seq("v")).join(cur, Seq("v"))
+        .select(col("v"),
+          (col("hc_est") + (col("ec") - col("ep")) / t).as("hc_est")))
+      prev = cur.toDF("v", "ep")
+    }
+    acc
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_harmonic" -> qHarmonic _,
     "q_hyperball" -> qHyperBall _,
     "q_hopplot" -> qHopPlot _,
     "q_pagerank" -> qPagerank _,
@@ -729,7 +787,36 @@ object Graph {
       |FROM hh GROUP BY v, h % $HllM""".stripMargin
   }
 
+  private def harmonicSql: String = {
+    val rounds = (1 to HopT).map { t =>
+      s"""r$t AS (SELECT DISTINCT v, u FROM (
+        |  SELECT v, u FROM r${t - 1}
+        |  UNION ALL
+        |  SELECT r.v, e.dst FROM r${t - 1} r JOIN e ON r.u = e.src))""".stripMargin
+    }.mkString(",\n")
+    val cnts = (0 to HopT)
+      .map(t => s"c$t AS (SELECT v, count(*)::BIGINT AS c FROM r$t GROUP BY v)")
+      .mkString(",\n")
+    val terms = (1 to HopT)
+      .map(t => s"(c$t.c - c${t - 1}.c) * 1000000 // $t")
+      .mkString(" + ")
+    val joins = (1 to HopT).map(t => s"JOIN c$t ON c$t.v = c0.v").mkString(" ")
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+      |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+      |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+      |r0 AS (SELECT doc_id AS v, doc_id AS u FROM documents),
+      |$rounds,
+      |$cnts
+      |SELECT c0.v, ($terms)::BIGINT AS hc_ppm
+      |FROM c0 $joins""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_harmonic" -> harmonicSql,
     "q_hyperball" -> hyperBallSql,
     "q_hopplot" -> hopPlotSql,
     "q_pagerank" -> oracleSql,

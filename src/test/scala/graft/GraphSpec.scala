@@ -509,4 +509,24 @@ class GraphSpec extends AnyFunSuite {
     assert(hp.sliding(2).forall(w => w(1)._2 >= w(0)._2), "monotone growth")
     assert(hp.last._2 > n, "the fixture graph must actually expand")
   }
+
+  test("harmonic centrality: HyperBall estimate tracks the exact ppm rung") {
+    val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
+    val n = docs.count()
+    val e = Graph.edges(docs, n)
+    val exact = Graph.qHarmonic(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) / 1e6)).toMap
+    val est = Graph.hyperBallHarmonic(docs, e, Graph.HopT).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // sinks have hc = 0 exactly (no outlinks ⇒ the ball never grows)
+    // and the estimator must agree exactly: identical registers ⇒
+    // telescoping terms cancel to 0.0
+    val sinks = exact.keys.filter(_ % Graph.SinkMod == 0L)
+    assert(sinks.nonEmpty && sinks.forall(v => exact(v) == 0.0 && est(v) == 0.0),
+      "sink nodes must score exactly zero in both rungs")
+    val totErr = exact.keys.map(v => math.abs(est(v) - exact(v))).sum /
+      math.max(1.0, exact.values.sum)
+    assert(totErr < 0.10, s"aggregate harmonic error $totErr")
+  }
 }
