@@ -1087,37 +1087,47 @@ object Dedup {
     * [[prefixJoinPairs]] discipline: bucketed candidates + exact
     * verify, zero O(n²) stages.
     */
+  private def withLen(docs: DataFrame): DataFrame =
+    editKeys(docs).withColumn("ls", length(col("key")))
+
+  /** Index side: the k+1 segments of every key — 3 narrow rows per
+    * key, the persistable PassJoin index.
+    */
+  private def editSegments(keys: DataFrame): DataFrame = {
+    val idx = keys.select(col("doc_id"), col("key"), col("ls"),
+      explode(sequence(lit(0), lit(EditMaxK))).as("i"))
+    val (ist, ili) = segGeom(col("ls"), col("i"))
+    idx.select(col("doc_id"), col("key"), col("ls").as("len"), col("i"),
+      col("key").substr(ist, ili).as("seg"))
+  }
+
+  /** Probe side: for each key, every candidate partner length's
+    * segment geometry and the substrings inside the ±k shift window
+    * — constant ≤(2k+1)²(k+1) rows per key.
+    */
+  private def editProbes(keys: DataFrame): DataFrame = {
+    val k = lit(EditMaxK)
+    val p0 = keys.select(col("doc_id"), col("key"), col("ls"),
+        explode(sequence(col("ls") - k, col("ls") + k)).as("lr"))
+      .filter(col("lr") >= EditMinLen && col("lr") <= EditKeyLen)
+      .select(col("doc_id"), col("key"), col("ls"), col("lr"),
+        explode(sequence(lit(0), k)).as("i"))
+    val (pst, pli) = segGeom(col("lr"), col("i"))
+    p0.withColumn("st", pst).withColumn("li", pli)
+      .select(col("doc_id"), col("key"), col("ls"), col("lr"), col("i"),
+        col("li"),
+        explode(sequence(col("st") - k, col("st") + k)).as("p"))
+      .filter(col("p") >= 1 && col("p") <= col("ls") - col("li") + 1)
+      .select(col("doc_id"), col("key"), col("lr"), col("i"),
+        col("key").substr(col("p"), col("li")).as("sub"))
+  }
+
   def editJoinPairs(docs: DataFrame, maxK: Int = EditMaxK): DataFrame = {
     require(maxK == EditMaxK,
       s"segment scheme is sized for k=$EditMaxK (k+1 segments)")
-    val k = lit(maxK)
-    val keys = editKeys(docs).withColumn("ls", length(col("key")))
-    // index side: the k+1 segments of every key
-    val idx = keys
-      .select(col("doc_id").as("doc_a"), col("key").as("key_a"),
-        col("ls").as("len_a"),
-        explode(sequence(lit(0), k)).as("i"))
-    val (ist, ili) = segGeom(col("len_a"), col("i"))
-    val segs = idx.select(col("doc_a"), col("key_a"), col("len_a"), col("i"),
-      col("key_a").substr(ist, ili).as("seg"))
-    // probe side: substrings of every key in the shifted windows of
-    // each candidate partner length's segments
-    val probe0 = keys
-      .select(col("doc_id").as("doc_b"), col("key").as("key_b"),
-        col("ls").as("len_b"),
-        explode(sequence(col("ls") - k, col("ls") + k)).as("lr"))
-      .filter(col("lr") >= EditMinLen && col("lr") <= EditKeyLen)
-      .select(col("doc_b"), col("key_b"), col("len_b"), col("lr"),
-        explode(sequence(lit(0), k)).as("i"))
-    val (pst, pli) = segGeom(col("lr"), col("i"))
-    val probe = probe0
-      .withColumn("st", pst).withColumn("li", pli)
-      .select(col("doc_b"), col("key_b"), col("len_b"), col("lr"), col("i"),
-        col("li"),
-        explode(sequence(col("st") - k, col("st") + k)).as("p"))
-      .filter(col("p") >= 1 && col("p") <= col("len_b") - col("li") + 1)
-      .select(col("doc_b"), col("key_b"), col("len_b"), col("lr"), col("i"),
-        col("key_b").substr(col("p"), col("li")).as("sub"))
+    val keys = withLen(docs)
+    val segs = editSegments(keys).toDF("doc_a", "key_a", "len_a", "i", "seg")
+    val probe = editProbes(keys).toDF("doc_b", "key_b", "lr", "i", "sub")
     // verify BEFORE the dedup exchange: the banded levenshtein
     // (O(len·k), early-exit past the threshold) runs map-side on
     // every candidate occurrence, so the only rows that ever cross a
@@ -1137,11 +1147,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental PassJoin: every (old, new) pair within
+    * [[EditMaxK]] edits between the standing corpus and an incoming
+    * batch. The corpus contributes only its 3-rows-per-key SEGMENT
+    * index (persistable, appendable — the 29f posting discipline);
+    * the constant ~75× probe fan-out rides the BATCH, so the
+    * per-batch cost is batch keys × matched segment postings, never
+    * corpus-proportional. Same verify-before-exchange discipline as
+    * [[editJoinPairs]].
+    */
+  def editIncrementalPairs(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val segs = editSegments(withLen(existing))
+      .toDF("old_doc", "key_a", "len_a", "i", "seg")
+    val probe = editProbes(withLen(incoming))
+      .toDF("new_doc", "key_b", "lr", "i", "sub")
+    segs.join(probe,
+        col("len_a") === col("lr") && segs("i") === probe("i") &&
+          col("seg") === col("sub"))
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b"), EditMaxK).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("old_doc"), col("new_doc"), col("dist"))
+      .distinct()
+  }
+
   def qEditJoin(s: SparkSession, dir: String): DataFrame =
     editJoinPairs(Tables.documents(s, dir).select(col("doc_id"), col("text")))
 
+  def qEditIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    editIncrementalPairs(docs,
+      docs.select((col("doc_id") + Shift).as("doc_id"), col("text")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_edit_join" -> qEditJoin _,
+    "q_edit_incremental" -> qEditIncremental _,
     "q_prefix_join" -> qPrefixJoin _,
     "q_prefix_incremental" -> qPrefixIncremental _,
     "q_span_long" -> qSpanLong _,
@@ -1362,6 +1403,16 @@ object Dedup {
         |  levenshtein(a.key, b.key)::BIGINT AS dist
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
         |  AND abs(length(a.key) - length(b.key)) <= $EditMaxK
+        |WHERE levenshtein(a.key, b.key) <= $EditMaxK""".stripMargin,
+    "q_edit_incremental" ->
+      s"""WITH s AS (SELECT doc_id,
+        |    substring(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')),
+        |      1, $EditKeyLen) AS key FROM documents),
+        |f AS (SELECT * FROM s WHERE length(key) >= $EditMinLen)
+        |SELECT a.doc_id AS old_doc, b.doc_id + $Shift AS new_doc,
+        |  levenshtein(a.key, b.key)::BIGINT AS dist
+        |FROM f a JOIN f b
+        |  ON abs(length(a.key) - length(b.key)) <= $EditMaxK
         |WHERE levenshtein(a.key, b.key) <= $EditMaxK""".stripMargin,
     "q_prefix_incremental" -> prefixIncrementalSql,
     "q_prefix_join" -> prefixJoinSql,

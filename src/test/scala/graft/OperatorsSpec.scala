@@ -1338,6 +1338,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 900004L || p._2 == 900004L), "far miss")
   }
 
+  test("edit incremental: equals the cross brute force, self-twins at dist 0") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val batch = docs.select((col("doc_id") + Dedup.Shift).as("doc_id"), col("text"))
+    val got = Dedup.editIncrementalPairs(docs, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ka = Dedup.editKeys(docs).toDF("old_doc", "key_a")
+    val kb = Dedup.editKeys(batch).toDF("new_doc", "key_b")
+    val brute = ka.join(kb,
+        abs(length(col("key_a")) - length(col("key_b"))) <= Dedup.EditMaxK)
+      .select(col("old_doc"), col("new_doc"),
+        levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))
+      .filter(col("dist") <= Dedup.EditMaxK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    // every corpus doc with a valid key meets its shifted twin at 0
+    val nKeys = Dedup.editKeys(docs).count()
+    assert(got.count(p => p._2 == p._1 + Dedup.Shift && p._3 == 0L) == nKeys)
+  }
+
   test("edit join candidate scheme is complete under random ≤k-edit mutations") {
     import spark.implicits._
     // seeded mutations over normalized-form bases ≤ 22 chars: after
