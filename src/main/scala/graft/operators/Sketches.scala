@@ -583,8 +583,13 @@ object Sketches {
     * idiom): n_inter·est_union can reach 256·7.2e16 ≈ 1.8e19, past
     * int64.
     */
-  def kmvSetOps(docs: DataFrame): DataFrame = {
-    val sk = kmvSourceSketch(docs)
+  def kmvSetOps(docs: DataFrame): DataFrame =
+    kmvSetOpsFromSketch(kmvSourceSketch(docs))
+
+  /** Pair stage over an existing (source, kmv) synopsis frame — the
+    * entry point streamed/persisted synopses serve through.
+    */
+  def kmvSetOpsFromSketch(sk: DataFrame): DataFrame = {
     val a = sk.select(col("source").as("src_a"), col("kmv").as("kmv_a"))
     val b = sk.select(col("source").as("src_b"), col("kmv").as("kmv_b"))
     a.join(broadcast(b), col("src_a") < col("src_b"))

@@ -1966,6 +1966,79 @@ object DocStreams {
         .select(lit("ALL").as("source"), col("bucket"), col("max_rank")))
   }
 
+  /** STREAMING KMV synopsis — the incremental twin of
+    * [[graft.operators.Sketches.kmvSourceSketch]], screen-free by
+    * the same algebra as the HLL registers: keep-k-smallest-distinct
+    * commutes with union and re-inserting a seen hash is a no-op, so
+    * redelivered batches (or the corpus re-sliced arbitrarily) can
+    * only re-assert values the fold already keeps. Per batch the
+    * BOUNDED synopsis (≤ k hashes per source, long format) appends
+    * under content-derived batch keys; serving re-trims with the
+    * same [[graft.functions.BottomKSet]] fold, so the served arrays
+    * are bit-equal to the batch operator's. State = O(batches ×
+    * sources × k) rows, folded back to ≤ sources × k by
+    * [[compactKmv]].
+    */
+  def runKmvStream(spark: SparkSession, stagedDir: String,
+                   wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                   kmvTable: String): Unit = {
+    import graft.operators.Sketches
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        if (b.isEmpty) ()
+        else {
+          val keyRow = b.agg(min(col("doc_id")), max(col("doc_id")),
+            count(lit(1))).head
+          val batchKey = s"${keyRow.getLong(0)}-${keyRow.getLong(1)}-${keyRow.getLong(2)}"
+          val partial = Sketches.kmvSourceSketch(b)
+            .select(col("source"), explode(col("kmv")).as("h"))
+            .select(concat(lit(batchKey), lit("#"), col("source"), lit("#"),
+                col("h")).as("kmv_key"),
+              lit(batchKey).as("batch_key"), col("source"), col("h"))
+          upsertPartitioned(wh, ref, kmvTable, partial, "kmv_key")
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The synopsis served from streamed partials: one bounded
+    * [[graft.functions.BottomKSet]] re-trim per source — identical
+    * arrays to [[graft.operators.Sketches.kmvSourceSketch]] run over
+    * the whole corpus, so
+    * [[graft.operators.Sketches.kmvSetOpsFromSketch]] over this
+    * frame IS the batch `q_kmv_setops`.
+    */
+  def kmvFromState(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                   kmvTable: String): DataFrame = {
+    import graft.operators.Sketches
+    val bk = udaf(new graft.functions.BottomKSet(Sketches.KmvK))
+    wh.readTable(ref, kmvTable)
+      .groupBy(col("source")).agg(bk(col("h")).as("kmv"))
+  }
+
+  /** Fold the appended per-batch synopsis rows back to ≤ k per
+    * source (the trim commutes, so serving is unchanged).
+    */
+  def compactKmv(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                 kmvTable: String): Unit = {
+    val spark = wh.readTable(ref, kmvTable).sparkSession
+    val folded = kmvFromState(wh, ref, kmvTable)
+      .select(col("source"), explode(col("kmv")).as("h"))
+      .select(concat(lit("compact#"), col("source"), lit("#"), col("h"))
+          .as("kmv_key"),
+        lit("compact").as("batch_key"), col("source"), col("h"))
+      .withColumn("pbucket",
+        pmod(xxhash64(col("kmv_key")), lit(indexBuckets(spark).toLong)).cast("int"))
+      .transform(cut)
+    wh.writeTablePartitioned(folded, ref, kmvTable, Seq("pbucket"))
+  }
+
   /** STREAMING bloom build — the incremental twin of
     * [[graft.operators.Sketches.bloomBits]], and like [[runHllStream]]
     * screen-free by algebra: bit-set union (distinct) is idempotent,

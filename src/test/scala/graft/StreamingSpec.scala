@@ -1323,6 +1323,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(served() == batch)
   }
 
+  test("streaming kmv synopsis equals batch bit-exactly, replay-safe, compacts") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-kmv")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-kmv-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        staged.resolve(s"$name.parquet"))
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "a_even")
+    stage(docs.filter(col("doc_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-kmv").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.kmv")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runKmvStream(spark, staged.toString, wh, ref, "kmv")
+    val batchSk = graft.operators.Sketches.kmvSourceSketch(docs).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    def served(): Map[String, Seq[Long]] =
+      DocStreams.kmvFromState(wh, ref, "kmv").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(served() == batchSk,
+      "streamed synopses must re-trim to the batch arrays bit-exactly")
+    // the full pair-stage output through the served synopses must
+    // equal the batch q_kmv_setops
+    val batchOps = graft.operators.Sketches.kmvSetOps(docs).collect()
+      .map(_.toSeq).toSet
+    val servedOps = graft.operators.Sketches
+      .kmvSetOpsFromSketch(DocStreams.kmvFromState(wh, ref, "kmv"))
+      .collect().map(_.toSeq).toSet
+    assert(servedOps == batchOps, "set-op serving must equal the batch rung")
+    // replay with NO screen: whole corpus redelivered as one file
+    stage(docs, "c_replay")
+    DocStreams.runKmvStream(spark, staged.toString, wh, ref, "kmv")
+    assert(served() == batchSk,
+      "idempotent min-k union must absorb redelivery without a screen")
+    // compaction folds to <= k rows per source, serving unchanged
+    DocStreams.compactKmv(wh, ref, "kmv")
+    val nSources = docs.select(col("source")).distinct().count()
+    assert(wh.readTable(ref, "kmv").count() <=
+      nSources * graft.operators.Sketches.KmvK)
+    assert(served() == batchSk)
+  }
+
   test("streaming bottom-k sample equals batch, replay-safe WITHOUT a screen, compacts") {
     import org.apache.spark.sql.functions._
     import graft.extract.Warehouse
