@@ -227,6 +227,53 @@ object Graph {
     */
   val LpIters = 3
 
+  // --- seeded label spreading -------------------------------------------
+
+  /** Rounds of label spreading; α = [[SpreadAlphaPct]]% neighbor
+    * mass, the rest re-asserted from the seed each round (Zhou et
+    * al. NeurIPS 2004). Seeds: every [[SpreadSeedMod]]-th doc
+    * carries a positive quality label.
+    */
+  val SpreadIters = 3
+  val SpreadAlphaPct = 80L
+  val SpreadSeedMod = 10L
+
+  /** Semi-supervised label spreading over the link graph — the
+    * curation move that turns a FEW trusted/blocked seed labels into
+    * corpus-wide quality scores (propagate known-good domains along
+    * links; the same iteration smooths classifier scores over a
+    * mutual-kNN doc graph). Integer-ppm arithmetic end-to-end:
+    * y_{t+1}(v) = α·(Σ_{u→v} y_t(u) div deg(u) … averaged over
+    * inbound mass) is deliberately formulated as the PageRank-style
+    * out-degree share split so the distributed sum is
+    * order-independent: y_{t+1}(v) = α·(inflow(v)) div 100 +
+    * (100−α)·seed(v) div 100, inflow(v) = Σ_{u→v} y_t(u) div
+    * deg(u). Per round: one edge⋈score equi-join + one dst-keyed
+    * partial-agg sum — O(E) shuffled per round, the qPagerank plan
+    * shape, cut() lineage. Nodes unreachable from any seed score 0;
+    * seeds saturate toward 1e6·(100−α)/(100−α·share). */
+  def qLabelSpread(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val seed = docs.select(col("doc_id").as("v"),
+      when(col("doc_id") % SpreadSeedMod === 0, lit(1000000L))
+        .otherwise(lit(0L)).as("s"))
+    var y = seed.select(col("v"), col("s").as("y"))
+    for (_ <- 1 to SpreadIters) {
+      val inflow = e.join(y.toDF("src", "y"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("y div deg").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+      y = cut(seed.join(inflow.toDF("v", "inflow"), Seq("v"), "left")
+        .select(col("v"),
+          expr(s"($SpreadAlphaPct * coalesce(inflow, 0L) div 100) + " +
+            s"((100 - $SpreadAlphaPct) * s div 100)").as("y")))
+    }
+    y.select(col("v").as("doc_id"), col("y").as("score_ppm"))
+  }
+
   def qLabelProp(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
@@ -555,6 +602,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_spread" -> qLabelSpread _,
     "q_harmonic" -> qHarmonic _,
     "q_hyperball" -> qHyperBall _,
     "q_hopplot" -> qHopPlot _,
@@ -815,7 +863,36 @@ object Graph {
       |FROM c0 $joins""".stripMargin
   }
 
+  private def labelSpreadSql: String = {
+    val a = SpreadAlphaPct
+    val iters = (1 to SpreadIters).map { t =>
+      s"""y$t AS (SELECT seed.v,
+        |    ($a * coalesce(i.inflow, 0) // 100
+        |      + ${100 - a} * seed.s // 100)::BIGINT AS y
+        |  FROM seed LEFT JOIN (
+        |    SELECT e.dst, sum(p.y // d.deg)::BIGINT AS inflow
+        |    FROM e JOIN y${t - 1} p ON e.src = p.v
+        |    JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) i ON seed.v = i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+      |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+      |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+      |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+      |seed AS (SELECT doc_id AS v,
+      |    (CASE WHEN doc_id % $SpreadSeedMod = 0 THEN 1000000
+      |      ELSE 0 END)::BIGINT AS s FROM documents),
+      |y0 AS (SELECT v, s AS y FROM seed),
+      |$iters
+      |SELECT v AS doc_id, y AS score_ppm FROM y$SpreadIters""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_label_spread" -> labelSpreadSql,
     "q_harmonic" -> harmonicSql,
     "q_hyperball" -> hyperBallSql,
     "q_hopplot" -> hopPlotSql,

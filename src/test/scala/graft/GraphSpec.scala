@@ -510,6 +510,29 @@ class GraphSpec extends AnyFunSuite {
     assert(hp.last._2 > n, "the fixture graph must actually expand")
   }
 
+  test("label spreading: seeds dominate, mass bounded, only link-reachable score") {
+    val rows = Graph.qLabelSpread(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = rows.size.toLong
+    val seeds = rows.keys.filter(_ % Graph.SpreadSeedMod == 0L)
+    // every seed keeps at least its (100−α)% floor; nothing exceeds 1e6
+    assert(seeds.forall(v => rows(v) >=
+      (100 - Graph.SpreadAlphaPct) * 1000000L / 100), "seed floor")
+    assert(rows.values.forall(y => y >= 0 && y <= 1000000L), "ppm bounds")
+    // non-seeds score iff within SpreadIters hops of a seed along edges
+    val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
+    val e = Graph.edges(docs, n).collect().map(r => (r.getLong(0), r.getLong(1)))
+    var reach = seeds.toSet
+    for (_ <- 1 to Graph.SpreadIters)
+      reach = reach ++ e.filter(p => reach(p._1)).map(_._2)
+    rows.foreach { case (v, y) =>
+      if (!reach(v)) assert(y == 0L, s"unreachable node $v scored $y")
+    }
+    assert(rows.count { case (v, y) =>
+      y > 0 && v % Graph.SpreadSeedMod != 0L } > 0,
+      "labels must actually spread to non-seeds")
+  }
+
   test("harmonic centrality: HyperBall estimate tracks the exact ppm rung") {
     val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
     val n = docs.count()
