@@ -74,7 +74,11 @@ object ScaleRehearsal {
     // expect ~linear scan cost), hop plot + HyperBall (per-round
     // frontier/register equi-joins; exact rung carries the pair
     // mass, HyperBall must stay near-linear)
-    "q_edit_join", "q_kmv_setops", "q_hopplot", "q_hyperball")
+    "q_edit_join", "q_kmv_setops", "q_hopplot", "q_hyperball",
+    // r11 session 4 cont.: incremental PassJoin (cost rides the
+    // batch), harmonic (hop plot + n-row count joins), label
+    // spreading (PageRank plan shape — expect ~linear)
+    "q_edit_incremental", "q_harmonic", "q_label_spread")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(
