@@ -1156,9 +1156,20 @@ object Dedup {
     * corpus-proportional. Same verify-before-exchange discipline as
     * [[editJoinPairs]].
     */
-  def editIncrementalPairs(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val segs = editSegments(withLen(existing))
-      .toDF("old_doc", "key_a", "len_a", "i", "seg")
+  def editIncrementalPairs(existing: DataFrame, incoming: DataFrame): DataFrame =
+    editProbePairs(editSegmentIndex(existing), incoming)
+
+  /** The persistable PassJoin segment index of a corpus: columns
+    * (doc_id, key, len, i, seg) — 3 narrow rows per key, appendable,
+    * and exactly what [[editProbePairs]] probes (the streaming twin
+    * persists this frame in the warehouse).
+    */
+  def editSegmentIndex(docs: DataFrame): DataFrame =
+    editSegments(withLen(docs))
+
+  /** Probe an incoming batch against a prebuilt segment index. */
+  def editProbePairs(segIndex: DataFrame, incoming: DataFrame): DataFrame = {
+    val segs = segIndex.toDF("old_doc", "key_a", "len_a", "i", "seg")
     val probe = editProbes(withLen(incoming))
       .toDF("new_doc", "key_b", "lr", "i", "sub")
     segs.join(probe,

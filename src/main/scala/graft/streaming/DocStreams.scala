@@ -1966,6 +1966,71 @@ object DocStreams {
         .select(lit("ALL").as("source"), col("bucket"), col("max_rank")))
   }
 
+  /** STREAMING edit-distance join index — the PassJoin twin of the
+    * 29o exact-dedup posting index. Per batch: (1) probe the batch
+    * against the ACCUMULATED segment index (old↔new pairs),
+    * (2) run the batch-local join (new↔new pairs), (3) upsert both
+    * into the pairs table under canonical least#greatest keys,
+    * (4) upsert the batch's own segments (content-derived keys).
+    * Every write is a keyed upsert, so redelivered batches re-assert
+    * rows they already wrote — replay-safe with no screen; the
+    * segment index never duplicates, so candidate mass cannot
+    * inflate under replay. Served pairs are EXACTLY the batch
+    * [[graft.operators.Dedup.editJoinPairs]] over all docs seen so
+    * far (completeness: a pair lands in whichever batch arrives
+    * second, via that batch's probe of the index already holding the
+    * first side). Per-batch cost = batch probes × matched postings,
+    * the [[graft.operators.Dedup.editIncrementalPairs]] contract.
+    */
+  def runEditJoinStream(spark: SparkSession, stagedDir: String,
+                        wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                        segTable: String, pairsTable: String): Unit = {
+    import graft.operators.Dedup
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().select(col("doc_id"), col("text"))
+        if (b.isEmpty) ()
+        else {
+          val cross =
+            if (wh.tableExists(ref, segTable))
+              Dedup.editProbePairs(
+                  wh.readTable(ref, segTable)
+                    .select(col("doc_id"), col("key"), col("len"),
+                      col("i"), col("seg")),
+                  b)
+                .filter(col("old_doc") =!= col("new_doc"))
+                .select(least(col("old_doc"), col("new_doc")).as("doc_a"),
+                  greatest(col("old_doc"), col("new_doc")).as("doc_b"),
+                  col("dist"))
+            else b.sparkSession.emptyDataFrame
+                .select(lit(0L).as("doc_a"), lit(0L).as("doc_b"),
+                  lit(0L).as("dist")).limit(0)
+          val intra = Dedup.editJoinPairs(b)
+          val pairs = cross.unionAll(intra).distinct()
+            .withColumn("pair_key",
+              concat(col("doc_a"), lit("#"), col("doc_b")))
+          upsertPartitioned(wh, ref, pairsTable, pairs, "pair_key")
+          val segs = Dedup.editSegmentIndex(b)
+            .withColumn("seg_key", concat(col("doc_id"), lit("#"), col("i")))
+          upsertPartitioned(wh, ref, segTable, segs, "seg_key")
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Pairs served from the streamed index — identical columns and
+    * values to the batch join over everything delivered.
+    */
+  def editPairsFromState(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                         pairsTable: String): DataFrame =
+    wh.readTable(ref, pairsTable)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+
   /** STREAMING KMV synopsis — the incremental twin of
     * [[graft.operators.Sketches.kmvSourceSketch]], screen-free by
     * the same algebra as the HLL registers: keep-k-smallest-distinct

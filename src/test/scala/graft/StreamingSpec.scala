@@ -1323,6 +1323,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(served() == batch)
   }
 
+  test("streaming edit-join index serves the batch pairs, replay-safe") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-ej")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-ej-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        staged.resolve(s"$name.parquet"))
+    }
+    // split so at least one near-pair straddles the two batches: the
+    // second batch must find it by probing the index built by the first
+    stage(docs.filter(col("doc_id") % 2 === 0), "a_even")
+    stage(docs.filter(col("doc_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-ej").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.ej")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runEditJoinStream(spark, staged.toString, wh, ref, "eseg", "epairs")
+    val batch = graft.operators.Dedup.editJoinPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def served(): Set[(Long, Long, Long)] =
+      DocStreams.editPairsFromState(wh, ref, "epairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served() == batch,
+      s"served pairs must equal the batch join: missing=${(batch -- served()).take(3)}")
+    assert(batch.exists(p => p._1 % 2 != p._2 % 2),
+      "fixture must contain at least one cross-batch pair (else the probe path is untested)")
+    // replay: whole corpus redelivered as ONE file — keyed upserts
+    // absorb it (segments cannot duplicate, pairs re-assert)
+    stage(docs, "c_replay")
+    DocStreams.runEditJoinStream(spark, staged.toString, wh, ref, "eseg", "epairs")
+    assert(served() == batch, "replay must not move the served pairs")
+    val nKeys = graft.operators.Dedup.editKeys(docs).count()
+    assert(wh.readTable(ref, "eseg").count() ==
+      nKeys * (graft.operators.Dedup.EditMaxK + 1),
+      "segment index must hold exactly k+1 rows per valid key, no replay bloat")
+  }
+
   test("streaming kmv synopsis equals batch bit-exactly, replay-safe, compacts") {
     import org.apache.spark.sql.functions._
     import graft.extract.Warehouse
