@@ -226,6 +226,73 @@ object CorpusOps {
       .select(col("qid"), col("doc_id"), col("score_ppm"), col("rnk"))
   }
 
+  /** RRF dampening constant (Cormack et al. SIGIR'09's k=60). */
+  val RrfK = 60L
+
+  /** Second retrieval ranking for the fusion: idf-weighted term
+    * overlap Σ_t idf_ppm(t)·min(qtf, tf) — no saturation, no length
+    * norm, so it genuinely disagrees with BM25 on tails (that
+    * disagreement is what fusion exploits). Same candidate
+    * generation and broadcast contract as [[bm25TopKFor]]; pure
+    * int64 (per-term idf quantized to ppm BEFORE the weighted sum).
+    */
+  def overlapTopKFor(s: SparkSession, dir: String, qterms: DataFrame,
+                     topK: Int = Bm25TopK): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val qtf = qterms.groupBy(col("qid"), col("term"))
+      .agg(count(lit(1)).as("qtf"))
+    val idf = (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))
+    val scored = tf
+      .join(broadcast(qtf), Seq("term"))
+      .join(broadcast(dfreq.join(
+        broadcast(qtf.select("term").distinct), Seq("term"))), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(round(idf * lit(1000000.0), 0).cast("long") *
+        least(col("qtf"), col("tf"))).as("score_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_ppm").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("qid"), col("doc_id"), col("score_ppm"), col("rnk"))
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    * 2009): fuse the BM25 and overlap top-k lists per query with
+    * rrf = Σ_lists 1e6 div (60 + rank), absent lists contributing 0
+    * — the standard way to combine heterogeneous retrievers
+    * (lexical + semantic in production; two lexical scorers here,
+    * where both sides stay oracle-exact) without score calibration.
+    * Both input lists are ≤ topK per query, so the fusion stage is
+    * queries×2k rows: one full-outer equi-join + one window
+    * partitioned by qid over a ≤2k pool — nothing
+    * corpus-proportional past the two retrieval plans themselves.
+    */
+  def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qterms = Bm25Queries.toDF("qid", "qtext")
+      .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
+    val a = bm25TopKFor(s, dir, qterms)
+      .select(col("qid"), col("doc_id"), col("rnk").cast("long").as("rnk_bm25"))
+    val b = overlapTopKFor(s, dir, qterms)
+      .select(col("qid"), col("doc_id"), col("rnk").cast("long").as("rnk_overlap"))
+    val fused = a.join(b, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        coalesce(col("rnk_bm25"), lit(0L)).as("rnk_bm25"),
+        coalesce(col("rnk_overlap"), lit(0L)).as("rnk_overlap"))
+      .withColumn("rrf_ppm", expr(
+        s"(case when rnk_bm25 > 0 then 1000000 div ($RrfK + rnk_bm25) else 0 end)" +
+          s" + (case when rnk_overlap > 0 then 1000000 div ($RrfK + rnk_overlap) else 0 end)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rrf_ppm").desc, col("doc_id"))
+    fused.withColumn("fused_rnk", row_number().over(w).cast("long"))
+      .where(col("fused_rnk") <= Bm25TopK)
+  }
+
   /** Retrieval-quality eval harness (MRR@k): a gold query set run
     * through the SAME BM25 plan as production retrieval, emitting
     * each gold document's rank and reciprocal rank (integer ppm; 0
@@ -1046,6 +1113,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_bm25_search" -> qBm25Search _,
+    "q_rrf_fusion" -> qRrfFusion _,
     "q_url_normalize" -> qUrlNormalize _,
     "q_domain_flags" -> qDomainFlags _,
     "q_word_blocklist" -> qWordBlocklist _,
@@ -1189,6 +1257,63 @@ object CorpusOps {
         |  FROM scored)
         |SELECT qid, doc_id, score_ppm, rnk
         |FROM r WHERE rnk <= $Bm25TopK""".stripMargin
+    },
+    "q_rrf_fusion" -> {
+      val qvals = Bm25Queries
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""WITH q AS (SELECT * FROM (VALUES $qvals) AS v(qid, qtext)),
+        |qt0 AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+        |qt AS (SELECT qid, term, count(*)::BIGINT AS qtf FROM qt0 GROUP BY 1, 2),
+        |tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS dfreq FROM tf GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+        |  (SELECT sum(dl)::DOUBLE FROM dl) AS tot_dl),
+        |bm_scored AS (
+        |  SELECT qt0.qid, tf.doc_id,
+        |    sum(round(((st.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5))
+        |      * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+        |          / (st.tot_dl / st.n_docs)))) * 1000000.0, 0)::BIGINT)::BIGINT
+        |      AS score_ppm
+        |  FROM tf JOIN qt0 ON tf.term = qt0.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN dfreq df ON tf.term = df.term
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |bm AS (SELECT qid, doc_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score_ppm DESC, doc_id)
+        |    AS rnk FROM bm_scored),
+        |ov_scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    sum(round(((st.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5))
+        |      * 1000000.0, 0)::BIGINT * least(qt.qtf, tf.tf))::BIGINT
+        |      AS score_ppm
+        |  FROM tf JOIN qt ON tf.term = qt.term
+        |  JOIN dfreq df ON tf.term = df.term
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |ov AS (SELECT qid, doc_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score_ppm DESC, doc_id)
+        |    AS rnk FROM ov_scored),
+        |fused AS (
+        |  SELECT coalesce(a.qid, b.qid) AS qid,
+        |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    coalesce(a.rnk, 0)::BIGINT AS rnk_bm25,
+        |    coalesce(b.rnk, 0)::BIGINT AS rnk_overlap
+        |  FROM (SELECT * FROM bm WHERE rnk <= $Bm25TopK) a
+        |  FULL OUTER JOIN (SELECT * FROM ov WHERE rnk <= $Bm25TopK) b
+        |    ON a.qid = b.qid AND a.doc_id = b.doc_id),
+        |sc AS (SELECT qid, doc_id, rnk_bm25, rnk_overlap,
+        |  ((CASE WHEN rnk_bm25 > 0 THEN 1000000 // ($RrfK + rnk_bm25)
+        |     ELSE 0 END)
+        |   + (CASE WHEN rnk_overlap > 0 THEN 1000000 // ($RrfK + rnk_overlap)
+        |     ELSE 0 END))::BIGINT AS rrf_ppm
+        |  FROM fused)
+        |SELECT qid, doc_id, rnk_bm25, rnk_overlap, rrf_ppm,
+        |  row_number() OVER (PARTITION BY qid ORDER BY rrf_ppm DESC, doc_id)::BIGINT
+        |    AS fused_rnk
+        |FROM sc QUALIFY fused_rnk <= $Bm25TopK""".stripMargin
     },
     "q_url_normalize" -> {
       val blocked = HostBlocklist.map(h => s"'$h'").mkString(", ")

@@ -522,4 +522,39 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(ppm == out * 1000000L / g.length)
     }
   }
+
+  test("rrf fusion: driver replay of the two lists, emitted set is the top-k") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CorpusOps
+    import spark.implicits._
+    val qterms = CorpusOps.Bm25Queries.toDF("qid", "qtext")
+      .select(col("qid"),
+        explode(graft.functions.GraftFunctions.tokens(col("qtext"))).as("term"))
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getInt(3).toLong).toMap
+    val bm = ranks(CorpusOps.bm25TopKFor(spark, sf, qterms))
+    val ov = ranks(CorpusOps.overlapTopKFor(spark, sf, qterms))
+    def rr(r: Option[Long]): Long =
+      r.map(x => 1000000L / (CorpusOps.RrfK + x)).getOrElse(0L)
+    val want = (bm.keySet ++ ov.keySet).map { k =>
+      k -> (rr(bm.get(k)) + rr(ov.get(k)))
+    }.toMap
+    val got = CorpusOps.qRrfFusion(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Long]("rrf_ppm")).toMap
+    got.foreach { case (k, s) => assert(want(k) == s, s"score mismatch at $k") }
+    val qids = got.keys.map(_._1).toSet
+    qids.foreach { q =>
+      val topWant = want.filter(_._1._1 == q).toSeq
+        .sortBy { case ((_, d), s) => (-s, d) }.take(CorpusOps.Bm25TopK)
+        .map(_._1).toSet
+      val topGot = got.keys.filter(_._1 == q).toSet
+      assert(topGot == topWant, s"fused top-k set mismatch for qid $q")
+    }
+    // the two rankings must actually disagree somewhere, or the
+    // fusion tests nothing; and at least one doc must sit in both
+    val both = got.keys.filter(k => bm.contains(k) && ov.contains(k))
+    assert(both.nonEmpty, "fixture must fuse at least one overlapping doc")
+    assert(both.exists(k => bm(k) != ov(k)),
+      "the two scorers must rank at least one shared doc differently")
+  }
 }
