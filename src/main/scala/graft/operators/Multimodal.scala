@@ -165,6 +165,70 @@ object Multimodal {
     }
   }
 
+  // --- REAL pixel resample (nearest-neighbor, pure JDK) ------------------
+
+  final case class ResampledRow(doc_id: Long, src_w: Int, src_h: Int,
+    out_w: Int, out_h: Int, f_tl: Long, f_tr: Long, f_bl: Long, f_br: Long)
+
+  /** Resize box for the certified resample rung. */
+  val ResampleMaxW = 5
+  val ResampleMaxH = 5
+
+  /** REAL image resize: decode the payload, nearest-neighbor
+    * resample into the aspect-fit box (src pixel = (x·sw div tw,
+    * y·sh div th) — pure integer index math, the one interpolation
+    * an arithmetic oracle can replay exactly), then re-extract the
+    * 2×2 quadrant mean-intensity features FROM THE RESIZED PIXELS as
+    * exact ppm integers (gray·1e6 div (count·255); the two-tone PNG
+    * fixture has r=g=b so gray is exact). This closes the r5 stub:
+    * `resize` planned geometry only — this rung moves actual pixels
+    * through the same batched-mapPartitions shape and is
+    * hash-certified end-to-end (`q_resize_real`) because every
+    * output integer has a closed form in the fixture parameters.
+    * Undecodable payloads emit the all-zero row.
+    */
+  def resampleImages(media: Dataset[MediaRow], maxW: Int = ResampleMaxW,
+                     maxH: Int = ResampleMaxH): Dataset[ResampledRow] = {
+    import media.sparkSession.implicits._
+    def one(r: MediaRow): ResampledRow = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) ResampledRow(r.doc_id, 0, 0, 0, 0, 0L, 0L, 0L, 0L)
+      else {
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val s = math.min(1.0, math.min(maxW.toDouble / sw, maxH.toDouble / sh))
+        val tw = math.max(1, math.floor(sw * s).toInt)
+        val th = math.max(1, math.floor(sh * s).toInt)
+        // nearest resample + quadrant integer gray sums in one pass
+        val sums = new Array[Long](4)
+        val cnts = new Array[Long](4)
+        var y = 0
+        while (y < th) {
+          val sy = y * sh / th
+          var x = 0
+          while (x < tw) {
+            val sx = x * sw / tw
+            val rgb = img.getRGB(sx, sy)
+            val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            val q = (if (y >= th / 2 && th > 1) 2 else 0) +
+              (if (x >= tw / 2 && tw > 1) 1 else 0)
+            sums(q) += gray; cnts(q) += 1
+            x += 1
+          }
+          y += 1
+        }
+        def ppm(q: Int): Long =
+          if (cnts(q) == 0) 0L else sums(q) * 1000000L / (cnts(q) * 255L)
+        ResampledRow(r.doc_id, sw, sh, tw, th, ppm(0), ppm(1), ppm(2), ppm(3))
+      }
+    }
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.map(one)))
+  }
+
+  def qResizeReal(s: SparkSession, dir: String): DataFrame =
+    resampleImages(pngTable(s, dir)).toDF()
+
   /** Deterministic frame sampling: k evenly-spaced frame indices of
     * an n-frame clip (the standard video subsample for captioning /
     * embedding) — index i ↦ ⌊i·n/k⌋, no randomness to coordinate.
@@ -707,6 +771,7 @@ object Multimodal {
     videoMeta(videoFixtureTable(s, dir)).toDF()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resize_real" -> qResizeReal _,
     "q_video_meta" -> qVideoMeta _,
     "q_image_phash" -> qImagePhash _,
     "q_image_dedup" -> qImageDedup _,
@@ -742,6 +807,36 @@ object Multimodal {
       |  FROM b GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_resize_real" -> {
+      // replicate the operator's aspect-fit geometry on the fixed
+      // 8×6 fixture with the IDENTICAL double math, then emit the
+      // nearest-resample + quadrant ppm sums as pure arithmetic
+      val (sw, sh) = (8, 6)
+      val s = math.min(1.0,
+        math.min(ResampleMaxW.toDouble / sw, ResampleMaxH.toDouble / sh))
+      val tw = math.max(1, math.floor(sw * s).toInt)
+      val th = math.max(1, math.floor(sh * s).toInt)
+      s"""WITH px AS (
+        |  SELECT d.doc_id, x.range AS x, y.range AS y,
+        |    CASE WHEN (x.range * $sw) // $tw < ${sw / 2}
+        |      THEN (d.doc_id * 37) % 256
+        |      ELSE (d.doc_id * 101 + 128) % 256 END AS gray
+        |  FROM documents d, range($tw) x, range($th) y),
+        |qq AS (SELECT doc_id,
+        |    (CASE WHEN y >= ${th / 2} AND $th > 1 THEN 2 ELSE 0 END)
+        |      + (CASE WHEN x >= ${tw / 2} AND $tw > 1 THEN 1 ELSE 0 END) AS q,
+        |    gray
+        |  FROM px),
+        |agg AS (SELECT doc_id, q, sum(gray)::BIGINT AS sg,
+        |    count(*)::BIGINT AS c
+        |  FROM qq GROUP BY 1, 2)
+        |SELECT doc_id, $sw AS src_w, $sh AS src_h, $tw AS out_w, $th AS out_h,
+        |  coalesce(max(CASE WHEN q = 0 THEN sg * 1000000 // (c * 255) END), 0)::BIGINT AS f_tl,
+        |  coalesce(max(CASE WHEN q = 1 THEN sg * 1000000 // (c * 255) END), 0)::BIGINT AS f_tr,
+        |  coalesce(max(CASE WHEN q = 2 THEN sg * 1000000 // (c * 255) END), 0)::BIGINT AS f_bl,
+        |  coalesce(max(CASE WHEN q = 3 THEN sg * 1000000 // (c * 255) END), 0)::BIGINT AS f_br
+        |FROM agg GROUP BY doc_id""".stripMargin
+    },
     "q_video_meta" ->
       s"""WITH base AS (SELECT doc_id FROM documents WHERE doc_id < $VideoFixtureCap),
         |p AS (SELECT doc_id,

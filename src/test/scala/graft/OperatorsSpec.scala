@@ -1390,6 +1390,25 @@ class OperatorsSpec extends AnyFunSuite {
       s"PassJoin missed engineered pairs: ${(want -- got).take(5)}")
   }
 
+  test("real resample: never upscales, undecodable zeroes, exact quadrant ppm") {
+    import spark.implicits._
+    import Multimodal.{MediaRow, ResampledRow}
+    // an image already inside the box keeps its pixels 1:1
+    val small = Multimodal.syntheticPng(3L, w = 3, h = 2)
+    val rows = Multimodal.resampleImages(
+      Seq(MediaRow(1L, small), MediaRow(2L, "junk".getBytes)).toDS()).collect()
+      .map(r => r.doc_id -> r).toMap
+    val ok = rows(1L)
+    assert((ok.out_w, ok.out_h) == (3, 2), "no upscale past 1:1")
+    val a = (3L * 37) % 256; val b = (3L * 101 + 128) % 256
+    // 3×2 two-tone (x<1 → a): TL=(0,0)=a; TR=(1..2,0)=b,b; BL=a; BR=b,b
+    assert(ok.f_tl == a * 1000000L / 255L && ok.f_bl == a * 1000000L / 255L)
+    assert(ok.f_tr == 2 * b * 1000000L / (2 * 255L) &&
+      ok.f_br == 2 * b * 1000000L / (2 * 255L))
+    assert(rows(2L) == ResampledRow(2L, 0, 0, 0, 0, 0L, 0L, 0L, 0L),
+      "undecodable payloads emit the all-zero row")
+  }
+
   test("mp4 box writer round-trips through the parser to closed-form values") {
     import graft.functions.GraftFunctions.tokenHashLong
     for (id <- Seq(0L, 1L, 7L, 399L)) {
