@@ -1159,6 +1159,47 @@ object TextAnalysis {
         expr("n_shared * 1000000 div n_a").as("containment_ppm"))
   }
 
+  // --- deflate compression ratio (entropy proxy) -------------------------
+
+  /** Ratio floor below which a document is flagged as repetitive
+    * (compresses to under 25% of its UTF-8 size — natural text lands
+    * well above this; looped spans, boilerplate grids, and
+    * keyboard-mash land below).
+    */
+  val CompressRatioFloorPpm = 250000L
+
+  /** Deflate-compression ratio per document — the cheap
+    * entropy-proxy quality signal large-corpus pipelines run beside
+    * the rule ladder (a generalized repetition detector: it catches
+    * ANY low-entropy structure, not just the exact n-gram repeats
+    * `q_repetition` counts). ratio_ppm = deflated·1e6 div raw over
+    * UTF-8 bytes, level-6 zlib from the JDK (no external libs).
+    * Narrow batched mapPartitions, one Deflater REUSED per partition
+    * (reset between docs — allocation-free on the hot path), no
+    * shuffle. Deterministic: zlib level-6 output is a pure function
+    * of the input bytes, so the spec can pin exact replay equality.
+    * No SQL twin exists (DuckDB has no deflate), so this is a
+    * spec-verified component, the 25e posture.
+    */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          d.reset(); d.setInput(raw); d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          val ratio = if (raw.length == 0) 1000000L
+            else n * 1000000L / raw.length
+          (id, raw.length.toLong, n, ratio, ratio < CompressRatioFloorPpm)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate", "ratio_ppm", "repetitive")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_containment" -> qSourceContainment _,
     "q_quality_calibrate" -> qQualityCalibrate _,

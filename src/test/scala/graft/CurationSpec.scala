@@ -1104,4 +1104,41 @@ class CurationSpec extends AnyFunSuite {
     assert(est.getAs[Long]("max_cnt") * est.getAs[Long]("max_cnt")
       <= est.getAs[Long]("est_pairs"))
   }
+
+  test("compression ratio: exact driver replay, repetition sinks the ratio") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val extra = Seq(
+      (800001L, "spam " * 400),                       // pure repetition
+      (800002L, ""),                                  // empty edge
+      (800003L, (0 until 400).map(i =>
+        graft.functions.GraftFunctions.tokenHashLong(s"x$i").toHexString)
+        .mkString(" "))                               // high-entropy hex
+    ).toDF("doc_id", "text")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).unionAll(extra)
+    val got = graft.operators.TextAnalysis.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // exact replay: same JDK Deflater, driver-side
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      val raw = t.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      val ratio = if (raw.length == 0) 1000000L else n * 1000000L / raw.length
+      assert(got(id) == (raw.length.toLong, n, ratio,
+        ratio < graft.operators.TextAnalysis.CompressRatioFloorPpm),
+        s"replay mismatch at $id")
+    }
+    assert(got(800001L)._4, "pure repetition must flag")
+    assert(!got(800003L)._4, "high-entropy text must not flag")
+    assert(got(800002L)._3 == 1000000L, "empty doc ratio defined as 1e6")
+    assert(got(800001L)._3 < got(800003L)._3 / 4,
+      "repetition must compress far better than entropy")
+  }
 }
