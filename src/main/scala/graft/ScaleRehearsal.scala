@@ -78,7 +78,11 @@ object ScaleRehearsal {
     // r11 session 4 cont.: incremental PassJoin (cost rides the
     // batch), harmonic (hop plot + n-row count joins), label
     // spreading (PageRank plan shape — expect ~linear)
-    "q_edit_incremental", "q_harmonic", "q_label_spread")
+    "q_edit_incremental", "q_harmonic", "q_label_spread",
+    // r11 session 4 cont.: RRF fusion (two bounded-query retrieval
+    // plans + a queries×2k fusion — expect bm25-like), real resample
+    // (narrow per-row pixel work — expect ~linear)
+    "q_rrf_fusion", "q_resize_real")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(
