@@ -483,6 +483,27 @@ object Graph {
     counts.toSeq.toDF("t", "n_pairs")
   }
 
+  /** Effective-diameter percentile (90). */
+  val EffDiamPct = 90L
+
+  /** Effective diameter from the hop plot: the smallest t with
+    * N(t) ≥ ⌈0.9·N(HopT)⌉ (Palmer et al.'s 90%-connectivity
+    * diameter), plus the coverage fraction at that hop in exact ppm.
+    * One row from the same bounded per-hop counts as [[qHopPlot]];
+    * at 100 TB the production path feeds HyperBall's N̂(t) into the
+    * identical selection.
+    */
+  def qEffDiameter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hp = qHopPlot(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val nT = hp.last._2
+    val need = (EffDiamPct * nT + 99) / 100
+    val (tEff, nEff) = hp.find(_._2 >= need).get
+    Seq((tEff, nEff, nT, nEff * 1000000L / nT))
+      .toDF("t_eff", "n_pairs_at_t", "n_pairs_max", "coverage_ppm")
+  }
+
   /** HyperBall (Boldi & Vigna, WebGraph 2013): per-node HLL
     * registers of B(v, t), iterated as regs_t(v) = elementwise-max
     * over {regs_{t-1}(v)} ∪ {regs_{t-1}(w) : (v,w) ∈ E}. Because
@@ -602,6 +623,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eff_diameter" -> qEffDiameter _,
     "q_label_spread" -> qLabelSpread _,
     "q_harmonic" -> qHarmonic _,
     "q_hyperball" -> qHyperBall _,
@@ -891,7 +913,36 @@ object Graph {
       |SELECT v AS doc_id, y AS score_ppm FROM y$SpreadIters""".stripMargin
   }
 
+  private def effDiameterSql: String = {
+    val rounds = (1 to HopT).map { t =>
+      s"""r$t AS (SELECT DISTINCT v, u FROM (
+        |  SELECT v, u FROM r${t - 1}
+        |  UNION ALL
+        |  SELECT r.v, e.dst FROM r${t - 1} r JOIN e ON r.u = e.src))""".stripMargin
+    }.mkString(",\n")
+    val cnts = (0 to HopT)
+      .map(t => s"SELECT $t::BIGINT AS t, (SELECT count(*) FROM r$t)::BIGINT AS np")
+      .mkString("\nUNION ALL ")
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+      |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+      |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+      |r0 AS (SELECT doc_id AS v, doc_id AS u FROM documents),
+      |$rounds,
+      |hp AS ($cnts),
+      |mx AS (SELECT np AS nt FROM hp WHERE t = $HopT)
+      |SELECT t AS t_eff, np AS n_pairs_at_t, nt AS n_pairs_max,
+      |  (np * 1000000 // nt)::BIGINT AS coverage_ppm
+      |FROM hp CROSS JOIN mx
+      |WHERE np >= ($EffDiamPct * nt + 99) // 100
+      |ORDER BY t LIMIT 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_eff_diameter" -> effDiameterSql,
     "q_label_spread" -> labelSpreadSql,
     "q_harmonic" -> harmonicSql,
     "q_hyperball" -> hyperBallSql,

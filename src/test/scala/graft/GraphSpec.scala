@@ -508,6 +508,12 @@ class GraphSpec extends AnyFunSuite {
     assert(hp.head == (0L, n), "N(0) is one pair per node")
     assert(hp.sliding(2).forall(w => w(1)._2 >= w(0)._2), "monotone growth")
     assert(hp.last._2 > n, "the fixture graph must actually expand")
+    // effective diameter: minimal t reaching 90% of N(HopT)
+    val ed = Graph.qEffDiameter(spark, sf).head
+    val need = (Graph.EffDiamPct * hp.last._2 + 99) / 100
+    val tEff = ed.getAs[Long]("t_eff")
+    assert(hp.find(_._2 >= need).get._1 == tEff, "minimal-t law")
+    assert(ed.getAs[Long]("coverage_ppm") >= Graph.EffDiamPct * 10000L)
   }
 
   test("label spreading: seeds dominate, mass bounded, only link-reachable score") {
