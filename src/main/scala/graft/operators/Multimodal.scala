@@ -86,7 +86,11 @@ object Multimodal {
     def decodeBatch(batch: Seq[MediaRow]): Seq[DecodedRow] = batch.map { r =>
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+        // NonFatal, not just IOException: JDK image readers throw
+        // RuntimeExceptions (IndexOutOfBounds, NegativeArraySize,
+        // CMMException) on corrupt payloads — a crawl must degrade to
+        // the fallback row, not kill the task (Mp4Parser posture).
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null)
         FakeDecoder.decodeBatch(Seq(r)).head.copy(media_type = "undecodable")
       else {
@@ -193,7 +197,11 @@ object Multimodal {
     def one(r: MediaRow): ResampledRow = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+        // NonFatal, not just IOException: JDK image readers throw
+        // RuntimeExceptions (IndexOutOfBounds, NegativeArraySize,
+        // CMMException) on corrupt payloads — a crawl must degrade to
+        // the fallback row, not kill the task (Mp4Parser posture).
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) ResampledRow(r.doc_id, 0, 0, 0, 0, 0L, 0L, 0L, 0L)
       else {
         val (sw, sh) = (img.getWidth, img.getHeight)
@@ -269,7 +277,11 @@ object Multimodal {
     media.mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { r =>
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+        // NonFatal, not just IOException: JDK image readers throw
+        // RuntimeExceptions (IndexOutOfBounds, NegativeArraySize,
+        // CMMException) on corrupt payloads — a crawl must degrade to
+        // the fallback row, not kill the task (Mp4Parser posture).
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)

@@ -1187,14 +1187,25 @@ object TextAnalysis {
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](1 << 16)
-        it.map { case (id, text) =>
-          val raw = text.getBytes("UTF-8")
-          d.reset(); d.setInput(raw); d.finish()
-          var n = 0L
-          while (!d.finished()) n += d.deflate(buf)
-          val ratio = if (raw.length == 0) 1000000L
-            else n * 1000000L / raw.length
-          (id, raw.length.toLong, n, ratio, ratio < CompressRatioFloorPpm)
+        // Deflater holds native zlib memory until end() — releasing on
+        // iterator exhaustion (not GC finalization) keeps many-partition
+        // executors from accumulating off-heap state.
+        new Iterator[(Long, Long, Long, Long, Boolean)] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) d.end()
+            h
+          }
+          def next(): (Long, Long, Long, Long, Boolean) = {
+            val (id, text) = it.next()
+            val raw = text.getBytes("UTF-8")
+            d.reset(); d.setInput(raw); d.finish()
+            var n = 0L
+            while (!d.finished()) n += d.deflate(buf)
+            val ratio = if (raw.length == 0) 1000000L
+              else n * 1000000L / raw.length
+            (id, raw.length.toLong, n, ratio, ratio < CompressRatioFloorPpm)
+          }
         }
       }
       .toDF("doc_id", "n_bytes", "n_deflate", "ratio_ppm", "repetitive")

@@ -480,6 +480,31 @@ class GraphSpec extends AnyFunSuite {
         "registers of the exact reachability sets")
   }
 
+  test("hyperball: packed binary iteration is bit-equal to the long format") {
+    val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
+    val n = docs.count()
+    val e = Graph.edges(docs, n)
+    val long = Graph.hyperBallRegisters(docs, e, Graph.HopT).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val packed = Graph.unpackRegs(Graph.hyperBallPacked(docs, e, Graph.HopT))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(packed == long,
+      "packed 64-byte register rows must unpack to exactly the " +
+        "long-format (v, bucket, rank) table at every node")
+    // and the shuffle-free packed estimate matches the agg-based one
+    val estL = Graph.hyperBallEstimate(
+        Graph.hyperBallRegisters(docs, e, Graph.HopT)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val estP = Graph.hyperBallEstimatePacked(
+        Graph.hyperBallPacked(docs, e, Graph.HopT)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(estP.keySet == estL.keySet)
+    estL.foreach { case (v, el) =>
+      assert(math.abs(estP(v) - el) <= 1e-9 * math.max(1.0, el),
+        s"packed estimate diverges at $v: ${estP(v)} vs $el")
+    }
+  }
+
   test("hyperball: estimates track exact ball sizes; hop plot is monotone") {
     val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
     val n = docs.count()
