@@ -82,7 +82,11 @@ object ScaleRehearsal {
     // r11 session 4 cont.: RRF fusion (two bounded-query retrieval
     // plans + a queries×2k fusion — expect bm25-like), real resample
     // (narrow per-row pixel work — expect ~linear)
-    "q_rrf_fusion", "q_resize_real")
+    "q_rrf_fusion", "q_resize_real",
+    // r12: SCC (trim + FW-BW peel rides a bounded-reach fixture —
+    // round count is fixture-pinned, expect ~linear), packed
+    // HyperBall rides the existing q_hyperball/q_harmonic entries
+    "q_scc")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(

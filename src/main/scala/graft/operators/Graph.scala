@@ -720,7 +720,181 @@ object Graph {
     acc
   }
 
+  // --- strongly connected components (directed) --------------------------
+
+  /** SCC fixture block width / every-5th-block-is-a-chain / DAG link
+    * stride. The [[edges]] fixture's two linear maps tangle most of
+    * the graph into one giant SCC whose transitive closure is Θ(n²) —
+    * unusable as an oracle — so SCC gets its own arithmetic fixture
+    * with BOUNDED reach: blocks of [[SccB]] ids form an internal
+    * cycle (one SCC of size B) except every [[SccChainMod]]-th block,
+    * which drops the wrap edge and decomposes into singletons; even
+    * blocks additionally link position-wise into the next block
+    * (u → u+B), a pure DAG edge joining blocks into 2-chains. Every
+    * reach set is ≤ 2 blocks, mixing multi-node SCCs, singleton
+    * SCCs, and cross-SCC DAG structure. Replicated arithmetically by
+    * the oracle.
+    */
+  val SccB = 8L
+  val SccChainMod = 5L
+  val SccDagMod = 2L
+
+  def sccEdges(docs: DataFrame, n: Long): DataFrame = {
+    val within = docs
+      .filter(not(col("doc_id") % SccB === SccB - 1 &&
+        expr(s"(doc_id div $SccB) % $SccChainMod") === 0))
+      .select(col("doc_id").as("src"),
+        expr(s"doc_id - (doc_id % $SccB) + ((doc_id % $SccB + 1) % $SccB)")
+          .as("dst"))
+      .filter(col("dst") < n && col("dst") =!= col("src"))
+    val cross = docs
+      .filter(expr(s"(doc_id div $SccB) % $SccDagMod") === 0 &&
+        col("doc_id") + SccB < n)
+      .select(col("doc_id").as("src"), (col("doc_id") + SccB).as("dst"))
+    within.unionAll(cross)
+  }
+
+  /** Transitive closure by repeated squaring — reach_{k+1} =
+    * reach_k ∪ (reach_k ∘ reach_k), so paths of length ≤ 2^k arrive
+    * in k rounds (log(diameter) joins, vs diameter rounds for
+    * one-step frontier expansion); fixpoint detected by one bounded
+    * driver count per round. EXACT-rung shape: the pair mass is
+    * Σ|Reach(v)| by definition, fine wherever reach sets are bounded
+    * (the audit fixture; per-domain link subgraphs) — on an
+    * unbounded 100 TB web graph the production SCC path is
+    * [[sccColoring]], which keeps ONE label per vertex instead.
+    */
+  def transitiveClosure(e: DataFrame): DataFrame = {
+    var reach = cut(e.select(col("src").as("v"), col("dst").as("u")).distinct())
+    var cnt = reach.count()
+    var grown = true
+    while (grown) {
+      val next = cut(reach.unionAll(
+        reach.as("a").join(reach.as("b"), col("a.u") === col("b.v"))
+          .select(col("a.v").as("v"), col("b.u").as("u")))
+        .distinct())
+      val c2 = next.count()
+      if (c2 == cnt) grown = false else { reach = next; cnt = c2 }
+    }
+    reach
+  }
+
+  /** SCC ids from a reach closure: scc_id(v) = min({v} ∪ {u : v→u ∧
+    * u→v}) — the least vertex mutually reachable with v, which is
+    * exactly min(SCC(v)) (mutual reachability IS the SCC relation),
+    * so the labeling is canonical regardless of how the closure was
+    * obtained.
+    */
+  private def sccFromClosure(docs: DataFrame, reach: DataFrame): DataFrame = {
+    val mut = reach.as("a").join(reach.as("b"),
+        col("a.v") === col("b.u") && col("a.u") === col("b.v"))
+      .groupBy(col("a.v").as("v")).agg(min(col("a.u")).as("mu"))
+    val scc = docs.join(mut, docs("doc_id") === mut("v"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("mu"), col("doc_id"))).as("scc_id"))
+    val sz = scc.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
+    scc.join(sz, Seq("scc_id"))
+      .select(col("doc_id"), col("scc_id"), col("scc_size"))
+  }
+
+  /** Directed strongly-connected components — the web-graph bow-tie
+    * statistic next to the hop plot (Broder et al. WWW'00). Exact
+    * rung for the oracle: squared closure + mutual-min. Output is
+    * (doc_id, scc_id = min member, scc_size).
+    */
+  def qScc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    sccFromClosure(docs, transitiveClosure(sccEdges(docs, n)))
+  }
+
+  /** Production SCC: forward-backward min-label coloring (the
+    * FW-BW-MIN peel of Slota et al. / Orzan's coloring step) — NO
+    * closure pairs, state is one long label per vertex per
+    * direction. Per peel: fwd(v) = min id that can REACH v and
+    * bwd(v) = min id v can reach, each by min-label propagation to
+    * fixpoint (labels only decrease, so ONE scalar sum per round
+    * detects convergence — no per-round diff join); vertices with
+    * fwd(v) == bwd(v) = w are mutually reachable with w and peel off
+    * with scc_id = w = min(SCC(v)) (reach-in/reach-out sets are
+    * SCC-invariant, so whole SCCs peel together and every peel
+    * removes at least the SCC of the minimum active id — guaranteed
+    * progress). Identical labeling to [[qScc]], pinned by GraphSpec
+    * against both the closure rung and a driver-side Tarjan replay.
+    */
+  def sccColoring(docs: DataFrame, e: DataFrame,
+                  maxPeels: Int = 64): DataFrame = {
+    def minLabels(verts: DataFrame, sube: DataFrame,
+                  incoming: Boolean): DataFrame = {
+      // decimal(38,0) sum: id sums can pass int64 on web-scale
+      // graphs, and a wrapped sum could fake convergence
+      def lblSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      var x = verts.select(col("v"), col("v").as("lbl"))
+      var tot = lblSum(x)
+      var converged = false
+      while (!converged) {
+        val prop =
+          if (incoming) sube.join(x, sube("src") === x("v"))
+            .select(sube("dst").as("v"), col("lbl"))
+          else sube.join(x, sube("dst") === x("v"))
+            .select(sube("src").as("v"), col("lbl"))
+        x = cut(x.unionAll(prop).groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
+        val t2 = lblSum(x)
+        if (t2 == tot) converged = true else tot = t2
+      }
+      x
+    }
+    var remaining = cut(docs.select(col("doc_id").as("v")))
+    var out: DataFrame = null
+    var peels = 0
+    while (peels < maxPeels && remaining.limit(1).count() > 0) {
+      peels += 1
+      var sube = cut(e
+        .join(remaining.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(remaining.select(col("v").as("dst")), Seq("dst"), "left_semi"))
+      // TRIM (Slota et al.'s Multistep step 1): a vertex with no
+      // in-edge or no out-edge in the active subgraph can sit on no
+      // cycle — it is a singleton SCC. Looping trim to fixpoint
+      // disposes of DAG-shaped regions (chains, trees, the bow-tie
+      // tendrils that dominate real web graphs) in one cheap
+      // degree-join per round, leaving the label-propagation peel —
+      // whose fixpoint costs diameter rounds — only the genuinely
+      // cyclic cores.
+      var trimming = true
+      while (trimming) {
+        val keep = remaining
+          .join(sube.select(col("src").as("v")), Seq("v"), "left_semi")
+          .join(sube.select(col("dst").as("v")), Seq("v"), "left_semi")
+        val trimmed = cut(remaining.join(keep, Seq("v"), "left_anti")
+          .select(col("v"), col("v").as("scc_id")))
+        if (trimmed.limit(1).count() == 0) trimming = false
+        else {
+          out = if (out == null) trimmed else out.unionAll(trimmed)
+          remaining = cut(keep)
+          sube = cut(sube
+            .join(remaining.select(col("v").as("src")), Seq("src"), "left_semi")
+            .join(remaining.select(col("v").as("dst")), Seq("dst"), "left_semi"))
+        }
+      }
+      if (remaining.limit(1).count() > 0) {
+        val fwd = minLabels(remaining, sube, incoming = true).toDF("v", "f")
+        val bwd = minLabels(remaining, sube, incoming = false).toDF("vb", "b")
+        val done = cut(fwd.join(bwd, fwd("v") === col("vb") && col("f") === col("b"))
+          .select(col("v"), col("f").as("scc_id")))
+        out = if (out == null) done else out.unionAll(done)
+        remaining = cut(remaining.join(done, Seq("v"), "left_anti"))
+      }
+    }
+    require(peels < maxPeels, s"sccColoring did not converge in $maxPeels peels")
+    val scc = out.select(col("v").as("doc_id"), col("scc_id"))
+    val sz = scc.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
+    scc.join(sz, Seq("scc_id"))
+      .select(col("doc_id"), col("scc_id"), col("scc_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scc" -> qScc _,
     "q_eff_diameter" -> qEffDiameter _,
     "q_label_spread" -> qLabelSpread _,
     "q_harmonic" -> qHarmonic _,
@@ -1039,7 +1213,39 @@ object Graph {
       |ORDER BY t LIMIT 1""".stripMargin
   }
 
+  /** SCC oracle: DuckDB's recursive CTE computes the reach closure
+    * to ITS OWN fixpoint (no round-count coupling to the Spark side),
+    * then the same mutual-min selection — so the oracle certifies
+    * the SCC definition, not a replay of the squaring schedule.
+    */
+  private def sccSql: String =
+    s"""WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (
+      |  SELECT doc_id AS src,
+      |    (doc_id - (doc_id % $SccB) + ((doc_id % $SccB + 1) % $SccB))::BIGINT AS dst
+      |  FROM documents CROSS JOIN nn
+      |  WHERE NOT (doc_id % $SccB = ${SccB - 1}
+      |      AND (doc_id // $SccB) % $SccChainMod = 0)
+      |    AND doc_id - (doc_id % $SccB) + ((doc_id % $SccB + 1) % $SccB) < nn.n
+      |    AND doc_id - (doc_id % $SccB) + ((doc_id % $SccB + 1) % $SccB) != doc_id
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id + $SccB)::BIGINT FROM documents CROSS JOIN nn
+      |  WHERE (doc_id // $SccB) % $SccDagMod = 0 AND doc_id + $SccB < nn.n),
+      |reach AS (
+      |  SELECT src AS v, dst AS u FROM e
+      |  UNION
+      |  SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src),
+      |mut AS (SELECT a.v, min(a.u)::BIGINT AS mu
+      |  FROM reach a JOIN reach b ON a.v = b.u AND a.u = b.v GROUP BY a.v),
+      |scc AS (SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(m.mu, d.doc_id))::BIGINT AS scc_id
+      |  FROM documents d LEFT JOIN mut m ON d.doc_id = m.v),
+      |sz AS (SELECT scc_id, count(*)::BIGINT AS scc_size FROM scc GROUP BY 1)
+      |SELECT s.doc_id, s.scc_id, z.scc_size
+      |FROM scc s JOIN sz z ON s.scc_id = z.scc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_scc" -> sccSql,
     "q_eff_diameter" -> effDiameterSql,
     "q_label_spread" -> labelSpreadSql,
     "q_harmonic" -> harmonicSql,

@@ -564,6 +564,97 @@ class GraphSpec extends AnyFunSuite {
       "labels must actually spread to non-seeds")
   }
 
+  /** Driver-side Tarjan (iterative, explicit stack — no JVM stack
+    * risk on chain graphs), relabeled to the min-member convention
+    * the distributed rungs use.
+    */
+  private def tarjanScc(verts: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val index = scala.collection.mutable.Map[Long, Int]()
+    val lowlink = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.ArrayBuffer[Long]()
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    var counter = 0
+    for (root <- verts if !index.contains(root)) {
+      // iterative DFS: frames of (vertex, next child offset)
+      val work = scala.collection.mutable.ArrayBuffer[(Long, Int)]((root, 0))
+      while (work.nonEmpty) {
+        val (v, ci) = work.last
+        if (ci == 0) {
+          index(v) = counter; lowlink(v) = counter; counter += 1
+          stack += v; onStack += v
+        }
+        val kids = adj.getOrElse(v, Seq.empty)
+        if (ci < kids.length) {
+          work(work.length - 1) = (v, ci + 1)
+          val w = kids(ci)
+          if (!index.contains(w)) work += ((w, 0))
+          else if (onStack(w)) lowlink(v) = math.min(lowlink(v), index(w))
+        } else {
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val (p, _) = work.last
+            lowlink(p) = math.min(lowlink(p), lowlink(v))
+          }
+          if (lowlink(v) == index(v)) {
+            val members = scala.collection.mutable.ArrayBuffer[Long]()
+            var w = -1L
+            while ({ w = stack.remove(stack.length - 1); onStack -= w
+                     members += w; w != v }) ()
+            val id = members.min
+            members.foreach(m => comp(m) = id)
+          }
+        }
+      }
+    }
+    comp.toMap
+  }
+
+  test("scc: closure rung and coloring rung both equal a Tarjan replay") {
+    val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
+    val n = docs.count()
+    val e = Graph.sccEdges(docs, n)
+    val edges = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val verts = (0L until n).toSeq
+    val want = tarjanScc(verts, edges)
+    val sizes = want.values.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val closure = Graph.qScc(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(closure.keySet == verts.toSet)
+    verts.foreach { v =>
+      assert(closure(v) == ((want(v), sizes(want(v)))),
+        s"closure scc at $v: ${closure(v)} vs Tarjan ${(want(v), sizes(want(v)))}")
+    }
+    // the production FW-BW-MIN peel must produce the identical labeling
+    val colored = Graph.sccColoring(docs, e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(colored == closure, "coloring rung must equal the closure rung")
+    // fixture sanity: both multi-node SCCs and singletons exist
+    val nontrivial = closure.values.map(_._1).toSeq.distinct
+      .count(id => closure(id)._2 > 1)
+    assert(nontrivial > 1, "fixture must contain multi-node SCCs")
+    assert(closure.values.exists(_._2 == 1L), "and singleton SCCs")
+  }
+
+  test("scc coloring: pure cycle and pure chain edge cases") {
+    import spark.implicits._
+    val n = 17L
+    val docs = (0L until n).toDF("doc_id")
+    // one n-cycle: a single SCC, id 0, size n — the worst case for
+    // label-propagation round counts (diameter = n; trim removes
+    // nothing, the fixpoint must do the work)
+    val cyc = (0L until n).map(u => (u, (u + 1) % n)).toDF("src", "dst")
+    val c1 = Graph.sccColoring(docs, cyc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c1.length == n && c1.forall(t => t._2 == 0L && t._3 == n))
+    // one n-chain: all singletons
+    val chain = (0L until n - 1).map(u => (u, u + 1)).toDF("src", "dst")
+    val c2 = Graph.sccColoring(docs, chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c2.length == n && c2.forall(t => t._2 == t._1 && t._3 == 1L))
+  }
+
   test("harmonic centrality: HyperBall estimate tracks the exact ppm rung") {
     val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
     val n = docs.count()
