@@ -25,9 +25,13 @@ object TextAnalysis {
   private def hitRatio(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))) / size(toks)
 
-  def qLangid(s: SparkSession, dir: String): DataFrame = {
+  /** Stopword-ratio heuristic language ID over any documents frame
+    * (extracted from [[qLangid]] so the NB upgrade's spec can race
+    * both classifiers on the same augmented fixture).
+    */
+  def langidHeuristic(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val scored = Tables.documents(s, dir)
+    val scored = docs
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("en_score", hitRatio(toks, Stopwords(0)._2))
       .withColumn("fr_score", hitRatio(toks, Stopwords(1)._2))
@@ -44,6 +48,113 @@ object TextAnalysis {
         .when(col("de_score") >= col("es_score"), "de")
         .otherwise("es").as("pred_lang"))
   }
+
+  def qLangid(s: SparkSession, dir: String): DataFrame =
+    langidHeuristic(Tables.documents(s, dir))
+
+  // --- NB-trained language ID (char trigrams) ---------------------------
+
+  /** Feature-hash buckets / scored-prefix chars / every-3rd-doc-is-a-
+    * training-seed for the NB language classifier.
+    */
+  val LangIdBuckets = 4096L
+  val LangIdMaxChars = 240
+  val LangIdSeedMod = 3L
+
+  /** Alphabetical label set (argmax tie-break order). */
+  val LangIdLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Per-language marker prose for the harness fixture — the
+    * augment-in-the-harness pattern (qDsir/qQualityClassifier): the
+    * synthetic corpus draws every doc from one shared English-ish
+    * token pool regardless of its `lang` label, so the fixture
+    * prepends a short passage of language-distinctive words. None of
+    * these words appear in [[Stopwords]] — a stopword-ratio
+    * heuristic gains NOTHING from them (it keeps predicting from the
+    * shared base text, i.e. mostly 'en'), while char-trigram NB
+    * learns their orthography from the seed docs; that asymmetry is
+    * what the beats-the-heuristic spec measures.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "de" -> "dieses gebäude wurde häufig gemütlich zwischen größeren straßen gebaut",
+    "en" -> "quick committee working through notable research findings overall quarterly",
+    "es" -> "aquí señalamos varias cuestiones añadidas según aquellos años mejores",
+    "fr" -> "ceci présente déjà quelques réponses générales après plusieurs années précises",
+    "zh" -> "shuju xitong chaxun fenxi jieguo moxing fangfa zhengli shiyong bianhua")
+
+  /** floor(2·log2 x)+1 — the integer bit-length logarithm shared with
+    * the NB quality classifier (Curation.nbQualityScores): both
+    * engines evaluate it bit-identically, no transcendentals.
+    */
+  private def bitLog(x: Column): Column = length(bin(x * x)).cast("long")
+
+  /** Prepend each doc's language marker (prepend, not append, so the
+    * scored [[LangIdMaxChars]] prefix always contains it).
+    */
+  def langAugment(docs: DataFrame): DataFrame = {
+    val marker = LangMarkers.foldLeft(lit("")) { case (acc, (l, m)) =>
+      when(col("lang") === l, lit(m)).otherwise(acc)
+    }
+    docs.withColumn("text", concat(marker, lit(" "), col("text")))
+  }
+
+  /** Multinomial Naive Bayes language ID over hashed char trigrams —
+    * the trained upgrade of the [[qLangid]] stopword heuristic
+    * (fastText-style features on the NB quality-classifier
+    * machinery; no external model). Features: trigram 48-bit hashes
+    * of the lowercased first [[LangIdMaxChars]] chars, via the
+    * native ShingleHash48 loop over a char split (the Spark 4.1
+    * HOF-md5 workaround, and ~10× faster than a lambda chain).
+    * Training: per-(lang, bucket) counts from the seed docs
+    * (doc_id % [[LangIdSeedMod]] = 0) → ONE ≤[[LangIdBuckets]]-row
+    * table pivoted to a column per language → broadcast. Scoring:
+    * with flat priors, score_l = Σ_f L(c_lf + 1) − n_tri·L(tot_l +
+    * V) in the integer bit-length log L(x) = floor(2·log2 x)+1; one
+    * (doc_id)-keyed partial agg computes all five sums in a single
+    * pass; argmax breaks ties toward the alphabetically first
+    * language. Every doc is scored (seeds included, as sanity
+    * anchors); `is_seed` marks the held-out split. Scale shape:
+    * linear scan + one bounded broadcast + one partial agg — the
+    * same plan at 100 TB.
+    */
+  def langIdNb(docs: DataFrame): DataFrame = {
+    val tx = substring(lower(col("text")), 1, LangIdMaxChars)
+    val chars = filter(split(tx, ""), c => c =!= "")
+    val tok = docs.select(col("doc_id"), col("lang"),
+        (col("doc_id") % LangIdSeedMod === 0).as("is_seed"),
+        explode(shingleHashes(chars, 3)).as("h"))
+      .withColumn("f", col("h") % LangIdBuckets).drop("h")
+    val cntAggs = LangIdLangs.map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
+    val cnt = tok.filter(col("is_seed"))
+      .groupBy(col("f")).agg(cntAggs.head, cntAggs.tail: _*)
+      .localCheckpoint()
+    val totAggs = LangIdLangs.map(l =>
+      bitLog(coalesce(sum(col(s"c_$l")), lit(0L)) + LangIdBuckets).as(s"n_$l"))
+    val tot = cnt.agg(totAggs.head, totAggs.tail: _*)
+    val scored = tok.join(broadcast(cnt), Seq("f"), "left")
+      .na.fill(0L, LangIdLangs.map(l => s"c_$l"))
+      .groupBy(col("doc_id"), col("lang"), col("is_seed"))
+      .agg(count(lit(1)).as("n_tri"),
+        LangIdLangs.map(l => sum(bitLog(col(s"c_$l") + 1)).as(s"s_$l")): _*)
+      .crossJoin(broadcast(tot))
+    val withScores = scored.select(
+      Seq(col("doc_id"), col("lang").as("labeled_lang"), col("is_seed"),
+        col("n_tri")) ++
+        LangIdLangs.map(l =>
+          (col(s"s_$l") - col("n_tri") * col(s"n_$l")).as(s"score_$l")): _*)
+    val pred = LangIdLangs.init.zipWithIndex.foldRight(
+        lit(LangIdLangs.last): Column) { case ((l, i), rest) =>
+      val dominates = LangIdLangs.drop(i + 1)
+        .map(r => col(s"score_$l") >= col(s"score_$r"))
+        .reduce(_ && _)
+      when(dominates, lit(l)).otherwise(rest)
+    }
+    withScores.withColumn("pred_lang", pred)
+  }
+
+  def qLangidNb(s: SparkSession, dir: String): DataFrame =
+    langIdNb(langAugment(Tables.documents(s, dir)))
 
   def qQuality(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
@@ -1235,6 +1346,7 @@ object TextAnalysis {
     "q_decon_by_bench" -> qDeconByBench _,
     "q_tfidf" -> qTfidf _,
     "q_langid" -> qLangid _,
+    "q_langid_nb" -> qLangidNb _,
     "q_quality" -> qQuality _,
     "q_tokens" -> qTokens _,
     "q_fingerprint" -> qFingerprint _,
@@ -1481,7 +1593,58 @@ object TextAnalysis {
       |JOIN ns ON sc.source = ns.source
       |JOIN gp ON sc.q_ppm = gp.q_ppm""".stripMargin
 
+  /** q_langid_nb oracle: the identical NB arithmetic over the same
+    * md5-prefix trigram hashes, replayed in DuckDB.
+    */
+  private def langidNbSql: String = {
+    val markerCase = LangMarkers
+      .map { case (l, m) => s"WHEN '$l' THEN '$m'" }
+      .mkString("CASE lang ", " ", " END")
+    val cntCols = LangIdLangs.map(l =>
+      s"count(*) FILTER (WHERE lang = '$l')::BIGINT AS c_$l").mkString(",\n    ")
+    val totCols = LangIdLangs.map(l =>
+      s"strlen(bin((coalesce(sum(c_$l), 0) + $LangIdBuckets)" +
+        s" * (coalesce(sum(c_$l), 0) + $LangIdBuckets)))::BIGINT AS n_$l")
+      .mkString(",\n    ")
+    val sumCols = LangIdLangs.map(l =>
+      s"sum(strlen(bin((coalesce(c.c_$l, 0) + 1)" +
+        s" * (coalesce(c.c_$l, 0) + 1))))::BIGINT AS s_$l").mkString(",\n    ")
+    val scoreCols = LangIdLangs.map(l =>
+      s"(s_$l - n_tri * n_$l)::BIGINT AS score_$l").mkString(",\n    ")
+    val pred = LangIdLangs.init.zipWithIndex.map { case (l, i) =>
+      val dom = LangIdLangs.drop(i + 1)
+        .map(r => s"score_$l >= score_$r").mkString(" AND ")
+      s"WHEN $dom THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${LangIdLangs.last}' END")
+    s"""WITH aug AS (SELECT doc_id, lang, doc_id % $LangIdSeedMod = 0 AS is_seed,
+      |    substr(lower(($markerCase) || ' ' || text), 1, $LangIdMaxChars) AS tx
+      |  FROM documents),
+      |tok AS (SELECT doc_id, lang, is_seed,
+      |    -- length() (chars), NOT strlen() (bytes): the markers are
+      |    -- accented and substr indexes characters
+      |    unnest(list_transform(range(1, greatest(length(tx) - 1, 1)),
+      |      i -> ('0x' || substr(md5(substr(tx, i, 3)), 1, 12))::BIGINT
+      |        % $LangIdBuckets)) AS f
+      |  FROM aug),
+      |cnt AS (SELECT f,
+      |    $cntCols
+      |  FROM tok WHERE is_seed GROUP BY f),
+      |tot AS (SELECT
+      |    $totCols
+      |  FROM cnt),
+      |sc AS (SELECT t.doc_id, t.lang AS labeled_lang, t.is_seed,
+      |    count(*)::BIGINT AS n_tri,
+      |    $sumCols
+      |  FROM tok t LEFT JOIN cnt c ON t.f = c.f
+      |  GROUP BY t.doc_id, t.lang, t.is_seed)
+      |SELECT doc_id, labeled_lang, is_seed, n_tri,
+      |    $scoreCols,
+      |    $pred AS pred_lang
+      |FROM sc, tot""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_langid_nb" -> langidNbSql,
     "q_quality_calibrate" -> qualityCalibrateSql,
     "q_source_drift" -> sourceDriftSql,
     "q_bpe_train" -> bpeTrainSql,

@@ -1141,4 +1141,36 @@ class CurationSpec extends AnyFunSuite {
     assert(got(800001L)._3 < got(800003L)._3 / 4,
       "repetition must compress far better than entropy")
   }
+
+  test("langid NB beats the stopword heuristic on the held-out fixture") {
+    import graft.operators.TextAnalysis
+    val aug = TextAnalysis.langAugment(
+      graft.sources.Tables.documents(spark, sf))
+    val truth = aug.select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // held-out = non-seed docs; the heuristic only knows 4 languages,
+    // so compare on the docs whose true label it could even emit
+    val heldOut = truth.keys.filter(_ % TextAnalysis.LangIdSeedMod != 0)
+      .filter(v => truth(v) != "zh").toSeq
+    val nb = TextAnalysis.langIdNb(aug).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val heur = TextAnalysis.langidHeuristic(aug).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    def acc(pred: Map[Long, String]): Double =
+      heldOut.count(v => pred(v) == truth(v)).toDouble / heldOut.size
+    val accNb = acc(nb)
+    val accHeur = acc(heur)
+    assert(accNb > accHeur,
+      f"NB must beat the stopword heuristic: $accNb%.3f vs $accHeur%.3f")
+    // and not by luck: the trained model should be near-perfect on the
+    // marker fixture while the heuristic is stuck guessing the base
+    // text's shared (English-ish) token pool
+    assert(accNb >= 0.95, f"NB held-out accuracy too low: $accNb%.3f")
+    assert(accHeur <= 0.70,
+      f"fixture sanity: heuristic should struggle, got $accHeur%.3f")
+    // seeds score as sanity anchors too
+    val seeds = truth.keys.filter(_ % TextAnalysis.LangIdSeedMod == 0).toSeq
+    val seedAcc = seeds.count(v => nb(v) == truth(v)).toDouble / seeds.size
+    assert(seedAcc >= 0.95, f"seed (train) accuracy must be high: $seedAcc%.3f")
+  }
 }
