@@ -1022,12 +1022,17 @@ object Dedup {
   /** Edit-distance threshold for the join (≤ 2 single-char edits). */
   val EditMaxK = 2
   /** Normalized join-key prefix length (chars). Sized so each of the
-    * k+1 segments is ~11 chars: natural-language 8-char substrings
-    * collide heavily (the sf1 rehearsal measured the candidate mass
-    * superlinear at segment length 8), 11-char ones are rare enough
-    * that candidate growth tracks the true pair mass.
+    * k+1 segments is ~21 chars — segment SELECTIVITY is the family's
+    * scale dial, and the r12 3-point candidate-mass measurement
+    * (500/5k/50k docs) pinned it: at segment length ~11 (key 32)
+    * candidates grew ~quadratically (610 → 45k → 4.4M — collision
+    * groups square while TRUE pairs stayed O(100), so cost tracked
+    * collisions, not pair mass); at ~16 (key 48) 175 → 3.6k → 224k;
+    * at ~21 (key 64) 145 → 1.6k → 12.7k — near-linear (11×, 7.9× per
+    * 10× rows). Longer segments cost nothing but key bytes: the
+    * probe fan-out stays the same ≤(2k+1)²(k+1) rows/key.
     */
-  val EditKeyLen = 32
+  val EditKeyLen = 64
   /** Shortest key the k+1-segment scheme partitions (k+1 non-empty
     * segments need at least k+1 chars).
     */
@@ -1105,7 +1110,7 @@ object Dedup {
     * segment geometry and the substrings inside the ±k shift window
     * — constant ≤(2k+1)²(k+1) rows per key.
     */
-  private def editProbes(keys: DataFrame): DataFrame = {
+  private[graft] def editProbes(keys: DataFrame): DataFrame = {
     val k = lit(EditMaxK)
     val p0 = keys.select(col("doc_id"), col("key"), col("ls"),
         explode(sequence(col("ls") - k, col("ls") + k)).as("lr"))

@@ -2063,6 +2063,117 @@ object Similarity {
   def qKnnGraph(s: SparkSession, dir: String): DataFrame =
     knnGraph(Tables.embeddings(s, dir))
 
+  // --- graph-ANN serving (beam search over the kNN graph) ---------------
+
+  /** Beam width / expansion rounds / entry-point stride for the
+    * graph-serving rung.
+    */
+  val BeamWidth = 8
+  val BeamRounds = 3
+  val BeamEntryMod = 100L
+
+  /** Greedy beam search over a prebuilt kNN graph — the HNSW-class
+    * answer to "serve one query fast" (Malkov & Yashunin 2018,
+    * flattened to the single-layer navigable graph the mutual-kNN
+    * construction gives): start each query at deterministic entry
+    * points (every [[BeamEntryMod]]-th vector — at web scale the
+    * entry set comes from centroid routing instead; the stride keeps
+    * the fixture deterministic), then for a bounded number of rounds
+    * expand the best not-yet-expanded beam nodes through the graph's
+    * adjacency and score only the newly reached vectors.
+    *
+    * Distributed shape: the per-query state (beam, visited, frontier)
+    * is queries × beam-ish rows of SCALARS — always the broadcast
+    * side; the corpus embedding table and the edge table are only
+    * ever the probe side of a broadcast equi-join, so vectors never
+    * cross an exchange (the arrexch discipline) and the corpus is
+    * scanned, never shuffled. Per round: one broadcast join against
+    * the edges (frontier expansion), one against the corpus (scoring
+    * the new candidates), one partitioned-window beam cut. Candidate
+    * work is queries·beam·degree per round BY CONSTRUCTION —
+    * independent of corpus size, which is the whole point of graph
+    * serving vs IVF's posting-list scans.
+    *
+    * Quality is gated like every other dial: the RECALL `graph_ann`
+    * family sweeps beam width against [[bruteTopK]] ground truth
+    * (QualityAudit), and the spec pins recall floors on the fixture.
+    */
+  def graphAnnTopKFor(emb: DataFrame, graphEdges: DataFrame,
+                      queries: DataFrame, k: Int = TopK,
+                      beam: Int = BeamWidth, rounds: Int = BeamRounds,
+                      entryMod: Long = BeamEntryMod,
+                      excludeSelf: Boolean = false): DataFrame = {
+    val all = quantized(emb).select(col("vec_id"), col("q"), col("nq"))
+    val qs = quantized(queries).toDF("query_id", "label_q", "q_q", "nq_q")
+      .select(col("query_id"), col("q_q"), col("nq_q"))
+    val adj = graphEdges
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionAll(graphEdges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    // score a tiny (query_id, vec_id) frame: corpus and query vectors
+    // are consumed map-side off broadcast joins; only scalars leave
+    def score(cand: DataFrame): DataFrame =
+      all.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")).as("cos"))
+    def topPer(scored: DataFrame, m: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= m)
+    }
+    val entries = emb.filter(col("vec_id") % entryMod === 0)
+      .select(col("vec_id"))
+    val cand0 = qs.select(col("query_id")).crossJoin(broadcast(entries))
+    var visited = score(cand0).localCheckpoint()
+    var expanded = cand0.select(col("query_id"), col("vec_id"))
+    for (_ <- 1 to rounds) {
+      val frontier = topPer(visited, beam)
+        .select(col("query_id"), col("vec_id"))
+        .join(expanded, Seq("query_id", "vec_id"), "left_anti")
+        .localCheckpoint()
+      val cand = adj
+        .join(broadcast(frontier.withColumnRenamed("vec_id", "src")), Seq("src"))
+        .select(col("query_id"), col("dst").as("vec_id")).distinct()
+        .join(visited.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+      expanded = expanded.unionAll(frontier)
+      visited = visited.unionAll(score(cand)).localCheckpoint()
+    }
+    val out = if (excludeSelf) visited.filter(col("vec_id") =!= col("query_id"))
+      else visited
+    topPer(out, k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Harness instance: beam-serve the default query set over the
+    * EXACT mutual-kNN graph (isolates beam-search loss from
+    * graph-construction loss; compose with [[knnGraphScaled]] for the
+    * end-to-end production path).
+    */
+  def graphAnnTopK(emb: DataFrame, beam: Int = BeamWidth): DataFrame =
+    graphAnnTopKFor(emb, knnGraph(emb), defaultQueries(emb), beam = beam,
+      excludeSelf = true)
+
+  /** Beam-width recall sweep vs brute-force ground truth — the
+    * RECALL `graph_ann` family's points.
+    */
+  final case class BeamSweepPoint(beam: Int, recall: Double, nCandidates: Long)
+
+  def graphAnnSweep(emb: DataFrame, beams: Seq[Int]): Seq[BeamSweepPoint] = {
+    val exact = bruteTopK(emb)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val exactN = exact.count().toDouble
+    val graph = knnGraph(emb).localCheckpoint()
+    val qs = defaultQueries(emb)
+    beams.map { b =>
+      val got = graphAnnTopKFor(emb, graph, qs, beam = b, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hit = got.join(exact, Seq("query_id", "neighbor_id")).count()
+      BeamSweepPoint(b, hit / exactN, got.count())
+    }
+  }
+
   /** Harness entry for [[semDedup]] — same Shift-ed clone fixture as
     * qEmbedNearDup (every clone is a guaranteed semantic dup of its
     * original; the original outranks it by the vec_id tie-break).
