@@ -131,7 +131,15 @@ object QualityAudit {
     val alignAgree = scaledAlign.count { case (q, m) =>
       exactAlign.get(q).contains(m) }.toDouble / math.max(1, exactAlign.size)
     val alignScaled = s"""{"recall":$alignAgree,"candidates":${scaledAlign.size}}"""
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"minhash_bands":$mh,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"autoconfig_minhash_0.8":$autoMh,"sf":"$sfDir"}"""
+    // r12: graph-ANN serving (beam search over the directed top-k
+    // serving edges) — the beam-width dial, gated like every other
+    val gaPts = Similarity.graphAnnSweep(emb, Seq(2, 4, 8, 16))
+    val graphAnn = gaPts
+      .map(p => s""""b${p.beam}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
+      .mkString("{", ",", "}")
+    val autoGa = gaPts.find(_.recall >= 0.8)
+      .map(p => s""""b${p.beam}"""").getOrElse("null")
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"minhash_bands":$mh,"graph_ann":$graphAnn,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"autoconfig_minhash_0.8":$autoMh,"autoconfig_graph_ann_0.8":$autoGa,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

@@ -728,16 +728,19 @@ object Graph {
     * unusable as an oracle — so SCC gets its own arithmetic fixture
     * with BOUNDED reach: blocks of [[SccB]] ids form an internal
     * cycle (one SCC of size B) except every [[SccChainMod]]-th block,
-    * which drops the wrap edge and decomposes into singletons; even
-    * blocks additionally link position-wise into the next block
-    * (u → u+B), a pure DAG edge joining blocks into 2-chains. Every
-    * reach set is ≤ 2 blocks, mixing multi-node SCCs, singleton
-    * SCCs, and cross-SCC DAG structure. Replicated arithmetically by
-    * the oracle.
+    * which drops the wrap edge and decomposes into singletons; every
+    * block EXCEPT the last of each [[SccDagMod]]-group additionally
+    * links position-wise into the next block (u → u+B), a pure DAG
+    * edge joining blocks into [[SccDagMod]]-chains. Every reach set
+    * is ≤ SccDagMod blocks, mixing multi-node SCCs, singleton SCCs,
+    * and cross-SCC DAG structure — and the giant-SCC tie-break (min
+    * id) lands on a block with BOTH an upstream and a downstream
+    * neighbor, so the bow-tie fixture exercises core/in/out/other.
+    * Replicated arithmetically by the oracle.
     */
   val SccB = 8L
   val SccChainMod = 5L
-  val SccDagMod = 2L
+  val SccDagMod = 3L
 
   def sccEdges(docs: DataFrame, n: Long): DataFrame = {
     val within = docs
@@ -748,7 +751,7 @@ object Graph {
           .as("dst"))
       .filter(col("dst") < n && col("dst") =!= col("src"))
     val cross = docs
-      .filter(expr(s"(doc_id div $SccB) % $SccDagMod") === 0 &&
+      .filter(expr(s"(doc_id div $SccB) % $SccDagMod") =!= SccDagMod - 1 &&
         col("doc_id") + SccB < n)
       .select(col("doc_id").as("src"), (col("doc_id") + SccB).as("dst"))
     within.unionAll(cross)
@@ -806,6 +809,42 @@ object Graph {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
     sccFromClosure(docs, transitiveClosure(sccEdges(docs, n)))
+  }
+
+  /** Bow-tie decomposition (Broder et al. WWW'00): classify every
+    * node relative to the giant SCC — the structure statistic crawl
+    * triage reads next to the hop plot (a page's bow-tie class
+    * predicts whether crawling it grows the frontier). CORE = the
+    * largest SCC (ties: smallest scc_id — deterministic); IN =
+    * reaches the core; OUT = reachable from it; OTHER = tendrils +
+    * disconnected. Rides the SCC closure: two semi-joins of the
+    * reach frame against the one-row core id. Output (doc_id,
+    * scc_id, bowtie_class).
+    */
+  def qBowtie(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val reach = transitiveClosure(sccEdges(docs, n)).localCheckpoint()
+    val scc = sccFromClosure(docs, reach).localCheckpoint()
+    // the giant SCC's id: one bounded driver scalar
+    val coreId = scc.groupBy(col("scc_id")).agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc, col("scc_id")).limit(1)
+      .head.getLong(0)
+    val inCore = scc.filter(col("scc_id") === coreId)
+      .select(col("doc_id").as("core_v"))
+    val reachesCore = reach.join(inCore, reach("u") === col("core_v"), "left_semi")
+      .select(col("v")).distinct()
+    val fromCore = reach.join(inCore, reach("v") === col("core_v"), "left_semi")
+      .select(col("u")).distinct()
+    scc.join(reachesCore.withColumnRenamed("v", "doc_id")
+        .withColumn("reaches", lit(1L)), Seq("doc_id"), "left")
+      .join(fromCore.withColumnRenamed("u", "doc_id")
+        .withColumn("reached", lit(1L)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("scc_id"),
+        when(col("scc_id") === coreId, "core")
+          .when(col("reaches") === 1L, "in")
+          .when(col("reached") === 1L, "out")
+          .otherwise("other").as("bowtie_class"))
   }
 
   /** Production SCC: forward-backward min-label coloring (the
@@ -894,6 +933,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bowtie" -> qBowtie _,
     "q_scc" -> qScc _,
     "q_eff_diameter" -> qEffDiameter _,
     "q_label_spread" -> qLabelSpread _,
@@ -1217,9 +1257,10 @@ object Graph {
     * to ITS OWN fixpoint (no round-count coupling to the Spark side),
     * then the same mutual-min selection — so the oracle certifies
     * the SCC definition, not a replay of the squaring schedule.
+    * Shared by [[qScc]]'s and [[qBowtie]]'s oracles.
     */
-  private def sccSql: String =
-    s"""WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+  private def sccCtes: String =
+    s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
       |e AS (
       |  SELECT doc_id AS src,
       |    (doc_id - (doc_id % $SccB) + ((doc_id % $SccB + 1) % $SccB))::BIGINT AS dst
@@ -1230,7 +1271,8 @@ object Graph {
       |    AND doc_id - (doc_id % $SccB) + ((doc_id % $SccB + 1) % $SccB) != doc_id
       |  UNION ALL
       |  SELECT doc_id, (doc_id + $SccB)::BIGINT FROM documents CROSS JOIN nn
-      |  WHERE (doc_id // $SccB) % $SccDagMod = 0 AND doc_id + $SccB < nn.n),
+      |  WHERE (doc_id // $SccB) % $SccDagMod != ${SccDagMod - 1}
+      |    AND doc_id + $SccB < nn.n),
       |reach AS (
       |  SELECT src AS v, dst AS u FROM e
       |  UNION
@@ -1240,11 +1282,30 @@ object Graph {
       |scc AS (SELECT d.doc_id,
       |    least(d.doc_id, coalesce(m.mu, d.doc_id))::BIGINT AS scc_id
       |  FROM documents d LEFT JOIN mut m ON d.doc_id = m.v),
-      |sz AS (SELECT scc_id, count(*)::BIGINT AS scc_size FROM scc GROUP BY 1)
+      |sz AS (SELECT scc_id, count(*)::BIGINT AS scc_size FROM scc GROUP BY 1)""".stripMargin
+
+  private def sccSql: String =
+    s"""WITH RECURSIVE $sccCtes
       |SELECT s.doc_id, s.scc_id, z.scc_size
       |FROM scc s JOIN sz z ON s.scc_id = z.scc_id""".stripMargin
 
+  private def bowtieSql: String =
+    s"""WITH RECURSIVE $sccCtes,
+      |core AS (SELECT scc_id FROM sz
+      |  ORDER BY scc_size DESC, scc_id LIMIT 1),
+      |corev AS (SELECT doc_id AS cv FROM scc, core
+      |  WHERE scc.scc_id = core.scc_id),
+      |rin AS (SELECT DISTINCT r.v FROM reach r JOIN corev ON r.u = corev.cv),
+      |rout AS (SELECT DISTINCT r.u FROM reach r JOIN corev ON r.v = corev.cv)
+      |SELECT s.doc_id, s.scc_id,
+      |  CASE WHEN s.scc_id = (SELECT scc_id FROM core) THEN 'core'
+      |    WHEN s.doc_id IN (SELECT v FROM rin) THEN 'in'
+      |    WHEN s.doc_id IN (SELECT u FROM rout) THEN 'out'
+      |    ELSE 'other' END AS bowtie_class
+      |FROM scc s""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_bowtie" -> bowtieSql,
     "q_scc" -> sccSql,
     "q_eff_diameter" -> effDiameterSql,
     "q_label_spread" -> labelSpreadSql,

@@ -2065,20 +2065,29 @@ object Similarity {
 
   // --- graph-ANN serving (beam search over the kNN graph) ---------------
 
-  /** Beam width / expansion rounds / entry-point stride for the
-    * graph-serving rung.
+  /** Beam width / expansion rounds for the graph-serving rung. Entry
+    * points default to every [[scaledSeedStride]]-th vector (≈ √n of
+    * them — the IVF-routing analogue): a kNN graph over CLUSTERED
+    * embeddings disconnects across clusters (no near-neighbor edge
+    * crosses a gap), so beam search can only ever find what its
+    * entry set's components contain; √n entries cover the space the
+    * same way the √n coarse centroids do. entryMod = 0 selects the
+    * default.
     */
   val BeamWidth = 8
-  val BeamRounds = 3
-  val BeamEntryMod = 100L
+  /** Max expansion rounds — the search normally stops earlier, when
+    * every beam slot has already been expanded (the HNSW "no
+    * improvement" convergence: the frontier empties).
+    */
+  val BeamRounds = 16
 
   /** Greedy beam search over a prebuilt kNN graph — the HNSW-class
     * answer to "serve one query fast" (Malkov & Yashunin 2018,
     * flattened to the single-layer navigable graph the mutual-kNN
     * construction gives): start each query at deterministic entry
-    * points (every [[BeamEntryMod]]-th vector — at web scale the
-    * entry set comes from centroid routing instead; the stride keeps
-    * the fixture deterministic), then for a bounded number of rounds
+    * points (every [[scaledSeedStride]]-th vector by default — ≈ √n
+    * of them, the IVF-routing analogue; the stride keeps the fixture
+    * deterministic), then for a bounded number of rounds
     * expand the best not-yet-expanded beam nodes through the graph's
     * adjacency and score only the newly reached vectors.
     *
@@ -2098,11 +2107,19 @@ object Similarity {
     * family sweeps beam width against [[bruteTopK]] ground truth
     * (QualityAudit), and the spec pins recall floors on the fixture.
     */
-  def graphAnnTopKFor(emb: DataFrame, graphEdges: DataFrame,
-                      queries: DataFrame, k: Int = TopK,
-                      beam: Int = BeamWidth, rounds: Int = BeamRounds,
-                      entryMod: Long = BeamEntryMod,
-                      excludeSelf: Boolean = false): DataFrame = {
+  private def beamTopPer(scored: DataFrame, m: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= m)
+  }
+
+  /** The beam iteration's full scored set (query_id, vec_id, cos) —
+    * [[graphAnnTopKFor]] cuts the final top-k from it; the recall
+    * sweep also counts it (it IS the candidate work done).
+    */
+  private def graphAnnVisited(emb: DataFrame, graphEdges: DataFrame,
+                              queries: DataFrame, beam: Int, rounds: Int,
+                              entryMod: Long): DataFrame = {
     val all = quantized(emb).select(col("vec_id"), col("q"), col("nq"))
     val qs = quantized(queries).toDF("query_id", "label_q", "q_q", "nq_q")
       .select(col("query_id"), col("q_q"), col("nq_q"))
@@ -2116,47 +2133,87 @@ object Similarity {
         .join(broadcast(qs), Seq("query_id"))
         .select(col("query_id"), col("vec_id"),
           cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")).as("cos"))
-    def topPer(scored: DataFrame, m: Int): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= m)
-    }
-    val entries = emb.filter(col("vec_id") % entryMod === 0)
+    val stride = if (entryMod > 0) entryMod else scaledSeedStride(emb.count())
+    val entries = emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id"))
     val cand0 = qs.select(col("query_id")).crossJoin(broadcast(entries))
     var visited = score(cand0).localCheckpoint()
-    var expanded = cand0.select(col("query_id"), col("vec_id"))
-    for (_ <- 1 to rounds) {
-      val frontier = topPer(visited, beam)
+    // entry points are scored but NOT yet expanded — round 1's
+    // frontier is exactly the best entry points
+    var expanded = cand0.select(col("query_id"), col("vec_id")).limit(0)
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      round += 1
+      val frontier = beamTopPer(visited, beam)
         .select(col("query_id"), col("vec_id"))
         .join(expanded, Seq("query_id", "vec_id"), "left_anti")
         .localCheckpoint()
-      val cand = adj
-        .join(broadcast(frontier.withColumnRenamed("vec_id", "src")), Seq("src"))
-        .select(col("query_id"), col("dst").as("vec_id")).distinct()
-        .join(visited.select(col("query_id"), col("vec_id")),
-          Seq("query_id", "vec_id"), "left_anti")
-      expanded = expanded.unionAll(frontier)
-      visited = visited.unionAll(score(cand)).localCheckpoint()
+      // every beam slot already expanded ⇒ greedy fixpoint (one
+      // bounded driver scalar per round, the kcore loop discipline)
+      if (frontier.limit(1).count() == 0) converged = true
+      else {
+        val cand = adj
+          .join(broadcast(frontier.withColumnRenamed("vec_id", "src")), Seq("src"))
+          .select(col("query_id"), col("dst").as("vec_id")).distinct()
+          .join(visited.select(col("query_id"), col("vec_id")),
+            Seq("query_id", "vec_id"), "left_anti")
+        expanded = expanded.unionAll(frontier).localCheckpoint()
+        visited = visited.unionAll(score(cand)).localCheckpoint()
+      }
     }
+    visited
+  }
+
+  def graphAnnTopKFor(emb: DataFrame, graphEdges: DataFrame,
+                      queries: DataFrame, k: Int = TopK,
+                      beam: Int = BeamWidth, rounds: Int = BeamRounds,
+                      entryMod: Long = 0L,
+                      excludeSelf: Boolean = false): DataFrame = {
+    val visited =
+      graphAnnVisited(emb, graphEdges, queries, beam, rounds, entryMod)
     val out = if (excludeSelf) visited.filter(col("vec_id") =!= col("query_id"))
       else visited
-    topPer(out, k)
+    beamTopPer(out, k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Serving edges: the DIRECTED top-k adjacency (a → its k nearest),
+    * both directions walked at search time. Measured on the fixture,
+    * this navigates far better than the mutual-pruned [[knnGraph]]
+    * (beam 8 recall 1.0 vs 0.62 — mutual pruning deletes exactly the
+    * hub edges a greedy walk rides); the mutual graph stays the
+    * DEDUP/structure artifact, this is the SERVING index. Exact rung
+    * builds it brute (the oracle baseline); the production build is
+    * [[knnServingEdgesScaled]].
+    */
+  def knnServingEdges(emb: DataFrame, k: Int = TopK): DataFrame =
+    bruteTopKFor(emb, emb, k, excludeSelf = true)
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"))
+
+  /** Production serving-edge build: directed top-k from the √n-sized
+    * IVF posting join (the [[knnGraphScaled]] shape minus the mutual
+    * prune).
+    */
+  def knnServingEdgesScaled(emb: DataFrame, k: Int = TopK,
+                            probeDiv: Int = ProbeDiv): DataFrame =
+    ivfTopKForScaled(emb, emb, k, broadcastQueries = false,
+      excludeSelf = true, probeDiv = probeDiv)
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"))
+
   /** Harness instance: beam-serve the default query set over the
-    * EXACT mutual-kNN graph (isolates beam-search loss from
-    * graph-construction loss; compose with [[knnGraphScaled]] for the
-    * end-to-end production path).
+    * exact-rung serving edges (isolates beam-search loss from
+    * graph-construction loss; compose with [[knnServingEdgesScaled]]
+    * for the end-to-end production path).
     */
   def graphAnnTopK(emb: DataFrame, beam: Int = BeamWidth): DataFrame =
-    graphAnnTopKFor(emb, knnGraph(emb), defaultQueries(emb), beam = beam,
-      excludeSelf = true)
+    graphAnnTopKFor(emb, knnServingEdges(emb), defaultQueries(emb),
+      beam = beam, excludeSelf = true)
 
   /** Beam-width recall sweep vs brute-force ground truth — the
-    * RECALL `graph_ann` family's points.
+    * RECALL `graph_ann` family's points. nCandidates = vectors the
+    * search actually scored (the visited set).
     */
   final case class BeamSweepPoint(beam: Int, recall: Double, nCandidates: Long)
 
@@ -2164,13 +2221,16 @@ object Similarity {
     val exact = bruteTopK(emb)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
     val exactN = exact.count().toDouble
-    val graph = knnGraph(emb).localCheckpoint()
+    val graph = knnServingEdges(emb).localCheckpoint()
     val qs = defaultQueries(emb)
     beams.map { b =>
-      val got = graphAnnTopKFor(emb, graph, qs, beam = b, excludeSelf = true)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val visited = graphAnnVisited(emb, graph, qs, b, BeamRounds, 0L)
+        .localCheckpoint()
+      val got = beamTopPer(visited.filter(col("vec_id") =!= col("query_id")),
+          TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
       val hit = got.join(exact, Seq("query_id", "neighbor_id")).count()
-      BeamSweepPoint(b, hit / exactN, got.count())
+      BeamSweepPoint(b, hit / exactN, visited.count())
     }
   }
 

@@ -635,6 +635,40 @@ class GraphSpec extends AnyFunSuite {
       .count(id => closure(id)._2 > 1)
     assert(nontrivial > 1, "fixture must contain multi-node SCCs")
     assert(closure.values.exists(_._2 == 1L), "and singleton SCCs")
+    // bow-tie decomposition over the same fixture: classes partition
+    // the nodes and agree with a driver-side reachability replay
+    val bt = Graph.qBowtie(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(bt.keySet == verts.toSet)
+    val adjF = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val adjB = edges.groupBy(_._2).map { case (k, vs) => k -> vs.map(_._1) }
+    def reachFrom(seed: Set[Long], adj: Map[Long, Seq[Long]]): Set[Long] = {
+      val seen = scala.collection.mutable.Set(seed.toSeq: _*)
+      val q = scala.collection.mutable.Queue(seed.toSeq: _*)
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        adj.getOrElse(u, Seq.empty).foreach { w =>
+          if (!seen(w)) { seen += w; q += w }
+        }
+      }
+      seen.toSet
+    }
+    val sccSizes = want.values.groupBy(identity)
+      .map { case (k, vs) => k -> vs.size }
+    val coreId = sccSizes.toSeq.maxBy { case (id, s) => (s, -id) }._1
+    val coreSet = want.filter(_._2 == coreId).keySet
+    val canReachCore = reachFrom(coreSet, adjB)
+    val fromCoreSet = reachFrom(coreSet, adjF)
+    verts.foreach { v =>
+      val wantCls =
+        if (want(v) == coreId) "core"
+        else if (canReachCore(v)) "in"
+        else if (fromCoreSet(v)) "out"
+        else "other"
+      assert(bt(v)._2 == wantCls, s"bowtie class at $v: ${bt(v)._2} vs $wantCls")
+    }
+    assert(Set("core", "in", "out", "other").subsetOf(bt.values.map(_._2).toSet),
+      "fixture must exercise all four bow-tie classes")
   }
 
   test("scc coloring: pure cycle and pure chain edge cases") {

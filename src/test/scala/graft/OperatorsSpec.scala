@@ -1448,4 +1448,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.ok && got.timescale == 90000L && got.duration_ticks == 450000L)
     assert(got.duration_ms == 5000L && got.width == 640L && got.n_video == 1L)
   }
+
+  test("graph-ANN beam search: recall floors, dial monotone, bounded work") {
+    val emb = Tables.embeddings(spark, sf)
+    val pts = Similarity.graphAnnSweep(emb, Seq(2, 8))
+    val byBeam = pts.map(p => p.beam -> p).toMap
+    // the serving rung's quality floors on the fixture: a narrow beam
+    // already lands most neighbors; beam 8 must be near-exact
+    assert(byBeam(8).recall >= 0.9,
+      s"beam-8 recall too low: ${byBeam(8).recall}")
+    assert(byBeam(2).recall >= 0.3, s"beam-2 floor: ${byBeam(2).recall}")
+    assert(byBeam(8).recall >= byBeam(2).recall, "wider beam can't hurt")
+    // bounded work: the search scores a small fraction of the
+    // corpus×queries mass brute force pays (that's the point)
+    val brutePairs =
+      emb.count() * Similarity.defaultQueries(emb).count()
+    assert(byBeam(8).nCandidates < brutePairs / 2,
+      s"visited ${byBeam(8).nCandidates} vs brute $brutePairs")
+    // determinism: same fixture, same numbers
+    val again = Similarity.graphAnnSweep(emb, Seq(8)).head
+    assert(again.recall == byBeam(8).recall &&
+      again.nCandidates == byBeam(8).nCandidates, "must be deterministic")
+  }
 }
