@@ -86,8 +86,20 @@ object ScaleRehearsal {
     // r12: SCC (trim + FW-BW peel rides a bounded-reach fixture —
     // round count is fixture-pinned, expect ~linear), packed
     // HyperBall rides the existing q_hyperball/q_harmonic entries
-    "q_scc")
+    "q_scc", "q_bowtie", "q_langid_nb")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
+    // r12 (r11 verdict #2): the packed-register HyperBall at DOUBLE
+    // the audited hop count — the scaled rung the 64-rows-per-node
+    // format could not afford; per-node estimates consumed through
+    // the shuffle-free packed map
+    "hyperball_packed_t8" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.sources.Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      graft.operators.Graph.hyperBallEstimatePacked(
+        graft.operators.Graph.hyperBallPacked(docs,
+          graft.operators.Graph.edges(docs, n), 2 * graft.operators.Graph.HopT))
+    }),
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(
         graft.sources.Tables.embeddings(s, dir))),
@@ -131,6 +143,15 @@ object ScaleRehearsal {
     "knn_graph_scaled" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.knnGraphScaled(
         graft.sources.Tables.embeddings(s, dir))),
+    // r12: the composed production graph-ANN serve — √n-IVF-built
+    // directed serving edges + beam search; per-query search work is
+    // corpus-independent, the edge build is the knn_graph_scaled cost
+    "graph_ann_serve_scaled" -> ((s: SparkSession, dir: String) => {
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      graft.operators.Similarity.graphAnnTopKFor(emb,
+        graft.operators.Similarity.knnServingEdgesScaled(emb),
+        graft.operators.Similarity.defaultQueries(emb), excludeSelf = true)
+    }),
     "silhouette_scaled" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.silhouetteScaled(
         graft.sources.Tables.embeddings(s, dir))),
