@@ -2121,11 +2121,17 @@ object Similarity {
                               queries: DataFrame, beam: Int, rounds: Int,
                               entryMod: Long): DataFrame = {
     val all = quantized(emb).select(col("vec_id"), col("q"), col("nq"))
+    // the query batch and the adjacency are consumed once per ROUND —
+    // materialize them or every round replays their build lineage
+    // (the scaled serving-edge build is a full √n-IVF job; without
+    // this cut the composed path re-ran it every round — measured
+    // 13.6× at 10× rows, 4.3× with it)
     val qs = quantized(queries).toDF("query_id", "label_q", "q_q", "nq_q")
-      .select(col("query_id"), col("q_q"), col("nq_q"))
+      .select(col("query_id"), col("q_q"), col("nq_q")).localCheckpoint()
     val adj = graphEdges
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionAll(graphEdges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .localCheckpoint()
     // score a tiny (query_id, vec_id) frame: corpus and query vectors
     // are consumed map-side off broadcast joins; only scalars leave
     def score(cand: DataFrame): DataFrame =
