@@ -2217,6 +2217,38 @@ object Similarity {
     graphAnnTopKFor(emb, knnServingEdges(emb), defaultQueries(emb),
       beam = beam, excludeSelf = true)
 
+  /** Incremental serving-graph maintenance — the HNSW insert, batch
+    * form: beam-search each incoming vector's top-k over the EXISTING
+    * graph (the identical serving plan — index maintenance reuses the
+    * query path, the streaming-IVF discipline), then append the
+    * directed edges new → found. New nodes become findable through
+    * the reverse direction the adjacency already walks, so no
+    * back-edge materialization is needed. Cost per batch:
+    * batch × beam work (corpus-independent) + one union — never a
+    * rebuild. Returns the updated edge table.
+    */
+  def graphAnnInsert(emb: DataFrame, graphEdges: DataFrame,
+                     incoming: DataFrame, k: Int = TopK,
+                     beam: Int = BeamWidth): DataFrame = {
+    val found = graphAnnTopKFor(emb, graphEdges, incoming, k, beam)
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"))
+    graphEdges.unionAll(found)
+  }
+
+  /** Serving-graph takedown: remove documents from the index — drop
+    * every edge touching them (both endpoints; the posting-index
+    * takedown discipline). The caller also filters the corpus frame
+    * it serves from, so removed vectors can neither navigate nor be
+    * returned.
+    */
+  def graphAnnTakedown(graphEdges: DataFrame, removed: DataFrame): DataFrame = {
+    val r = removed.select(col("vec_id"))
+    graphEdges
+      .join(r.withColumnRenamed("vec_id", "vec_a"), Seq("vec_a"), "left_anti")
+      .join(r.withColumnRenamed("vec_id", "vec_b"), Seq("vec_b"), "left_anti")
+      .select(col("vec_a"), col("vec_b"))
+  }
+
   /** Beam-width recall sweep vs brute-force ground truth — the
     * RECALL `graph_ann` family's points. nCandidates = vectors the
     * search actually scored (the visited set).

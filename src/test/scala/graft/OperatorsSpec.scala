@@ -1470,4 +1470,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.recall == byBeam(8).recall &&
       again.nCandidates == byBeam(8).nCandidates, "must be deterministic")
   }
+
+  test("graph-ANN insert finds clones through reverse edges; takedown removes them") {
+    val emb = Tables.embeddings(spark, sf)
+    val graph0 = Similarity.knnServingEdges(emb).localCheckpoint()
+    // insert exact clones of every 70th vector under Shift-ed ids
+    val incoming = emb.filter(col("vec_id") % 70 === 0)
+      .withColumn("vec_id", col("vec_id") + Similarity.Shift)
+    val graph1 = Similarity.graphAnnInsert(emb, graph0, incoming)
+      .localCheckpoint()
+    val embAll = emb.unionByName(incoming)
+    // every inserted edge's source is an incoming id, k edges each
+    val newEdges = graph1.exceptAll(graph0)
+    val nIncoming = incoming.count()
+    assert(newEdges.count() == nIncoming * Similarity.TopK)
+    assert(newEdges.filter(col("vec_a") < Similarity.Shift).count() == 0)
+    // serving the ORIGINAL vector after insert must surface its clone
+    // at cos 1.0 (reachable only through the reverse of an inserted
+    // edge — new nodes have no inbound edges of their own)
+    // clone pin: greedy graph search is approximate by design, and
+    // the fixture contains genuine outlier regions where a walk may
+    // legitimately stall (the RECALL family grades that dial) — so
+    // the pin is aggregate: MOST queries rank their clone first, and
+    // every query that surfaces ANY inserted id surfaces exactly its
+    // own clone at cos 1.0. A clone is findable ONLY through the
+    // reverse of an insert-time edge (new nodes have no inbound edges
+    // of their own), so each hit certifies the insert mechanism.
+    val qs = emb.filter(col("vec_id") % 70 === 0)
+    val served = Similarity.graphAnnTopKFor(embAll, graph1, qs,
+        beam = 16, excludeSelf = true).collect()
+      .filter(_.getAs[Int]("rnk") == 1)
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+    assert(served.nonEmpty)
+    val hits = served.count { case (q, (nbr, cos)) =>
+      nbr == q + Similarity.Shift && cos >= 0.999999 }
+    assert(hits * 10 >= served.length * 7,
+      s"only $hits/${served.length} queries ranked their clone first")
+    served.foreach { case (q, (nbr, cos)) =>
+      if (nbr >= Similarity.Shift)
+        assert(nbr == q + Similarity.Shift && cos >= 0.999999,
+          s"query $q surfaced a foreign clone ($nbr, $cos)")
+    }
+    // takedown: drop the clones again — no edge touches them, and
+    // serving from the filtered corpus never returns them
+    val graph2 = Similarity.graphAnnTakedown(graph1,
+      incoming.select(col("vec_id")))
+    assert(graph2.exceptAll(graph0).count() == 0 &&
+      graph0.exceptAll(graph2).count() == 0,
+      "takedown of the inserted batch must restore the original edges")
+    val servedAfter = Similarity.graphAnnTopKFor(emb, graph2, qs,
+        beam = 16, excludeSelf = true).collect()
+    assert(servedAfter.forall(_.getAs[Long]("neighbor_id") < Similarity.Shift))
+  }
 }

@@ -264,6 +264,35 @@ object GraftProps extends Properties("graft") {
 
   // --- julienne predicate coverage ------------------------------------
 
+  // --- packed-register elementwise max (HyperBall production fold) -----
+
+  private val regArray: Gen[Array[Byte]] =
+    Gen.containerOfN[Array, Byte](64, Gen.choose[Byte](0, 59))
+
+  property("MaxRegs merge is commutative, associative, idempotent, identity at zero") =
+    forAll(regArray, regArray, regArray) { (a, b, c) =>
+      import graft.functions.MaxRegs
+      def m(x: Array[Byte], y: Array[Byte]) = MaxRegs.merge(x.clone(), y.clone())
+      val comm = m(a, b).sameElements(m(b, a))
+      val assoc = m(m(a, b), c).sameElements(m(a, m(b, c)))
+      val idem = m(a, a).sameElements(a)
+      val ident = m(MaxRegs.zero, a).sameElements(a) &&
+        m(a, MaxRegs.zero).sameElements(a)
+      // and it IS the register law: elementwise max of the HLL
+      // registers of two sets equals the registers of their union
+      val law = m(a, b).zip(a.zip(b)).forall { case (g, (x, y)) =>
+        g == math.max(x, y).toByte }
+      Prop(comm && assoc && idem && ident && law)
+    }
+
+  property("MaxRegs never aliases an input array into its buffer") =
+    forAll(regArray) { a =>
+      import graft.functions.MaxRegs
+      val buf = MaxRegs.merge(MaxRegs.zero, a) // first non-empty input
+      buf(0) = (buf(0) + 1).toByte             // mutate the buffer
+      Prop(buf ne a) :| "buffer must be a copy, not the input"
+    }
+
   property("julienne-style predicates partition any boundary list") = {
     val boundaries = Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L))
       .map(_.distinct.sorted)
