@@ -1153,6 +1153,136 @@ object DocStreams {
     }
   }
 
+  /** STREAMING graph-ANN serving index — the serving twin of
+    * [[runIvfIndexStream]] for the graph tier: the warehouse holds
+    * the directed serving-edge table plus the raw vector table it
+    * serves from, and every arriving batch of UNIQUE vectors is
+    * INSERTED the HNSW way ([[graft.operators.Similarity
+    * .graphAnnInsert]] — beam-search each new vector's top-k over
+    * the EXISTING graph through the identical serving plan, append
+    * new→found edges; new nodes are findable through the reverse
+    * direction the adjacency walks). The first batch bootstraps with
+    * the exact-rung edge build (batch-sized, brute within itself —
+    * there is no graph to search yet); later batches pay batch × beam
+    * work, never a rebuild. Micro-batch granularity is the
+    * documented approximation: same-batch vectors link to the prior
+    * corpus, not to each other (HNSW's sequential insert, batched).
+    * The vec_id sidecar is the replay screen — redelivered files
+    * append nothing, so the edge table is a pure function of the
+    * first-delivery batch sequence.
+    */
+  def runGraphIndexStream(spark: SparkSession, stagedDir: String,
+                          wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                          edgeTable: String,
+                          beam: Int = 16): Unit = {
+    import graft.operators.Similarity
+    val vecTable = s"${edgeTable}_vecs"
+    val idsTable = s"${edgeTable}_ids"
+    val q = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nBuckets = indexBuckets(spark)
+        val pushMax = lookupPushdownMax(spark)
+        val batchIds = batch.toDF().select(col("vec_id")).distinct()
+          .withColumn("id_bucket", bucketOf(col("vec_id"), nBuckets))
+          .transform(cut)
+        val touchedIdB = batchIds.select("id_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val batchVecIds = batchIds.select("vec_id").limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
+        val seen =
+          if (wh.tableExists(ref, idsTable))
+            indexLookup(wh, ref, idsTable, "id_bucket", touchedIdB,
+              "vec_id", batchVecIds, HashIndexReadOptions)._1.select(col("vec_id"))
+          else
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("vec_id", LongType))))
+        val fresh = batch.toDF().join(seen, Seq("vec_id"), "left_anti")
+          .transform(cut)
+        if (fresh.isEmpty) ()
+        else {
+          // insert = the graphAnnInsert move, delta-only (the union
+          // half is the already-persisted table): beam-search each
+          // fresh vector over the EXISTING graph, keep new→found
+          val newEdges =
+            if (!wh.tableExists(ref, vecTable))
+              Similarity.knnServingEdges(fresh)
+            else Similarity.graphAnnTopKFor(
+                wh.readTable(ref, vecTable)
+                  .select(col("vec_id"), col("label"), col("embedding")),
+                wh.readTable(ref, edgeTable).select(col("vec_a"), col("vec_b")),
+                fresh, beam = beam)
+              .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"))
+          wh.appendTable(newEdges
+            .withColumn("edge_bucket", bucketOf(col("vec_a"), nBuckets))
+            .repartition(col("edge_bucket"))
+            .sortWithinPartitions(col("edge_bucket"), col("vec_a")),
+            ref, edgeTable)
+          wh.appendTable(fresh, ref, vecTable)
+          val ids = batchIds
+            .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .repartition(col("id_bucket"))
+            .sortWithinPartitions(col("id_bucket"), col("vec_id"))
+          wh.appendTablePartitioned(ids, ref, idsTable, Seq("id_bucket"),
+            bloomWriteOptions("vec_id",
+              batchIds.count() / math.max(1, touchedIdB.size)))
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Serve external queries FROM the warehouse graph index — the
+    * IDENTICAL [[graft.operators.Similarity.graphAnnTopKFor]] plan
+    * over the persisted vector + edge tables.
+    */
+  def graphServeFromIndex(spark: SparkSession,
+                          wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                          edgeTable: String, queries: DataFrame,
+                          k: Int = graft.operators.Similarity.TopK,
+                          beam: Int = 16): DataFrame =
+    graft.operators.Similarity.graphAnnTopKFor(
+      wh.readTable(ref, s"${edgeTable}_vecs")
+        .select(col("vec_id"), col("label"), col("embedding")),
+      wh.readTable(ref, edgeTable).select(col("vec_a"), col("vec_b")),
+      queries, k, beam)
+
+  /** Takedown compaction for the streaming graph index: survivors-
+    * only rewrite — [[graft.operators.Similarity.graphAnnTakedown]]
+    * on the edges (drop both endpoints), plus the vector table and
+    * sidecar, the [[compactIvfIndex]] discipline. Post-takedown
+    * serving never returns a removed vector (spec-pinned).
+    */
+  def compactGraphIndex(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                        edgeTable: String, deletedVecs: DataFrame): Unit = {
+    val del = deletedVecs.select(col("vec_id"))
+    val existing = wh.readTable(ref, edgeTable)
+    val nBuckets = indexBuckets(existing.sparkSession)
+    val keptEdges = graft.operators.Similarity.graphAnnTakedown(
+        existing.select(col("vec_a"), col("vec_b")), del)
+      .withColumn("edge_bucket", bucketOf(col("vec_a"), nBuckets))
+      .transform(cut)
+    wh.writeTable(keptEdges, ref, edgeTable)
+    val vecTable = s"${edgeTable}_vecs"
+    val keptVecs = wh.readTable(ref, vecTable)
+      .join(del, Seq("vec_id"), "left_anti").transform(cut)
+    wh.writeTable(keptVecs, ref, vecTable)
+    val idsTable = s"${edgeTable}_ids"
+    if (wh.tableExists(ref, idsTable)) {
+      val keptIds = wh.readTable(ref, idsTable)
+        .join(del, Seq("vec_id"), "left_anti")
+        .transform(cut)
+        .repartitionByRange(col("id_bucket"), col("vec_id"))
+        .sortWithinPartitions(col("id_bucket"), col("vec_id"))
+      wh.writeTablePartitioned(keptIds, ref, idsTable, Seq("id_bucket"),
+        bloomWriteOptions("vec_id",
+          math.max(1L, keptIds.count() / math.max(1, keptIds.rdd.getNumPartitions))))
+    }
+  }
+
   /** Streaming benchmark decontamination: the benchmark's distinct
     * 5-gram shingle set is computed ONCE (it is small by
     * construction and broadcasts), and every arriving micro-batch is

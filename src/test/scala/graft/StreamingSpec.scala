@@ -283,6 +283,75 @@ class StreamingSpec extends AnyFunSuite {
       "re-submitted copy of the deleted doc was not admitted as new")
   }
 
+  test("streaming graph-ANN index: insert via serving plan, replay-safe, takedown") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    import graft.extract.Warehouse
+    import graft.operators.Similarity
+    import graft.streaming.DocStreams
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val staged = Files.createTempDirectory("graft-gidx")
+    def stageAt(dir: java.nio.file.Path,
+                df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-gidx-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        dir.resolve(s"$name.parquet"))
+    }
+    // batch 1 bootstraps the graph; batch 2 = exact clones of every
+    // 70th vector under Shift-ed ids, admitted purely via insert
+    val clones = emb.filter(col("vec_id") % 70 === 0)
+      .withColumn("vec_id", col("vec_id") + Similarity.Shift)
+    stageAt(staged, emb, "a_base")
+    stageAt(staged, clones, "b_clones")
+    val root = Files.createTempDirectory("graft-wh-gidx").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.gidx")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runGraphIndexStream(spark, staged.toString, wh, ref, "gedges")
+    val nBase = emb.count()
+    val nClones = clones.count()
+    assert(wh.readTable(ref, "gedges_vecs").count() == nBase + nClones,
+      "vector table must hold every unique vector")
+    // bootstrap edges = exact serving edges of batch 1; clone edges =
+    // k beam-found partners each, sourced at clone ids only
+    val edges = wh.readTable(ref, "gedges")
+    val cloneEdges = edges.filter(col("vec_a") >= Similarity.Shift)
+    assert(cloneEdges.count() == nClones * Similarity.TopK)
+    // each clone's edge set contains its original (cos 1.0 is
+    // unbeatable, so insert-time search must rank it first wherever
+    // the walk reaches the region at all — and majority must)
+    val withOrig = cloneEdges
+      .filter(col("vec_b") === col("vec_a") - Similarity.Shift).count()
+    assert(withOrig * 10 >= nClones * 7,
+      s"only $withOrig/$nClones clones linked to their original")
+    // replay: redeliver batch 1 — nothing appends, serving unchanged
+    def serveIds(): Seq[(Long, Long)] =
+      DocStreams.graphServeFromIndex(spark, wh, ref, "gedges",
+          Similarity.defaultQueries(emb)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val before = serveIds()
+    stageAt(staged, emb, "c_replay")
+    DocStreams.runGraphIndexStream(spark, staged.toString, wh, ref, "gedges")
+    assert(wh.readTable(ref, "gedges_vecs").count() == nBase + nClones,
+      "replay grew the vector table")
+    assert(wh.readTable(ref, "gedges").count() == edges.count(),
+      "replay grew the edge table")
+    assert(serveIds() == before, "replay changed the served results")
+    // takedown: remove the clones — edge table returns to a set with
+    // no clone endpoints, vectors gone, serving never returns them
+    DocStreams.compactGraphIndex(wh, ref, "gedges",
+      clones.select(col("vec_id")))
+    assert(wh.readTable(ref, "gedges_vecs")
+      .filter(col("vec_id") >= Similarity.Shift).count() == 0)
+    val after = wh.readTable(ref, "gedges")
+    assert(after.filter(col("vec_a") >= Similarity.Shift ||
+      col("vec_b") >= Similarity.Shift).count() == 0)
+    assert(serveIds().forall(_._2 < Similarity.Shift),
+      "post-takedown serving surfaced a removed vector")
+  }
+
   test("streaming IVF index serves exactly the batch search; replay + takedown") {
     import org.apache.spark.sql.functions._
     import java.nio.file.{Files, Paths}
