@@ -847,6 +847,31 @@ object Graph {
           .otherwise("other").as("bowtie_class"))
   }
 
+  /** Degree distribution of the link graph — the first statistic a
+    * web-graph characterization reports (Broder et al. WWW'00 fig 2:
+    * in/out-degree frequency curves; the power-law exponent is read
+    * off this table). One row per observed degree value with the
+    * node counts at that in-/out-degree (nodes missing from a side
+    * count at degree 0). Two partial-agg shuffles (edge → per-node
+    * degree → per-degree count) — the histogram is vocabulary-sized,
+    * never corpus-sized, so this is the same plan at 100 TB.
+    */
+  def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    def side(key: String): DataFrame =
+      docs.join(e.groupBy(col(key).as("doc_id"))
+          .agg(count(lit(1)).as("deg")), Seq("doc_id"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n"))
+    side("src").toDF("degree", "n_out")
+      .join(side("dst").toDF("degree", "n_in"), Seq("degree"), "full_outer")
+      .select(col("degree"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"))
+  }
+
   /** Production SCC: forward-backward min-label coloring (the
     * FW-BW-MIN peel of Slota et al. / Orzan's coloring step) — NO
     * closure pairs, state is one long label per vertex per
@@ -933,6 +958,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_degree_dist" -> qDegreeDist _,
     "q_bowtie" -> qBowtie _,
     "q_scc" -> qScc _,
     "q_eff_diameter" -> qEffDiameter _,
@@ -1304,7 +1330,29 @@ object Graph {
       |    ELSE 'other' END AS bowtie_class
       |FROM scc s""".stripMargin
 
+  private def degreeDistSql: String =
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+      |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+      |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+      |outd AS (SELECT coalesce(g.deg, 0)::BIGINT AS deg FROM documents d
+      |  LEFT JOIN (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1) g
+      |    ON d.doc_id = g.src),
+      |ind AS (SELECT coalesce(g.deg, 0)::BIGINT AS deg FROM documents d
+      |  LEFT JOIN (SELECT dst, count(*)::BIGINT AS deg FROM e GROUP BY 1) g
+      |    ON d.doc_id = g.dst),
+      |oh AS (SELECT deg AS degree, count(*)::BIGINT AS n_out FROM outd GROUP BY 1),
+      |ih AS (SELECT deg AS degree, count(*)::BIGINT AS n_in FROM ind GROUP BY 1)
+      |SELECT coalesce(oh.degree, ih.degree) AS degree,
+      |  coalesce(ih.n_in, 0)::BIGINT AS n_in,
+      |  coalesce(oh.n_out, 0)::BIGINT AS n_out
+      |FROM oh FULL OUTER JOIN ih ON oh.degree = ih.degree""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_degree_dist" -> degreeDistSql,
     "q_bowtie" -> bowtieSql,
     "q_scc" -> sccSql,
     "q_eff_diameter" -> effDiameterSql,

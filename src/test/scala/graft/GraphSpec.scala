@@ -671,6 +671,21 @@ class GraphSpec extends AnyFunSuite {
       "fixture must exercise all four bow-tie classes")
   }
 
+  test("degree distribution: node mass and edge mass conserved on both sides") {
+    val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
+    val n = docs.count()
+    val nEdges = Graph.edges(docs, n).count()
+    val rows = Graph.qDegreeDist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == n, "in-degree histogram must cover every node")
+    assert(rows.map(_._3).sum == n, "out-degree histogram must cover every node")
+    assert(rows.map(t => t._1 * t._2).sum == nEdges, "Σ deg·n_in = |E|")
+    assert(rows.map(t => t._1 * t._3).sum == nEdges, "Σ deg·n_out = |E|")
+    // the fixture's sinks show up as out-degree-0 mass
+    assert(rows.find(_._1 == 0L).exists(_._3 >= n / Graph.SinkMod),
+      "sink nodes must appear at out-degree 0")
+  }
+
   test("scc coloring: pure cycle and pure chain edge cases") {
     import spark.implicits._
     val n = 17L
