@@ -888,22 +888,32 @@ object Graph {
     */
   def sccColoring(docs: DataFrame, e: DataFrame,
                   maxPeels: Int = 64): DataFrame = {
-    def minLabels(verts: DataFrame, sube: DataFrame,
-                  incoming: Boolean): DataFrame = {
-      // decimal(38,0) sum: id sums can pass int64 on web-scale
-      // graphs, and a wrapped sum could fake convergence
+    // BOTH directions iterate in ONE (v, f, b) frame — one union +
+    // one keyed min fold + one convergence scalar per round instead
+    // of two independent fixpoint loops (the round count becomes the
+    // max of the two propagation depths, not their sum).
+    // decimal(38,0) sum: id sums can pass int64 on web-scale graphs,
+    // and a wrapped sum could fake convergence. A side that is
+    // already converged keeps folding its fixed labels — min is
+    // idempotent, so the extra folds cannot perturb it.
+    def minLabels2(verts: DataFrame, sube: DataFrame): DataFrame = {
       def lblSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-      var x = verts.select(col("v"), col("v").as("lbl"))
+        df.agg((sum(col("f").cast("decimal(38,0)")) +
+          sum(col("b").cast("decimal(38,0)"))).as("t")).head.getDecimal(0)
+      val Inf = Long.MaxValue
+      var x = verts.select(col("v"), col("v").as("f"), col("v").as("b"))
       var tot = lblSum(x)
       var converged = false
       while (!converged) {
-        val prop =
-          if (incoming) sube.join(x, sube("src") === x("v"))
-            .select(sube("dst").as("v"), col("lbl"))
-          else sube.join(x, sube("dst") === x("v"))
-            .select(sube("src").as("v"), col("lbl"))
-        x = cut(x.unionAll(prop).groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
+        // f(v) = min id reaching v: flows ALONG edges (src → dst);
+        // b(v) = min id v reaches: flows AGAINST them (dst → src).
+        // The missing side rides an identity sentinel through the fold.
+        val pf = sube.join(x, sube("src") === x("v"))
+          .select(sube("dst").as("v"), col("f"), lit(Inf).as("b"))
+        val pb = sube.join(x, sube("dst") === x("v"))
+          .select(sube("src").as("v"), lit(Inf).as("f"), col("b"))
+        x = cut(x.unionAll(pf).unionAll(pb).groupBy(col("v"))
+          .agg(min(col("f")).as("f"), min(col("b")).as("b")))
         val t2 = lblSum(x)
         if (t2 == tot) converged = true else tot = t2
       }
@@ -942,9 +952,8 @@ object Graph {
         }
       }
       if (remaining.limit(1).count() > 0) {
-        val fwd = minLabels(remaining, sube, incoming = true).toDF("v", "f")
-        val bwd = minLabels(remaining, sube, incoming = false).toDF("vb", "b")
-        val done = cut(fwd.join(bwd, fwd("v") === col("vb") && col("f") === col("b"))
+        val labels = minLabels2(remaining, sube)
+        val done = cut(labels.filter(col("f") === col("b"))
           .select(col("v"), col("f").as("scc_id")))
         out = if (out == null) done else out.unionAll(done)
         remaining = cut(remaining.join(done, Seq("v"), "left_anti"))
