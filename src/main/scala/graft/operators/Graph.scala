@@ -872,6 +872,190 @@ object Graph {
         coalesce(col("n_out"), lit(0L)).as("n_out"))
   }
 
+  // --- k-truss decomposition --------------------------------------------
+
+  /** Truss threshold (k=4: every surviving edge sits in ≥ 2 triangles
+    * among survivors) and the synchronous-peel round bound — the
+    * KcoreRounds discipline one level up the density ladder.
+    */
+  val TrussK = 4L
+  val TrussRounds = 6
+  /** Clique-block fixture knobs: every [[CliqueMod]]-th block of
+    * [[CliqueBlock]] consecutive doc ids is completed into a clique,
+    * so the peel has a genuinely dense survivor set (a pure
+    * ring-chord graph is truss-fragile: the whole graph collapses,
+    * which exercises the cascade but not the "dense core survives"
+    * half of the contract).
+    */
+  val CliqueBlock = 8L
+  val CliqueMod = 4L
+
+  /** Canonical (u < v) undirected edge fixture for the truss peel:
+    * the triangle-rich ring-chord graph ([[triEdges]]) plus K8
+    * cliques on every 4th block of 8 consecutive ids. Replicated
+    * arithmetically by the oracle (ring CTE + one documents
+    * self-join on the block id).
+    */
+  def trussEdges(docs: DataFrame, n: Long): DataFrame = {
+    val ring = triEdges(docs, n).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+    val blk = docs.filter(expr(s"(doc_id div $CliqueBlock) % $CliqueMod") === 0)
+      .select(col("doc_id"), expr(s"doc_id div $CliqueBlock").as("b"))
+    val cliq = blk.toDF("u", "b").join(blk.toDF("v", "b2"),
+        col("b") === col("b2") && col("u") < col("v"))
+      .select(col("u"), col("v"))
+    ring.unionAll(cliq).distinct()
+  }
+
+  /** Per-edge triangle support over a canonical (u < v) edge set —
+    * the degree-ordered ("compact-forward") enumeration shared with
+    * [[qTriangles]]: orient each edge from its lower-(deg, id)
+    * endpoint, self-join oriented edges on the shared source to emit
+    * each wedge once, close with one semi-join against the canonical
+    * set, then attribute every triangle to its three corner edges by
+    * a 3-way union + partial-agg count. Degree ordering keeps the
+    * wedge set O(E^1.5) under skew (a hub emits no wedges); every
+    * join is an equi-join. The oracle computes the SAME value with
+    * the naive common-neighbor count — support is
+    * enumeration-independent, so this pins the oriented plan against
+    * a brute formulation.
+    */
+  private def edgeSupport(canon: DataFrame): DataFrame = {
+    val adj = canon.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(canon.select(col("v").as("a"), col("u").as("b")))
+    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val ort = adj.join(deg.toDF("a", "deg_a"), Seq("a"))
+      .join(deg.toDF("b", "deg_b"), Seq("b"))
+      .filter(col("deg_a") < col("deg_b") ||
+        (col("deg_a") === col("deg_b") && col("a") < col("b")))
+      .select(col("a"), col("b"))
+    val wedges = ort.toDF("x", "y")
+      .join(ort.toDF("x2", "z"), col("x") === col("x2") && col("y") < col("z"))
+      .select(col("x"), col("y"), col("z"))
+    val tri = wedges.join(canon.toDF("y", "z"), Seq("y", "z"), "left_semi")
+    val corners = tri
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .unionAll(tri.select(least(col("x"), col("z")).as("u"),
+        greatest(col("x"), col("z")).as("v")))
+      .unionAll(tri.select(col("y").as("u"), col("z").as("v")))
+    corners.groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
+  }
+
+  /** k-truss decomposition (Cohen 2008) by synchronous support
+    * peeling — the edge-level sharpening of the k-core: the k-truss
+    * keeps every edge participating in ≥ k−2 triangles AMONG
+    * SURVIVING EDGES, the community-detection / spam-fringe filter
+    * that k-core cannot express (a star hub has high core number but
+    * zero truss support). Round r removes every edge whose surviving
+    * support is < [[TrussK]]−2, all removals simultaneous (the
+    * synchronous variant, so the unrolled oracle agrees
+    * bit-for-bit); `peel_round` 0 = survived all [[TrussRounds]]
+    * rounds, with `support` its triangle count inside the final
+    * truss. On the fixture the cascade converges strictly before the
+    * bound (spec-pinned): the ring chords peel in round 1, the bare
+    * ring follows in round 2, the K8 clique blocks survive with
+    * support ≥ TrussK−2.
+    *
+    * Shape per round: one triangle enumeration over survivors
+    * (degree-ordered, O(E^1.5)) + one left join back to edge state —
+    * bounded rounds, reliable-`cut()` lineage, state one row per
+    * EDGE (the truss analogue of k-core's per-node row). At 100 TB
+    * the edge frame pre-partitions on u and the wedge self-join
+    * reuses it; nothing global, no windows.
+    */
+  def qKtruss(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val canon0 = trussEdges(docs, n).persist()
+    try {
+      var state = canon0.select(col("u"), col("v"), lit(0L).as("peel_round"))
+      for (r <- 1 to TrussRounds) {
+        val alive = state.filter(col("peel_round") === 0L)
+          .select(col("u"), col("v"))
+        val supp = edgeSupport(alive)
+        state = cut(state.join(supp.toDF("su", "sv", "supp"),
+            state("u") === col("su") && state("v") === col("sv"), "left")
+          .select(col("u"), col("v"),
+            when(col("peel_round") =!= 0L, col("peel_round"))
+              .when(coalesce(col("supp"), lit(0L)) < TrussK - 2, lit(r.toLong))
+              .otherwise(lit(0L)).as("peel_round")))
+      }
+      val fs = edgeSupport(
+        state.filter(col("peel_round") === 0L).select(col("u"), col("v")))
+      state.join(fs.toDF("su", "sv", "supp"),
+          state("u") === col("su") && state("v") === col("sv"), "left")
+        .select(col("u"), col("v"), col("peel_round"),
+          (col("peel_round") === 0L).cast("long").as("in_truss"),
+          when(col("peel_round") === 0L, coalesce(col("supp"), lit(0L)))
+            .otherwise(lit(0L)).as("support"))
+    } finally { canon0.unpersist(); () }
+  }
+
+  // --- degree assortativity + reciprocity ---------------------------------
+
+  /** Degree assortativity (Newman 2002) over the undirected closure
+    * of the link fixture — the "do hubs link to hubs" coefficient a
+    * web-graph characterization reports next to the degree
+    * distribution (social graphs ≈ +0.2, web/crawl graphs ≈ −0.05).
+    * Because the endpoint list contains both orientations of every
+    * edge, the x/y marginals coincide and Pearson's r collapses to
+    * the EXACT RATIONAL (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — no
+    * square root, so the ppm output is exact integer arithmetic and
+    * the oracle agrees bit-for-bit (sign-split abs-division, since
+    * `div` truncation differs across engines on negatives). Products
+    * accumulate in decimal(38,0): at web scale m·Σx² passes int64
+    * (the qEffDiameter headroom discipline). One degree agg + two
+    * broadcast-free equi-joins + one global agg of 4 scalars.
+    */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n).filter(col("src") =!= col("dst"))
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val ends = und.join(deg.toDF("u", "x"), Seq("u"))
+      .join(deg.toDF("v", "y"), Seq("v"))
+    ends.agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sx2"))
+      .withColumn("num", col("m") * col("sxy") - col("sx") * col("sx"))
+      .withColumn("den", col("m") * col("sx2") - col("sx") * col("sx"))
+      .select(col("m").cast("long").as("n_ends"),
+        col("sx").cast("long").as("sum_x"),
+        col("sxy").cast("long").as("sum_xy"),
+        col("sx2").cast("long").as("sum_x2"),
+        when(col("den") === 0, lit(0L))
+          .when(col("num") >= 0, expr("(num * 1000000) div den"))
+          .otherwise(-expr("((- num) * 1000000) div den"))
+          .cast("long").as("r_ppm"))
+  }
+
+  /** Directed-edge reciprocity — the fraction of links whose reverse
+    * link also exists (Broder et al.'s mutual-link share; near zero
+    * on crawl graphs, high on social graphs — a cheap structure
+    * fingerprint next to [[qDegreeDist]]). One self-equi-join on the
+    * reversed key + one global agg; the fixture's linear maps
+    * produce a small genuine reciprocal set (u → 7u+3 → u whenever
+    * the maps compose to identity mod n), so both branches of the
+    * left join are exercised.
+    */
+  def qReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n).filter(col("src") =!= col("dst"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("has_rev", lit(1L))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce(col("has_rev"), lit(0L))).as("n_recip"))
+      .select(col("n_edges"), col("n_recip").cast("long").as("n_recip"),
+        expr("(1000000 * n_recip) div n_edges").as("recip_ppm"))
+  }
+
   /** Production SCC: forward-backward min-label coloring (the
     * FW-BW-MIN peel of Slota et al. / Orzan's coloring step) — NO
     * closure pairs, state is one long label per vertex per
@@ -967,6 +1151,9 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ktruss" -> qKtruss _,
+    "q_assortativity" -> qAssortativity _,
+    "q_reciprocity" -> qReciprocity _,
     "q_degree_dist" -> qDegreeDist _,
     "q_bowtie" -> qBowtie _,
     "q_scc" -> qScc _,
@@ -1360,7 +1547,105 @@ object Graph {
       |  coalesce(oh.n_out, 0)::BIGINT AS n_out
       |FROM oh FULL OUTER JOIN ih ON oh.degree = ih.degree""".stripMargin
 
+  /** Unrolled synchronous truss peel — every round CTE MATERIALIZED
+    * (the kcoreSql lesson: each level is referenced multiple times,
+    * so default CTE inlining expands the chain exponentially).
+    * Support here is the NAIVE common-neighbor count — a different
+    * algorithm than the Spark side's degree-ordered enumeration,
+    * same value by definition.
+    */
+  private def ktrussSql: String = {
+    val base =
+      s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+        |    FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % nn.n FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 3) % nn.n FROM documents CROSS JOIN nn)),
+        |ring AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e WHERE src != dst),
+        |cl AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id // $CliqueBlock = b.doc_id // $CliqueBlock
+        |    AND a.doc_id < b.doc_id
+        |  WHERE (a.doc_id // $CliqueBlock) % $CliqueMod = 0),
+        |ce AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+        |  SELECT u, v FROM ring UNION ALL SELECT u, v FROM cl)),
+        |s0 AS MATERIALIZED (SELECT u, v, 0::BIGINT AS pr FROM ce)""".stripMargin
+    val rounds = (1 to TrussRounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+        |  SELECT u AS a, v AS b FROM s${r - 1} WHERE pr = 0
+        |  UNION ALL SELECT v, u FROM s${r - 1} WHERE pr = 0),
+        |t$r AS MATERIALIZED (SELECT g.u, g.v, count(*)::BIGINT AS supp
+        |  FROM s${r - 1} g JOIN a$r x ON x.a = g.u
+        |  JOIN a$r y ON y.a = g.v AND y.b = x.b
+        |  WHERE g.pr = 0 GROUP BY 1, 2),
+        |s$r AS MATERIALIZED (SELECT s.u, s.v,
+        |    (CASE WHEN s.pr != 0 THEN s.pr
+        |      WHEN coalesce(t.supp, 0) < ${TrussK - 2} THEN $r
+        |      ELSE 0 END)::BIGINT AS pr
+        |  FROM s${r - 1} s LEFT JOIN t$r t ON s.u = t.u AND s.v = t.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+      |$rounds,
+      |af AS (SELECT u AS a, v AS b FROM s$TrussRounds WHERE pr = 0
+      |  UNION ALL SELECT v, u FROM s$TrussRounds WHERE pr = 0),
+      |tf AS (SELECT g.u, g.v, count(*)::BIGINT AS supp
+      |  FROM s$TrussRounds g JOIN af x ON x.a = g.u
+      |  JOIN af y ON y.a = g.v AND y.b = x.b
+      |  WHERE g.pr = 0 GROUP BY 1, 2)
+      |SELECT s.u, s.v, s.pr AS peel_round,
+      |  (CASE WHEN s.pr = 0 THEN 1 ELSE 0 END)::BIGINT AS in_truss,
+      |  (CASE WHEN s.pr = 0 THEN coalesce(tf.supp, 0) ELSE 0 END)::BIGINT
+      |    AS support
+      |FROM s$TrussRounds s LEFT JOIN tf ON s.u = tf.u AND s.v = tf.v""".stripMargin
+  }
+
+  private def assortativitySql: String =
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+      |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+      |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+      |und AS (SELECT DISTINCT u, v FROM (
+      |  SELECT src AS u, dst AS v FROM e WHERE src != dst
+      |  UNION ALL SELECT dst, src FROM e WHERE src != dst)),
+      |deg AS (SELECT u, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+      |ends AS (SELECT da.deg AS x, db.deg AS y FROM und
+      |  JOIN deg da ON und.u = da.u JOIN deg db ON und.v = db.u),
+      |sums AS (SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx,
+      |  sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sx2 FROM ends),
+      |d AS (SELECT m, sx, sxy, sx2,
+      |  m * sxy - sx * sx AS num, m * sx2 - sx * sx AS den FROM sums)
+      |SELECT m AS n_ends, sx AS sum_x, sxy AS sum_xy, sx2 AS sum_x2,
+      |  (CASE WHEN den = 0 THEN 0
+      |    WHEN num >= 0 THEN (num * 1000000) // den
+      |    ELSE -(((- num) * 1000000) // den) END)::BIGINT AS r_ppm
+      |FROM d""".stripMargin
+
+  private def reciprocitySql: String =
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+      |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+      |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)
+      |  WHERE src != dst)
+      |SELECT count(*)::BIGINT AS n_edges,
+      |  sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_recip,
+      |  ((1000000 * sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END))
+      |    // count(*))::BIGINT AS recip_ppm
+      |FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ktruss" -> ktrussSql,
+    "q_assortativity" -> assortativitySql,
+    "q_reciprocity" -> reciprocitySql,
     "q_degree_dist" -> degreeDistSql,
     "q_bowtie" -> bowtieSql,
     "q_scc" -> sccSql,

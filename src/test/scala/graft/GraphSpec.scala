@@ -723,4 +723,81 @@ class GraphSpec extends AnyFunSuite {
       math.max(1.0, exact.values.sum)
     assert(totErr < 0.10, s"aggregate harmonic error $totErr")
   }
+
+  test("ktruss: synchronous peel equals a driver replay; clique blocks survive") {
+    val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
+    val n = docs.count()
+    val canon = Graph.trussEdges(docs, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent replay: NAIVE common-neighbor support (a different
+    // algorithm than the degree-ordered enumeration) + synchronous peel
+    def support(alive: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val adj = alive.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      alive.iterator.map { case (u, v) =>
+        (u, v) -> adj(u).intersect(adj(v)).size
+      }.toMap
+    }
+    val peel = scala.collection.mutable.Map[(Long, Long), Long]()
+    var alive = canon
+    for (r <- 1 to Graph.TrussRounds) {
+      val supp = support(alive)
+      val dead = alive.filter(e => supp(e) < Graph.TrussK - 2)
+      dead.foreach(e => peel(e) = r.toLong)
+      alive = alive -- dead
+    }
+    val finalSupp = support(alive)
+    val got = Graph.qKtruss(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == canon, "one output row per fixture edge")
+    canon.foreach { e =>
+      val want =
+        if (alive(e)) (0L, 1L, finalSupp(e).toLong)
+        else (peel(e), 0L, 0L)
+      assert(got(e) == want, s"edge $e: ${got(e)} vs replay $want")
+    }
+    // the cascade converges strictly before the round bound, the
+    // truss is non-empty, and every survivor honors the invariant
+    assert(alive.nonEmpty, "fixture must leave a surviving truss")
+    assert(peel.values.max < Graph.TrussRounds,
+      "peel must converge strictly before the bound")
+    assert(alive.forall(e => finalSupp(e) >= Graph.TrussK - 2),
+      "every surviving edge has support >= k-2")
+    // and the cascade is real: at least two distinct peel rounds
+    assert(peel.values.toSet.size >= 2, "multi-round cascade expected")
+  }
+
+  test("assortativity + reciprocity: exact rational replay") {
+    val rows = Graph.qAssortativity(spark, sf).collect()
+    assert(rows.length == 1)
+    val n = sources.Tables.documents(spark, sf).count()
+    val dirE = (0L until n).filter(_ % Graph.SinkMod != 0)
+      .flatMap(u => Seq(u -> (u * 7 + 3) % n, u -> (u * 13 + 5) % n))
+      .distinct.filter { case (a, b) => a != b }
+    val und = dirE.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val deg = und.groupBy(_._1).map { case (k, vs) => k -> vs.size.toLong }
+    val ends = und.map { case (u, v) => (deg(u), deg(v)) }
+    val m = BigInt(ends.size)
+    val sx = ends.map(e => BigInt(e._1)).sum
+    val sxy = ends.map(e => BigInt(e._1) * e._2).sum
+    val sx2 = ends.map(e => BigInt(e._1) * e._1).sum
+    val num = m * sxy - sx * sx
+    val den = m * sx2 - sx * sx
+    val rppm =
+      if (den == 0) BigInt(0)
+      else if (num >= 0) (num * 1000000) / den
+      else -((-num * 1000000) / den)
+    val r0 = rows(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3),
+      r0.getLong(4)) ==
+      ((m.toLong, sx.toLong, sxy.toLong, sx2.toLong, rppm.toLong)))
+    assert(math.abs(rppm.toLong) <= 1000000L, "r is a correlation")
+    val rec = Graph.qReciprocity(spark, sf).collect()
+    assert(rec.length == 1)
+    val eset = dirE.toSet
+    val nRecip = dirE.count { case (a, b) => eset((b, a)) }.toLong
+    assert((rec(0).getLong(0), rec(0).getLong(1), rec(0).getLong(2)) ==
+      ((dirE.size.toLong, nRecip, 1000000L * nRecip / dirE.size)))
+  }
 }
