@@ -139,7 +139,15 @@ object QualityAudit {
       .mkString("{", ",", "}")
     val autoGa = gaPts.find(_.recall >= 0.8)
       .map(p => s""""b${p.beam}"""").getOrElse("null")
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"minhash_bands":$mh,"graph_ann":$graphAnn,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"autoconfig_minhash_0.8":$autoMh,"autoconfig_graph_ann_0.8":$autoGa,"sf":"$sfDir"}"""
+    // r12: binary-quantization pool ladder (sign-bit hamming scan +
+    // exact refine) — the pool dial, gated like every other
+    val bqPts = Similarity.bqSweep(emb, Seq(10, 25, 50, 100))
+    val bq = bqPts
+      .map(p => s""""p${p.pool}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
+      .mkString("{", ",", "}")
+    val autoBq = bqPts.find(_.recall >= 0.8)
+      .map(p => s""""p${p.pool}"""").getOrElse("null")
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"minhash_bands":$mh,"graph_ann":$graphAnn,"bq":$bq,"autoconfig_bq_0.8":$autoBq,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"autoconfig_minhash_0.8":$autoMh,"autoconfig_graph_ann_0.8":$autoGa,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

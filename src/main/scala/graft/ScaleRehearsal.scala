@@ -86,7 +86,16 @@ object ScaleRehearsal {
     // r12: SCC (trim + FW-BW peel rides a bounded-reach fixture —
     // round count is fixture-pinned, expect ~linear), packed
     // HyperBall rides the existing q_hyperball/q_harmonic entries
-    "q_scc", "q_bowtie", "q_langid_nb")
+    "q_scc", "q_bowtie", "q_langid_nb",
+    // r12 session 2: k-truss (per-round wedge mass is Σdeg² with
+    // bounded fixture degrees — expect ~linear), assortativity /
+    // reciprocity (one-pass joins + scalar aggs), weighted jaccard
+    // (blocked pair term-join — cost rides pair mass like 29m),
+    // wminhash (capped expansion ≤ 8× distinct terms), binary
+    // quantization (popcount scan over corpus×queries, then bounded
+    // pool refine — the brute posture at 1/64th the bytes)
+    "q_ktruss", "q_assortativity", "q_reciprocity",
+    "q_weighted_jaccard", "q_wminhash", "q_ann_bq")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     // r12 (r11 verdict #2): the packed-register HyperBall at DOUBLE
     // the audited hop count — the scaled rung the 64-rows-per-node

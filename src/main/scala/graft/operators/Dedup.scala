@@ -253,6 +253,106 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Two-min-shingle blocking (shared with [[ngramJaccardPairs]]'s
+    * candidate stage): pairs agreeing on BOTH independent min-shingle
+    * hashes — a 2-band LSH prefilter, P(candidate) = J_set², pure
+    * equi-join.
+    */
+  private def shingleMinBlock(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+    val blk = sh.groupBy(col("doc_id")).agg(
+      min(col("h")).as("min_h"),
+      min((col("h") * 31607L + 271828L) % HashP).as("min_h2"))
+    blk.toDF("doc_a", "min_a", "min2_a")
+      .join(blk.toDF("doc_b", "min_b", "min2_b"),
+        col("min_a") === col("min_b") && col("min2_a") === col("min2_b")
+          && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared-term Σmin frame for the weighted-Jaccard family: per
+    * candidate pair, sum_min = Σ_t min(c_a, c_b) from ONE inner
+    * equi-join on (pair, term-hash) — never a full outer join per
+    * pair — and sum_max = tot_a + tot_b − sum_min by the multiset
+    * identity, so unshared terms are never materialized.
+    */
+  private def wjSums(cand: DataFrame, tc: DataFrame): DataFrame = {
+    val tot = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("tot"))
+    cand.join(tc.toDF("doc_a", "h", "c_a"), Seq("doc_a"))
+      .join(tc.toDF("doc_b", "h", "c_b"), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("c_a"), col("c_b"))).as("sum_min"))
+      .join(tot.toDF("doc_a", "tot_a"), Seq("doc_a"))
+      .join(tot.toDF("doc_b", "tot_b"), Seq("doc_b"))
+      .withColumn("sum_max", col("tot_a") + col("tot_b") - col("sum_min"))
+  }
+
+  /** Weighted (multiset) Jaccard near-dup — J_W(A,B) =
+    * Σ_t min(a_t, b_t) / Σ_t max(a_t, b_t) over word-COUNT vectors
+    * (the quantity of Ioffe 2010 / Haveliwala et al.): the set
+    * Jaccard of 31 ignores how often a term repeats, so a page that
+    * loops one paragraph 50× scores identical to a single copy —
+    * the weighted form is what template/boilerplate near-dup
+    * actually measures. Candidates ride [[shingleMinBlock]] (pure
+    * equi-join); the verify stage is exact integer Σmin/Σmax via
+    * [[wjSums]]. Scale shape: one token-count agg, one blocked
+    * equi-join, one (pair, term) inner equi-join with per-doc-sized
+    * fan-out — no quadratic stage anywhere.
+    */
+  def weightedJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), tokenHash(col("t")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    wjSums(shingleMinBlock(docs), tc)
+      .withColumn("wjaccard", col("sum_min") / col("sum_max"))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("sum_min"), col("sum_max"),
+        round(col("wjaccard"), 6).as("wjaccard"))
+  }
+
+  /** Repetition-index cap for the weighted-MinHash expansion
+    * (fan-out bound: ≤ WmCap virtual elements per distinct term).
+    */
+  val WmCap = 8L
+
+  /** Weighted-MinHash estimator quality — the [[minhashEstimates]]
+    * audit for the WEIGHTED form: integer weights reduce weighted
+    * Jaccard to SET Jaccard over virtual elements (t, 1..c_t) (the
+    * classic reduction Ioffe 2010 §1 starts from), so plain MinHash
+    * over the expanded multiset estimates J_W with the standard
+    * NumPerm-component agreement. Counts are CAPPED at [[WmCap]]
+    * before expansion, so both the estimate AND the exact ppm
+    * reported beside it are J_W of the capped count vectors —
+    * apples to apples by construction. Output per blocked candidate
+    * pair: (n_agree, est_ppm, wj_ppm).
+    */
+  def weightedMinhashEstimates(docs: DataFrame): DataFrame = {
+    val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), tokenHash(col("t")).as("h"))
+      .agg(least(count(lit(1)), lit(WmCap)).as("c"))
+    val elems = tc
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(1L), col("c"))).as("r"))
+      .select(col("doc_id"),
+        (((col("h") % HashP) * 131L + col("r")) % HashP).as("ep"))
+    val sigCols = (0 until NumPerm).map(k =>
+      min((col("ep") * A(k) + B(k)) % HashP).as(s"h$k"))
+    val sig = elems.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sa = sig.toDF("doc_a" +: (0 until NumPerm).map(k => s"a$k"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until NumPerm).map(k => s"b$k"): _*)
+    val matches = (0 until NumPerm)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val cand = shingleMinBlock(docs)
+    wjSums(cand, tc)
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("n_agree", matches)
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        expr(s"(n_agree * 1000000) div $NumPerm").as("est_ppm"),
+        expr("(1000000 * sum_min) div sum_max").as("wj_ppm"))
+  }
+
   /** Dedup resolution: near-dup pairs → connected components, so
     * each duplicate cluster keeps one canonical doc (the minimum
     * id). Iterative min-label propagation — converges in
@@ -939,6 +1039,12 @@ object Dedup {
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(corpus(s, dir))
 
+  def qWeightedJaccard(s: SparkSession, dir: String): DataFrame =
+    weightedJaccardPairs(corpus(s, dir))
+
+  def qWminhash(s: SparkSession, dir: String): DataFrame =
+    weightedMinhashEstimates(corpus(s, dir))
+
   def qDedupComponents(s: SparkSession, dir: String): DataFrame =
     connectedComponents(minhashPairs(corpus(s, dir)))
 
@@ -1212,6 +1318,8 @@ object Dedup {
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_ngram_jaccard" -> qNgramJaccard _,
+    "q_weighted_jaccard" -> qWeightedJaccard _,
+    "q_wminhash" -> qWminhash _,
     "q_dedup_components" -> qDedupComponents _,
     "q_dedup_components_ls" -> qDedupComponentsLs _,
     "q_dedup_best" -> qDedupBest _,
@@ -1615,6 +1723,66 @@ object Dedup {
         |  SELECT bmin, doc_id, bit_count(xor(bminsh, simhash))::BIGINT
         |  FROM sized WHERE bsz > $BucketCap AND doc_id <> bmin)
         |WHERE hamming <= 3""".stripMargin,
+    "q_weighted_jaccard" ->
+      s"""WITH sh AS ($shingleTokSql),
+        |blk AS (SELECT doc_id, min(h) AS min_h,
+        |    min((h * 31607 + 271828) % 1000000007) AS min_h2
+        |  FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM blk a JOIN blk b
+        |    ON a.min_h = b.min_h AND a.min_h2 = b.min_h2
+        |    AND a.doc_id < b.doc_id),
+        |tc AS (SELECT doc_id, h, count(*)::BIGINT AS c FROM ($tokSql)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c)::BIGINT AS tot FROM tc GROUP BY 1),
+        |sm AS (SELECT cd.doc_a, cd.doc_b,
+        |    sum(least(a.c, b.c))::BIGINT AS sum_min
+        |  FROM cand cd JOIN tc a ON a.doc_id = cd.doc_a
+        |  JOIN tc b ON b.doc_id = cd.doc_b AND b.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT sm.doc_a, sm.doc_b, sum_min,
+        |  (ta.tot + tb.tot - sum_min)::BIGINT AS sum_max,
+        |  round(sum_min / (ta.tot + tb.tot - sum_min), 6) AS wjaccard
+        |FROM sm JOIN tot ta ON ta.doc_id = sm.doc_a
+        |JOIN tot tb ON tb.doc_id = sm.doc_b
+        |WHERE sum_min / (ta.tot + tb.tot - sum_min) >= 0.5""".stripMargin,
+    "q_wminhash" -> {
+      val sigMins = (0 until NumPerm)
+        .map(k => s"min((ep * ${A(k)} + ${B(k)}) % 1000000007) AS h$k")
+        .mkString(", ")
+      val agree = (0 until NumPerm)
+        .map(k => s"(CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sh AS ($shingleTokSql),
+        |blk AS (SELECT doc_id, min(h) AS min_h,
+        |    min((h * 31607 + 271828) % 1000000007) AS min_h2
+        |  FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM blk a JOIN blk b
+        |    ON a.min_h = b.min_h AND a.min_h2 = b.min_h2
+        |    AND a.doc_id < b.doc_id),
+        |tc AS (SELECT doc_id, h, least(count(*), $WmCap)::BIGINT AS c
+        |  FROM ($tokSql) GROUP BY 1, 2),
+        |el AS (SELECT doc_id,
+        |    ((h % 1000000007) * 131 + unnest(generate_series(1, c)))
+        |      % 1000000007 AS ep
+        |  FROM tc),
+        |sig AS (SELECT doc_id, $sigMins FROM el GROUP BY doc_id),
+        |tot AS (SELECT doc_id, sum(c)::BIGINT AS tot FROM tc GROUP BY 1),
+        |sm AS (SELECT cd.doc_a, cd.doc_b,
+        |    sum(least(a.c, b.c))::BIGINT AS sum_min
+        |  FROM cand cd JOIN tc a ON a.doc_id = cd.doc_a
+        |  JOIN tc b ON b.doc_id = cd.doc_b AND b.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT sm.doc_a, sm.doc_b, ($agree)::BIGINT AS n_agree,
+        |  ((($agree) * 1000000) // $NumPerm)::BIGINT AS est_ppm,
+        |  ((1000000 * sum_min) // (ta.tot + tb.tot - sum_min))::BIGINT
+        |    AS wj_ppm
+        |FROM sm JOIN tot ta ON ta.doc_id = sm.doc_a
+        |JOIN tot tb ON tb.doc_id = sm.doc_b
+        |JOIN sig sa ON sa.doc_id = sm.doc_a
+        |JOIN sig sb ON sb.doc_id = sm.doc_b""".stripMargin
+    },
     "q_ngram_jaccard" ->
       s"""WITH d AS (
         |  SELECT doc_id,

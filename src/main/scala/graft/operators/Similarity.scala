@@ -338,6 +338,84 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  // --- binary quantization (sign-bit hamming) --------------------------
+
+  /** Default ADC pool for the binary-quantization rung (the PqPool
+    * discipline: hamming prunes, exact cosine refines).
+    */
+  val BqPool = 50
+
+  /** Sign bits of one 32-dim half of the quantized vector packed
+    * into a long (two halves, not one 64-bit word: bit 63 is the
+    * int64 sign bit and `1 << 63` overflow semantics differ across
+    * engines, so the oracle stays engine-portable on 32-bit lanes).
+    * Bits are disjoint, so the additive fold equals the bitwise OR.
+    */
+  private def signBits(half: Int): org.apache.spark.sql.Column =
+    expr(s"aggregate(transform(slice(q, ${half * 32 + 1}, 32), " +
+      "(x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
+
+  private def withSignBits(df: DataFrame): DataFrame =
+    df.withColumn("b_lo", signBits(0)).withColumn("b_hi", signBits(1))
+
+  /** Binary-quantization ANN (the modern BQ/RaBitQ-class serving
+    * recipe, cf. Lucene/FAISS binary indexes): each vector compresses
+    * to Dim sign bits (64× smaller than float32), candidate ranking
+    * is XOR+popcount hamming distance — the cheapest possible scan —
+    * and a `pool`-sized exact-cosine refine recovers the ranking
+    * (sign-bit hamming is a monotone proxy for angle in expectation:
+    * P[sign disagree per dim] = θ/π, the LSH hyperplane bound with
+    * the coordinate basis as planes). Same broadcast-query /
+    * no-corpus-shuffle posture as [[bruteTopKFor]]; the hamming scan
+    * is the production win at 100 TB — 16 bytes per vector stream
+    * through the popcount loop, floats are touched only for the
+    * pool. Recall per pool rung is MEASURED by [[bqSweep]] (RECALL
+    * family `bq`), the every-dial-is-gated discipline.
+    */
+  def bqTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
+                pool: Int = BqPool, excludeSelf: Boolean = false): DataFrame = {
+    val all = withSignBits(quantized(emb))
+    val qs = withSignBits(quantized(queries))
+      .select(col("vec_id").as("query_id"), col("q").as("q_q"),
+        col("nq").as("nq_q"), col("b_lo").as("qlo"), col("b_hi").as("qhi"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("ham").asc, col("vec_id"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    all.join(broadcast(qs),
+        if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .withColumn("ham",
+        expr("bit_count(b_lo ^ qlo) + bit_count(b_hi ^ qhi)").cast("long"))
+      .withColumn("hrnk", row_number().over(wh))
+      .filter(col("hrnk") <= pool)
+      .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+      .withColumn("rnk", row_number().over(wc))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  def bqTopK(emb: DataFrame, pool: Int = BqPool): DataFrame =
+    bqTopKFor(emb, defaultQueries(emb), TopK, pool, excludeSelf = true)
+
+  /** Pool-size recall sweep vs brute-force truth — RECALL family
+    * `bq`. nCandidates = vectors the exact refine scores.
+    */
+  final case class BqSweepPoint(pool: Int, recall: Double, nCandidates: Long)
+
+  def bqSweep(emb: DataFrame, pools: Seq[Int]): Seq[BqSweepPoint] = {
+    val exact = bruteTopK(emb)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val exactN = exact.count().toDouble
+    val nQ = defaultQueries(emb).count()
+    pools.map { p =>
+      val got = bqTopKFor(emb, defaultQueries(emb), TopK, p, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = got.join(exact, Seq("query_id", "neighbor_id")).count()
+      BqSweepPoint(p, hit / exactN, p.toLong * nQ)
+    }
+  }
+
   // --- matryoshka truncation audit ------------------------------------
 
   /** Dimension-truncation ladder for the matryoshka audit (the full
@@ -2306,6 +2384,7 @@ object Similarity {
     "q_silhouette" -> qSilhouette _,
     "q_cluster_sample" -> qClusterSample _,
     "q_ann_brute" -> qAnnBrute _,
+    "q_ann_bq" -> ((s, dir) => bqTopK(Tables.embeddings(s, dir))),
     "q_matryoshka" -> qMatryoshka _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
@@ -2858,6 +2937,34 @@ object Similarity {
         |  ON t.query_id = d.query_id AND t.neighbor_id = d.neighbor_id
         |GROUP BY 1, 2""".stripMargin
     },
+    "q_ann_bq" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, q,
+        |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN q[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS b_lo,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN q[i + 32] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS b_hi
+        |  FROM ($quantSql)),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    (bit_count(xor(c.b_lo, q.b_lo)) + bit_count(xor(c.b_hi, q.b_hi)))::BIGINT AS ham,
+        |    c.q AS cq, c.nq AS cnq, q.q AS qq, q.nq AS qnq
+        |  FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id % $QueryMod = 0) q
+        |  WHERE c.vec_id <> q.vec_id),
+        |pool AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS hrnk
+        |  FROM p QUALIFY hrnk <= $BqPool),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(cq) + 1), i -> cq[i] * qq[i]))::DOUBLE
+        |      / (sqrt(cnq::DOUBLE) * sqrt(qnq::DOUBLE)) AS cos
+        |  FROM pool)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
+        |  round(cos, 6) AS cos_sim
+        |FROM r
+        |QUALIFY rnk <= $TopK""".stripMargin,
     "q_ann_brute" ->
       s"""WITH n AS (
         |  SELECT vec_id, label, q,

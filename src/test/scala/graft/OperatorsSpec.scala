@@ -583,6 +583,109 @@ class OperatorsSpec extends AnyFunSuite {
     assert(copies.nonEmpty && copies.forall(_.getDouble(2) == 1.0))
   }
 
+  /** Driver replay of the weighted-Jaccard family's hashing,
+    * blocking, and sums — an independent Scala implementation of the
+    * same arithmetic (the oracle checks cross-engine; this checks
+    * against a second in-process formulation).
+    */
+  private def wjReplay(docs: Seq[(Long, String)], cap: Long)
+      : (Set[(Long, Long)], Map[(Long, Long), (Long, Long)]) = {
+    import graft.functions.GraftFunctions.tokenHashLong
+    val P = 1000000007L
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+    val shingleMins = toks.map { case (id, ts) =>
+      val sh = (0 until math.max(ts.length - 2, 0))
+        .map(i => tokenHashLong(ts(i) + ts(i + 1) + ts(i + 2)))
+      id -> (sh.min, sh.map(h => (h * 31607L + 271828L) % P).min)
+    }
+    val ids = docs.map(_._1).sorted
+    val cand = (for {
+      a <- ids; b <- ids if a < b && shingleMins(a) == shingleMins(b)
+    } yield (a, b)).toSet
+    val counts = toks.map { case (id, ts) =>
+      id -> ts.groupBy(tokenHashLong).map { case (h, o) =>
+        h -> math.min(o.size.toLong, cap) }
+    }
+    val sums = cand.map { case (a, b) =>
+      val (ca, cb) = (counts(a), counts(b))
+      val sMin = ca.keySet.intersect(cb.keySet)
+        .toSeq.map(h => math.min(ca(h), cb(h))).sum
+      val sMax = ca.values.sum + cb.values.sum - sMin
+      (a, b) -> ((sMin, sMax))
+    }.toMap
+    (cand, sums)
+  }
+
+  test("weighted jaccard equals a driver replay; repetition diverges from set J") {
+    val docsDf = Dedup.corpus(spark, sf)
+    val docs = docsDf.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (_, sums) = wjReplay(docs, Long.MaxValue)
+    val want = sums.collect {
+      case (pair, (sMin, sMax)) if sMin.toDouble / sMax >= 0.5 =>
+        pair -> ((sMin, sMax))
+    }
+    val got = Dedup.weightedJaccardPairs(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- want.keySet).take(3)}")
+    // every shifted copy is present at exactly 1.0
+    val nDocs = docs.length / 2
+    val copies = got.keySet.filter(p => p._2 == p._1 + Dedup.Shift)
+    assert(copies.size == nDocs, "all copy pairs found")
+    assert(copies.forall(p => got(p)._1 == got(p)._2), "copies at J_W = 1")
+    // the reason this operator exists: a doc that repeats its content
+    // 3x scores J_W = 1/3 against the single copy, while the SET
+    // jaccard of the same pair stays high (shared vocabulary)
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val rep = Seq((1L, base), (2L, Seq(base, base, base).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.weightedJaccardPairs(rep, threshold = 0.0).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(2) == 12L && out(0).getLong(3) == 36L)
+    assert(out(0).getDouble(4) == 0.333333)
+    val setJ = Dedup.ngramJaccardPairs(rep, threshold = 0.0).collect()
+    assert(setJ.length == 1 && setJ(0).getDouble(2) >= 0.8,
+      "set jaccard must stay high where the weighted form collapses")
+  }
+
+  test("weighted minhash estimator equals a deterministic expansion replay") {
+    import graft.functions.GraftFunctions.tokenHashLong
+    val P = 1000000007L
+    val docsDf = Dedup.corpus(spark, sf)
+    val docs = docsDf.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (cand, sums) = wjReplay(docs, Dedup.WmCap)
+    val counts = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq.groupBy(tokenHashLong)
+        .map { case (h, o) => h -> math.min(o.size.toLong, Dedup.WmCap) }
+    }.toMap
+    def sig(id: Long): Seq[Long] = {
+      val eps = counts(id).toSeq.flatMap { case (h, c) =>
+        (1L to c).map(r => ((h % P) * 131L + r) % P) }
+      (0 until Dedup.NumPerm).map(k =>
+        eps.map(ep => (ep * Dedup.A(k) + Dedup.B(k)) % P).min)
+    }
+    val want = cand.map { case (a, b) =>
+      val agree = sig(a).zip(sig(b)).count(t => t._1 == t._2).toLong
+      val (sMin, sMax) = sums((a, b))
+      (a, b) -> ((agree, agree * 1000000L / Dedup.NumPerm,
+        1000000L * sMin / sMax))
+    }.toMap
+    val got = Dedup.weightedMinhashEstimates(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- want.keySet).take(3)}")
+    // shifted copies agree on every component and report exactly 1e6
+    val copies = got.filter { case ((a, b), _) => b == a + Dedup.Shift }
+    assert(copies.nonEmpty && copies.values.forall(v =>
+      v._1 == Dedup.NumPerm && v._2 == 1000000L && v._3 == 1000000L))
+  }
+
   test("matryoshka audit equals a driver-side exact replay") {
     val emb = Tables.embeddings(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(e =>
@@ -779,6 +882,28 @@ class OperatorsSpec extends AnyFunSuite {
       pqTrainIters = 1)
     assert(trained.groupBy(col("query_id")).count().collect()
       .forall(_.getLong(1) <= Similarity.TopK))
+  }
+
+  test("binary quantization: full pool equals brute force, sweep is monotone") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    // pool >= corpus makes the hamming stage a no-op filter, so the
+    // exact refine must reproduce brute-force top-k EXACTLY — the
+    // two-stage identity that pins both the packing and the refine
+    val full = Similarity.bqTopK(emb, pool = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute,
+      s"missing=${(brute -- full).take(3)} extra=${(full -- brute).take(3)}")
+    // recall is monotone in the pool and the default pool is usable
+    val pts = Similarity.bqSweep(emb, Seq(10, Similarity.BqPool, n))
+    val rec = pts.map(_.recall)
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in pool: $rec")
+    assert(rec.last == 1.0, "full pool has recall 1 by the identity above")
+    assert(pts(1).recall >= 0.5,
+      s"default pool ${Similarity.BqPool} recall ${pts(1).recall} too low")
   }
 
   test("PQ pool sweep is exactly monotone and matches the real rerank") {
