@@ -375,20 +375,36 @@ object Similarity {
   def bqTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
                 pool: Int = BqPool, excludeSelf: Boolean = false): DataFrame = {
     val all = withSignBits(quantized(emb))
-    val qs = withSignBits(quantized(queries))
-      .select(col("vec_id").as("query_id"), col("q").as("q_q"),
-        col("nq").as("nq_q"), col("b_lo").as("qlo"), col("b_hi").as("qhi"))
+    // hamming stage carries ONLY (vec_id, 16 bytes of sign bits) —
+    // no vector array may ride the pool window's exchange (the
+    // arrexch discipline), and the narrow scan IS the operator's
+    // claim to scale
+    val bits = all.select(col("vec_id"), col("b_lo"), col("b_hi"))
+    val qbits = withSignBits(quantized(queries))
+      .select(col("vec_id").as("query_id"), col("b_lo").as("qlo"),
+        col("b_hi").as("qhi"))
     val wh = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("ham").asc, col("vec_id"))
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    all.join(broadcast(qs),
+    val poolIds = bits.join(broadcast(qbits),
         if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("ham",
         expr("bit_count(b_lo ^ qlo) + bit_count(b_hi ^ qhi)").cast("long"))
+      .select(col("query_id"), col("vec_id"), col("ham"))
       .withColumn("hrnk", row_number().over(wh))
       .filter(col("hrnk") <= pool)
+      .select(col("query_id"), col("vec_id"))
+    // refine: the bounded pool (queries × pool ids) broadcasts back
+    // against the corpus — corpus vectors are read where they sit,
+    // never shuffled; cosine is computed before the rank window so
+    // only scalars cross its exchange
+    val qs = quantized(queries).select(col("vec_id").as("query_id"),
+      col("q").as("q_q"), col("nq").as("nq_q"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    quantized(emb).join(broadcast(poolIds), Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
       .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
       .withColumn("rnk", row_number().over(wc))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
