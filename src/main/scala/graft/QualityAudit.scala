@@ -141,7 +141,7 @@ object QualityAudit {
       .map(p => s""""b${p.beam}"""").getOrElse("null")
     // r12: binary-quantization pool ladder (sign-bit hamming scan +
     // exact refine) — the pool dial, gated like every other
-    val bqPts = Similarity.bqSweep(emb, Seq(10, 25, 50, 100))
+    val bqPts = Similarity.bqSweep(emb, Seq(10, 25, 50, 100, 200, 400))
     val bq = bqPts
       .map(p => s""""p${p.pool}":{"recall":${p.recall},"candidates":${p.nCandidates}}""")
       .mkString("{", ",", "}")

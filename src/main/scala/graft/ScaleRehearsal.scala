@@ -95,7 +95,12 @@ object ScaleRehearsal {
     // quantization (popcount scan over corpus×queries, then bounded
     // pool refine — the brute posture at 1/64th the bytes)
     "q_ktruss", "q_assortativity", "q_reciprocity",
-    "q_weighted_jaccard", "q_wminhash", "q_ann_bq")
+    "q_weighted_jaccard", "q_wminhash", "q_ann_bq",
+    // r12 session 2: WordPiece encode (vocab-sized state, 16 bounded
+    // rounds — expect ~linear in the distinct-word count, sublinear
+    // in rows); TrustRank (the PageRank plan with seed-restricted
+    // teleport — expect the q_pagerank ratio)
+    "q_wordpiece", "q_trustrank")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     // r12 (r11 verdict #2): the packed-register HyperBall at DOUBLE
     // the audited hop count — the scaled rung the 64-rows-per-node

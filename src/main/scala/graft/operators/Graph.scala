@@ -95,6 +95,54 @@ object Graph {
     } finally { ed.unpersist(); () }
   }
 
+  /** TrustRank seed selection: every [[TrustSeedMod]]-th doc plays
+    * the hand-vetted trusted set.
+    */
+  val TrustSeedMod = 23L
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04) — the
+    * link-spam curation move: PageRank with BOTH the teleport AND
+    * the dangling-mass redistribution restricted to a trusted seed
+    * set, so trust flows only along links out of vetted pages and a
+    * page unreachable from every seed scores EXACTLY zero
+    * (spec-pinned) — the complement of [[qLabelSpread]]'s
+    * degree-share diffusion (trust splits out-degree-normalized
+    * shares like rank mass; label spreading spreads per-edge).
+    * Identical plan shape and integer-ppb discipline to
+    * [[qPagerank]]: one edge⋈score equi-join + one dst-keyed
+    * partial-agg sum + one O(1) dangling scalar per iteration,
+    * cut() lineage — the same plan at 100 TB.
+    */
+  def qTrustrank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, Seq("src")).persist()
+    try {
+      val nSeeds = docs.filter(col("doc_id") % TrustSeedMod === 0).count()
+      val isSeed = col("doc_id") % TrustSeedMod === 0
+      val teleport = 15L * (1000000000L / nSeeds) / 100L
+      var x = docs.select(col("doc_id"),
+        when(isSeed, lit(1000000000L / nSeeds)).otherwise(lit(0L)).as("x"))
+      for (_ <- 1 to PrIters) {
+        val dangling = x.join(deg, x("doc_id") === deg("src"), "left_anti")
+          .agg(coalesce(sum(col("x")), lit(0L))).head.getLong(0)
+        val share = dangling / nSeeds
+        val inflow = ed.join(x, ed("src") === x("doc_id"))
+          .select(col("dst"), expr("x div deg").as("share"))
+          .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+        x = cut(docs.join(inflow, docs("doc_id") === inflow("dst"), "left")
+          .select(col("doc_id"),
+            (when(isSeed, lit(teleport)).otherwise(lit(0L)) +
+              expr(s"85 * (coalesce(inflow, 0L) + " +
+                s"IF(doc_id % $TrustSeedMod = 0, ${share}L, 0L)) div 100")
+              ).as("x")))
+      }
+      x.select(col("doc_id"), col("x").as("trust_ppb"))
+    } finally { ed.unpersist(); () }
+  }
+
   /** Triangle count + local clustering coefficient over the
     * undirected closure of the link fixture — the degree-ordered
     * ("compact-forward") formulation: orient every undirected edge
@@ -933,7 +981,9 @@ object Graph {
     val wedges = ort.toDF("x", "y")
       .join(ort.toDF("x2", "z"), col("x") === col("x2") && col("y") < col("z"))
       .select(col("x"), col("y"), col("z"))
-    val tri = wedges.join(canon.toDF("y", "z"), Seq("y", "z"), "left_semi")
+    // the triangle list is consumed THREE times by the corner union —
+    // cut it once or the wedge join re-executes per branch
+    val tri = cut(wedges.join(canon.toDF("y", "z"), Seq("y", "z"), "left_semi"))
     val corners = tri
       .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
       .unionAll(tri.select(least(col("x"), col("z")).as("u"),
@@ -970,7 +1020,14 @@ object Graph {
     val canon0 = trussEdges(docs, n).persist()
     try {
       var state = canon0.select(col("u"), col("v"), lit(0L).as("peel_round"))
-      for (r <- 1 to TrussRounds) {
+      var r = 0
+      var converged = false
+      // early exit once a round peels nothing: all later rounds are
+      // provably no-ops (support among an unchanged survivor set is
+      // unchanged), so the output equals the full TrussRounds unroll
+      // the oracle runs — same fixpoint, fewer triangle enumerations
+      while (r < TrussRounds && !converged) {
+        r += 1
         val alive = state.filter(col("peel_round") === 0L)
           .select(col("u"), col("v"))
         val supp = edgeSupport(alive)
@@ -980,6 +1037,8 @@ object Graph {
             when(col("peel_round") =!= 0L, col("peel_round"))
               .when(coalesce(col("supp"), lit(0L)) < TrussK - 2, lit(r.toLong))
               .otherwise(lit(0L)).as("peel_round")))
+        converged =
+          state.filter(col("peel_round") === r).limit(1).count() == 0
       }
       val fs = edgeSupport(
         state.filter(col("peel_round") === 0L).select(col("u"), col("v")))
@@ -1163,6 +1222,7 @@ object Graph {
     "q_hyperball" -> qHyperBall _,
     "q_hopplot" -> qHopPlot _,
     "q_pagerank" -> qPagerank _,
+    "q_trustrank" -> qTrustrank _,
     "q_label_prop" -> qLabelProp _,
     "q_random_walks" -> qRandomWalks _,
     "q_walk_pairs" -> qWalkPairs _,
@@ -1200,6 +1260,46 @@ object Graph {
     s"""WITH $prCte,
       |$iters
       |SELECT doc_id, x AS pr_ppb FROM x$PrIters""".stripMargin
+  }
+
+  private def trustrankSql: String = {
+    val base =
+      s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |ss AS (SELECT count(*)::BIGINT AS s FROM documents
+        |  WHERE doc_id % $TrustSeedMod = 0),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+        |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+        |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        |x0 AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % $TrustSeedMod = 0
+        |    THEN 1000000000 // ss.s ELSE 0 END)::BIGINT AS x
+        |  FROM documents CROSS JOIN ss)""".stripMargin
+    val iters = (1 to PrIters).map { k =>
+      s"""d$k AS (SELECT coalesce(sum(x), 0)::BIGINT
+        |      // (SELECT s FROM ss) AS share
+        |  FROM x${k - 1} p WHERE p.doc_id NOT IN (SELECT src FROM deg)),
+        |x$k AS (
+        |  SELECT d.doc_id,
+        |    ((CASE WHEN d.doc_id % $TrustSeedMod = 0
+        |        THEN 15 * (1000000000 // (SELECT s FROM ss)) // 100
+        |        ELSE 0 END)
+        |      + 85 * (coalesce(i.inflow, 0)
+        |        + (CASE WHEN d.doc_id % $TrustSeedMod = 0
+        |            THEN (SELECT share FROM d$k) ELSE 0 END))
+        |        // 100)::BIGINT AS x
+        |  FROM documents d LEFT JOIN (
+        |    SELECT e.dst, sum(p.x // dg.deg)::BIGINT AS inflow
+        |    FROM e JOIN x${k - 1} p ON e.src = p.doc_id
+        |    JOIN deg dg ON e.src = dg.src
+        |    GROUP BY e.dst) i ON d.doc_id = i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+      |$iters
+      |SELECT doc_id, x AS trust_ppb FROM x$PrIters""".stripMargin
   }
 
   private def trianglesSql: String =
@@ -1655,6 +1755,7 @@ object Graph {
     "q_hyperball" -> hyperBallSql,
     "q_hopplot" -> hopPlotSql,
     "q_pagerank" -> oracleSql,
+    "q_trustrank" -> trustrankSql,
     "q_label_prop" -> labelPropSql,
     "q_random_walks" -> randomWalksSql,
     "q_walk_pairs" -> walkPairsSql,

@@ -351,12 +351,32 @@ object Similarity {
     * engines, so the oracle stays engine-portable on 32-bit lanes).
     * Bits are disjoint, so the additive fold equals the bitwise OR.
     */
+  /** Per-dim truncated means of the quantized corpus as ONE
+    * broadcast row (array<long> `mq`): the centering statistic the
+    * sign threshold uses — sign bits of RAW coordinates waste their
+    * budget encoding the corpus mean direction (every vector on the
+    * popular side of a biased dim agrees, so the bit carries no
+    * discrimination), the reason production binary quantizers center
+    * first (cf. FAISS binary / RaBitQ). One narrow posexplode
+    * (scalars only — no array rides the exchange) + a Dim-row agg +
+    * an ordered collect into a single row. `div` truncation matches
+    * DuckDB's `//` exactly for all signs.
+    */
+  private[operators] def dimMeans(all: DataFrame): DataFrame =
+    broadcast(all.select(posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(expr("sum(x) div count(1)").as("m"))
+      .agg(expr("transform(sort_array(collect_list(struct(d, m))), s -> s.m)")
+        .as("mq")))
+
   private def signBits(half: Int): org.apache.spark.sql.Column =
     expr(s"aggregate(transform(slice(q, ${half * 32 + 1}, 32), " +
-      "(x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
+      s"(x, i) -> IF(x > element_at(mq, i + ${half * 32} + 1), " +
+      "shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
 
-  private def withSignBits(df: DataFrame): DataFrame =
-    df.withColumn("b_lo", signBits(0)).withColumn("b_hi", signBits(1))
+  private def withSignBits(df: DataFrame, means: DataFrame): DataFrame =
+    df.crossJoin(means)
+      .withColumn("b_lo", signBits(0)).withColumn("b_hi", signBits(1))
+      .drop("mq")
 
   /** Binary-quantization ANN (the modern BQ/RaBitQ-class serving
     * recipe, cf. Lucene/FAISS binary indexes): each vector compresses
@@ -374,13 +394,16 @@ object Similarity {
     */
   def bqTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
                 pool: Int = BqPool, excludeSelf: Boolean = false): DataFrame = {
-    val all = withSignBits(quantized(emb))
+    // centering statistic comes from the CORPUS (index-side, like
+    // IVF centroids) and is applied to both sides
+    val means = dimMeans(quantized(emb))
+    val all = withSignBits(quantized(emb), means)
     // hamming stage carries ONLY (vec_id, 16 bytes of sign bits) —
     // no vector array may ride the pool window's exchange (the
     // arrexch discipline), and the narrow scan IS the operator's
     // claim to scale
     val bits = all.select(col("vec_id"), col("b_lo"), col("b_hi"))
-    val qbits = withSignBits(quantized(queries))
+    val qbits = withSignBits(quantized(queries), means)
       .select(col("vec_id").as("query_id"), col("b_lo").as("qlo"),
         col("b_hi").as("qhi"))
     val wh = org.apache.spark.sql.expressions.Window
@@ -2954,14 +2977,19 @@ object Similarity {
         |GROUP BY 1, 2""".stripMargin
     },
     "q_ann_bq" ->
-      s"""WITH n AS (
+      s"""WITH base AS (SELECT vec_id, q FROM ($quantSql)),
+        |md AS (SELECT d, (sum(q[d]) // count(*))::BIGINT AS m
+        |  FROM base CROSS JOIN (SELECT unnest(range(1, $Dim + 1)) AS d)
+        |  GROUP BY d),
+        |ml AS (SELECT list(m ORDER BY d) AS mq FROM md),
+        |n AS (
         |  SELECT vec_id, q,
         |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))::BIGINT AS nq,
         |    list_sum(list_transform(range(1, 33),
-        |      i -> CASE WHEN q[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS b_lo,
+        |      i -> CASE WHEN q[i] > mq[i] THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS b_lo,
         |    list_sum(list_transform(range(1, 33),
-        |      i -> CASE WHEN q[i + 32] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS b_hi
-        |  FROM ($quantSql)),
+        |      i -> CASE WHEN q[i + 32] > mq[i + 32] THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS b_hi
+        |  FROM base CROSS JOIN ml),
         |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    (bit_count(xor(c.b_lo, q.b_lo)) + bit_count(xor(c.b_hi, q.b_hi)))::BIGINT AS ham,

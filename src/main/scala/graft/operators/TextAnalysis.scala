@@ -991,6 +991,114 @@ object TextAnalysis {
   private def divFloor(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
+  // --- WordPiece greedy encode ------------------------------------------
+
+  /** WordPiece knobs: word-length cap (bounds the greedy rounds —
+    * every round consumes ≥ 1 char because every single char of the
+    * word set is in the vocab), max piece length, and the trained
+    * n-gram budget.
+    */
+  val WpMaxWordLen = 16
+  val WpMaxPiece = 4
+  val WpVocabN = 512
+
+  /** WordPiece-style vocabulary over a (w, n) distinct-word frame:
+    * ALL single characters of the word set (totality — greedy encode
+    * can never strand) plus the [[WpVocabN]] highest-occurrence-mass
+    * character n-grams of length 2..[[WpMaxPiece]] (ties by string,
+    * the deterministic TakeOrdered). Substrings are produced by a
+    * two-step explode + `substring(w, i, L)` — NOT a string-building
+    * HOF (the Spark 4.1 corrupted-UTF8String pitfall
+    * GraftFunctions.shingleHashes documents).
+    */
+  private def wordpieceVocab(words: DataFrame): DataFrame = {
+    val chars = words
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(expr("substring(w, i, 1)").as("piece")).distinct()
+    val grams = words
+      .select(col("w"), col("n"),
+        explode(sequence(lit(2), lit(WpMaxPiece))).as("L"))
+      .filter(length(col("w")) >= col("L"))
+      .select(col("w"), col("n"), col("L"),
+        explode(sequence(lit(1), length(col("w")) - col("L") + 1)).as("i"))
+      .select(expr("substring(w, i, L)").as("piece"), col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(WpVocabN)
+    chars.unionAll(grams.select(col("piece"))).distinct()
+  }
+
+  /** Greedy longest-prefix-match segmentation (WordPiece INFERENCE,
+    * Devlin et al. 2019 / the MaxMatch algorithm) of every distinct
+    * word under [[wordpieceVocab]]: per round, each unfinished word
+    * proposes its ≤ [[WpMaxPiece]] prefixes at the cursor (bounded
+    * explode), a broadcast equi-join against the vocab keeps the
+    * matches, and max(L) advances the cursor — [[WpMaxWordLen]]
+    * synchronous rounds, so the unrolled oracle agrees exactly.
+    * State is one row per DISTINCT word (vocabulary-sized, the
+    * qBpeEncode discipline: per-doc costs are one equi-join against
+    * the encoded vocab, never per-occurrence segmentation).
+    */
+  private def wordpieceEncode(words: DataFrame): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    // the trained vocab is pinned ONCE — every round's broadcast join
+    // would otherwise re-run the gram-count + TakeOrdered ladder
+    val vocab = pin(wordpieceVocab(words).withColumnRenamed("piece", "vp"))
+    var state = pin(words.select(col("w"), length(col("w")).as("len"),
+      lit(0).as("pos"), lit(0L).as("np")))
+    var r = 0
+    var done = false
+    // early exit once every word is consumed: the remaining rounds
+    // are no-ops, so the output equals the oracle's full unroll
+    while (r < WpMaxWordLen && !done) {
+      r += 1
+      val cand = state.filter(col("pos") < col("len"))
+        .select(col("w"), col("pos"),
+          explode(sequence(lit(1), lit(WpMaxPiece))).as("L"))
+        .filter(col("pos") + col("L") <= col("len"))
+        .select(col("w"), col("L"), expr("substring(w, pos + 1, L)").as("piece"))
+      val adv = cand.join(broadcast(vocab), col("piece") === col("vp"))
+        .groupBy(col("w")).agg(max(col("L")).as("adv"))
+      state = pin(state.join(adv, Seq("w"), "left")
+        .select(col("w"), col("len"),
+          when(col("pos") < col("len"),
+            col("pos") + coalesce(col("adv"), lit(1))).otherwise(col("pos")).as("pos"),
+          when(col("pos") < col("len"), col("np") + 1L)
+            .otherwise(col("np")).as("np")))
+      done = state.filter(col("pos") < col("len")).limit(1).count() == 0
+    }
+    state.select(col("w"), col("np").as("n_pieces"),
+      col("len").cast("long").as("n_chars"))
+  }
+
+  /** WordPiece fertility audit — the [[qFertility]] table for the
+    * OTHER major published tokenizer family (greedy longest-match
+    * inference over a frequency-trained subword vocab, vs BPE's
+    * merge rules): per source, whitespace words, emitted pieces,
+    * chars, and the ppm fertility / compression ratios — directly
+    * comparable against q_fertility's BPE numbers on the same
+    * corpus. Same scale shape: vocab-sized training + encode state,
+    * per-source stats are one equi-join of exploded tokens against
+    * the encoded word table + one partial-agg rollup.
+    */
+  def qWordpiece(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 1)
+      .select(col("source"), expr(s"substring(t, 1, $WpMaxWordLen)").as("w"))
+    val words = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val enc = wordpieceEncode(words)
+    tok.join(enc, Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_pieces"), col("n_chars"),
+        divFloor(col("n_pieces") * 1000000L, col("n_words")).as("fertility_ppm"),
+        divFloor(col("n_chars") * 1000000L, col("n_pieces")).as("chars_per_piece_ppm"))
+  }
+
   /** Tokenizer fertility audit — the per-source table a tokenizer
     * team tracks when validating a vocabulary against a corpus mix:
     * FERTILITY (BPE symbols emitted per whitespace word, ppm) and
@@ -1330,6 +1438,7 @@ object TextAnalysis {
     "q_bpe_train" -> qBpeTrain _,
     "q_bpe_encode" -> qBpeEncode _,
     "q_fertility" -> qFertility _,
+    "q_wordpiece" -> qWordpiece _,
     "q_diversity" -> qDiversity _,
     "q_simpson" -> qSimpson _,
     "q_bpe_merge" -> qBpeMerge _,
@@ -1668,6 +1777,54 @@ object TextAnalysis {
         |SELECT doc_id, n_shingles, n_common,
         |  (n_common * 1000000) // n_shingles AS common_frac_ppm
         |FROM per""".stripMargin,
+    "q_wordpiece" -> {
+      val rounds = (1 to WpMaxWordLen).map { r =>
+        s"""a$r AS MATERIALIZED (SELECT c.w, max(c.L)::BIGINT AS adv FROM (
+          |    SELECT s.w, l.L, substr(s.w, (s.pos + 1)::INT, l.L::INT) AS piece
+          |    FROM s${r - 1} s CROSS JOIN
+          |      (SELECT unnest(range(1, ${WpMaxPiece + 1})) AS L) l
+          |    WHERE s.pos < s.len AND s.pos + l.L <= s.len) c
+          |  JOIN vocab v ON v.piece = c.piece GROUP BY c.w),
+          |s$r AS MATERIALIZED (SELECT s.w, s.len,
+          |    (CASE WHEN s.pos < s.len THEN s.pos + coalesce(a.adv, 1)
+          |      ELSE s.pos END)::BIGINT AS pos,
+          |    (CASE WHEN s.pos < s.len THEN s.np + 1 ELSE s.np END)::BIGINT AS np
+          |  FROM s${r - 1} s LEFT JOIN a$r a ON s.w = a.w)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS MATERIALIZED (
+        |  SELECT source, substr(t, 1, $WpMaxWordLen) AS w FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) >= 1),
+        |words AS MATERIALIZED (
+        |  SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+        |chars AS (SELECT DISTINCT substr(w, i::INT, 1) AS piece FROM (
+        |  SELECT w, unnest(range(1, length(w) + 1)) AS i FROM words)),
+        |grams AS (SELECT piece FROM (
+        |  SELECT substr(w, i::INT, L::INT) AS piece, sum(n) AS cnt FROM (
+        |    SELECT w, n, L, unnest(range(1, length(w) - L + 2)) AS i
+        |    FROM (SELECT w, n, unnest(range(2, ${WpMaxPiece + 1})) AS L
+        |          FROM words)
+        |    WHERE length(w) >= L)
+        |  GROUP BY 1 ORDER BY cnt DESC, piece LIMIT $WpVocabN)),
+        |vocab AS MATERIALIZED (SELECT DISTINCT piece FROM (
+        |  SELECT piece FROM chars UNION ALL SELECT piece FROM grams)),
+        |s0 AS MATERIALIZED (SELECT w, length(w)::BIGINT AS len,
+        |  0::BIGINT AS pos, 0::BIGINT AS np FROM words),
+        |$rounds,
+        |enc AS (SELECT w, np AS n_pieces, len AS n_chars
+        |  FROM s$WpMaxWordLen),
+        |per AS (SELECT source, count(*)::BIGINT AS n_words,
+        |    sum(e.n_pieces)::BIGINT AS n_pieces,
+        |    sum(e.n_chars)::BIGINT AS n_chars
+        |  FROM tok t JOIN enc e USING (w)
+        |  GROUP BY source)
+        |SELECT source, n_words, n_pieces, n_chars,
+        |  (n_pieces * 1000000) // n_words AS fertility_ppm,
+        |  (n_chars * 1000000) // n_pieces AS chars_per_piece_ppm
+        |FROM per""".stripMargin
+    },
     "q_fertility" ->
       s"""$bpeRoundsCtes,
         |enc AS (SELECT w, len(string_split(s, ' '))::BIGINT AS n_sym,

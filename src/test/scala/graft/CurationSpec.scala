@@ -857,6 +857,55 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("wordpiece: per-source stats equal a driver greedy-MaxMatch replay") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // independent replay of vocab training + greedy longest-match
+    val words = docs.flatMap { case (_, t) =>
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(_.take(TextAnalysis.WpMaxWordLen)) }
+    val wc = words.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val chars = wc.keySet.flatMap(_.toSeq.map(_.toString))
+    val gramCnt = scala.collection.mutable.Map[String, Long]()
+    wc.foreach { case (w, n) =>
+      for (l <- 2 to TextAnalysis.WpMaxPiece; i <- 0 to w.length - l)
+        gramCnt.updateWith(w.substring(i, i + l))(c => Some(c.getOrElse(0L) + n))
+    }
+    val top = gramCnt.toSeq.sortBy { case (g, c) => (-c, g) }
+      .take(TextAnalysis.WpVocabN).map(_._1)
+    val vocab = chars ++ top
+    def encode(w: String): Long = {
+      var pos = 0; var np = 0L
+      while (pos < w.length) {
+        val l = (math.min(TextAnalysis.WpMaxPiece, w.length - pos) to 1 by -1)
+          .find(l => vocab(w.substring(pos, pos + l))).getOrElse(1)
+        pos += l; np += 1
+      }
+      np
+    }
+    val enc = wc.keys.map(w => w -> encode(w)).toMap
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val ws = ds.flatMap { case (_, t) =>
+        t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .map(_.take(TextAnalysis.WpMaxWordLen)) }
+      val (nw, npc, nch) =
+        (ws.length.toLong, ws.map(enc).sum, ws.map(_.length.toLong).sum)
+      src -> ((nw, npc, nch, npc * 1000000L / nw, nch * 1000000L / npc))
+    }
+    val got = TextAnalysis.qWordpiece(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want,
+      s"diff=${want.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, v, got.get(k)) }.take(2)}")
+    // sanity: greedy matching compresses below one-piece-per-char
+    got.values.foreach { v =>
+      assert(v._5 > 1000000L, "chars per piece must beat the char baseline")
+      assert(v._4 >= 1000000L, "a word is at least one piece")
+    }
+  }
+
   test("decon by bench: self-leaked benchmarks report full coverage") {
     val out = TextAnalysis.qDeconByBench(spark, sf).collect()
     val nBench = Tables.documents(spark, sf)

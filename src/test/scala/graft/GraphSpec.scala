@@ -724,6 +724,39 @@ class GraphSpec extends AnyFunSuite {
     assert(totErr < 0.10, s"aggregate harmonic error $totErr")
   }
 
+  test("trustrank: trust reaches exactly the seed-reachable set, mass bounded") {
+    val rows = Graph.qTrustrank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = rows.size.toLong
+    val seeds = rows.keys.filter(_ % Graph.TrustSeedMod == 0).toSet
+    assert(seeds.nonEmpty)
+    // driver-side forward reachability from the seeds
+    val adj = (0L until n).filter(_ % Graph.SinkMod != 0)
+      .flatMap(u => Seq(u -> (u * 7 + 3) % n, u -> (u * 13 + 5) % n))
+      .filter { case (a, b) => a != b }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val reach = scala.collection.mutable.Set(seeds.toSeq: _*)
+    val q = scala.collection.mutable.Queue(seeds.toSeq: _*)
+    while (q.nonEmpty) {
+      adj.getOrElse(q.dequeue(), Seq.empty).foreach { w =>
+        if (!reach(w)) { reach += w; q += w }
+      }
+    }
+    rows.foreach { case (v, t) =>
+      if (!reach(v)) assert(t == 0L, s"unreachable $v scored $t")
+    }
+    assert(rows.count { case (v, t) => t > 0 && !seeds(v) } > 0,
+      "trust must flow beyond the seeds")
+    val teleport = 15L * (1000000000L / seeds.size) / 100L
+    seeds.foreach(v => assert(rows(v) >= teleport, s"seed $v below teleport"))
+    val total = rows.values.sum
+    assert(total <= 1000000000L, s"trust mass can only shrink, got $total")
+    // spam-demotion contract: a non-seed page's trust is bounded by
+    // what its in-links deliver — and the fixture has pages with
+    // in-links only from unreachable nodes, which score exactly 0
+    assert(rows.values.exists(_ == 0L), "fixture has untrusted pages")
+  }
+
   test("ktruss: synchronous peel equals a driver replay; clique blocks survive") {
     val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
     val n = docs.count()

@@ -1033,6 +1033,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(zT <= fullT / 2.0, s"mean time span $zT not bounded (full $fullT)")
   }
 
+  test("hilbert curve: bijective, continuous, and tighter than z-order") {
+    import graft.operators.Layout
+    import spark.implicits._
+    // full 64x64 grid at bits=6: the curve must visit every cell
+    // exactly once (bijection) and CONSECUTIVE indices must be
+    // Manhattan-adjacent cells (the defining Hilbert property the
+    // Morton curve lacks — its quadrant jumps are the pruning cost)
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong * 64 + y, x.toLong, y.toLong)).toDF("event_id", "x", "y")
+    val d = Layout.hilbertCols(grid, col("x"), col("y"), bits = 6)
+      .select(col("h_value"), col("x"), col("y")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(d.keySet == (0L until 4096L).toSet, "bijection onto [0, 4^6)")
+    (0L until 4095L).foreach { i =>
+      val ((x1, y1), (x2, y2)) = (d(i), d(i + 1))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump at $i: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // the z-curve on the same grid takes long jumps: its max
+    // consecutive-step distance is the diagonal quadrant hop
+    val z = grid.select(Layout.zValue(col("x"), col("y")).as("z"),
+        col("x"), col("y")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val zMax = (0L until 4095L).map { i =>
+      val ((x1, y1), (x2, y2)) = (z(i), z(i + 1))
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.max
+    assert(zMax > 1, "Morton takes quadrant jumps — the Hilbert win is real")
+  }
+
   test("rank-normalized z-order needs no manual width matching") {
     import graft.operators.Layout
     // raw dims with wildly mismatched ranges (15 users vs epoch
