@@ -100,7 +100,10 @@ object ScaleRehearsal {
     // rounds — expect ~linear in the distinct-word count, sublinear
     // in rows); TrustRank (the PageRank plan with seed-restricted
     // teleport — expect the q_pagerank ratio)
-    "q_wordpiece", "q_trustrank")
+    "q_wordpiece", "q_trustrank",
+    // hop-bounded betweenness: state O(sources·|B(s,4)|) — sources
+    // grow with n, ball size is fixture-bounded; expect ~linear-ish
+    "q_betweenness")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     // r12 (r11 verdict #2): the packed-register HyperBall at DOUBLE
     // the audited hop count — the scaled rung the 64-rows-per-node

@@ -100,6 +100,77 @@ object Graph {
     */
   val TrustSeedMod = 23L
 
+  /** Betweenness knobs: source sample stride and the hop bound. */
+  val BetwSrcMod = 25L
+  val BetwHops = 4
+
+  /** Hop-bounded sampled-source betweenness centrality — Brandes'
+    * dependency accumulation (Brandes 2001) with BOTH of the
+    * truncations a 100 TB graph actually runs: a SOURCE SAMPLE
+    * (Brandes & Pich 2007 — every [[BetwSrcMod]]-th node) and a HOP
+    * BOUND (k-betweenness / bounded-radius betweenness — only
+    * shortest paths of ≤ [[BetwHops]] hops count), because exact
+    * betweenness is O(V·E) and nothing at web scale computes it.
+    * Forward phase: [[BetwHops]] synchronous multi-source BFS rounds
+    * over (source, node) state carrying shortest-path counts σ
+    * (frontier ⋈ edges equi-join + (s, dst) partial-agg sum + one
+    * anti-join against the visited set per round). Backward phase:
+    * [[BetwHops]] dependency rounds — δ_ppm(v) = Σ over shortest-
+    * path successors w of (σ_v · (1e6 + δ_ppm(w))) div σ_w, pure
+    * integer arithmetic so the distributed sums are order-free and
+    * the unrolled oracle agrees bit-for-bit. Output: per node, the
+    * summed dependency over sampled sources (source's own row
+    * excluded, the Brandes convention). State is O(sources ·
+    * |B(s, hops)|) scalar rows — the hop-plot pair-mass posture,
+    * priced by the hop bound, never corpus-quadratic.
+    */
+  def qBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n).persist()
+    try {
+      // forward: levels(d) = (s, v, sig); visited prevents re-entry
+      var levels = Vector(
+        docs.filter(col("doc_id") % BetwSrcMod === 0)
+          .select(col("doc_id").as("s"), col("doc_id").as("v"),
+            lit(1L).as("sig")))
+      var visited = levels(0).select(col("s"), col("v"))
+      for (_ <- 1 to BetwHops) {
+        val next = cut(levels.last.join(e, levels.last("v") === e("src"))
+          .groupBy(col("s"), col("dst").as("v"))
+          .agg(sum(col("sig")).as("sig"))
+          .join(visited.withColumnRenamed("v", "v"), Seq("s", "v"), "left_anti"))
+        levels = levels :+ next
+        visited = cut(visited.unionAll(next.select(col("s"), col("v"))))
+      }
+      // backward: dependency of level-d nodes from level-(d+1) ones —
+      // in unweighted BFS an edge sits on a shortest path iff it
+      // crosses exactly one level down, so the successor join is the
+      // (s, w)-keyed equi-join against the next level only
+      var delta = levels(BetwHops)
+        .select(col("s"), col("v"), lit(0L).as("delta"))
+      var acc = delta
+      for (d <- (0 until BetwHops).reverse) {
+        val deeper = levels(d + 1).toDF("s", "w", "sig_w")
+          .join(delta.toDF("s", "w", "delta_w"), Seq("s", "w"))
+        val contrib = levels(d).toDF("s", "v", "sig_v")
+          .join(e.toDF("v", "w"), Seq("v"))
+          .join(deeper, Seq("s", "w"))
+          .groupBy(col("s"), col("v"))
+          .agg(sum(expr("(sig_v * (1000000 + delta_w)) div sig_w")).as("delta"))
+        delta = cut(levels(d).select(col("s"), col("v"))
+          .join(contrib, Seq("s", "v"), "left")
+          .select(col("s"), col("v"),
+            coalesce(col("delta"), lit(0L)).as("delta")))
+        acc = acc.unionAll(delta)
+      }
+      val summed = acc.filter(col("v") =!= col("s"))
+        .groupBy(col("v")).agg(sum(col("delta")).as("betw_ppm"))
+      docs.join(summed.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("betw_ppm"), lit(0L)).as("betw_ppm"))
+    } finally { e.unpersist(); () }
+  }
+
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04) — the
     * link-spam curation move: PageRank with BOTH the teleport AND
     * the dangling-mass redistribution restricted to a trusted seed
@@ -1223,6 +1294,7 @@ object Graph {
     "q_hopplot" -> qHopPlot _,
     "q_pagerank" -> qPagerank _,
     "q_trustrank" -> qTrustrank _,
+    "q_betweenness" -> qBetweenness _,
     "q_label_prop" -> qLabelProp _,
     "q_random_walks" -> qRandomWalks _,
     "q_walk_pairs" -> qWalkPairs _,
@@ -1260,6 +1332,50 @@ object Graph {
     s"""WITH $prCte,
       |$iters
       |SELECT doc_id, x AS pr_ppb FROM x$PrIters""".stripMargin
+  }
+
+  private def betweennessSql: String = {
+    val fwd = (1 to BetwHops).map { d =>
+      s"""v$d AS MATERIALIZED (
+        |  SELECT f.s, f.v, f.sig FROM (
+        |    SELECT p.s, e.dst AS v, sum(p.sig)::BIGINT AS sig
+        |    FROM v${d - 1} p JOIN e ON p.v = e.src GROUP BY 1, 2) f
+        |  LEFT JOIN vis${d - 1} x ON f.s = x.s AND f.v = x.v
+        |  WHERE x.s IS NULL),
+        |vis$d AS MATERIALIZED (SELECT s, v FROM vis${d - 1}
+        |  UNION ALL SELECT s, v FROM v$d)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (0 until BetwHops).reverse.map { d =>
+      s"""c$d AS (SELECT l.s, l.v,
+        |    sum((l.sig * (1000000 + dd.delta)) // w.sig)::BIGINT AS delta
+        |  FROM v$d l JOIN e ON l.v = e.src
+        |  JOIN v${d + 1} w ON w.s = l.s AND w.v = e.dst
+        |  JOIN d${d + 1} dd ON dd.s = l.s AND dd.v = e.dst
+        |  GROUP BY 1, 2),
+        |d$d AS MATERIALIZED (SELECT l.s, l.v,
+        |    coalesce(c.delta, 0)::BIGINT AS delta
+        |  FROM v$d l LEFT JOIN c$d c ON l.s = c.s AND l.v = c.v)""".stripMargin
+    }.mkString(",\n")
+    val accUnion = (0 to BetwHops)
+      .map(d => s"SELECT s, v, delta FROM d$d").mkString("\n  UNION ALL ")
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+      |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+      |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+      |v0 AS MATERIALIZED (SELECT doc_id AS s, doc_id AS v, 1::BIGINT AS sig
+      |  FROM documents WHERE doc_id % $BetwSrcMod = 0),
+      |vis0 AS MATERIALIZED (SELECT s, v FROM v0),
+      |$fwd,
+      |d$BetwHops AS (SELECT s, v, 0::BIGINT AS delta FROM v$BetwHops),
+      |$bwd,
+      |acc AS ($accUnion),
+      |t AS (SELECT v, sum(delta)::BIGINT AS b FROM acc WHERE v != s
+      |  GROUP BY v)
+      |SELECT d.doc_id, coalesce(t.b, 0)::BIGINT AS betw_ppm
+      |FROM documents d LEFT JOIN t ON d.doc_id = t.v""".stripMargin
   }
 
   private def trustrankSql: String = {
@@ -1756,6 +1872,7 @@ object Graph {
     "q_hopplot" -> hopPlotSql,
     "q_pagerank" -> oracleSql,
     "q_trustrank" -> trustrankSql,
+    "q_betweenness" -> betweennessSql,
     "q_label_prop" -> labelPropSql,
     "q_random_walks" -> randomWalksSql,
     "q_walk_pairs" -> walkPairsSql,

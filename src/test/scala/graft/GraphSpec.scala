@@ -757,6 +757,43 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.values.exists(_ == 0L), "fixture has untrusted pages")
   }
 
+  test("betweenness: equals a driver-side hop-bounded Brandes replay") {
+    val got = Graph.qBetweenness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = got.size.toLong
+    val adj = (0L until n).filter(_ % Graph.SinkMod != 0)
+      .flatMap(u => Seq(u -> (u * 7 + 3) % n, u -> (u * 13 + 5) % n))
+      .distinct.filter { case (a, b) => a != b }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val want = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (s <- 0L until n if s % Graph.BetwSrcMod == 0) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      var frontier = Seq(s)
+      for (d <- 1 to Graph.BetwHops) {
+        val nextSig = scala.collection.mutable.Map[Long, Long]()
+        frontier.foreach(v => adj.getOrElse(v, Seq.empty).foreach { w =>
+          if (!dist.contains(w)) nextSig(w) = nextSig.getOrElse(w, 0L) + sigma(v)
+        })
+        nextSig.foreach { case (w, sg) => dist(w) = d; sigma(w) = sg }
+        frontier = nextSig.keys.toSeq
+      }
+      val delta = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for (d <- (Graph.BetwHops - 1) to 0 by -1;
+           v <- dist.collect { case (v, dv) if dv == d => v }) {
+        delta(v) = adj.getOrElse(v, Seq.empty)
+          .filter(w => dist.get(w).contains(d + 1))
+          .map(w => sigma(v) * (1000000L + delta(w)) / sigma(w)).sum
+      }
+      dist.keys.filter(_ != s).foreach(v => want(v) += delta(v))
+    }
+    got.foreach { case (v, b) =>
+      assert(b == want(v), s"betweenness at $v: $b vs replay ${want(v)}")
+    }
+    assert(got.values.exists(_ > 0L), "some node must carry dependency mass")
+    assert(got.values.forall(_ >= 0L))
+  }
+
   test("ktruss: synchronous peel equals a driver replay; clique blocks survive") {
     val docs = sources.Tables.documents(spark, sf).select(col("doc_id"))
     val n = docs.count()
