@@ -103,7 +103,10 @@ object ScaleRehearsal {
     "q_wordpiece", "q_trustrank",
     // hop-bounded betweenness: state O(sources·|B(s,4)|) — sources
     // grow with n, ball size is fixture-bounded; expect ~linear-ish
-    "q_betweenness")
+    "q_betweenness",
+    // incremental weighted jaccard: cost rides the batch (both sides
+    // 10x here, so expect the q_weighted_jaccard candidate exponent)
+    "q_wj_incremental")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     // r12 (r11 verdict #2): the packed-register HyperBall at DOUBLE
     // the audited hop count — the scaled rung the 64-rows-per-node

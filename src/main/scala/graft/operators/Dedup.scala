@@ -311,6 +311,49 @@ object Dedup {
         round(col("wjaccard"), 6).as("wjaccard"))
   }
 
+  /** Incremental weighted-Jaccard probe — the 29n form for the
+    * weighted family: which docs of a NEW batch are weighted-near-dups
+    * of the EXISTING corpus (or of each other). The existing side's
+    * blocking keys (two min-shingle hashes) and token counts are the
+    * persistable "index" (computed once in production; only the
+    * incoming batch is tokenized per run), the incoming side
+    * equi-joins the index plus itself, and the exact Σmin/Σmax
+    * verify runs only on blocked candidates — cost rides the batch,
+    * never the corpus. Output (new_doc, matched_doc, wjaccard).
+    */
+  def weightedJaccardIncremental(existing: DataFrame, incoming: DataFrame,
+                                 threshold: Double = 0.5): DataFrame = {
+    def blockKeys(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"),
+          explode(shingleHashes(tokens(col("text")), 3)).as("h"))
+        .groupBy(col("doc_id")).agg(
+          min(col("h")).as("min_h"),
+          min((col("h") * 31607L + 271828L) % HashP).as("min_h2"))
+    def counts(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), tokenHash(col("t")).as("h"))
+        .agg(count(lit(1)).as("c"))
+    val idx = blockKeys(existing)
+    val inc = blockKeys(incoming)
+    val vsOld = inc.toDF("new_doc", "min_n", "min2_n")
+      .join(idx.toDF("old_doc", "min_o", "min2_o"),
+        col("min_n") === col("min_o") && col("min2_n") === col("min2_o"))
+      .select(col("new_doc"), col("old_doc").as("matched_doc"))
+    val vsNew = inc.toDF("doc_a", "min_a", "min2_a")
+      .join(inc.toDF("doc_b", "min_b", "min2_b"),
+        col("min_a") === col("min_b") && col("min2_a") === col("min2_b")
+          && col("doc_a") < col("doc_b"))
+      .select(col("doc_b").as("new_doc"), col("doc_a").as("matched_doc"))
+    val cand = vsOld.unionAll(vsNew)
+      .select(col("new_doc").as("doc_a"), col("matched_doc").as("doc_b"))
+    val tc = counts(existing.unionByName(incoming))
+    wjSums(cand, tc)
+      .withColumn("wjaccard", col("sum_min") / col("sum_max"))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("doc_a").as("new_doc"), col("doc_b").as("matched_doc"),
+        round(col("wjaccard"), 6).as("wjaccard"))
+  }
+
   /** Repetition-index cap for the weighted-MinHash expansion
     * (fan-out bound: ≤ WmCap virtual elements per distinct term).
     */
@@ -1319,6 +1362,11 @@ object Dedup {
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_weighted_jaccard" -> qWeightedJaccard _,
+    "q_wj_incremental" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      weightedJaccardIncremental(docs,
+        docs.select((col("doc_id") + Shift).as("doc_id"), col("text")))
+    }),
     "q_wminhash" -> qWminhash _,
     "q_dedup_components" -> qDedupComponents _,
     "q_dedup_components_ls" -> qDedupComponentsLs _,
@@ -1742,6 +1790,37 @@ object Dedup {
         |  GROUP BY 1, 2)
         |SELECT sm.doc_a, sm.doc_b, sum_min,
         |  (ta.tot + tb.tot - sum_min)::BIGINT AS sum_max,
+        |  round(sum_min / (ta.tot + tb.tot - sum_min), 6) AS wjaccard
+        |FROM sm JOIN tot ta ON ta.doc_id = sm.doc_a
+        |JOIN tot tb ON tb.doc_id = sm.doc_b
+        |WHERE sum_min / (ta.tot + tb.tot - sum_min) >= 0.5""".stripMargin,
+    "q_wj_incremental" ->
+      s"""WITH oldd AS (SELECT doc_id, text FROM documents),
+        |newd AS (SELECT doc_id + $Shift AS doc_id, text FROM documents),
+        |blko AS (SELECT doc_id, min(h) AS min_h,
+        |    min((h * 31607 + 271828) % 1000000007) AS min_h2
+        |  FROM (${shingleTokSqlFor("SELECT doc_id, text FROM oldd")})
+        |  GROUP BY 1),
+        |blkn AS (SELECT doc_id, min(h) AS min_h,
+        |    min((h * 31607 + 271828) % 1000000007) AS min_h2
+        |  FROM (${shingleTokSqlFor("SELECT doc_id, text FROM newd")})
+        |  GROUP BY 1),
+        |cand AS (
+        |  SELECT n.doc_id AS doc_a, o.doc_id AS doc_b FROM blkn n
+        |  JOIN blko o ON n.min_h = o.min_h AND n.min_h2 = o.min_h2
+        |  UNION ALL
+        |  SELECT b.doc_id, a.doc_id FROM blkn a
+        |  JOIN blkn b ON a.min_h = b.min_h AND a.min_h2 = b.min_h2
+        |    AND a.doc_id < b.doc_id),
+        |tc AS (SELECT doc_id, h, count(*)::BIGINT AS c FROM ($tokSql)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c)::BIGINT AS tot FROM tc GROUP BY 1),
+        |sm AS (SELECT cd.doc_a, cd.doc_b,
+        |    sum(least(a.c, b.c))::BIGINT AS sum_min
+        |  FROM cand cd JOIN tc a ON a.doc_id = cd.doc_a
+        |  JOIN tc b ON b.doc_id = cd.doc_b AND b.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT sm.doc_a AS new_doc, sm.doc_b AS matched_doc,
         |  round(sum_min / (ta.tot + tb.tot - sum_min), 6) AS wjaccard
         |FROM sm JOIN tot ta ON ta.doc_id = sm.doc_a
         |JOIN tot tb ON tb.doc_id = sm.doc_b

@@ -362,7 +362,7 @@ object Similarity {
     * an ordered collect into a single row. `div` truncation matches
     * DuckDB's `//` exactly for all signs.
     */
-  private[operators] def dimMeans(all: DataFrame): DataFrame =
+  private[graft] def dimMeans(all: DataFrame): DataFrame =
     broadcast(all.select(posexplode(col("q")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(expr("sum(x) div count(1)").as("m"))
       .agg(expr("transform(sort_array(collect_list(struct(d, m))), s -> s.m)")
@@ -373,7 +373,7 @@ object Similarity {
       s"(x, i) -> IF(x > element_at(mq, i + ${half * 32} + 1), " +
       "shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
 
-  private def withSignBits(df: DataFrame, means: DataFrame): DataFrame =
+  private[graft] def withSignBits(df: DataFrame, means: DataFrame): DataFrame =
     df.crossJoin(means)
       .withColumn("b_lo", signBits(0)).withColumn("b_hi", signBits(1))
       .drop("mq")
@@ -393,10 +393,19 @@ object Similarity {
     * family `bq`), the every-dial-is-gated discipline.
     */
   def bqTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
-                pool: Int = BqPool, excludeSelf: Boolean = false): DataFrame = {
+                pool: Int = BqPool, excludeSelf: Boolean = false): DataFrame =
     // centering statistic comes from the CORPUS (index-side, like
     // IVF centroids) and is applied to both sides
-    val means = dimMeans(quantized(emb))
+    bqTopKForMeans(emb, dimMeans(quantized(emb)), queries, k, pool, excludeSelf)
+
+  /** [[bqTopKFor]] under EXTERNALLY PINNED centering means — what an
+    * index that outlives its build corpus serves with (the pinned-
+    * centroid discipline of ivfTopKForCents); the streaming BQ index
+    * twin compares against exactly this form.
+    */
+  def bqTopKForMeans(emb: DataFrame, means: DataFrame, queries: DataFrame,
+                     k: Int = TopK, pool: Int = BqPool,
+                     excludeSelf: Boolean = false): DataFrame = {
     val all = withSignBits(quantized(emb), means)
     // hamming stage carries ONLY (vec_id, 16 bytes of sign bits) —
     // no vector array may ride the pool window's exchange (the

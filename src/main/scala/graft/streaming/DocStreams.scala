@@ -1153,6 +1153,165 @@ object DocStreams {
     }
   }
 
+  /** STREAMING binary-quantization serving index — the BQ twin of
+    * [[runIvfIndexStream]]: per batch, fresh vectors (replay-screened
+    * by the vec_id sidecar) are sign-packed under the PINNED
+    * centering means and appended as (vec_id, b_lo, b_hi, q, nq)
+    * rows bucketed by vec_id. The means are pinned at index creation
+    * (the pinned-centroid discipline): recomputing them per batch
+    * would silently re-encode NOTHING already written, so old and
+    * new bits would disagree about the threshold — pinning is
+    * correctness, not just cost. Serving reads ONLY the
+    * (vec_id, b_lo, b_hi) columns of the index — parquet column
+    * pruning makes the hamming pass the 16-bytes-per-vector scan the
+    * operator promises — and the refine re-reads just the pool ids'
+    * vector columns through the pruned two-level lookup.
+    */
+  def runBqIndexStream(spark: SparkSession, stagedDir: String,
+                       means: DataFrame,
+                       wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                       indexTable: String): Unit = {
+    import graft.operators.Similarity
+    val idsTable = s"${indexTable}_ids"
+    val pinned = cut(means)
+    val q = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nBuckets = indexBuckets(spark)
+        val pushMax = lookupPushdownMax(spark)
+        val batchIds = batch.toDF().select(col("vec_id")).distinct()
+          .withColumn("id_bucket", bucketOf(col("vec_id"), nBuckets))
+          .transform(cut)
+        val touchedIdB = batchIds.select("id_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val batchVecIds = batchIds.select("vec_id").limit(pushMax + 1)
+          .collect().map(_.getLong(0)).toSeq
+        val seen =
+          if (wh.tableExists(ref, idsTable))
+            indexLookup(wh, ref, idsTable, "id_bucket", touchedIdB,
+              "vec_id", batchVecIds, HashIndexReadOptions)._1.select(col("vec_id"))
+          else
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("vec_id", LongType))))
+        val fresh = batch.toDF().join(seen, Seq("vec_id"), "left_anti")
+          .transform(cut)
+        if (fresh.isEmpty) ()
+        else {
+          val packed = Similarity
+            .withSignBits(Similarity.quantized(fresh), pinned)
+            .withColumn("bucket", bucketOf(col("vec_id"), nBuckets))
+            .select(col("vec_id"), col("b_lo"), col("b_hi"),
+              col("q"), col("nq"), col("bucket"))
+            .repartition(col("bucket"))
+            .sortWithinPartitions(col("bucket"), col("vec_id"))
+          wh.appendTablePartitioned(packed, ref, indexTable, Seq("bucket"),
+            bloomWriteOptions("vec_id",
+              math.max(1L, batchIds.count() / math.max(1, touchedIdB.size))))
+          val ids = batchIds
+            .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .repartition(col("id_bucket"))
+            .sortWithinPartitions(col("id_bucket"), col("vec_id"))
+          wh.appendTablePartitioned(ids, ref, idsTable, Seq("id_bucket"),
+            bloomWriteOptions("vec_id",
+              batchIds.count() / math.max(1, touchedIdB.size)))
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Serve external queries FROM the warehouse BQ index: the hamming
+    * pool ranks over the index's (vec_id, b_lo, b_hi) columns only
+    * (scalars through the pool window — the arrexch discipline holds
+    * on the serving path too), then the bounded pool's vectors are
+    * re-read through the pruned lookup (bucket partitions + vec_id
+    * row-group blooms) and ranked through the IDENTICAL refine as
+    * batch BQ — so the streamed index serves EXACTLY what
+    * [[graft.operators.Similarity.bqTopKForMeans]] computes over the
+    * same corpus under the same pinned means (spec-pinned).
+    */
+  def bqServeFromIndex(spark: SparkSession,
+                       wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                       indexTable: String, means: DataFrame,
+                       queries: DataFrame,
+                       k: Int = graft.operators.Similarity.TopK,
+                       pool: Int = graft.operators.Similarity.BqPool): DataFrame = {
+    import graft.operators.Similarity
+    val nBuckets = indexBuckets(spark)
+    val pushMax = lookupPushdownMax(spark)
+    val qq = Similarity.quantized(queries)
+    val qbits = Similarity.withSignBits(qq, means)
+      .select(col("vec_id").as("query_id"), col("b_lo").as("qlo"),
+        col("b_hi").as("qhi"))
+    val bits = wh.readTable(ref, indexTable)
+      .select(col("vec_id"), col("b_lo"), col("b_hi"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("ham").asc, col("vec_id"))
+    val poolIds = bits.crossJoin(broadcast(qbits))
+      .withColumn("ham",
+        expr("bit_count(b_lo ^ qlo) + bit_count(b_hi ^ qhi)").cast("long"))
+      .select(col("query_id"), col("vec_id"), col("ham"))
+      .withColumn("hrnk", row_number().over(wp))
+      .filter(col("hrnk") <= pool)
+      .select(col("query_id"), col("vec_id"))
+      .transform(cut)
+    val touchedB = poolIds
+      .select(bucketOf(col("vec_id"), nBuckets).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val poolVecIds = poolIds.select("vec_id").distinct().limit(pushMax + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val vecs = indexLookup(wh, ref, indexTable,
+      "bucket", touchedB, "vec_id", poolVecIds)._1
+      .select(col("vec_id"), col("q"), col("nq"))
+    val qs = qq.select(col("vec_id").as("query_id"),
+      col("q").as("q_q"), col("nq").as("nq_q"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    vecs.join(broadcast(poolIds), Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("cos", Similarity.cosine(
+        graft.functions.GraftFunctions.dotQ(col("q"), col("q_q")),
+        col("nq"), col("nq_q")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .withColumn("rnk", row_number().over(wc))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Takedown compaction for the streaming BQ index: survivors-only
+    * rewrite of bits+vectors and the sidecar — the
+    * [[compactIvfIndex]] discipline; post-takedown serving must equal
+    * batch BQ over the surviving corpus under the pinned means
+    * (spec-pinned).
+    */
+  def compactBqIndex(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                     indexTable: String, deletedVecs: DataFrame): Unit = {
+    val del = deletedVecs.select(col("vec_id"))
+    val kept = wh.readTable(ref, indexTable)
+      .join(del, Seq("vec_id"), "left_anti")
+      .transform(cut)
+      .repartitionByRange(col("bucket"), col("vec_id"))
+      .sortWithinPartitions(col("bucket"), col("vec_id"))
+    wh.writeTablePartitioned(kept, ref, indexTable, Seq("bucket"),
+      bloomWriteOptions("vec_id",
+        math.max(1L, kept.count() / math.max(1, kept.rdd.getNumPartitions))))
+    val idsTable = s"${indexTable}_ids"
+    if (wh.tableExists(ref, idsTable)) {
+      val keptIds = wh.readTable(ref, idsTable)
+        .join(del, Seq("vec_id"), "left_anti")
+        .transform(cut)
+        .repartitionByRange(col("id_bucket"), col("vec_id"))
+        .sortWithinPartitions(col("id_bucket"), col("vec_id"))
+      wh.writeTablePartitioned(keptIds, ref, idsTable, Seq("id_bucket"),
+        bloomWriteOptions("vec_id",
+          math.max(1L, keptIds.count() / math.max(1, keptIds.rdd.getNumPartitions))))
+    }
+  }
+
   /** STREAMING graph-ANN serving index — the serving twin of
     * [[runIvfIndexStream]] for the graph tier: the warehouse holds
     * the directed serving-edge table plus the raw vector table it

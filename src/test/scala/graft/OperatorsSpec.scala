@@ -652,6 +652,26 @@ class OperatorsSpec extends AnyFunSuite {
       "set jaccard must stay high where the weighted form collapses")
   }
 
+  test("incremental weighted jaccard equals the batch pairs touching the batch") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val incoming = docs.select((col("doc_id") + Dedup.Shift).as("doc_id"),
+      col("text"))
+    val got = Dedup.weightedJaccardIncremental(docs, incoming).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the batch form over the union, restricted to pairs whose HIGHER
+    // id is an incoming doc, reoriented (new_doc, matched_doc)
+    val batch = Dedup.weightedJaccardPairs(Dedup.corpus(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+      .filter(_._2 >= Dedup.Shift)
+      .map { case (a, b, j) => (b, a, j) }.toSet
+    assert(got == batch,
+      s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+    // every incoming copy matches its original at exactly 1.0
+    val nDocs = docs.count()
+    val copies = got.filter { case (n, m, _) => n == m + Dedup.Shift }
+    assert(copies.size == nDocs && copies.forall(_._3 == 1.0))
+  }
+
   test("weighted minhash estimator equals a deterministic expansion replay") {
     import graft.functions.GraftFunctions.tokenHashLong
     val P = 1000000007L

@@ -408,6 +408,58 @@ class StreamingSpec extends AnyFunSuite {
       "post-takedown serving differs from batch IVF over the survivors")
   }
 
+  test("streaming BQ index serves exactly the batch search; replay + takedown") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    import graft.extract.Warehouse
+    import graft.operators.Similarity
+    import graft.streaming.DocStreams
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val staged = Files.createTempDirectory("graft-bqidx")
+    def stageAt(dir: java.nio.file.Path,
+                df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-bqidx-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        dir.resolve(s"$name.parquet"))
+    }
+    stageAt(staged, emb.filter(col("vec_id") % 2 === 0), "a_even")
+    stageAt(staged, emb.filter(col("vec_id") % 2 === 1), "b_odd")
+    val root = Files.createTempDirectory("graft-wh-bqidx").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.bqidx")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    // means pinned at creation time, from the full reference corpus
+    val means = Similarity.dimMeans(Similarity.quantized(emb)).localCheckpoint()
+    DocStreams.runBqIndexStream(spark, staged.toString, means, wh, ref, "bqbits")
+    assert(wh.readTable(ref, "bqbits").count() == emb.count(),
+      "index must hold every unique vector")
+    val queries = Similarity.defaultQueries(emb)
+    def serve(): Seq[(Long, Long, Int, Double)] =
+      DocStreams.bqServeFromIndex(spark, wh, ref, "bqbits", means, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSeq.sorted
+    def batchTwin(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bqTopKForMeans(corpus, means, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSeq.sorted
+    assert(serve() == batchTwin(emb),
+      "warehouse-served BQ differs from the batch operator")
+    // replay: full redelivery appends nothing, serving unchanged
+    stageAt(staged, emb.filter(col("vec_id") % 2 === 1), "c_replay_odd")
+    DocStreams.runBqIndexStream(spark, staged.toString, means, wh, ref, "bqbits")
+    assert(wh.readTable(ref, "bqbits").count() == emb.count(),
+      "replay grew the bits index")
+    assert(serve() == batchTwin(emb), "replay changed the served results")
+    // takedown: serving must equal batch BQ over the SURVIVORS under
+    // the same pinned means
+    val deleted = emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"))
+    DocStreams.compactBqIndex(wh, ref, "bqbits", deleted)
+    assert(serve() == batchTwin(emb.filter(col("vec_id") % 4 =!= 0)),
+      "post-takedown serving differs from batch BQ over the survivors")
+  }
+
   test("streaming semantic dedup: append-shaped index, clones flagged cross-batch") {
     import org.apache.spark.sql.functions._
     import java.nio.file.{Files, Paths}
