@@ -147,7 +147,14 @@ object QualityAudit {
       .mkString("{", ",", "}")
     val autoBq = bqPts.find(_.recall >= 0.8)
       .map(p => s""""p${p.pool}"""").getOrElse("null")
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"minhash_bands":$mh,"graph_ann":$graphAnn,"bq":$bq,"autoconfig_bq_0.8":$autoBq,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"autoconfig_minhash_0.8":$autoMh,"autoconfig_graph_ann_0.8":$autoGa,"sf":"$sfDir"}"""
+    // r12: IVF-BQ — probes prune, hamming ranks in-list, pool
+    // refines; candidates = pool x queries for the refine stage
+    val ivfBq = Seq(10, 25, 50).map { p =>
+      val r = recallOf(Similarity.ivfBqTopKFor(emb,
+        Similarity.defaultQueries(emb), pool = p, excludeSelf = true))
+      s""""pool$p":{"recall":$r,"candidates":${p * nQueries}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"minhash_bands":$mh,"graph_ann":$graphAnn,"bq":$bq,"ivf_bq":$ivfBq,"autoconfig_bq_0.8":$autoBq,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"autoconfig_minhash_0.8":$autoMh,"autoconfig_graph_ann_0.8":$autoGa,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

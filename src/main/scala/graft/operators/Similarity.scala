@@ -446,6 +446,56 @@ object Similarity {
   def bqTopK(emb: DataFrame, pool: Int = BqPool): DataFrame =
     bqTopKFor(emb, defaultQueries(emb), TopK, pool, excludeSelf = true)
 
+  /** IVF-BQ: posting-list-restricted binary-quantization search —
+    * the binary-code analogue of IVF-PQ (classic IVFADC with sign
+    * bits for codes): the coarse quantizer prunes to the probed
+    * lists, the in-list ranking is XOR+popcount hamming over the
+    * 16-byte signatures, and a bounded pool refines with exact
+    * cosine. Sign bits center on the corpus means; the hamming
+    * window carries (query_id, vec_id, ham) scalars only. The
+    * containment identity (spec-pinned, the 34p shortcut
+    * discipline): with pool ≥ the probed candidate count the refine
+    * sees everything the probes admit, so results equal
+    * [[ivfTopKForCents]] under the same centroids exactly.
+    */
+  def ivfBqTopKFor(emb: DataFrame, queries: DataFrame, k: Int = TopK,
+                   pool: Int = BqPool, nprobe: Int = NProbe,
+                   excludeSelf: Boolean = false): DataFrame = {
+    val all = quantized(emb)
+    val means = dimMeans(all)
+    val cents = seedCentroids(all)
+    val bits = withSignBits(assignClusters(all, cents)
+        .select(col("vec_id"), col("cid"), col("q"), col("nq")), means)
+      .select(col("vec_id"), col("cid"), col("b_lo"), col("b_hi"))
+    val qq = quantized(queries)
+    val qbits = withSignBits(qq, means)
+      .select(col("vec_id").as("query_id"), col("b_lo").as("qlo"),
+        col("b_hi").as("qhi"))
+    val probes = broadcast(qq.crossJoin(centsArray(cents))
+      .select(col("vec_id").as("query_id"),
+        explode(graft.functions.VecExpressions.nearestCentroidsK(
+          col("q"), col("nq"), col("carr"), nprobe)).as("probe"))
+      .select(col("query_id"), col("probe").getField("cid").as("cid")))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("ham").asc, col("vec_id"))
+    val poolIds = bits.join(probes, Seq("cid"))
+      .join(broadcast(qbits), Seq("query_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .withColumn("ham",
+        expr("bit_count(b_lo ^ qlo) + bit_count(b_hi ^ qhi)").cast("long"))
+      .select(col("query_id"), col("vec_id"), col("ham"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("hrnk", row_number().over(wp))
+      .filter(col("hrnk") <= pool)
+      .select(col("query_id"), col("vec_id"))
+    val qs = qq.select(col("vec_id").as("query_id"),
+      col("q").as("q_q"), col("nq").as("nq_q"))
+    rankCandidates(all.join(broadcast(poolIds), Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+      .select(col("query_id"), col("vec_id"), col("cos")), k)
+  }
+
   /** Pool-size recall sweep vs brute-force truth — RECALL family
     * `bq`. nCandidates = vectors the exact refine scores.
     */

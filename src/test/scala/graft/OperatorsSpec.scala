@@ -926,6 +926,30 @@ class OperatorsSpec extends AnyFunSuite {
       s"default pool ${Similarity.BqPool} recall ${pts(1).recall} too low")
   }
 
+  test("IVF-BQ: full pool equals plain IVF under the same centroids") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val queries = Similarity.defaultQueries(emb)
+    // containment identity: pool >= probed candidates means the exact
+    // refine recovers everything the probes admit, so the hamming
+    // stage must be a pure reordering — results equal plain IVF
+    val full = Similarity.ivfBqTopKFor(emb, queries, pool = n,
+        excludeSelf = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val ivf = Similarity.ivfTopKForCents(emb,
+        Similarity.seedCentroids(Similarity.quantized(emb)), queries,
+        excludeSelf = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(full == ivf,
+      s"missing=${(ivf -- full).take(3)} extra=${(full -- ivf).take(3)}")
+    // a tight pool returns at most k per query and stays within the
+    // probed-list candidate set (sanity on the two-stage pruning)
+    val tight = Similarity.ivfBqTopKFor(emb, queries, pool = 10,
+      excludeSelf = true)
+    assert(tight.groupBy(col("query_id")).count().collect()
+      .forall(_.getLong(1) <= Similarity.TopK))
+  }
+
   test("PQ pool sweep is exactly monotone and matches the real rerank") {
     val emb = Tables.embeddings(spark, sf)
     val pts = Similarity.pqPoolSweep(emb, Seq(10, 50, 100))

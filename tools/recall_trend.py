@@ -27,7 +27,7 @@ import sys
 
 FAMILIES = ("lsh", "ivf", "ivf_trained", "ivf_converged", "pq", "pq_trained",
             "ivfpq", "ivfpq_res", "neardup", "ivf_scaled_ladder",
-            "minhash_bands", "graph_ann", "bq")
+            "minhash_bands", "graph_ann", "bq", "ivf_bq")
 
 
 def load_rounds(root):
