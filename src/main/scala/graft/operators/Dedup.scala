@@ -253,22 +253,83 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
-  /** Two-min-shingle blocking (shared with [[ngramJaccardPairs]]'s
-    * candidate stage): pairs agreeing on BOTH independent min-shingle
-    * hashes — a 2-band LSH prefilter, P(candidate) = J_set², pure
-    * equi-join.
+  /** Prefix length of the df-rarest blocking below: each doc keys on
+    * its [[WjPrefix]] rarest shingles.
+    */
+  val WjPrefix = 2
+
+  /** Distinct word-5-gram shingle postings (doc_id, h) — the blocking
+    * domain of the weighted-Jaccard family, and (with the token
+    * counts) the persistable half of its incremental index. Width 5
+    * is the 29m lesson re-learned by measurement (r13): on a Zipf
+    * vocab the 3-gram domain SATURATES as the corpus grows — at 10×
+    * rows the rarest 3-gram df of a typical doc was ~140, so
+    * df-rarest blocks tracked df and pair mass went n² (7.3M at sf1);
+    * the 5-gram domain keeps per-doc minimum dfs at fixture scale
+    * 2-6, measured pair mass 1.1k → 11k → 101k over three decades —
+    * linear.
+    */
+  private[operators] def wjPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingleHashes(tokens(col("text")), 5)).as("h"))
+      .distinct()
+
+  /** Rarest-shingle prefix keys (the 29m df-ordering discipline,
+    * r12-verdict #1): each doc emits its [[WjPrefix]] rarest shingles
+    * by ascending (corpus df, h). Shingles with df = 1 are excluded
+    * BEFORE ranking — a shingle only one doc contains can never
+    * produce a cross-doc candidate, but (boundary shingles of a
+    * repeated page, crawl noise) it would otherwise hijack the
+    * prefix slots of exactly the docs this family exists to catch.
+    * Block sizes are bounded by the df of the picked shingle, and
+    * rarest-first ranking concentrates picks on low-df shingles, so
+    * candidate mass stays near-linear where the old two-min-hash
+    * blocking squared on shared-vocab corpora (P(pick) concentrated
+    * on the few globally-minimal hashes). Degenerate corpora whose
+    * every shingle is common remain the documented dial (raise
+    * [[WjPrefix]] granularity / shingle width).
+    */
+  private def wjPrefixKeys(sh: DataFrame): DataFrame = {
+    val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    sh.join(dfc, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= WjPrefix)
+      .select(col("doc_id"), col("h"))
+  }
+
+  /** Candidate-mass instrumentation for the weighted-Jaccard family
+    * (the edit-join 3-point-study discipline): stage cardinalities
+    * that drive the scale exponent, for graft.MassProbe.
+    */
+  def wjMassStats(docs: DataFrame): Seq[(String, Long)] = {
+    val post = wjPostings(docs)
+    val pf = wjPrefixKeys(post)
+    val cand = shingleMinBlock(docs)
+    val tc = wjCounts(docs)
+    val verifyRows = cand.join(tc.toDF("doc_a", "h", "c_a"), Seq("doc_a"))
+      .join(tc.toDF("doc_b", "h", "c_b"), Seq("doc_b", "h"))
+    Seq(
+      "docs" -> docs.count(),
+      "postings" -> post.count(),
+      "prefix_rows" -> pf.count(),
+      "candidates" -> cand.count(),
+      "verify_rows" -> verifyRows.count())
+  }
+
+  /** df-rarest-prefix blocking: candidate pairs share at least one of
+    * their [[WjPrefix]] rarest (by corpus df) shingles — one pure
+    * equi-join on the shingle hash over the prefix postings.
     */
   private def shingleMinBlock(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(shingleHashes(tokens(col("text")), 3)).as("h"))
-    val blk = sh.groupBy(col("doc_id")).agg(
-      min(col("h")).as("min_h"),
-      min((col("h") * 31607L + 271828L) % HashP).as("min_h2"))
-    blk.toDF("doc_a", "min_a", "min2_a")
-      .join(blk.toDF("doc_b", "min_b", "min2_b"),
-        col("min_a") === col("min_b") && col("min2_a") === col("min2_b")
-          && col("doc_a") < col("doc_b"))
+    val pf = wjPrefixKeys(wjPostings(docs))
+    pf.toDF("doc_a", "h")
+      .join(pf.toDF("doc_b", "h"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
+      .distinct()
   }
 
   /** Shared-term Σmin frame for the weighted-Jaccard family: per
@@ -294,65 +355,82 @@ object Dedup {
     * Jaccard of 31 ignores how often a term repeats, so a page that
     * loops one paragraph 50× scores identical to a single copy —
     * the weighted form is what template/boilerplate near-dup
-    * actually measures. Candidates ride [[shingleMinBlock]] (pure
-    * equi-join); the verify stage is exact integer Σmin/Σmax via
-    * [[wjSums]]. Scale shape: one token-count agg, one blocked
-    * equi-join, one (pair, term) inner equi-join with per-doc-sized
-    * fan-out — no quadratic stage anywhere.
+    * actually measures. Candidates ride [[shingleMinBlock]]'s
+    * df-rarest prefix postings (pure equi-join, blocks bounded by
+    * the picked shingle's df); the verify stage is exact integer
+    * Σmin/Σmax via [[wjSums]]. Scale shape: one token-count agg, one
+    * df agg + doc-partitioned rank, one prefix equi-join, one
+    * (pair, term) inner equi-join with per-doc-sized fan-out — no
+    * quadratic stage anywhere.
     */
   def weightedJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .groupBy(col("doc_id"), tokenHash(col("t")).as("h"))
-      .agg(count(lit(1)).as("c"))
-    wjSums(shingleMinBlock(docs), tc)
+    wjSums(shingleMinBlock(docs), wjCounts(docs))
       .withColumn("wjaccard", col("sum_min") / col("sum_max"))
       .filter(col("wjaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sum_min"), col("sum_max"),
         round(col("wjaccard"), 6).as("wjaccard"))
   }
 
-  /** Incremental weighted-Jaccard probe — the 29n form for the
-    * weighted family: which docs of a NEW batch are weighted-near-dups
-    * of the EXISTING corpus (or of each other). The existing side's
-    * blocking keys (two min-shingle hashes) and token counts are the
-    * persistable "index" (computed once in production; only the
-    * incoming batch is tokenized per run), the incoming side
-    * equi-joins the index plus itself, and the exact Σmin/Σmax
-    * verify runs only on blocked candidates — cost rides the batch,
-    * never the corpus. Output (new_doc, matched_doc, wjaccard).
+  /** Per-doc token counts (doc_id, h, c) — the verify-stage half of
+    * the weighted-Jaccard incremental index.
     */
-  def weightedJaccardIncremental(existing: DataFrame, incoming: DataFrame,
-                                 threshold: Double = 0.5): DataFrame = {
-    def blockKeys(docs: DataFrame): DataFrame =
-      docs.select(col("doc_id"),
-          explode(shingleHashes(tokens(col("text")), 3)).as("h"))
-        .groupBy(col("doc_id")).agg(
-          min(col("h")).as("min_h"),
-          min((col("h") * 31607L + 271828L) % HashP).as("min_h2"))
-    def counts(docs: DataFrame): DataFrame =
-      docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .groupBy(col("doc_id"), tokenHash(col("t")).as("h"))
-        .agg(count(lit(1)).as("c"))
-    val idx = blockKeys(existing)
-    val inc = blockKeys(incoming)
-    val vsOld = inc.toDF("new_doc", "min_n", "min2_n")
-      .join(idx.toDF("old_doc", "min_o", "min2_o"),
-        col("min_n") === col("min_o") && col("min2_n") === col("min2_o"))
+  private[operators] def wjCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), tokenHash(col("t")).as("h"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Incremental weighted-Jaccard probe over PRECOMPUTED index frames
+    * (the r12 ADVICE fix): which docs of a NEW batch are
+    * weighted-near-dups of the EXISTING corpus (or of each other).
+    * The existing side contributes only its persisted shingle
+    * postings ([[wjPostings]]) and token counts ([[wjCounts]]) —
+    * computed once at index build, appended per batch, NEVER
+    * re-tokenized here; only the incoming batch touches text.
+    * Blocking is the batch operator's df-rarest prefix over the
+    * UNION's df (one integer agg + rank over the posting frames — no
+    * text pass), so the emitted pairs are exactly the batch
+    * operator's restricted to batch-touching pairs (spec-pinned).
+    * Output (new_doc, matched_doc, wjaccard).
+    */
+  def weightedJaccardIncrementalFrom(oldPostings: DataFrame,
+                                     oldCounts: DataFrame,
+                                     incoming: DataFrame,
+                                     threshold: Double = 0.5): DataFrame = {
+    val newPost = wjPostings(incoming)
+    val isNew = newPost.select(col("doc_id")).distinct()
+      .withColumn("is_new", lit(1))
+    val pf = wjPrefixKeys(oldPostings.unionAll(newPost))
+      .join(isNew, Seq("doc_id"), "left")
+      .withColumn("is_new", coalesce(col("is_new"), lit(0)))
+    val pfNew = pf.filter(col("is_new") === 1).select(col("doc_id"), col("h"))
+    val pfOld = pf.filter(col("is_new") === 0).select(col("doc_id"), col("h"))
+    val vsOld = pfNew.toDF("new_doc", "h")
+      .join(pfOld.toDF("old_doc", "h"), Seq("h"))
       .select(col("new_doc"), col("old_doc").as("matched_doc"))
-    val vsNew = inc.toDF("doc_a", "min_a", "min2_a")
-      .join(inc.toDF("doc_b", "min_b", "min2_b"),
-        col("min_a") === col("min_b") && col("min2_a") === col("min2_b")
-          && col("doc_a") < col("doc_b"))
+    val vsNew = pfNew.toDF("doc_a", "h")
+      .join(pfNew.toDF("doc_b", "h"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_b").as("new_doc"), col("doc_a").as("matched_doc"))
     val cand = vsOld.unionAll(vsNew)
       .select(col("new_doc").as("doc_a"), col("matched_doc").as("doc_b"))
-    val tc = counts(existing.unionByName(incoming))
+      .distinct()
+    val tc = oldCounts.unionByName(wjCounts(incoming))
     wjSums(cand, tc)
       .withColumn("wjaccard", col("sum_min") / col("sum_max"))
       .filter(col("wjaccard") >= threshold)
       .select(col("doc_a").as("new_doc"), col("doc_b").as("matched_doc"),
         round(col("wjaccard"), 6).as("wjaccard"))
   }
+
+  /** Convenience form of [[weightedJaccardIncrementalFrom]] that
+    * builds the existing side's index frames from text in-line (the
+    * oracle/spec entry point; production persists the frames and
+    * calls the `From` variant so the corpus is tokenized once).
+    */
+  def weightedJaccardIncremental(existing: DataFrame, incoming: DataFrame,
+                                 threshold: Double = 0.5): DataFrame =
+    weightedJaccardIncrementalFrom(
+      wjPostings(existing), wjCounts(existing), incoming, threshold)
 
   /** Repetition-index cap for the weighted-MinHash expansion
     * (fan-out bound: ≤ WmCap virtual elements per distinct term).
@@ -1772,14 +1850,16 @@ object Dedup {
         |  FROM sized WHERE bsz > $BucketCap AND doc_id <> bmin)
         |WHERE hamming <= 3""".stripMargin,
     "q_weighted_jaccard" ->
-      s"""WITH sh AS ($shingleTokSql),
-        |blk AS (SELECT doc_id, min(h) AS min_h,
-        |    min((h * 31607 + 271828) % 1000000007) AS min_h2
-        |  FROM sh GROUP BY 1),
-        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM blk a JOIN blk b
-        |    ON a.min_h = b.min_h AND a.min_h2 = b.min_h2
-        |    AND a.doc_id < b.doc_id),
+      s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($shingle5TokSql)),
+        |dfc AS (SELECT h, count(*) AS df FROM sh GROUP BY 1 HAVING count(*) >= 2),
+        |pf AS (SELECT doc_id, h FROM (
+        |    SELECT s.doc_id, s.h, row_number() OVER (
+        |      PARTITION BY s.doc_id ORDER BY d.df, s.h) AS rn
+        |    FROM sh s JOIN dfc d ON d.h = s.h)
+        |  WHERE rn <= $WjPrefix),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pf a JOIN pf b
+        |    ON a.h = b.h AND a.doc_id < b.doc_id),
         |tc AS (SELECT doc_id, h, count(*)::BIGINT AS c FROM ($tokSql)
         |  GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(c)::BIGINT AS tot FROM tc GROUP BY 1),
@@ -1797,21 +1877,25 @@ object Dedup {
     "q_wj_incremental" ->
       s"""WITH oldd AS (SELECT doc_id, text FROM documents),
         |newd AS (SELECT doc_id + $Shift AS doc_id, text FROM documents),
-        |blko AS (SELECT doc_id, min(h) AS min_h,
-        |    min((h * 31607 + 271828) % 1000000007) AS min_h2
-        |  FROM (${shingleTokSqlFor("SELECT doc_id, text FROM oldd")})
-        |  GROUP BY 1),
-        |blkn AS (SELECT doc_id, min(h) AS min_h,
-        |    min((h * 31607 + 271828) % 1000000007) AS min_h2
-        |  FROM (${shingleTokSqlFor("SELECT doc_id, text FROM newd")})
-        |  GROUP BY 1),
-        |cand AS (
-        |  SELECT n.doc_id AS doc_a, o.doc_id AS doc_b FROM blkn n
-        |  JOIN blko o ON n.min_h = o.min_h AND n.min_h2 = o.min_h2
+        |sho AS (SELECT DISTINCT doc_id, h
+        |  FROM (${shingle5TokSqlFor("SELECT doc_id, text FROM oldd")})),
+        |shn AS (SELECT DISTINCT doc_id, h
+        |  FROM (${shingle5TokSqlFor("SELECT doc_id, text FROM newd")})),
+        |shu AS (SELECT doc_id, h, 0 AS is_new FROM sho
+        |  UNION ALL SELECT doc_id, h, 1 AS is_new FROM shn),
+        |dfc AS (SELECT h, count(*) AS df FROM shu GROUP BY 1 HAVING count(*) >= 2),
+        |pf AS (SELECT doc_id, h, is_new FROM (
+        |    SELECT s.doc_id, s.h, s.is_new, row_number() OVER (
+        |      PARTITION BY s.doc_id ORDER BY d.df, s.h) AS rn
+        |    FROM shu s JOIN dfc d ON d.h = s.h)
+        |  WHERE rn <= $WjPrefix),
+        |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+        |  SELECT n.doc_id AS doc_a, o.doc_id AS doc_b FROM pf n
+        |  JOIN pf o ON n.h = o.h AND n.is_new = 1 AND o.is_new = 0
         |  UNION ALL
-        |  SELECT b.doc_id, a.doc_id FROM blkn a
-        |  JOIN blkn b ON a.min_h = b.min_h AND a.min_h2 = b.min_h2
-        |    AND a.doc_id < b.doc_id),
+        |  SELECT b.doc_id, a.doc_id FROM pf a
+        |  JOIN pf b ON a.h = b.h AND a.is_new = 1 AND b.is_new = 1
+        |    AND a.doc_id < b.doc_id)),
         |tc AS (SELECT doc_id, h, count(*)::BIGINT AS c FROM ($tokSql)
         |  GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(c)::BIGINT AS tot FROM tc GROUP BY 1),
@@ -1832,14 +1916,16 @@ object Dedup {
       val agree = (0 until NumPerm)
         .map(k => s"(CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH sh AS ($shingleTokSql),
-        |blk AS (SELECT doc_id, min(h) AS min_h,
-        |    min((h * 31607 + 271828) % 1000000007) AS min_h2
-        |  FROM sh GROUP BY 1),
-        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM blk a JOIN blk b
-        |    ON a.min_h = b.min_h AND a.min_h2 = b.min_h2
-        |    AND a.doc_id < b.doc_id),
+      s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($shingle5TokSql)),
+        |dfc AS (SELECT h, count(*) AS df FROM sh GROUP BY 1 HAVING count(*) >= 2),
+        |pf AS (SELECT doc_id, h FROM (
+        |    SELECT s.doc_id, s.h, row_number() OVER (
+        |      PARTITION BY s.doc_id ORDER BY d.df, s.h) AS rn
+        |    FROM sh s JOIN dfc d ON d.h = s.h)
+        |  WHERE rn <= $WjPrefix),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pf a JOIN pf b
+        |    ON a.h = b.h AND a.doc_id < b.doc_id),
         |tc AS (SELECT doc_id, h, least(count(*), $WmCap)::BIGINT AS c
         |  FROM ($tokSql) GROUP BY 1, 2),
         |el AS (SELECT doc_id,

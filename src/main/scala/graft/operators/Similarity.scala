@@ -2374,15 +2374,201 @@ object Similarity {
     bruteTopKFor(emb, emb, k, excludeSelf = true)
       .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"))
 
-  /** Production serving-edge build: directed top-k from the √n-sized
+  /** IVF-join serving-edge build: directed top-k from the √n-sized
     * IVF posting join (the [[knnGraphScaled]] shape minus the mutual
-    * prune).
+    * prune). Candidate mass is n·nprobe·(n/C) ≈ n²/ProbeDiv — the
+    * measured 7.17× at 10× rows (SCALE_r12); kept as the one-shot
+    * rung the NN-descent build ([[knnServingEdgesDescent]]) is
+    * gated against.
     */
   def knnServingEdgesScaled(emb: DataFrame, k: Int = TopK,
                             probeDiv: Int = ProbeDiv): DataFrame =
     ivfTopKForScaled(emb, emb, k, broadcastQueries = false,
       excludeSelf = true, probeDiv = probeDiv)
       .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"))
+
+  // --- NN-descent bulk graph construction (r12 verdict #2) --------------
+
+  /** NN-descent refinement rounds (each is one bounded
+    * neighbor-of-neighbor candidate wave; the loop also early-exits
+    * at the no-edge-changed fixpoint).
+    */
+  val NndRounds = 4
+  /** Per-node neighborhood sample cap: the candidate generator takes
+    * each node's ≤ NndSample in∪out neighbors (deterministic hash
+    * pick — Dong et al.'s ρK sampling), so an adversarial in-degree
+    * hub contributes NndSample² pairs, never deg².
+    */
+  val NndSample = 16
+
+  /** Packed-vector scoring side (vec_id, qp, nq): 4-byte-packed
+    * binary payloads through the pair-join exchanges — the semDedup
+    * byte discipline, bit-identical int64 dot products.
+    */
+  private def packedSide(emb: DataFrame): DataFrame =
+    quantized(emb)
+      .withColumn("qp", graft.functions.VecExpressions.packQ(col("q")))
+      .select(col("vec_id"), col("qp"), col("nq"))
+
+  /** Exact cosine for a bare (vec_a, vec_b) pair frame via two vec_id
+    * equi-joins against the packed corpus.
+    */
+  private def scorePairs(pairs: DataFrame, packed: DataFrame): DataFrame =
+    pairs.join(packed.toDF("vec_a", "qp_a", "nq_a"), Seq("vec_a"))
+      .join(packed.toDF("vec_b", "qp_b", "nq_b"), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(
+          graft.functions.VecExpressions.packedDot(col("qp_a"), col("qp_b")),
+          col("nq_a"), col("nq_b")).as("cos"))
+
+  /** Directed top-k cut per source over a (vec_a, vec_b, cos) frame —
+    * vec_a-partitioned window over scalar rows only.
+    */
+  private def topPerSrc(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_a")).orderBy(col("cos").desc, col("vec_b"))
+    scored.dropDuplicates("vec_a", "vec_b")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  /** Deterministic pseudo-random init graph: ids ordered by a content
+    * hash inside ~64-row hash buckets, each node ring-connected to
+    * its next k bucket neighbors — k random-ish partners per node
+    * with no global sort (the epoch-shuffle bucket discipline).
+    */
+  private def nndInitPairs(packed: DataFrame, k: Int): DataFrame = {
+    val n = packed.count()
+    val buckets = math.max(1L, n / 64L)
+    val ids = packed.select(col("vec_id"))
+      .withColumn("rh", tokenHash(concat(lit("nnd_"), col("vec_id"))))
+      .withColumn("bkt", pmod(col("rh"), lit(buckets)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("rh"), col("vec_id"))
+    val ranked = ids
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .select(col("bkt"), col("vec_id"), col("rn"))
+    val cnt = ranked.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+    ranked.join(cnt, Seq("bkt"))
+      .select(col("bkt"), col("vec_id").as("vec_a"), col("rn"), col("bn"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("rn_b", (col("rn") + col("j")) % col("bn"))
+      .filter(col("rn_b") =!= col("rn"))
+      .join(ranked.select(col("bkt"), col("rn").as("rn_b"),
+        col("vec_id").as("vec_b")), Seq("bkt", "rn_b"))
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** One NN-descent candidate wave from the current adjacency: the
+    * sampled in∪out neighborhood of every node proposes its pairs
+    * (join on the shared node), minus pairs the graph already scored.
+    */
+  private def nndCandidates(adj: DataFrame, sample: Int): DataFrame = {
+    val und = adj.select(col("vec_a").as("u"), col("vec_b").as("v"))
+      .unionAll(adj.select(col("vec_b").as("u"), col("vec_a").as("v")))
+      .distinct()
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("sh"), col("v"))
+    val samp = und
+      .withColumn("sh",
+        tokenHash(concat(lit("nns_"), col("u"), lit("_"), col("v"))))
+      .withColumn("srk", row_number().over(sw))
+      .filter(col("srk") <= sample)
+      .select(col("u"), col("v"))
+    samp.toDF("u", "vec_a").join(samp.toDF("u", "vec_b"), Seq("u"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+      .join(adj.select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+          greatest(col("vec_a"), col("vec_b")).as("vec_b")).distinct(),
+        Seq("vec_a", "vec_b"), "left_anti")
+  }
+
+  /** NN-descent bulk kNN-graph construction (Dong et al. WWW'11) —
+    * the production build for [[knnServingEdges]]/[[knnGraph]] at
+    * scale (r12 verdict #2): start from a deterministic random-ish
+    * k-regular graph, then repeat "my neighbors' neighbors are
+    * probably my neighbors": each round scores the ≤ NndSample²/2
+    * pairs inside every node's sampled in∪out neighborhood and keeps
+    * each node's best k. Converges in a handful of rounds on
+    * navigable metric data (the paper's 90%+ recall regime).
+    *
+    * Scale shape — the reason this replaces the corpus-as-query IVF
+    * posting join (whose candidate mass is n²/ProbeDiv): per round
+    * ONE bounded neighborhood sample (u-partitioned window over ≤ 2k
+    * in + out edges... capped at NndSample), ONE shared-node
+    * equi-join producing ≤ n·NndSample²/2 candidate pairs, TWO
+    * vec_id equi-joins to score them (packed binary payloads), one
+    * vec_a-partitioned top-k window — everything linear in n for
+    * fixed (k, sample), no stage is ever corpus × corpus. The edge
+    * state is one scalar row per (node, slot); lineage cut per round
+    * (reliable checkpoint under a checkpoint dir, the CC discipline).
+    * Early exit: one left-anti + limit-1 count per round, bounded
+    * driver scalar.
+    *
+    * Output: directed (vec_a, vec_b, cos) ≈ top-k adjacency; recall
+    * vs the exact build is gated by the `graph_ann` RECALL family
+    * (`nnd_*` rungs) and spec-pinned on the fixture.
+    */
+  def nnDescentEdges(emb: DataFrame, k: Int = TopK,
+                     rounds: Int = NndRounds,
+                     sample: Int = NndSample): DataFrame = {
+    val spark = emb.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val packed = cut(packedSide(emb))
+    var adj = cut(topPerSrc(scorePairs(nndInitPairs(packed, k), packed), k))
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      round += 1
+      val scored = scorePairs(nndCandidates(adj, sample), packed)
+      val proposals = scored.unionAll(scored.select(col("vec_b").as("vec_a"),
+        col("vec_a").as("vec_b"), col("cos")))
+      val next = cut(topPerSrc(adj.unionAll(proposals), k))
+      converged = next.join(adj, Seq("vec_a", "vec_b"), "left_anti")
+        .limit(1).count() == 0
+      adj = next
+    }
+    adj
+  }
+
+  /** Production serving-edge build via NN-descent — linear in the
+    * corpus where [[knnServingEdgesScaled]]'s posting join is
+    * n²/ProbeDiv (SCALE_r13 measures both).
+    */
+  def knnServingEdgesDescent(emb: DataFrame, k: Int = TopK): DataFrame =
+    nnDescentEdges(emb, k).select(col("vec_a"), col("vec_b"))
+
+  /** Production mutual-kNN graph via NN-descent: the [[knnGraph]]
+    * mutual rule over the descent-built directed top-k.
+    */
+  def knnGraphDescent(emb: DataFrame, k: Int = TopK): DataFrame =
+    mutualEdges(nnDescentEdges(emb, k)
+      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
+        col("cos").as("cos_sim")))
+
+  /** Candidate-mass instrumentation for graft.MassProbe (the
+    * edit-join 3-point-study discipline): the NN-descent per-round
+    * candidate mass next to the IVF posting-join mass it replaces.
+    */
+  def knnMassStats(emb: DataFrame): Seq[(String, Long)] = {
+    val packed = packedSide(emb).localCheckpoint()
+    val n = packed.count()
+    val adj = topPerSrc(scorePairs(nndInitPairs(packed, TopK), packed), TopK)
+      .localCheckpoint()
+    val cand = nndCandidates(adj, NndSample)
+    val all = quantized(emb)
+    val stride = scaledSeedStride(n)
+    val c = (n + stride - 1) / stride
+    val ivfCand = ivfCandidatesFor(all, centroidsFor(all, Seeded, stride),
+      all, broadcastQueries = false, excludeSelf = true,
+      nprobe = math.max(NProbe, (c / ProbeDiv).toInt))
+    Seq(
+      "n" -> n,
+      "nnd_init_edges" -> adj.count(),
+      "nnd_round_cand" -> cand.count(),
+      "ivf_join_cand" -> ivfCand.count())
+  }
 
   /** Harness instance: beam-serve the default query set over the
     * exact-rung serving edges (isolates beam-search loss from

@@ -594,14 +594,24 @@ class OperatorsSpec extends AnyFunSuite {
     val P = 1000000007L
     val toks = docs.map { case (id, t) =>
       id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
-    val shingleMins = toks.map { case (id, ts) =>
-      val sh = (0 until math.max(ts.length - 2, 0))
-        .map(i => tokenHashLong(ts(i) + ts(i + 1) + ts(i + 2)))
-      id -> (sh.min, sh.map(h => (h * 31607L + 271828L) % P).min)
+    // df-rarest prefix blocking replay: distinct 5-gram shingles
+    // (the 29m width — 3-gram dfs saturate at scale), corpus df,
+    // df>=2 filter, each doc's WjPrefix rarest by (df, h), candidates
+    // share a prefix shingle
+    val shSets = toks.map { case (id, ts) =>
+      id -> (0 until math.max(ts.length - 4, 0))
+        .map(i => tokenHashLong((i to i + 4).map(ts).mkString)).toSet
+    }
+    val dfm = shSets.values.flatten.groupBy(identity)
+      .map { case (h, o) => h -> o.size }
+    val prefixes = shSets.map { case (id, hs) =>
+      id -> hs.filter(dfm(_) >= 2).toSeq
+        .sortBy(h => (dfm(h), h)).take(Dedup.WjPrefix).toSet
     }
     val ids = docs.map(_._1).sorted
     val cand = (for {
-      a <- ids; b <- ids if a < b && shingleMins(a) == shingleMins(b)
+      a <- ids; b <- ids
+      if a < b && prefixes(a).intersect(prefixes(b)).nonEmpty
     } yield (a, b)).toSet
     val counts = toks.map { case (id, ts) =>
       id -> ts.groupBy(tokenHashLong).map { case (h, o) =>
