@@ -154,7 +154,19 @@ object QualityAudit {
         Similarity.defaultQueries(emb), pool = p, excludeSelf = true))
       s""""pool$p":{"recall":$r,"candidates":${p * nQueries}}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"minhash_bands":$mh,"graph_ann":$graphAnn,"bq":$bq,"ivf_bq":$ivfBq,"autoconfig_bq_0.8":$autoBq,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"autoconfig_minhash_0.8":$autoMh,"autoconfig_graph_ann_0.8":$autoGa,"sf":"$sfDir"}"""
+    // r13: NN-descent bulk serving-graph build — directed-edge
+    // agreement vs the exact top-k build, plus end-to-end beam
+    // serving recall over the descent edges (the production path
+    // replacing the n²/ProbeDiv IVF posting join)
+    val nndEdges = Similarity.knnServingEdgesDescent(emb)
+    val exactEdges = Similarity.knnServingEdges(emb).localCheckpoint()
+    val exactEdgeN = exactEdges.count().toDouble
+    val edgeAgree =
+      nndEdges.join(exactEdges, Seq("vec_a", "vec_b")).count() / exactEdgeN
+    val nndServe = recallOf(Similarity.graphAnnTopKFor(emb, nndEdges,
+      Similarity.defaultQueries(emb), excludeSelf = true))
+    val nnd = s"""{"edges":{"recall":$edgeAgree,"candidates":${nndEdges.count()}},"serve_b${Similarity.BeamWidth}":{"recall":$nndServe,"candidates":${Similarity.TopK * nQueries}}}"""
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"minhash_bands":$mh,"graph_ann":$graphAnn,"bq":$bq,"ivf_bq":$ivfBq,"nnd":$nnd,"autoconfig_bq_0.8":$autoBq,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"autoconfig_minhash_0.8":$autoMh,"autoconfig_graph_ann_0.8":$autoGa,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

@@ -163,6 +163,22 @@ object ScaleRehearsal {
     "knn_graph_scaled" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.knnGraphScaled(
         graft.sources.Tables.embeddings(s, dir))),
+    // r13 (r12 verdict #2): the NN-descent bulk build — the linear
+    // successor rung to knn_graph_scaled's n²/ProbeDiv posting join;
+    // same mutual-kNN output contract, bounded neighbor-of-neighbor
+    // candidate waves
+    "knn_graph_descent" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Similarity.knnGraphDescent(
+        graft.sources.Tables.embeddings(s, dir))),
+    // the composed production serve over descent-built edges (the
+    // graph_ann_serve_scaled successor: edge build no longer rides
+    // the quadratic IVF join)
+    "graph_ann_serve_descent" -> ((s: SparkSession, dir: String) => {
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      graft.operators.Similarity.graphAnnTopKFor(emb,
+        graft.operators.Similarity.knnServingEdgesDescent(emb),
+        graft.operators.Similarity.defaultQueries(emb), excludeSelf = true)
+    }),
     // r12: the composed production graph-ANN serve — √n-IVF-built
     // directed serving edges + beam search; per-query search work is
     // corpus-independent, the edge build is the knn_graph_scaled cost

@@ -1680,6 +1680,38 @@ class OperatorsSpec extends AnyFunSuite {
       again.nCandidates == byBeam(8).nCandidates, "must be deterministic")
   }
 
+  test("NN-descent build: bounded degree, deterministic, converges to the exact graph") {
+    val emb = Tables.embeddings(spark, sf)
+    val nnd = Similarity.nnDescentEdges(emb).localCheckpoint()
+    // exactly ≤ k directed edges per source (the top-k cut invariant)
+    val maxDeg = nnd.groupBy(col("vec_a")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxDeg <= Similarity.TopK, s"degree $maxDeg exceeds k")
+    // edge agreement vs the exact directed top-k build — the bulk
+    // construction must land the same serving graph the brute rung
+    // would (approximate by design; the floor is the quality gate)
+    val exact = Similarity.knnServingEdges(emb).localCheckpoint()
+    val exactN = exact.count().toDouble
+    val agree = nnd.select(col("vec_a"), col("vec_b"))
+      .join(exact, Seq("vec_a", "vec_b")).count() / exactN
+    assert(agree >= 0.85, s"NN-descent edge agreement too low: $agree")
+    // determinism: hash-derived init and sampling, no RNG state
+    val nndSet = nnd.select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val againSet = Similarity.nnDescentEdges(emb)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(againSet == nndSet, "descent build must be deterministic")
+    // the mutual-kNN graph built from descent edges agrees with the
+    // exact mutual graph (the dedup/structure consumer contract)
+    val gd = Similarity.knnGraphDescent(emb).select(col("vec_a"), col("vec_b"))
+    val gx = Similarity.knnGraph(emb).select(col("vec_a"), col("vec_b"))
+      .localCheckpoint()
+    val mAgree = gd.join(gx, Seq("vec_a", "vec_b")).count().toDouble /
+      math.max(1L, gx.count())
+    assert(mAgree >= 0.8, s"mutual-graph agreement too low: $mAgree")
+  }
+
   test("graph-ANN insert finds clones through reverse edges; takedown removes them") {
     val emb = Tables.embeddings(spark, sf)
     val graph0 = Similarity.knnServingEdges(emb).localCheckpoint()
