@@ -106,7 +106,11 @@ object ScaleRehearsal {
     "q_betweenness",
     // incremental weighted jaccard: cost rides the batch (both sides
     // 10x here, so expect the q_weighted_jaccard candidate exponent)
-    "q_wj_incremental")
+    "q_wj_incremental",
+    // r13: HITS (two PageRank-shaped joins per iteration — expect the
+    // q_pagerank ratio) and per-seed PPR (sparse (seed, node) state,
+    // seeds ∝ n with fixture-bounded balls — expect ~linear)
+    "q_hits", "q_ppr")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     // r12 (r11 verdict #2): the packed-register HyperBall at DOUBLE
     // the audited hop count — the scaled rung the 64-rows-per-node

@@ -214,6 +214,113 @@ object Graph {
     } finally { ed.unpersist(); () }
   }
 
+  /** HITS iteration count: each iteration is two edge⋈score
+    * equi-joins + two keyed partial-agg sums + two O(1) scalar
+    * normalizers — the oracle unrolls 6 CTE pairs.
+    */
+  val HitsIters = 3
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — the Kleinberg
+    * companion to PageRank over the same link fixture: a good HUB
+    * points at good authorities (h = E·a), a good AUTHORITY is
+    * pointed at by good hubs (a = Eᵀ·h), iterated with L1
+    * normalization. Same plan discipline as [[qPagerank]]: per
+    * iteration ONE edge⋈score equi-join + one keyed partial-agg sum
+    * per direction (dst-keyed for authorities, src-keyed for hubs),
+    * O(E) shuffled, cut() lineage; normalization is one scalar
+    * aggregate per direction (the dangling-mass discipline) with the
+    * raw sums carried in decimal(38,0) so in-degree · 1e6 · 1e6
+    * never overflows (the assortativity headroom move), then
+    * floor-divided back onto the integer ppm grid — order-free sums,
+    * the unrolled oracle agrees bit-for-bit. The [[edges]] fixture's
+    * sinks (every 17th node) are natural pure-authorities (hub score
+    * exactly 0, spec-pinned).
+    */
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n).persist()
+    try {
+      def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
+        val tot = raw.agg(coalesce(sum(col("raw").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head.getDecimal(0).toBigInteger
+        val totSafe = if (tot.signum == 0) java.math.BigInteger.ONE else tot
+        docs.join(raw.withColumnRenamed(key, "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            expr(s"cast((cast(coalesce(raw, 0) as decimal(38,0)) * 1000000)" +
+              s" div cast('$totSafe' as decimal(38,0)) as long)").as(out))
+      }
+      var h = docs.select(col("doc_id"), lit(1000000L).as("h"))
+      var a = docs.select(col("doc_id"), lit(0L).as("a"))
+      for (_ <- 1 to HitsIters) {
+        val aRaw = e.join(h.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
+        a = cut(normalize(aRaw, "dst", "a"))
+        val hRaw = e.join(a.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+          .groupBy(col("src")).agg(sum(col("a")).as("raw"))
+        h = cut(normalize(hRaw, "src", "h"))
+      }
+      h.join(a, Seq("doc_id"))
+        .select(col("doc_id"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
+    } finally { e.unpersist(); () }
+  }
+
+  /** PPR knobs: seed stride (every 31st doc is a personalization
+    * seed) and iteration count.
+    */
+  val PprSeedMod = 31L
+  val PprIters = 4
+  val PprTeleport = 15L * 1000000000L / 100L
+
+  /** Personalized PageRank (Page et al. 1999 §6 / Haveliwala WWW'02)
+    * — the graph-retrieval and recommendation move: a PageRank walk
+    * whose teleport AND dangling mass return to ONE seed, computed
+    * for every sampled seed at once. State is the SPARSE (seed, node,
+    * score) frame — after t iterations exactly the seeds' t-hop
+    * out-neighborhoods ∪ the seed rows (the hop-plot pair-mass
+    * posture: O(seeds · |B(s, t)|) scalar rows, never nodes ×
+    * seeds). Per iteration: one per-seed dangling partial agg (a
+    * KEYED frame, not a driver scalar — seeds are many), one
+    * edge⋈score equi-join + (seed, dst) partial-agg sum, one
+    * candidate left-join — all equi-joins, integer-ppb arithmetic
+    * throughout (div shares, *85 div 100 damping) so the unrolled
+    * oracle agrees bit-for-bit. TrustRank ([[qTrustrank]]) is the
+    * one-seed-SET variant of the same machinery; this is the
+    * per-seed form retrieval actually queries.
+    */
+  def qPpr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, Seq("src")).persist()
+    try {
+      val seeds = docs.filter(col("doc_id") % PprSeedMod === 0)
+        .select(col("doc_id").as("s"))
+      var x = seeds.select(col("s"), col("s").as("v"),
+        lit(1000000000L).as("x"))
+      for (_ <- 1 to PprIters) {
+        val dang = x.join(deg, x("v") === deg("src"), "left_anti")
+          .groupBy(col("s")).agg(sum(col("x")).as("dang"))
+        val inflow = ed.join(x, ed("src") === x("v"))
+          .select(x("s"), col("dst").as("v"), expr("x div deg").as("share"))
+          .groupBy(col("s"), col("v")).agg(sum(col("share")).as("inflow"))
+        val cand = inflow.select(col("s"), col("v"))
+          .unionAll(seeds.select(col("s"), col("s").as("v")))
+          .distinct()
+        x = cut(cand
+          .join(inflow, Seq("s", "v"), "left")
+          .join(dang, Seq("s"), "left")
+          .select(col("s"), col("v"),
+            (when(col("v") === col("s"), lit(PprTeleport)).otherwise(lit(0L)) +
+              expr("85 * (coalesce(inflow, 0L) + " +
+                "IF(v = s, coalesce(dang, 0L), 0L)) div 100")).as("x")))
+      }
+      x.select(col("s").as("seed_id"), col("v").as("doc_id"),
+        col("x").as("ppr_ppb"))
+    } finally { ed.unpersist(); () }
+  }
+
   /** Triangle count + local clustering coefficient over the
     * undirected closure of the link fixture — the degree-ordered
     * ("compact-forward") formulation: orient every undirected edge
@@ -1294,6 +1401,8 @@ object Graph {
     "q_hopplot" -> qHopPlot _,
     "q_pagerank" -> qPagerank _,
     "q_trustrank" -> qTrustrank _,
+    "q_hits" -> qHits _,
+    "q_ppr" -> qPpr _,
     "q_betweenness" -> qBetweenness _,
     "q_label_prop" -> qLabelProp _,
     "q_random_walks" -> qRandomWalks _,
@@ -1416,6 +1525,74 @@ object Graph {
     s"""WITH $base,
       |$iters
       |SELECT doc_id, x AS trust_ppb FROM x$PrIters""".stripMargin
+  }
+
+  private def hitsSql: String = {
+    val base =
+      s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+        |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+        |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+        |h0 AS (SELECT doc_id, 1000000::BIGINT AS h FROM documents)""".stripMargin
+    val iters = (1 to HitsIters).map { k =>
+      s"""ar$k AS (SELECT e.dst, sum(p.h)::BIGINT AS raw
+        |  FROM e JOIN h${k - 1} p ON e.src = p.doc_id GROUP BY 1),
+        |at$k AS (SELECT greatest(coalesce(sum(raw::HUGEINT), 0), 1) AS t
+        |  FROM ar$k),
+        |a$k AS (SELECT d.doc_id,
+        |    (coalesce(r.raw, 0)::HUGEINT * 1000000
+        |      // (SELECT t FROM at$k))::BIGINT AS a
+        |  FROM documents d LEFT JOIN ar$k r ON d.doc_id = r.dst),
+        |hr$k AS (SELECT e.src, sum(p.a)::BIGINT AS raw
+        |  FROM e JOIN a$k p ON e.dst = p.doc_id GROUP BY 1),
+        |ht$k AS (SELECT greatest(coalesce(sum(raw::HUGEINT), 0), 1) AS t
+        |  FROM hr$k),
+        |h$k AS (SELECT d.doc_id,
+        |    (coalesce(r.raw, 0)::HUGEINT * 1000000
+        |      // (SELECT t FROM ht$k))::BIGINT AS h
+        |  FROM documents d LEFT JOIN hr$k r ON d.doc_id = r.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+      |$iters
+      |SELECT h.doc_id, h.h AS hub_ppm, a.a AS auth_ppm
+      |FROM h$HitsIters h JOIN a$HitsIters a ON h.doc_id = a.doc_id""".stripMargin
+  }
+
+  private def pprSql: String = {
+    val base =
+      s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+        |    FROM documents CROSS JOIN nn WHERE doc_id % $SinkMod != 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents
+        |    CROSS JOIN nn WHERE doc_id % $SinkMod != 0)),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        |seeds AS (SELECT doc_id AS s FROM documents
+        |  WHERE doc_id % $PprSeedMod = 0),
+        |x0 AS (SELECT s, s AS v, 1000000000::BIGINT AS x FROM seeds)""".stripMargin
+    val iters = (1 to PprIters).map { k =>
+      s"""dg$k AS (SELECT s, coalesce(sum(x), 0)::BIGINT AS dang
+        |  FROM x${k - 1} p WHERE p.v NOT IN (SELECT src FROM deg)
+        |  GROUP BY s),
+        |i$k AS (SELECT p.s, e.dst AS v, sum(p.x // dg.deg)::BIGINT AS inflow
+        |  FROM x${k - 1} p JOIN e ON p.v = e.src
+        |  JOIN deg dg ON dg.src = e.src GROUP BY 1, 2),
+        |x$k AS (SELECT c.s, c.v,
+        |    ((CASE WHEN c.v = c.s THEN $PprTeleport ELSE 0 END)
+        |      + 85 * (coalesce(i.inflow, 0)
+        |        + CASE WHEN c.v = c.s THEN coalesce(d.dang, 0) ELSE 0 END)
+        |        // 100)::BIGINT AS x
+        |  FROM (SELECT s, v FROM i$k UNION SELECT s, s FROM seeds) c
+        |  LEFT JOIN i$k i ON i.s = c.s AND i.v = c.v
+        |  LEFT JOIN dg$k d ON d.s = c.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+      |$iters
+      |SELECT s AS seed_id, v AS doc_id, x AS ppr_ppb FROM x$PprIters""".stripMargin
   }
 
   private def trianglesSql: String =
@@ -1872,6 +2049,8 @@ object Graph {
     "q_hopplot" -> hopPlotSql,
     "q_pagerank" -> oracleSql,
     "q_trustrank" -> trustrankSql,
+    "q_hits" -> hitsSql,
+    "q_ppr" -> pprSql,
     "q_betweenness" -> betweennessSql,
     "q_label_prop" -> labelPropSql,
     "q_random_walks" -> randomWalksSql,

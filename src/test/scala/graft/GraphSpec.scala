@@ -757,6 +757,88 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.values.exists(_ == 0L), "fixture has untrusted pages")
   }
 
+  test("hits: equals a driver replay; sinks are pure authorities") {
+    val rows = Graph.qHits(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val n = rows.size.toLong
+    val edges = (0L until n).filter(_ % Graph.SinkMod != 0)
+      .flatMap(u => Seq(u -> (u * 7 + 3) % n, u -> (u * 13 + 5) % n))
+      .distinct.filter { case (a, b) => a != b }
+    // driver replay of the exact integer iteration (BigInt totals —
+    // the decimal(38,0) lane)
+    var h = (0L until n).map(_ -> 1000000L).toMap
+    var a = (0L until n).map(_ -> 0L).toMap
+    for (_ <- 1 to Graph.HitsIters) {
+      val aRaw = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => h(e._1)).sum }
+      val aTot = BigInt(aRaw.values.sum).max(1)
+      a = (0L until n).map(v =>
+        v -> (BigInt(aRaw.getOrElse(v, 0L)) * 1000000 / aTot).toLong).toMap
+      val hRaw = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => a(e._2)).sum }
+      val hTot = BigInt(hRaw.values.sum).max(1)
+      h = (0L until n).map(v =>
+        v -> (BigInt(hRaw.getOrElse(v, 0L)) * 1000000 / hTot).toLong).toMap
+    }
+    (0L until n).foreach { v =>
+      assert(rows(v) == ((h(v), a(v))), s"node $v: ${rows(v)} vs driver")
+    }
+    // the fixture's sinks have no outlinks: hub score exactly 0
+    val sinks = (0L until n).filter(_ % Graph.SinkMod == 0)
+    assert(sinks.nonEmpty && sinks.forall(v => rows(v)._1 == 0L))
+    // and authority flows: some sink is a genuine authority
+    assert(sinks.exists(v => rows(v)._2 > 0L), "no sink earned authority")
+    // hubs exist (non-sink nodes pointing at good authorities)
+    assert(rows.values.exists(_._1 > 0L))
+  }
+
+  test("ppr: equals a driver replay; mass stays in the seed's out-neighborhood") {
+    val got = Graph.qPpr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    val edges = (0L until n).filter(_ % Graph.SinkMod != 0)
+      .flatMap(u => Seq(u -> (u * 7 + 3) % n, u -> (u * 13 + 5) % n))
+      .distinct.filter { case (a, b) => a != b }
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val deg = adj.map { case (k, vs) => k -> vs.size.toLong }
+    val seeds = (0L until n).filter(_ % Graph.PprSeedMod == 0)
+    val want = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (s <- seeds) {
+      var x = Map(s -> 1000000000L)
+      for (_ <- 1 to Graph.PprIters) {
+        val dang = x.collect {
+          case (v, m) if !deg.contains(v) => m }.sum
+        val inflow = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        x.foreach { case (v, m) =>
+          adj.getOrElse(v, Seq.empty).foreach { w =>
+            inflow(w) += m / deg(v) } }
+        val cand = inflow.keySet + s
+        x = cand.map { v =>
+          val tele = if (v == s) Graph.PprTeleport else 0L
+          val dmass = if (v == s) dang else 0L
+          v -> (tele + 85L * (inflow(v) + dmass) / 100L)
+        }.toMap
+      }
+      x.foreach { case (v, m) => want((s, v)) = m }
+    }
+    assert(got == want.toMap,
+      s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- want.keySet).take(3)}")
+    // locality: every scored node is in the seed's PprIters-hop
+    // out-neighborhood (the sparse-state contract)
+    val reach = seeds.map { s =>
+      var b = Set(s)
+      for (_ <- 1 to Graph.PprIters)
+        b = b ++ b.flatMap(v => adj.getOrElse(v, Seq.empty))
+      s -> b
+    }.toMap
+    got.keys.foreach { case (s, v) =>
+      assert(reach(s)(v), s"($s, $v) outside the seed's ball") }
+    // every seed keeps at least its teleport mass
+    seeds.foreach(s => assert(got((s, s)) >= Graph.PprTeleport))
+  }
+
   test("betweenness: equals a driver-side hop-bounded Brandes replay") {
     val got = Graph.qBetweenness(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
