@@ -269,7 +269,7 @@ object Dedup {
     * 2-6, measured pair mass 1.1k → 11k → 101k over three decades —
     * linear.
     */
-  private[operators] def wjPostings(docs: DataFrame): DataFrame =
+  private[graft] def wjPostings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(shingleHashes(tokens(col("text")), 5)).as("h"))
       .distinct()
@@ -363,8 +363,26 @@ object Dedup {
     * (pair, term) inner equi-join with per-doc-sized fan-out — no
     * quadratic stage anywhere.
     */
-  def weightedJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    wjSums(shingleMinBlock(docs), wjCounts(docs))
+  def weightedJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    weightedJaccardPairsFrom(wjPostings(docs), wjCounts(docs), threshold)
+
+  /** [[weightedJaccardPairs]] over PRECOMPUTED index frames (shingle
+    * postings + token counts) — the serving form the streaming wj
+    * index reads: blocking keys recompute from the persisted postings
+    * (df-rarest prefixes are corpus-df-dependent, so serving at the
+    * CURRENT corpus df is what makes the served pairs equal the batch
+    * operator over everything delivered), verify reads only the
+    * persisted counts; no text pass anywhere.
+    */
+  def weightedJaccardPairsFrom(postings: DataFrame, counts: DataFrame,
+                               threshold: Double = 0.5): DataFrame = {
+    val pf = wjPrefixKeys(postings)
+    val cand = pf.toDF("doc_a", "h")
+      .join(pf.toDF("doc_b", "h"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    wjSums(cand, counts)
       .withColumn("wjaccard", col("sum_min") / col("sum_max"))
       .filter(col("wjaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sum_min"), col("sum_max"),
@@ -374,7 +392,7 @@ object Dedup {
   /** Per-doc token counts (doc_id, h, c) — the verify-stage half of
     * the weighted-Jaccard incremental index.
     */
-  private[operators] def wjCounts(docs: DataFrame): DataFrame =
+  private[graft] def wjCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy(col("doc_id"), tokenHash(col("t")).as("h"))
       .agg(count(lit(1)).as("c"))
@@ -406,6 +424,7 @@ object Dedup {
     val pfOld = pf.filter(col("is_new") === 0).select(col("doc_id"), col("h"))
     val vsOld = pfNew.toDF("new_doc", "h")
       .join(pfOld.toDF("old_doc", "h"), Seq("h"))
+      .filter(col("new_doc") =!= col("old_doc"))
       .select(col("new_doc"), col("old_doc").as("matched_doc"))
     val vsNew = pfNew.toDF("doc_a", "h")
       .join(pfNew.toDF("doc_b", "h"), Seq("h"))

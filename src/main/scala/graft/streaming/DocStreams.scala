@@ -1194,7 +1194,12 @@ object DocStreams {
           else
             spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
               StructType(Seq(StructField("vec_id", LongType))))
-        val fresh = batch.toDF().join(seen, Seq("vec_id"), "left_anti")
+        // batch-INTERNAL dedup too (r12 ADVICE): duplicate vec_ids in
+        // one staged file both survive the cross-batch sidecar screen
+        // and would append twice — after which serving could return
+        // the same neighbor at two ranks in one query's top-k
+        val fresh = batch.toDF().dropDuplicates("vec_id")
+          .join(seen, Seq("vec_id"), "left_anti")
           .transform(cut)
         if (fresh.isEmpty) ()
         else {
@@ -2319,6 +2324,118 @@ object DocStreams {
                          pairsTable: String): DataFrame =
     wh.readTable(ref, pairsTable)
       .select(col("doc_a"), col("doc_b"), col("dist"))
+
+  /** STREAMING weighted-Jaccard index — the warehouse twin of the
+    * 31h/31j family, the 29u discipline: the warehouse persists the
+    * family's OWN index frames — distinct 5-gram shingle postings
+    * ([[graft.operators.Dedup.wjPostings]]) and per-doc token counts
+    * ([[graft.operators.Dedup.wjCounts]]) — as partition-scoped keyed
+    * upserts (redelivery re-asserts rows; the index never
+    * duplicates), plus an arrival-time pair AUDIT: each batch of
+    * unseen docs probes the accumulated index through
+    * [[graft.operators.Dedup.weightedJaccardIncrementalFrom]]
+    * (old↔new and new↔new, tokenization rides the batch) and upserts
+    * canonical (least, greatest) pairs. Serving
+    * ([[wjPairsFromIndex]]) recomputes blocking over the persisted
+    * postings because df-rarest prefix keys are corpus-df-dependent:
+    * the arrival flags are exact at each batch's df state, while the
+    * served pairs are pinned EQUAL to the batch operator over
+    * everything delivered (full-corpus df) — the honest contract for
+    * a df-dependent blocking family. Replay screen: a redelivered
+    * doc is dropped by the posting-id anti-join (its postings are
+    * already indexed), so it can neither pair with itself nor shift
+    * the df ranks.
+    */
+  def runWjIndexStream(spark: SparkSession, stagedDir: String,
+                       wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                       postTable: String, countTable: String,
+                       pairsTable: String): Unit = {
+    import graft.operators.Dedup
+    import graft.functions.GraftFunctions.{tokenHash => ghash}
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().select(col("doc_id"), col("text"))
+          .dropDuplicates("doc_id")
+        if (b.isEmpty) ()
+        else {
+          val hasIdx = wh.tableExists(ref, postTable)
+          val oldPost =
+            if (hasIdx) wh.readTable(ref, postTable)
+              .select(col("doc_id"), col("h")).transform(cut)
+            else b.select(col("doc_id"), ghash(col("text")).as("h")).limit(0)
+          val oldCounts =
+            if (hasIdx) wh.readTable(ref, countTable)
+              .select(col("doc_id"), col("h"), col("c"))
+            else b.select(col("doc_id"), ghash(col("text")).as("h"),
+              lit(0L).as("c")).limit(0)
+          val fresh = b.join(oldPost.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti").transform(cut)
+          if (fresh.isEmpty) ()
+          else {
+            val pairs = Dedup
+              .weightedJaccardIncrementalFrom(oldPost, oldCounts, fresh)
+              .select(least(col("new_doc"), col("matched_doc")).as("doc_a"),
+                greatest(col("new_doc"), col("matched_doc")).as("doc_b"),
+                col("wjaccard"))
+              .withColumn("pair_key",
+                concat(col("doc_a"), lit("#"), col("doc_b")))
+            upsertPartitioned(wh, ref, pairsTable, pairs, "pair_key")
+            val post = Dedup.wjPostings(fresh)
+              .withColumn("post_key", concat(col("doc_id"), lit("#"), col("h")))
+            upsertPartitioned(wh, ref, postTable, post, "post_key")
+            val cnts = Dedup.wjCounts(fresh)
+              .withColumn("cnt_key", concat(col("doc_id"), lit("#"), col("h")))
+            upsertPartitioned(wh, ref, countTable, cnts, "cnt_key")
+            ()
+          }
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Serve the weighted-Jaccard pairs FROM the warehouse index:
+    * [[graft.operators.Dedup.weightedJaccardPairsFrom]] over the
+    * persisted posting/count frames — equal to the batch operator
+    * over everything delivered (spec-pinned), no text pass.
+    */
+  def wjPairsFromIndex(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                       postTable: String, countTable: String,
+                       threshold: Double = 0.5): DataFrame =
+    graft.operators.Dedup.weightedJaccardPairsFrom(
+      wh.readTable(ref, postTable).select(col("doc_id"), col("h")),
+      wh.readTable(ref, countTable).select(col("doc_id"), col("h"), col("c")),
+      threshold)
+
+  /** Takedown compaction for the streaming wj index: survivors-only
+    * rewrite of postings, counts, and every audited pair touching a
+    * removed doc — post-takedown serving equals the batch operator
+    * over the survivors (spec-pinned, the 29w discipline).
+    */
+  def compactWjIndex(wh: WarehouseBackend, ref: Warehouse.DatasetRef,
+                     postTable: String, countTable: String,
+                     pairsTable: String, deletedDocs: DataFrame): Unit = {
+    val del = deletedDocs.select(col("doc_id")).transform(cut)
+    Seq(postTable, countTable).foreach { t =>
+      if (wh.tableExists(ref, t)) {
+        val kept = wh.readTable(ref, t)
+          .join(del, Seq("doc_id"), "left_anti").transform(cut)
+        wh.writeTablePartitioned(kept, ref, t, Seq("pbucket"))
+        ()
+      }
+    }
+    if (wh.tableExists(ref, pairsTable)) {
+      val kept = wh.readTable(ref, pairsTable)
+        .join(del.toDF("doc_a"), Seq("doc_a"), "left_anti")
+        .join(del.toDF("doc_b"), Seq("doc_b"), "left_anti")
+        .transform(cut)
+      wh.writeTablePartitioned(kept, ref, pairsTable, Seq("pbucket"))
+      ()
+    }
+  }
 
   /** STREAMING KMV synopsis — the incremental twin of
     * [[graft.operators.Sketches.kmvSourceSketch]], screen-free by

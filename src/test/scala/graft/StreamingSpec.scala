@@ -1488,6 +1488,75 @@ class StreamingSpec extends AnyFunSuite {
       "segment index must hold exactly k+1 rows per valid key, no replay bloat")
   }
 
+  test("streaming wj index: serve equals batch, cross-batch flags, replay, takedown") {
+    import org.apache.spark.sql.functions._
+    import graft.extract.Warehouse
+    import graft.streaming.DocStreams
+    import graft.operators.Dedup
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft-wj")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val copies = docs.select((col("doc_id") + Dedup.Shift).as("doc_id"),
+      col("text"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-wj-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.copy(Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get,
+        staged.resolve(s"$name.parquet"))
+    }
+    // originals first, exact copies a batch later: every copy pair
+    // must be FLAGGED at arrival by the index probe
+    stage(docs, "a_docs")
+    stage(copies, "b_copies")
+    val root = Files.createTempDirectory("graft-wh-wj").toString
+    val wh = new Warehouse(root, spark)
+    val ref = Warehouse.DatasetRef.fromString("proj.wj")
+    wh.createDataset(ref, Warehouse.DatasetMeta())
+    DocStreams.runWjIndexStream(spark, staged.toString, wh, ref,
+      "wjpost", "wjcnt", "wjpairs")
+    // serve ≡ the batch operator over everything delivered (the
+    // full-corpus df — blocking recomputes from persisted postings)
+    val batch = Dedup.weightedJaccardPairs(Dedup.corpus(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    def served(): Set[(Long, Long, Double)] =
+      DocStreams.wjPairsFromIndex(wh, ref, "wjpost", "wjcnt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(served() == batch,
+      s"served must equal batch: missing=${(batch -- served()).take(3)} " +
+        s"extra=${(served() -- batch).take(3)}")
+    // arrival-time audit caught every cross-batch copy pair at 1.0
+    val flagged = wh.readTable(ref, "wjpairs")
+      .select(col("doc_a"), col("doc_b"), col("wjaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val nDocs = docs.count()
+    val copyFlags = flagged.filter(p => p._2 == p._1 + Dedup.Shift)
+    assert(copyFlags.size == nDocs && copyFlags.forall(_._3 == 1.0),
+      s"only ${copyFlags.size}/$nDocs copy pairs flagged at arrival")
+    // replay: whole corpus redelivered as one file — the posting-id
+    // screen drops it; index row count and serving unchanged
+    val postRows = wh.readTable(ref, "wjpost").count()
+    stage(docs.unionAll(copies), "c_replay")
+    DocStreams.runWjIndexStream(spark, staged.toString, wh, ref,
+      "wjpost", "wjcnt", "wjpairs")
+    assert(wh.readTable(ref, "wjpost").count() == postRows,
+      "replay must not grow the posting index")
+    assert(served() == batch, "replay must not move the served pairs")
+    // takedown: remove the copies — serving equals a fresh batch run
+    // over the survivors
+    DocStreams.compactWjIndex(wh, ref, "wjpost", "wjcnt", "wjpairs",
+      copies.select(col("doc_id")))
+    val survivors = Dedup.weightedJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(served() == survivors,
+      "post-takedown serving must equal batch over the survivors")
+    val remaining = wh.readTable(ref, "wjpairs").select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(remaining.forall(p => p._1 < Dedup.Shift && p._2 < Dedup.Shift),
+      "no audited pair may touch a removed doc")
+  }
+
   test("streaming kmv synopsis equals batch bit-exactly, replay-safe, compacts") {
     import org.apache.spark.sql.functions._
     import graft.extract.Warehouse
