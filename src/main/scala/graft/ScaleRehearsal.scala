@@ -110,7 +110,10 @@ object ScaleRehearsal {
     // r13: HITS (two PageRank-shaped joins per iteration — expect the
     // q_pagerank ratio) and per-seed PPR (sparse (seed, node) state,
     // seeds ∝ n with fixture-bounded balls — expect ~linear)
-    "q_hits", "q_ppr")
+    "q_hits", "q_ppr",
+    // WordPiece-likelihood training: vocab-sized state per round —
+    // expect sublinear in rows (tracks distinct-word growth)
+    "q_wp_train")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     // r12 (r11 verdict #2): the packed-register HyperBall at DOUBLE
     // the audited hop count — the scaled rung the 64-rows-per-node

@@ -906,6 +906,79 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("wp train: rules equal a driver likelihood replay; trained beats frequency at budget 64") {
+    val docsDf = Tables.documents(spark, sf)
+    // driver replay of the 8-rule likelihood training: exact integer
+    // score cnt·1e12 / (cl·cr) in BigInt, ties by (lhs, rhs)
+    val words0 = docsDf.select(col("text")).collect().flatMap(r =>
+      r.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val wc = words0.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    var seg = wc.map { case (w, n) => (w.map(_.toString).toVector, n) }.toSeq
+    val wantRules = (1 to TextAnalysis.WpTrainSteps).map { _ =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      val sc = scala.collection.mutable.Map[String, Long]()
+      seg.foreach { case (syms, n) =>
+        syms.foreach(c => sc.updateWith(c)(v => Some(v.getOrElse(0L) + n)))
+        syms.sliding(2).filter(_.size == 2).foreach(p =>
+          pc.updateWith((p(0), p(1)))(v => Some(v.getOrElse(0L) + n)))
+      }
+      val scored = pc.toSeq
+        .filter(_._2 >= TextAnalysis.WpMinPairCnt)
+        .map { case ((l, r), c) =>
+          val score = (BigInt(c) * BigInt("1000000000000") /
+            (BigInt(sc(l)) * BigInt(sc(r)))).toLong
+          (score, l, r, c)
+        }
+      val (score, l, r, c) = scored.minBy { case (sp, l, r, _) => (-sp, l, r) }
+      // apply the merge leftmost non-overlapping
+      seg = seg.map { case (syms, n) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toVector, n)
+      }
+      (l, r, c, score)
+    }
+    val got = TextAnalysis.qWpTrain(spark, sf).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == wantRules,
+      s"rules diverge: got=${got.take(3).toSeq} want=${wantRules.take(3)}")
+    // the race (r12 verdict #5): at a 64-piece budget the
+    // likelihood-trained vocab BEATS the frequency-top-gram picker on
+    // HELD-OUT fertility — compounded merges build whole high-mass
+    // words while frequency pieces cap at WpMaxPiece chars. (At tiny
+    // budgets the ranking honestly flips: 8 frequency 2..4-grams
+    // carry more raw mass than 8 merges — measured 3.79 vs 4.15
+    // pieces/word — which is why the pin sits at the production-ish
+    // budget, not the oracle's 8-rule unroll.)
+    val train = docsDf.filter(col("doc_id") % 4 =!= 3)
+    val held = docsDf.filter(col("doc_id") % 4 === 3)
+      .select(explode(graft.functions.GraftFunctions.tokens(col("text"))).as("w"))
+      .select(expr(s"substring(w, 1, ${TextAnalysis.WpMaxWordLen})").as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val trainWords = train
+      .select(explode(graft.functions.GraftFunctions.tokens(col("text"))).as("w"))
+      .select(expr(s"substring(w, 1, ${TextAnalysis.WpMaxWordLen})").as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val budget = 64
+    val rules64 = TextAnalysis.wpTrainRules(train, budget)
+    val vTrained = TextAnalysis.wpTrainedVocab(held, rules64)
+    val maxLen = vTrained.agg(max(length(col("piece")))).head.getInt(0)
+    val vFreq = TextAnalysis.wordpieceVocab(trainWords, budget)
+      .unionAll(TextAnalysis.wpTrainedVocab(held, rules64.limit(0)))
+      .distinct()
+    val fTrained = TextAnalysis.wpFertilityOf(held, vTrained, maxLen)
+    val fFreq = TextAnalysis.wpFertilityOf(held, vFreq, TextAnalysis.WpMaxPiece)
+    assert(fTrained < fFreq,
+      s"trained vocab must beat frequency on held-out fertility: " +
+        s"$fTrained vs $fFreq ppm")
+  }
+
   test("decon by bench: self-leaked benchmarks report full coverage") {
     val out = TextAnalysis.qDeconByBench(spark, sf).collect()
     val nBench = Tables.documents(spark, sf)
