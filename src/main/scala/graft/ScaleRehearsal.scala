@@ -212,6 +212,11 @@ object ScaleRehearsal {
           Seq("doc_b"), "left_semi")
       graft.operators.Dedup.connectedComponentsLS(chain)
     }),
+    // r13: unigram-LM tokenizer — 3 Viterbi E-steps over the
+    // distinct-word DP frame; expect vocab-tracking, sublinear in rows
+    "unigram_lm" -> ((s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.unigramLmFertility(
+        graft.sources.Tables.documents(s, dir))),
     "pq_train" -> ((s: SparkSession, dir: String) => {
       val norm = graft.operators.Similarity.normalizedQ(
         graft.sources.Tables.embeddings(s, dir))

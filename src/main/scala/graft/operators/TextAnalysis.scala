@@ -1187,6 +1187,219 @@ object TextAnalysis {
       .distinct()
   }
 
+  // --- Unigram-LM (SentencePiece) segmentation --------------------------
+
+  /** Unigram-LM knobs: seed substring budget, non-char pieces kept
+    * per M-step, and EM round count (each round = one Viterbi E-step
+    * + one usage-ranked M-step; a final E-step under the trained
+    * inventory produces the output segmentation).
+    */
+  val UlmSeedN = 64
+  val UlmKeepN = 48
+  val UlmIters = 2
+
+  /** Integer bit-length log (the 41l NB-classifier discipline):
+    * L(x) = bits(x²) ≈ 2·log2(x) + 1 — monotone, integer-exact,
+    * deterministic. Headroom: x² needs x < 3·10⁹; beyond that drop
+    * the half-bit and use 2·bits(x) (documented dial).
+    */
+  private def biLog(c: Column): Column = length(bin(c * c)).cast("long")
+  private def biLogScalar(x: Long): Long = {
+    require(x < 3000000000L, "biLog int64 headroom")
+    java.lang.Long.toBinaryString(x * x).length.toLong
+  }
+
+  /** Seed inventory: every single char of the word set (totality —
+    * Viterbi can always finish) with its occurrence mass, plus the
+    * [[UlmSeedN]] highest-mass 2..[[WpMaxPiece]]-grams.
+    */
+  private def ulmSeedInventory(words: DataFrame): DataFrame = {
+    val chars = words
+      .select(col("w"), col("n"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(expr("substring(w, i, 1)").as("piece"), col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+    val grams = words
+      .select(col("w"), col("n"),
+        explode(sequence(lit(2), lit(WpMaxPiece))).as("L"))
+      .filter(length(col("w")) >= col("L"))
+      .select(col("w"), col("n"), col("L"),
+        explode(sequence(lit(1), length(col("w")) - col("L") + 1)).as("i"))
+      .select(expr("substring(w, i, L)").as("piece"), col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(UlmSeedN)
+    chars.unionAll(grams)
+  }
+
+  /** Piece costs from an inventory's counts: cost = L(total) −
+    * L(cnt+1) — the integer-log form of −log p with add-one
+    * smoothing, so pieces that fell off every Viterbi path stay
+    * finite (and expensive). One scalar agg for the total (the
+    * dangling-mass discipline).
+    */
+  private def ulmCosts(inv: DataFrame): DataFrame = {
+    val tot = inv.agg(sum(col("cnt") + lit(1L))).head.getLong(0)
+    inv.select(col("piece"),
+      (lit(biLogScalar(tot)) - biLog(col("cnt") + lit(1L))).as("pcost"))
+  }
+
+  /** Viterbi E-step (Kudo 2018's decoding half): the MINIMUM-cost
+    * segmentation of every distinct word under the inventory costs,
+    * by Bellman-Ford relaxation over the word-position DAG — per
+    * round each reached (w, pos) proposes its ≤ [[WpMaxPiece]]
+    * outgoing pieces (bounded substring explode + broadcast
+    * inventory join) and a (w, pos)-keyed struct-min fold keeps the
+    * cheapest arrival (ties prefer the LONGER final piece — the
+    * deterministic tie-break the replay mirrors); after k rounds the
+    * frame is exact for all paths of ≤ k pieces, and a left-anti
+    * fixpoint check early-exits (≤ [[WpMaxWordLen]] rounds since
+    * every piece consumes ≥ 1 char). The backtrace walks the stored
+    * back-pointers — ≤ [[WpMaxWordLen]] more rounds over a
+    * words-sized frame — emitting one row per piece OCCURRENCE on
+    * the optimal path. State is vocabulary-sized throughout (the
+    * 37j/37ac discipline: occurrences never segment).
+    *
+    * Returns (end-state (w, len, cost), path pieces (w, piece)).
+    */
+  private def ulmViterbi(words: DataFrame, costs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    def pin(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val pieces = pin(costs.withColumnRenamed("piece", "vp"))
+    val base = words.select(col("w"), length(col("w")).as("len"))
+    var dp = pin(base.select(col("w"), col("len"), lit(0).as("pos"),
+      lit(0L).as("cost"), lit(0).as("bp")))
+    var r = 0
+    var done = false
+    while (r < WpMaxWordLen && !done) {
+      r += 1
+      val cand = dp.filter(col("pos") < col("len"))
+        .select(col("w"), col("len"), col("pos"), col("cost"),
+          explode(sequence(lit(1), lit(WpMaxPiece))).as("L"))
+        .filter(col("pos") + col("L") <= col("len"))
+        .select(col("w"), col("len"), (col("pos") + col("L")).as("pos"),
+          col("cost"), col("L"),
+          expr("substring(w, pos + 1, L)").as("piece"))
+        .join(broadcast(pieces), col("piece") === col("vp"))
+        .select(col("w"), col("len"), col("pos"),
+          (col("cost") + col("pcost")).as("cost"), col("L").cast("int").as("bp"))
+      val next = pin(dp.unionAll(cand)
+        .groupBy(col("w"), col("len"), col("pos"))
+        .agg(min(struct(col("cost"),
+          (lit(WpMaxPiece) - col("bp")).as("nb"), col("bp"))).as("m"))
+        .select(col("w"), col("len"), col("pos"),
+          col("m.cost").as("cost"), col("m.bp").as("bp")))
+      done = next.join(dp, Seq("w", "pos", "cost", "bp"), "left_anti")
+        .limit(1).count() == 0
+      dp = next
+    }
+    val end = dp.filter(col("pos") === col("len"))
+      .select(col("w"), col("len"), col("cost"))
+    var used = dp.select(col("w"), expr("substring(w, 1, 0)").as("piece"))
+      .limit(0)
+    var bt = pin(dp.filter(col("pos") === col("len"))
+      .select(col("w"), col("pos"), col("bp")))
+    var r2 = 0
+    var btDone = false
+    while (r2 < WpMaxWordLen && !btDone) {
+      r2 += 1
+      val act = bt.filter(col("pos") > 0)
+      if (act.limit(1).count() == 0) btDone = true
+      else {
+        used = pin(used.unionAll(act.select(col("w"),
+          expr("substring(w, pos - bp + 1, bp)").as("piece"))))
+        bt = pin(act.select(col("w"), (col("pos") - col("bp")).as("pos"))
+          .join(dp.select(col("w"), col("pos"), col("bp")), Seq("w", "pos")))
+      }
+    }
+    (end, used)
+  }
+
+  /** M-step: piece "probabilities" re-estimated from Viterbi-path
+    * usage (hard-EM — Kudo's E-step marginalizes over all
+    * segmentations; the Viterbi point estimate is the standard
+    * hard-assignment simplification and keeps every quantity an
+    * integer count), then the inventory PRUNES to the [[UlmKeepN]]
+    * highest-usage multi-char pieces (usage ranking in place of
+    * Kudo's per-piece likelihood-loss ranking — the loss of a piece
+    * whose removal matters is dominated by its path usage). Single
+    * chars always survive with their (possibly zero) usage —
+    * totality.
+    */
+  private def ulmMStep(words: DataFrame, used: DataFrame): DataFrame = {
+    val usage = used.join(words.select(col("w"), col("n")), Seq("w"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+    val chars = words
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(expr("substring(w, i, 1)").as("piece")).distinct()
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val kept = usage.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(UlmKeepN)
+    chars.unionAll(kept)
+  }
+
+  /** Unigram-LM tokenizer (Kudo 2018, ACL — the SentencePiece
+    * default; the third published subword family beside BPE (37h)
+    * and WordPiece (37ac/37ad)): EM-train piece scores — Viterbi
+    * E-step, usage M-step with pruning — then segment by
+    * minimum-cost Viterbi decode instead of BPE's merge replay or
+    * WordPiece's greedy MaxMatch. All arithmetic is the integer
+    * bit-length log, so every EM round and the final decode are
+    * bit-deterministic (spec replays the WHOLE pipeline driver-side,
+    * including tie-breaks). Output: the per-source fertility table
+    * of [[qWordpiece]]/[[qFertility]] for the third family — the
+    * three are directly comparable on the same corpus. Scale shape:
+    * every EM stage is vocabulary-sized (distinct words); the corpus
+    * is touched once for the word count and once for the per-source
+    * rollup join. Spec-only posture (37ab): the ~70-CTE triple-
+    * Viterbi unroll has no reasonable SQL twin; the driver replay is
+    * the gate.
+    */
+  def unigramLmFertility(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 1)
+      .select(col("source"), expr(s"substring(t, 1, $WpMaxWordLen)").as("w"))
+    val words = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var inv = ulmSeedInventory(words)
+    for (_ <- 1 to UlmIters) {
+      val (_, used) = ulmViterbi(words, ulmCosts(inv))
+      inv = ulmMStep(words, used)
+    }
+    val (endF, usedF) = ulmViterbi(words, ulmCosts(inv))
+    val perWord = usedF.groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
+      .join(endF.select(col("w"), col("len").cast("long").as("n_chars")),
+        Seq("w"))
+    tok.join(perWord, Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_pieces"), col("n_chars"),
+        divFloor(col("n_pieces") * 1000000L, col("n_words")).as("fertility_ppm"),
+        divFloor(col("n_chars") * 1000000L, col("n_pieces")).as("chars_per_piece_ppm"))
+  }
+
+  /** Final trained inventory + per-word Viterbi cost (the spec's
+    * optimality-pin seam).
+    */
+  private[graft] def ulmTrainedDecode(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 1)
+      .select(expr(s"substring(t, 1, $WpMaxWordLen)").as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var inv = ulmSeedInventory(words)
+    for (_ <- 1 to UlmIters) {
+      val (_, used) = ulmViterbi(words, ulmCosts(inv))
+      inv = ulmMStep(words, used)
+    }
+    val costs = ulmCosts(inv)
+    (costs, ulmViterbi(words, costs)._1)
+  }
+
   /** WordPiece fertility audit — the [[qFertility]] table for the
     * OTHER major published tokenizer family (greedy longest-match
     * inference over a frequency-trained subword vocab, vs BPE's

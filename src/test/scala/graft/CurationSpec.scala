@@ -979,6 +979,106 @@ class CurationSpec extends AnyFunSuite {
         s"$fTrained vs $fFreq ppm")
   }
 
+  test("unigram LM: equals a full driver EM replay; Viterbi beats greedy under trained costs") {
+    val docsDf = Tables.documents(spark, sf)
+    val docs = docsDf.select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def wordsOf(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(_.take(TextAnalysis.WpMaxWordLen)).toSeq
+    val occs = docs.flatMap { case (src, t) => wordsOf(t).map(src -> _) }
+    val wc = occs.groupBy(_._2).map { case (w, o) => w -> o.length.toLong }
+    val maxP = TextAnalysis.WpMaxPiece
+    def biLog(x: Long): Long = java.lang.Long.toBinaryString(x * x).length.toLong
+    // seed inventory: char masses + top-UlmSeedN grams by (cnt, piece)
+    def seedInv(): Map[String, Long] = {
+      val cnt = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val gram = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      wc.foreach { case (w, n) =>
+        w.foreach(c => cnt(c.toString) += n)
+        for (l <- 2 to maxP; i <- 0 to w.length - l) gram(w.substring(i, i + l)) += n
+      }
+      val kept = gram.toSeq.sortBy { case (p, c) => (-c, p) }
+        .take(TextAnalysis.UlmSeedN)
+      (cnt.toSeq ++ kept).toMap
+    }
+    def costsOf(inv: Map[String, Long]): Map[String, Long] = {
+      val tot = inv.values.map(_ + 1).sum
+      inv.map { case (p, c) => p -> (biLog(tot) - biLog(c + 1)) }
+    }
+    // straight DP == the operator's Bellman-Ford fixpoint (ties
+    // prefer the longer final piece)
+    def viterbi(w: String, cost: Map[String, Long]): (Long, Seq[String]) = {
+      val dp = Array.fill(w.length + 1)((Long.MaxValue, 0))
+      dp(0) = (0L, 0)
+      for (pos <- 1 to w.length) {
+        for (l <- 1 to math.min(maxP, pos)) {
+          val piece = w.substring(pos - l, pos)
+          cost.get(piece).foreach { pc =>
+            if (dp(pos - l)._1 != Long.MaxValue) {
+              val c = dp(pos - l)._1 + pc
+              if (c < dp(pos)._1 || (c == dp(pos)._1 && l > dp(pos)._2))
+                dp(pos) = (c, l)
+            }
+          }
+        }
+      }
+      var cur = w.length
+      val pieces = scala.collection.mutable.ArrayBuffer[String]()
+      while (cur > 0) { val l = dp(cur)._2; pieces += w.substring(cur - l, cur); cur -= l }
+      (dp(w.length)._1, pieces.toSeq)
+    }
+    var inv = seedInv()
+    for (_ <- 1 to TextAnalysis.UlmIters) {
+      val cost = costsOf(inv)
+      val usage = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      wc.foreach { case (w, n) =>
+        viterbi(w, cost)._2.foreach(p => usage(p) += n) }
+      val chars = wc.keySet.flatMap(_.map(_.toString))
+        .map(c => c -> usage(c)).toMap
+      val kept = usage.toSeq.filter(_._1.length >= 2)
+        .sortBy { case (p, c) => (-c, p) }.take(TextAnalysis.UlmKeepN)
+      inv = chars ++ kept
+    }
+    val finalCost = costsOf(inv)
+    val dec = wc.keys.map(w => w -> viterbi(w, finalCost)).toMap
+    val want = occs.groupBy(_._1).map { case (src, os) =>
+      val ws = os.map(_._2)
+      val np = ws.map(w => dec(w)._2.length.toLong).sum
+      val nc = ws.map(_.length.toLong).sum
+      src -> ((ws.length.toLong, np, nc, np * 1000000L / ws.length,
+        nc * 1000000L / np))
+    }
+    val got = TextAnalysis.unigramLmFertility(docsDf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want,
+      s"diff=${want.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, v, got.get(k)) }.take(2)}")
+    // Viterbi optimality: the decode's cost never exceeds greedy
+    // MaxMatch under the SAME trained costs (the property that
+    // separates this family from WordPiece inference)
+    val (costsDf, endDf) = TextAnalysis.ulmTrainedDecode(docsDf)
+    val gotCost = endDf.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val costM = costsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def greedyCost(w: String): Long = {
+      var pos = 0; var c = 0L
+      while (pos < w.length) {
+        val l = (math.min(maxP, w.length - pos) to 1 by -1)
+          .find(l => costM.contains(w.substring(pos, pos + l))).get
+        c += costM(w.substring(pos, pos + l)); pos += l
+      }
+      c
+    }
+    var strict = 0
+    gotCost.foreach { case (w, c) =>
+      val g = greedyCost(w)
+      assert(c <= g, s"Viterbi cost $c exceeds greedy $g for '$w'")
+      if (c < g) strict += 1
+    }
+    assert(strict > 0, "fixture must contain words where Viterbi strictly wins")
+  }
+
   test("decon by bench: self-leaked benchmarks report full coverage") {
     val out = TextAnalysis.qDeconByBench(spark, sf).collect()
     val nBench = Tables.documents(spark, sf)
