@@ -95,7 +95,7 @@ object ScaleRehearsal {
     // quantization (popcount scan over corpus×queries, then bounded
     // pool refine — the brute posture at 1/64th the bytes)
     "q_ktruss", "q_assortativity", "q_reciprocity",
-    "q_weighted_jaccard", "q_wminhash", "q_ann_bq",
+    "q_weighted_jaccard", "q_wminhash", "q_ann_bq", "q_ngram_jaccard",
     // r12 session 2: WordPiece encode (vocab-sized state, 16 bounded
     // rounds — expect ~linear in the distinct-word count, sublinear
     // in rows); TrustRank (the PageRank plan with seed-restricted

@@ -227,11 +227,15 @@ object Dedup {
       .distinct()
   }
 
-  /** Word-3-gram Jaccard near-dup: two independent min-shingle hashes
-    * as the blocking key (a 2-band LSH prefilter — P(candidate) = J²,
-    * so J≥0.5 pairs are found w.h.p. while near-random blocks from a
-    * single shared min collapse), then exact |∩|/|∪| verification on
-    * distinct shingle-hash arrays.
+  /** Word-3-gram Jaccard near-dup: candidates from the df-rarest
+    * 5-gram prefix blocking ([[shingleMinBlock]] — r13: the same
+    * re-blocking that flattened the weighted family's exponent; the
+    * old two-min-hash keys concentrated on globally-minimal hashes
+    * and squared on shared-vocab corpora), then exact |∩|/|∪|
+    * verification on distinct 3-gram shingle-hash arrays (the
+    * VERIFY domain is unchanged — 3-gram set Jaccard is what the
+    * operator measures; only candidate generation moved to the
+    * sparser 5-gram domain).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     // explode + aggregate so the shingle-hash HOF runs once per doc
@@ -239,19 +243,22 @@ object Dedup {
     // hashing stays INSIDE the transform (see GraftFunctions note)
     val sh = docs.select(col("doc_id"),
       explode(shingleHashes(tokens(col("text")), 3)).as("h"))
-    val d = sh.groupBy(col("doc_id")).agg(
-      collect_set(col("h")).as("hs"),
-      min(col("h")).as("min_h"),
-      min((col("h") * 31607L + 271828L) % HashP).as("min_h2"))
-    val a = d.toDF("doc_a", "hs_a", "min_a", "min2_a")
-    val b = d.toDF("doc_b", "hs_b", "min_b", "min2_b")
-    a.join(b, col("min_a") === col("min_b") && col("min2_a") === col("min2_b")
-      && col("doc_a") < col("doc_b"))
+    val d = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    ngramJaccardVerify(shingleMinBlock(docs), d, threshold)
+  }
+
+  /** Exact set-Jaccard verify of a candidate pair frame against the
+    * per-doc distinct shingle arrays.
+    */
+  private def ngramJaccardVerify(cand: DataFrame, d: DataFrame,
+                                 threshold: Double): DataFrame =
+    cand.join(d.toDF("doc_a", "hs_a"), Seq("doc_a"))
+      .join(d.toDF("doc_b", "hs_b"), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("jac", col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .withColumn("jac", col("inter") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
-  }
 
   /** Prefix length of the df-rarest blocking below: each doc keys on
     * its [[WjPrefix]] rarest shingles.
@@ -1979,14 +1986,20 @@ object Dedup {
         |    FROM (SELECT doc_id,
         |            string_split_regex(lower(trim(text)), '\\s+') AS toks
         |          FROM ($corpusSql)))),
-        |dm AS (SELECT doc_id, hs, list_min(hs) AS min_h,
-        |    list_min(list_transform(hs, h -> (h * 31607 + 271828) % 1000000007))
-        |      AS min_h2 FROM d)
+        |sh5 AS (SELECT DISTINCT doc_id, h FROM ($shingle5TokSql)),
+        |dfc AS (SELECT h, count(*) AS df FROM sh5 GROUP BY 1 HAVING count(*) >= 2),
+        |pf AS (SELECT doc_id, h FROM (
+        |    SELECT s.doc_id, s.h, row_number() OVER (
+        |      PARTITION BY s.doc_id ORDER BY d2.df, s.h) AS rn
+        |    FROM sh5 s JOIN dfc d2 ON d2.h = s.h)
+        |  WHERE rn <= $WjPrefix),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pf a JOIN pf b ON a.h = b.h AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  SELECT c.doc_a, c.doc_b,
         |    len(list_intersect(a.hs, b.hs)) /
         |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jac
-        |  FROM dm a JOIN dm b ON a.min_h = b.min_h AND a.min_h2 = b.min_h2
-        |    AND a.doc_id < b.doc_id)
+        |  FROM cand c JOIN d a ON a.doc_id = c.doc_a
+        |  JOIN d b ON b.doc_id = c.doc_b)
         |WHERE jac >= 0.5""".stripMargin)
 }
