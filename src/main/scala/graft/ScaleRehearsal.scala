@@ -107,6 +107,8 @@ object ScaleRehearsal {
     // incremental weighted jaccard: cost rides the batch (both sides
     // 10x here, so expect the q_weighted_jaccard candidate exponent)
     "q_wj_incremental",
+    // modularity: one LPA run + community aggs — expect ~q_label_prop
+    "q_modularity",
     // r13: HITS (two PageRank-shaped joins per iteration — expect the
     // q_pagerank ratio) and per-seed PPR (sparse (seed, node) state,
     // seeds ∝ n with fixture-bounded balls — expect ~linear)

@@ -500,6 +500,24 @@ object Graph {
     y.select(col("v").as("doc_id"), col("y").as("score_ppm"))
   }
 
+  /** The synchronous-LPA label frame (lv, lab) over an undirected
+    * edge frame — shared by [[qLabelProp]] and the modularity audit.
+    */
+  private def lpaLabels(docs: DataFrame, und: DataFrame): DataFrame = {
+    var lab = docs.select(col("doc_id").as("lv"), col("doc_id").as("lab"))
+    for (_ <- 1 to LpIters) {
+      val cnt = und.join(lab, und("v") === lab("lv"))
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+      val pick = cnt.groupBy(col("u"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("l"))).as("m"))
+        .select(col("u"), col("m.l").as("newlab"))
+      lab = cut(docs.select(col("doc_id").as("lv"))
+        .join(pick, col("lv") === pick("u"), "left")
+        .select(col("lv"), coalesce(col("newlab"), col("lv")).as("lab")))
+    }
+    lab
+  }
+
   def qLabelProp(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
@@ -508,21 +526,62 @@ object Graph {
       .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
       .distinct().persist()
     try {
-      var lab = docs.select(col("doc_id").as("lv"), col("doc_id").as("lab"))
-      for (_ <- 1 to LpIters) {
-        val cnt = und.join(lab, und("v") === lab("lv"))
-          .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
-        val pick = cnt.groupBy(col("u"))
-          .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("l"))).as("m"))
-          .select(col("u"), col("m.l").as("newlab"))
-        lab = cut(docs.select(col("doc_id").as("lv"))
-          .join(pick, col("lv") === pick("u"), "left")
-          .select(col("lv"), coalesce(col("newlab"), col("lv")).as("lab")))
-      }
+      val lab = lpaLabels(docs, und)
       val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
       lab.join(sz, Seq("lab"))
         .select(col("lv").as("doc_id"), col("lab").as("community"),
           col("comm_size"))
+    } finally { und.unpersist(); () }
+  }
+
+  /** Newman modularity of the LPA communities (Newman & Girvan 2004,
+    * eq. Q = Σ_c [e_c/m − (d_c/2m)²]) — the community-QUALITY audit
+    * for 26k's label propagation: did the partition concentrate more
+    * edge mass inside communities than a degree-preserving random
+    * graph would (Q > 0 per community ⇒ real structure; the number a
+    * clustering consumer gates on before trusting the labels). In
+    * directed-row units (each undirected edge appears twice in the
+    * closure, m2 = 2m) every per-community contribution is the EXACT
+    * RATIONAL (intra_rows·m2 − d_c²) / m2² — integer ppm via
+    * sign-split abs-division, products in decimal(38,0) (the 26aa
+    * headroom discipline: d_c² passes int64 on web-scale graphs).
+    * One LPA run + one degree agg + two label equi-joins + one
+    * community partial agg — community count is bounded by the node
+    * count, output one row per community.
+    */
+  def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().persist()
+    try {
+      val nodeC = lpaLabels(docs, und).toDF("u", "c")
+      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val m2 = und.count()
+      val den = (BigInt(m2) * BigInt(m2)).toString
+      val comm = nodeC.join(deg, Seq("u"))
+        .groupBy(col("c")).agg(count(lit(1)).as("n_members"),
+          sum(col("deg")).as("deg_sum"))
+      val intra = und.join(nodeC, Seq("u"))
+        .join(nodeC.toDF("v", "c2"), Seq("v"))
+        .filter(col("c") === col("c2"))
+        .groupBy(col("c")).agg(count(lit(1)).as("intra_rows"))
+      comm.join(intra, Seq("c"), "left")
+        .withColumn("intra_rows", coalesce(col("intra_rows"), lit(0L)))
+        .withColumn("num",
+          col("intra_rows").cast("decimal(38,0)")
+            * lit(m2).cast("decimal(38,0)")
+            - col("deg_sum").cast("decimal(38,0)")
+            * col("deg_sum").cast("decimal(38,0)"))
+        .select(col("c").as("community"), col("n_members"), col("deg_sum"),
+          col("intra_rows"),
+          when(col("num") >= 0,
+            expr(s"(num * 1000000) div cast('$den' as decimal(38,0))"))
+            .otherwise(-expr(
+              s"((- num) * 1000000) div cast('$den' as decimal(38,0))"))
+            .cast("long").as("contrib_ppm"))
     } finally { und.unpersist(); () }
   }
 
@@ -1405,6 +1464,7 @@ object Graph {
     "q_ppr" -> qPpr _,
     "q_betweenness" -> qBetweenness _,
     "q_label_prop" -> qLabelProp _,
+    "q_modularity" -> qModularity _,
     "q_random_walks" -> qRandomWalks _,
     "q_walk_pairs" -> qWalkPairs _,
     "q_kcore" -> qKcore _,
@@ -1658,6 +1718,53 @@ object Graph {
       |  FROM l$LpIters GROUP BY 1)
       |SELECT l.v AS doc_id, l.lab AS community, sz.comm_size
       |FROM l$LpIters l JOIN sz USING (lab)""".stripMargin
+  }
+
+  private def modularitySql: String = {
+    val undCte =
+      s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+        |    FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % nn.n FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 3) % nn.n FROM documents CROSS JOIN nn)),
+        |und AS (SELECT DISTINCT u, v FROM (
+        |  SELECT src AS u, dst AS v FROM e WHERE src != dst
+        |  UNION ALL SELECT dst, src FROM e WHERE src != dst)),
+        |l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents)""".stripMargin
+    val iters = (1 to LpIters).map { k =>
+      s"""c$k AS (SELECT und.u AS v, l.lab, count(*)::BIGINT AS cnt
+        |  FROM und JOIN l${k - 1} l ON und.v = l.v GROUP BY 1, 2),
+        |p$k AS (SELECT v, lab FROM (
+        |    SELECT v, lab,
+        |      row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lab ASC) AS rn
+        |    FROM c$k) WHERE rn = 1),
+        |l$k AS (SELECT d.doc_id AS v, coalesce(p.lab, d.doc_id) AS lab
+        |  FROM documents d LEFT JOIN p$k p ON d.doc_id = p.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $undCte,
+      |$iters,
+      |nc AS (SELECT v AS u, lab AS c FROM l$LpIters),
+      |deg AS (SELECT u, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+      |m2 AS (SELECT count(*)::HUGEINT AS m2 FROM und),
+      |comm AS (SELECT nc.c, count(*)::BIGINT AS n_members,
+      |    sum(deg.deg)::BIGINT AS deg_sum
+      |  FROM nc JOIN deg ON deg.u = nc.u GROUP BY 1),
+      |intra AS (SELECT a.c, count(*)::BIGINT AS intra_rows
+      |  FROM und JOIN nc a ON und.u = a.u JOIN nc b ON und.v = b.u
+      |  WHERE a.c = b.c GROUP BY 1),
+      |scored AS (SELECT comm.c, comm.n_members, comm.deg_sum,
+      |    coalesce(i.intra_rows, 0)::BIGINT AS intra_rows,
+      |    (coalesce(i.intra_rows, 0)::HUGEINT * (SELECT m2 FROM m2)
+      |      - comm.deg_sum::HUGEINT * comm.deg_sum::HUGEINT) AS num,
+      |    ((SELECT m2 FROM m2) * (SELECT m2 FROM m2)) AS den
+      |  FROM comm LEFT JOIN intra i ON i.c = comm.c)
+      |SELECT c AS community, n_members, deg_sum, intra_rows,
+      |  (CASE WHEN num >= 0 THEN (num * 1000000) // den
+      |        ELSE -(((0 - num) * 1000000) // den) END)::BIGINT AS contrib_ppm
+      |FROM scored""".stripMargin
   }
 
   private def randomWalksSql: String = {
@@ -2053,6 +2160,7 @@ object Graph {
     "q_ppr" -> pprSql,
     "q_betweenness" -> betweennessSql,
     "q_label_prop" -> labelPropSql,
+    "q_modularity" -> modularitySql,
     "q_random_walks" -> randomWalksSql,
     "q_walk_pairs" -> walkPairsSql,
     "q_kcore" -> kcoreSql,

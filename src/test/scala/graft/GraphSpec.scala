@@ -90,6 +90,59 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("modularity: contributions equal an exact BigInt replay; partition + sign laws") {
+    import graft.sources.Tables
+    val n = Tables.documents(spark, sf).count()
+    val ids = (0L until n).toArray
+    val und = ids.flatMap { u =>
+      Seq((u + 1) % n, (u + 2) % n, (u * 7 + 3) % n)
+        .filter(_ != u).flatMap(d => Seq((u, d), (d, u)))
+    }.toSet
+    val nbrs = und.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    var lab = ids.map(i => i -> i).toMap
+    for (_ <- 1 to Graph.LpIters) {
+      lab = ids.map { v =>
+        val counts = nbrs.getOrElse(v, Set.empty[Long]).toSeq
+          .map(lab).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        v -> (if (counts.isEmpty) lab(v)
+              else counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+    }
+    val m2 = BigInt(und.size)
+    val deg = und.toSeq.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val want = lab.groupBy(_._2).map { case (c, members) =>
+      val vs = members.keys.toSet
+      val degSum = vs.toSeq.map(deg(_)).sum
+      val intra = und.count { case (a, b) => vs(a) && lab(b) == c }
+      val num = BigInt(intra) * m2 - BigInt(degSum) * BigInt(degSum)
+      val den = m2 * m2
+      val ppm =
+        if (num >= 0) (num * 1000000 / den).toLong
+        else -((-num) * 1000000 / den).toLong
+      c -> ((vs.size.toLong, degSum, intra.toLong, ppm))
+    }
+    val got = Graph.qModularity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == want,
+      s"diff=${want.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, v, got.get(k)) }.take(2)}")
+    // laws: communities partition the nodes; intra mass is bounded by
+    // the edge mass; the total modularity lands in [-1e6, 1e6]; and
+    // LPA on this fixture finds REAL structure (positive total)
+    assert(got.values.map(_._1).sum == n)
+    assert(got.values.map(_._3).sum <= und.size)
+    val totalNum = lab.groupBy(_._2).map { case (c, members) =>
+      val vs = members.keys.toSet
+      val degSum = vs.toSeq.map(deg(_)).sum
+      BigInt(und.count { case (a, b) => vs(a) && lab(b) == c }) * m2 -
+        BigInt(degSum) * BigInt(degSum)
+    }.sum
+    val qPpm = (totalNum * 1000000 / (m2 * m2)).toLong
+    assert(qPpm >= -1000000L && qPpm <= 1000000L)
+    assert(qPpm > 0, s"LPA must find real structure on the fixture: Q=$qPpm")
+  }
+
   test("k-core equals a synchronous driver-side peel and converges inside the bound") {
     import graft.sources.Tables
     val n = Tables.documents(spark, sf).count()
