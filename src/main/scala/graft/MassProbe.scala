@@ -15,8 +15,17 @@ import org.apache.spark.sql.functions._
 object MassProbe {
 
   def main(args: Array[String]): Unit = {
-    val Array(dir, rest @ _*) = args
-    val only: Option[Set[String]] = rest.headOption.map(_.split(",").toSet)
+    if (args.isEmpty) {
+      System.err.println("usage: graft.MassProbe <sfDir> [family,...]  " +
+        "(families: wj, knn, align; default all)")
+      sys.exit(2)
+    }
+    val dir = args.head
+    val only: Option[Set[String]] = args.drop(1).headOption.map(_.split(",").toSet)
+    // run a family when no filter is given, or when the filter names
+    // it (r13 ADVICE: the old forall/exists mix ran wj but silently
+    // skipped the others on a bare <sfDir> invocation)
+    def wants(fam: String): Boolean = only.forall(_.contains(fam))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,15 +37,20 @@ object MassProbe {
     spark.sparkContext.setLogLevel("WARN")
     def p(name: String, v: Long): Unit = println(f"[mass] $name%-28s $v%12d")
 
-    if (only.forall(_.contains("wj"))) {
+    if (wants("wj")) {
       val docs = graft.operators.Dedup.corpus(spark, dir)
       val stats = graft.operators.Dedup.wjMassStats(docs)
       stats.foreach { case (k, v) => p(s"wj.$k", v) }
     }
-    if (only.exists(_.contains("knn"))) {
+    if (wants("knn")) {
       val emb = graft.sources.Tables.embeddings(spark, dir)
       val stats = graft.operators.Similarity.knnMassStats(emb)
       stats.foreach { case (k, v) => p(s"knn.$k", v) }
+    }
+    if (wants("align")) {
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val stats = graft.operators.Similarity.alignMassStats(emb)
+      stats.foreach { case (k, v) => p(s"align.$k", v) }
     }
     spark.stop()
   }

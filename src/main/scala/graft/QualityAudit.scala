@@ -158,15 +158,32 @@ object QualityAudit {
     // agreement vs the exact top-k build, plus end-to-end beam
     // serving recall over the descent edges (the production path
     // replacing the n²/ProbeDiv IVF posting join)
-    val nndEdges = Similarity.knnServingEdgesDescent(emb)
+    // nndEdges is consumed by three actions (agreement join, edge
+    // count, beam serve) — pin it like exactEdges so the descent
+    // build's final top-k window runs once (r13 ADVICE)
+    val nndEdges = Similarity.knnServingEdgesDescent(emb).localCheckpoint()
+    val nndEdgeCount = nndEdges.count()
     val exactEdges = Similarity.knnServingEdges(emb).localCheckpoint()
     val exactEdgeN = exactEdges.count().toDouble
     val edgeAgree =
       nndEdges.join(exactEdges, Seq("vec_a", "vec_b")).count() / exactEdgeN
     val nndServe = recallOf(Similarity.graphAnnTopKFor(emb, nndEdges,
       Similarity.defaultQueries(emb), excludeSelf = true))
-    val nnd = s"""{"edges":{"recall":$edgeAgree,"candidates":${nndEdges.count()}},"serve_b${Similarity.BeamWidth}":{"recall":$nndServe,"candidates":${Similarity.TopK * nQueries}}}"""
-    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"minhash_bands":$mh,"graph_ann":$graphAnn,"bq":$bq,"ivf_bq":$ivfBq,"nnd":$nnd,"autoconfig_bq_0.8":$autoBq,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"autoconfig_minhash_0.8":$autoMh,"autoconfig_graph_ann_0.8":$autoGa,"sf":"$sfDir"}"""
+    val nnd = s"""{"edges":{"recall":$edgeAgree,"candidates":$nndEdgeCount},"serve_b${Similarity.BeamWidth}":{"recall":$nndServe,"candidates":${Similarity.TopK * nQueries}}}"""
+    // r14: the descent-dial ladder (waves/sample/buildK) measured
+    // against the same pinned exact edges, and the config
+    // autoConfigNnd picks at the 0.85 edge-agreement floor — rung 1
+    // is the default build already measured above, reused
+    val nndPts = Similarity.NndSweepPoint(
+        Similarity.NndConfig(), nndEdgeCount, edgeAgree) +:
+      Similarity.nndSweepAgainst(emb, exactEdges,
+        Similarity.DefaultNndLadder.tail)
+    val nndLadder = nndPts
+      .map(p => s""""${p.config.key}":{"recall":${p.agreement},"candidates":${p.nEdges}}""")
+      .mkString("{", ",", "}")
+    val autoNnd = nndPts.find(_.agreement >= 0.85)
+      .map(p => s""""${p.config.key}"""").getOrElse("null")
+    val line = s"""{"lsh":$lsh,"ivf":$ivf,"ivf_trained":$ivfTrained,"ivf_converged":$ivfConverged,"pq":$pq,"pq_trained":$pqTrained,"ivfpq":$ivfpq,"ivfpq_res":$ivfpqRes,"neardup":$neardup,"ivf_scaled":$ivfScaled,"ivf_scaled_ladder":$ivfScaledLadder,"align_scaled":$alignScaled,"minhash_bands":$mh,"graph_ann":$graphAnn,"bq":$bq,"ivf_bq":$ivfBq,"nnd":$nnd,"nnd_ladder":$nndLadder,"autoconfig_nnd_0.85":$autoNnd,"autoconfig_bq_0.8":$autoBq,"autoconfig_lsh_0.8":$auto,"autoconfig_ivf_scaled_0.8":$autoIvf,"autoconfig_minhash_0.8":$autoMh,"autoconfig_graph_ann_0.8":$autoGa,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

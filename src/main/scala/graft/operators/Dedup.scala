@@ -275,11 +275,28 @@ object Dedup {
     * the 5-gram domain keeps per-doc minimum dfs at fixture scale
     * 2-6, measured pair mass 1.1k → 11k → 101k over three decades —
     * linear.
+    *
+    * Short-doc floor (r13 ADVICE): a doc with fewer than 5 tokens has
+    * no 5-gram and would emit ZERO blocking keys — exact copies of
+    * 3-4-token docs (where 3-gram verify is defined and J = 1.0)
+    * would silently never pair. Such docs key on ONE synthetic
+    * whole-token-sequence posting instead ("wjshort:" prefix keeps
+    * it out of the genuine-shingle hash space), so identical/
+    * same-sequence short docs share a block. The residual, documented
+    * floor: a <5-token doc never blocks with a ≥5-token doc (their
+    * key domains are disjoint) — near-dups straddling the shingle
+    * width stay out of candidates, like any blocked family's
+    * below-width pairs. Blocking only; verify domains are unchanged.
     */
-  private[graft] def wjPostings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(shingleHashes(tokens(col("text")), 5)).as("h"))
+  private[graft] def wjPostings(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    t.filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), explode(shingleHashes(col("ts"), 5)).as("h"))
+      .unionAll(t.filter(size(col("ts")) < 5)
+        .select(col("doc_id"),
+          tokenHash(concat(lit("wjshort:"), concat_ws(" ", col("ts")))).as("h")))
       .distinct()
+  }
 
   /** Rarest-shingle prefix keys (the 29m df-ordering discipline,
     * r12-verdict #1): each doc emits its [[WjPrefix]] rarest shingles
@@ -1606,6 +1623,24 @@ object Dedup {
 
   private val shingle5TokSql = shingle5TokSqlFor(corpusSql)
 
+  /** [[wjPostings]]'s SQL twin — 5-gram shingles UNION the short-doc
+    * whole-token-sequence fallback key (docs with fewer than
+    * [[SpanShingle]] tokens emit no 5-gram; see the wjPostings
+    * short-doc floor note). Blocking domain only — the PPJoin
+    * oracles keep the plain [[shingle5TokSqlFor]] because there the
+    * 5-gram SET is the similarity measure itself.
+    */
+  private def wjPostingsSqlFor(src: String) =
+    s"""SELECT doc_id, h FROM (${shingle5TokSqlFor(src)})
+       |    UNION ALL
+       |    SELECT doc_id,
+       |      ('0x' || substr(md5('wjshort:' || array_to_string(toks, ' ')), 1, 12))::BIGINT AS h
+       |    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |          FROM ($src))
+       |    WHERE len(toks) < $SpanShingle""".stripMargin
+
+  private val wjPostingsSql = wjPostingsSqlFor(corpusSql)
+
   private val prefixJoinSql =
     s"""WITH tok AS (
       |  SELECT DISTINCT doc_id, h FROM ($shingle5TokSql)),
@@ -1876,7 +1911,7 @@ object Dedup {
         |  FROM sized WHERE bsz > $BucketCap AND doc_id <> bmin)
         |WHERE hamming <= 3""".stripMargin,
     "q_weighted_jaccard" ->
-      s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($shingle5TokSql)),
+      s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($wjPostingsSql)),
         |dfc AS (SELECT h, count(*) AS df FROM sh GROUP BY 1 HAVING count(*) >= 2),
         |pf AS (SELECT doc_id, h FROM (
         |    SELECT s.doc_id, s.h, row_number() OVER (
@@ -1904,9 +1939,9 @@ object Dedup {
       s"""WITH oldd AS (SELECT doc_id, text FROM documents),
         |newd AS (SELECT doc_id + $Shift AS doc_id, text FROM documents),
         |sho AS (SELECT DISTINCT doc_id, h
-        |  FROM (${shingle5TokSqlFor("SELECT doc_id, text FROM oldd")})),
+        |  FROM (${wjPostingsSqlFor("SELECT doc_id, text FROM oldd")})),
         |shn AS (SELECT DISTINCT doc_id, h
-        |  FROM (${shingle5TokSqlFor("SELECT doc_id, text FROM newd")})),
+        |  FROM (${wjPostingsSqlFor("SELECT doc_id, text FROM newd")})),
         |shu AS (SELECT doc_id, h, 0 AS is_new FROM sho
         |  UNION ALL SELECT doc_id, h, 1 AS is_new FROM shn),
         |dfc AS (SELECT h, count(*) AS df FROM shu GROUP BY 1 HAVING count(*) >= 2),
@@ -1942,7 +1977,7 @@ object Dedup {
       val agree = (0 until NumPerm)
         .map(k => s"(CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($shingle5TokSql)),
+      s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($wjPostingsSql)),
         |dfc AS (SELECT h, count(*) AS df FROM sh GROUP BY 1 HAVING count(*) >= 2),
         |pf AS (SELECT doc_id, h FROM (
         |    SELECT s.doc_id, s.h, row_number() OVER (
@@ -1986,7 +2021,7 @@ object Dedup {
         |    FROM (SELECT doc_id,
         |            string_split_regex(lower(trim(text)), '\\s+') AS toks
         |          FROM ($corpusSql)))),
-        |sh5 AS (SELECT DISTINCT doc_id, h FROM ($shingle5TokSql)),
+        |sh5 AS (SELECT DISTINCT doc_id, h FROM ($wjPostingsSql)),
         |dfc AS (SELECT h, count(*) AS df FROM sh5 GROUP BY 1 HAVING count(*) >= 2),
         |pf AS (SELECT doc_id, h FROM (
         |    SELECT s.doc_id, s.h, row_number() OVER (

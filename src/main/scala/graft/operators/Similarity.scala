@@ -1100,9 +1100,113 @@ object Similarity {
     LshConfig(tables, math.min(planes, 20), probeBits)
   }
 
-  /** [[alignViaAnn]] under the corpus-sized LSH config. */
-  def alignViaAnnScaled(emb: DataFrame): DataFrame =
-    alignViaAnn(emb, lshConfigFor(emb.count()))
+  /** Flip-plane budget of the query-DIRECTED multi-probe below: every
+    * query probes exactly 2^[[ProbeFlipN]] buckets per table (all
+    * sign-flip subsets of its [[ProbeFlipN]] smallest-margin planes),
+    * REGARDLESS of the plane count. The blind Hamming-≤probeBits
+    * enumeration probes 1 + p + C(p,2) buckets — quadratic in the
+    * plane count p, and p itself grows log(n) under [[lshConfigFor]],
+    * which MassProbe `align` measured as the alignViaAnnScaled
+    * exponent (bucket_join_rows = n·tables·probes·occupancy: 343k →
+    * 4.0M for 500 → 2000 rows, probes 11 → 16 → 46 per decade).
+    * Directed probing (Lv et al., Multi-Probe LSH, VLDB'07) spends a
+    * FIXED probe budget on the planes most likely to be wrong (the
+    * smallest |dot| margins), so candidate mass is n·tables·2^f·occ —
+    * linear in n with occupancy bounded by lshConfigFor's target.
+    */
+  val ProbeFlipN = 4
+
+  /** [[bucketedWith]] plus, per (row, table), the [[ProbeFlipN]]
+    * smallest-margin plane bits — (vec_id, label, q, nq, tbl, bucket,
+    * fl: array of bit values sorted by ascending |dot| margin, plane
+    *-bit tie-break). The margin ranking reuses the same per-plane
+    * dot products the bucket needs; everything stays one narrow
+    * projection, no extra pass.
+    */
+  def bucketedWithFlips(emb: DataFrame, tables: Int, planesN: Int,
+                        flipN: Int = ProbeFlipN): DataFrame = {
+    val pl = planesFor(tables, planesN)
+    val perTable = (0 until tables).map { t =>
+      val dots = (0 until planesN).map(j => dotQ(col("q"), typedlit(pl(t)(j).toSeq)))
+      val bucket = dots.zipWithIndex
+        .map { case (d, j) => when(d > 0, lit(1L << j)).otherwise(lit(0L)) }
+        .reduce(_ + _)
+      val margins = array(dots.zipWithIndex.map { case (d, j) =>
+        struct(abs(d).as("m"), lit(1L << j).as("b")) }: _*)
+      struct(bucket.as("bucket"),
+        slice(array_sort(margins), 1, flipN).as("fl"))
+    }
+    quantized(emb)
+      .select(col("vec_id"), col("label"), col("q"), col("nq"),
+        posexplode(array(perTable: _*)).as(Seq("tbl", "bb")))
+      .select(col("vec_id"), col("label"), col("q"), col("nq"), col("tbl"),
+        col("bb.bucket").as("bucket"),
+        transform(col("bb.fl"), e => e.getField("b")).as("fl"))
+  }
+
+  /** Query-directed probe expansion: each (query, table) row fans out
+    * to the 2^flipN buckets reachable by flipping any subset of its
+    * `fl` planes (subset 0 = the home bucket). Fixed fan-out — the
+    * whole point; plane bits are distinct powers of two, so the
+    * subset sums are distinct masks and no probe duplicates.
+    */
+  private def multiProbeDirected(qs: DataFrame, flipN: Int): DataFrame = {
+    val masks: Seq[org.apache.spark.sql.Column] =
+      (0 until (1 << flipN)).map { s =>
+        (0 until flipN).filter(i => (s & (1 << i)) != 0)
+          .map(i => coalesce(element_at(col("fl"), i + 1), lit(0L)))
+          .foldLeft(lit(0L))(_ + _)
+      }
+    qs.withColumn("bucket_q",
+        explode(array(masks.map(m => col("bucket_q").bitwiseXOR(m)): _*)))
+      .select(col("query_id"), col("label_q"), col("q_q"), col("nq_q"),
+        col("tbl_q"), col("bucket_q"))
+      .dropDuplicates("query_id", "tbl_q", "bucket_q")
+  }
+
+  /** [[lshCandidates]] with query-DIRECTED multi-probe instead of the
+    * blind Hamming enumeration — the at-scale candidate generator for
+    * [[alignViaAnnScaled]] (fixed 2^flipN probe budget per query and
+    * table; see [[ProbeFlipN]]). Same join shape: corpus sign-buckets,
+    * (tbl, bucket) equi-join with `pairFilter` pushed in, exact raw
+    * cosine per surviving pair, cross-table dedup.
+    */
+  def lshCandidatesDirected(emb: DataFrame, queries: DataFrame, cfg: LshConfig,
+                            flipN: Int = ProbeFlipN,
+                            broadcastQueries: Boolean = false,
+                            excludeSelf: Boolean = false,
+                            pairFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val all = bucketedWith(emb, cfg.tables, cfg.planes)
+    val qsRaw = multiProbeDirected(
+      bucketedWithFlips(queries, cfg.tables, cfg.planes, flipN)
+        .toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q", "fl"),
+      flipN)
+    val qs = if (broadcastQueries) broadcast(qsRaw) else qsRaw
+    all.join(qs,
+        col("tbl") === col("tbl_q") && col("bucket") === col("bucket_q")
+          && pairFilter
+          && (if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)))
+      .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
+      .select(col("query_id"), col("label_q"), col("vec_id"), col("cos"))
+      .dropDuplicates("query_id", "vec_id")
+  }
+
+  /** [[alignViaAnn]] under the corpus-sized LSH config, with the
+    * probe side moved to query-DIRECTED multi-probe (r13 verdict #1:
+    * the blind Hamming probe count times the growing plane count was
+    * the measured exponent — see [[ProbeFlipN]] for the mass study).
+    * Candidate pool differs from the blind enumeration (it probes the
+    * 2^f most-likely buckets, not the Hamming ball), the argmax +
+    * tie-break over the pool are IDENTICAL; agreement vs the exact
+    * cross is gated by QualityAudit `align_scaled` and the fixture
+    * spec, like every ANN dial.
+    */
+  def alignViaAnnScaled(emb: DataFrame): DataFrame = {
+    val quant = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val cands = lshCandidatesDirected(quant, quant, lshConfigFor(emb.count()),
+      pairFilter = col("label") === col("label_q") + 1)
+    alignArgmax(cands)
+  }
 
   /** IVF search against an arbitrary centroid set (seeded or
     * trained): assignment + probing + posting-list join as described
@@ -2104,12 +2208,20 @@ object Similarity {
     val cands = lshCandidates(quant, quant, cfg,
       broadcastQueries = broadcastQueries, excludeSelf = false,
       pairFilter = col("label") === col("label_q") + 1)
+    alignArgmax(cands)
+  }
+
+  /** Shared argmax + deterministic tie-break of the alignment family
+    * — `max(struct(cos, id))` on the raw cosine over the candidate
+    * pool, rounded after; identical for the exact, blind-probe, and
+    * directed-probe candidate generators.
+    */
+  private def alignArgmax(cands: DataFrame): DataFrame =
     cands.groupBy(col("query_id"), col("label_q"))
       .agg(max(struct(col("cos"), col("vec_id"))).as("m"))
       .select(col("query_id").as("vec_id"), col("label_q").as("label"),
         col("m.vec_id").as("best_match"),
         (round(col("m.cos"), 6) + lit(0.0)).as("cos_sim"))
-  }
 
   /** Per-dimension int8 affine quantization calibration — the
     * serving-side compression step (embedding stores ship int8 with
@@ -2217,7 +2329,8 @@ object Similarity {
     * scores corpus × corpus through [[bruteTopKFor]] with the corpus
     * as its own query set — quadratic by construction, the oracle
     * baseline exactly like [[bruteTopK]]; the production form is
-    * [[knnGraphScaled]]. Output: (vec_a < vec_b, cos_sim).
+    * [[knnGraphDescent]] (the IVF-join [[knnGraphScaled]] stays the
+    * documented audit rung). Output: (vec_a < vec_b, cos_sim).
     */
   def knnGraph(emb: DataFrame, k: Int = TopK): DataFrame =
     mutualEdges(bruteTopKFor(emb, emb, k, excludeSelf = true))
@@ -2577,10 +2690,78 @@ object Similarity {
 
   /** Production serving-edge build via NN-descent — linear in the
     * corpus where [[knnServingEdgesScaled]]'s posting join is
-    * n²/ProbeDiv (SCALE_r13 measures both).
+    * n²/ProbeDiv (SCALE_r13 measures both). THE default bulk build
+    * (r13 verdict #2): the streaming graph-index bootstrap and any
+    * scaled consumer should build edges here; the IVF posting join
+    * stays the documented one-shot audit rung. The (rounds, sample,
+    * buildK) dials are recall-gated by [[autoConfigNnd]] — RECALL
+    * family `nnd` / `autoconfig_nnd_0.85`.
     */
   def knnServingEdgesDescent(emb: DataFrame, k: Int = TopK): DataFrame =
     nnDescentEdges(emb, k).select(col("vec_a"), col("vec_b"))
+
+  /** NN-descent dial point: refinement waves, per-node neighborhood
+    * sample, and build-time list width (cut to k on output).
+    */
+  final case class NndConfig(rounds: Int = NndRounds, sample: Int = NndSample,
+                             buildK: Int = NndBuildK) {
+    def key: String = s"w${rounds}s${sample}k$buildK"
+  }
+
+  final case class NndSweepPoint(config: NndConfig, nEdges: Long,
+                                 agreement: Double)
+
+  /** Cheapest-first NN-descent ladder for [[autoConfigNnd]]: more
+    * waves first (each wave is one bounded candidate join — the
+    * cheapest dial), then wider neighborhood samples (candidate mass
+    * ∝ sample²), then deeper build lists (state ∝ buildK). The r13
+    * defaults are the bottom rung (0.78 edge agreement at sf0.1 —
+    * below the 0.85 floor, which is why this dial exists).
+    */
+  val DefaultNndLadder: Seq[NndConfig] = Seq(
+    NndConfig(),
+    NndConfig(rounds = 8),
+    NndConfig(rounds = 8, sample = 24),
+    NndConfig(rounds = 10, sample = 24, buildK = 28),
+    NndConfig(rounds = 12, sample = 32, buildK = 32))
+
+  /** Directed-edge agreement of each descent config vs a PINNED
+    * exact serving-edge frame — the `nnd` RECALL family's points.
+    */
+  def nndSweepAgainst(emb: DataFrame, exactEdges: DataFrame,
+                      configs: Seq[NndConfig], k: Int = TopK): Seq[NndSweepPoint] = {
+    val exactN = math.max(1L, exactEdges.count()).toDouble
+    configs.map { c =>
+      val e = nnDescentEdges(emb, k, c.rounds, c.sample, c.buildK)
+        .select(col("vec_a"), col("vec_b")).localCheckpoint()
+      NndSweepPoint(c, e.count(),
+        e.join(exactEdges, Seq("vec_a", "vec_b")).count() / exactN)
+    }
+  }
+
+  def nndSweep(emb: DataFrame, configs: Seq[NndConfig],
+               k: Int = TopK): Seq[NndSweepPoint] =
+    nndSweepAgainst(emb,
+      knnServingEdges(emb, k).localCheckpoint(), configs, k)
+
+  /** Recall-targeted auto-configuration of the NN-descent build (r13
+    * verdict #2: the dial existed but had no autoconfig rung — a
+    * 100 TB consumer got whatever 6 waves gave). The 29q/45p2
+    * lazy-ladder discipline: walk [[DefaultNndLadder]] cheapest-first,
+    * measure each rung's directed-edge agreement vs ONE pinned exact
+    * build, return the first meeting the floor; None if even the
+    * deepest rung misses. The exact reference build is the
+    * measurement cost every autoconfig rung pays (run it on a bounded
+    * calibration sample at production scale, the autoConfigLsh
+    * posture).
+    */
+  def autoConfigNnd(emb: DataFrame, targetAgreement: Double = 0.85,
+                    ladder: Seq[NndConfig] = DefaultNndLadder,
+                    k: Int = TopK): Option[NndSweepPoint] = {
+    val exact = knnServingEdges(emb, k).localCheckpoint()
+    ladder.iterator.map(c => nndSweepAgainst(emb, exact, Seq(c), k).head)
+      .find(_.agreement >= targetAgreement)
+  }
 
   /** Production mutual-kNN graph via NN-descent: the [[knnGraph]]
     * mutual rule over the descent-built directed top-k.
@@ -2611,6 +2792,57 @@ object Similarity {
       "nnd_init_edges" -> adj.count(),
       "nnd_round_cand" -> cand.count(),
       "ivf_join_cand" -> ivfCand.count())
+  }
+
+  /** Candidate-mass instrumentation for the bitext-alignment family
+    * (graft.MassProbe `align`; r13 verdict #1 — the exponent claim
+    * needs measured masses, not two time points): under the
+    * [[lshConfigFor]] config [[alignViaAnnScaled]] would run, the
+    * per-decade stage cardinalities that drive its cost — the
+    * (tbl, bucket) equi-join's pair mass Σ_buckets c·q (corpus
+    * occupancy × probed-query occupancy; every one of these rows is
+    * a dot-product evaluation), the hottest corpus bucket, the
+    * query-side probe fan-out, and the surviving verified pairs.
+    */
+  def alignMassStats(emb: DataFrame): Seq[(String, Long)] = {
+    val n = emb.count()
+    val cfg = lshConfigFor(n)
+    val quant = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val corpusSide = bucketedWith(quant, cfg.tables, cfg.planes)
+      .select(col("tbl"), col("bucket"))
+    val cOcc = corpusSide.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    def joinMassOf(qs: DataFrame): Long = {
+      val qOcc = qs.groupBy(col("tbl"), col("bucket"))
+        .agg(count(lit(1)).as("qc"))
+      cOcc.join(qOcc, Seq("tbl", "bucket"))
+        .agg(coalesce(sum(col("c") * col("qc")), lit(0L))).head.getLong(0)
+    }
+    // the production (directed-probe) path's mass, plus the blind
+    // Hamming enumeration it replaced for the before/after record
+    val qsDirected = multiProbeDirected(
+      bucketedWithFlips(quant, cfg.tables, cfg.planes, ProbeFlipN)
+        .toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q", "fl"),
+      ProbeFlipN)
+      .select(col("tbl_q").as("tbl"), col("bucket_q").as("bucket"))
+    val qsBlind = multiProbe(bucketedWith(quant, cfg.tables, cfg.planes)
+        .toDF("query_id", "label_q", "q_q", "nq_q", "tbl_q", "bucket_q"),
+      cfg.planes, cfg.probeBits)
+      .select(col("tbl_q").as("tbl"), col("bucket_q").as("bucket"))
+    val maxBucket = cOcc.agg(max(col("c"))).head.getLong(0)
+    val blindProbesPerQ = (0 to cfg.probeBits)
+      .map(b => (0 until cfg.planes).combinations(b).size.toLong).sum
+    val verified = lshCandidatesDirected(quant, quant, cfg,
+      pairFilter = col("label") === col("label_q") + 1).count()
+    Seq(
+      "n" -> n,
+      "planes" -> cfg.planes.toLong,
+      "probe_buckets_per_q" -> (1L << ProbeFlipN),
+      "blind_probes_per_q" -> blindProbesPerQ,
+      "max_bucket" -> maxBucket,
+      "bucket_join_rows" -> joinMassOf(qsDirected),
+      "blind_join_rows" -> joinMassOf(qsBlind),
+      "verified_pairs" -> verified)
   }
 
   /** Harness instance: beam-serve the default query set over the

@@ -1200,14 +1200,20 @@ object TextAnalysis {
 
   /** Integer bit-length log (the 41l NB-classifier discipline):
     * L(x) = bits(x²) ≈ 2·log2(x) + 1 — monotone, integer-exact,
-    * deterministic. Headroom: x² needs x < 3·10⁹; beyond that drop
-    * the half-bit and use 2·bits(x) (documented dial).
+    * deterministic. Headroom: x² needs x < 3·10⁹; at or beyond that
+    * BOTH forms auto-switch to the half-bit-coarser 2·bits(x)
+    * (r13 ADVICE: unigram_lm rides ScaleRehearsal, so the corpus
+    * token total crosses the headroom at large SFs — a hard require
+    * would crash the rehearsal). The piecewise function stays
+    * monotone: bits(x²) ≤ 63 for every x below the cut, and
+    * 2·bits(x) ≥ 64 at or above it.
     */
-  private def biLog(c: Column): Column = length(bin(c * c)).cast("long")
-  private def biLogScalar(x: Long): Long = {
-    require(x < 3000000000L, "biLog int64 headroom")
-    java.lang.Long.toBinaryString(x * x).length.toLong
-  }
+  private def biLog(c: Column): Column =
+    when(c < lit(3000000000L), length(bin(c * c)))
+      .otherwise(length(bin(c)) * lit(2)).cast("long")
+  private def biLogScalar(x: Long): Long =
+    if (x < 3000000000L) java.lang.Long.toBinaryString(x * x).length.toLong
+    else 2L * java.lang.Long.toBinaryString(x).length
 
   /** Seed inventory: every single char of the word set (totality —
     * Viterbi can always finish) with its occurrence mass, plus the

@@ -1197,8 +1197,18 @@ object DocStreams {
         // batch-INTERNAL dedup too (r12 ADVICE): duplicate vec_ids in
         // one staged file both survive the cross-batch sidecar screen
         // and would append twice — after which serving could return
-        // the same neighbor at two ranks in one query's top-k
-        val fresh = batch.toDF().dropDuplicates("vec_id")
+        // the same neighbor at two ranks in one query's top-k.
+        // Deterministic tie-break (r13 ADVICE): when one file carries
+        // CONFLICTING payloads for a vec_id, keep the row minimizing
+        // xxhash64 over the payload columns — dropDuplicates picked
+        // an arbitrary row, at odds with the replay/bit-exactness
+        // contract.
+        val fresh = batch.toDF()
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("embedding"), col("label")),
+            xxhash64(col("embedding"), col("label"))).as("p"))
+          .select(col("vec_id"),
+            col("p.embedding").as("embedding"), col("p.label").as("label"))
           .join(seen, Seq("vec_id"), "left_anti")
           .transform(cut)
         if (fresh.isEmpty) ()
@@ -1368,10 +1378,15 @@ object DocStreams {
         else {
           // insert = the graphAnnInsert move, delta-only (the union
           // half is the already-persisted table): beam-search each
-          // fresh vector over the EXISTING graph, keep new→found
+          // fresh vector over the EXISTING graph, keep new→found.
+          // Bootstrap (first batch) builds via NN-DESCENT — the
+          // default bulk build (r13 verdict #2): linear in the batch
+          // where the exact build is batch², so an arbitrarily large
+          // first delivery stays safe; deterministic, so the replay
+          // contract is unchanged
           val newEdges =
             if (!wh.tableExists(ref, vecTable))
-              Similarity.knnServingEdges(fresh)
+              Similarity.knnServingEdgesDescent(fresh)
             else Similarity.graphAnnTopKFor(
                 wh.readTable(ref, vecTable)
                   .select(col("vec_id"), col("label"), col("embedding")),

@@ -989,7 +989,11 @@ class CurationSpec extends AnyFunSuite {
     val occs = docs.flatMap { case (src, t) => wordsOf(t).map(src -> _) }
     val wc = occs.groupBy(_._2).map { case (w, o) => w -> o.length.toLong }
     val maxP = TextAnalysis.WpMaxPiece
-    def biLog(x: Long): Long = java.lang.Long.toBinaryString(x * x).length.toLong
+    // mirrors TextAnalysis.biLogScalar including the ≥3e9 headroom
+    // auto-switch to 2·bits(x)
+    def biLog(x: Long): Long =
+      if (x < 3000000000L) java.lang.Long.toBinaryString(x * x).length.toLong
+      else 2L * java.lang.Long.toBinaryString(x).length
     // seed inventory: char masses + top-UlmSeedN grams by (cnt, piece)
     def seedInv(): Map[String, Long] = {
       val cnt = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)

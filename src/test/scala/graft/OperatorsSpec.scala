@@ -599,8 +599,11 @@ class OperatorsSpec extends AnyFunSuite {
     // df>=2 filter, each doc's WjPrefix rarest by (df, h), candidates
     // share a prefix shingle
     val shSets = toks.map { case (id, ts) =>
-      id -> (0 until math.max(ts.length - 4, 0))
-        .map(i => tokenHashLong((i to i + 4).map(ts).mkString)).toSet
+      // short-doc floor (r13 ADVICE): <5-token docs key on one
+      // whole-sequence fallback posting, mirroring wjPostings
+      id -> (if (ts.length < 5) Set(tokenHashLong("wjshort:" + ts.mkString(" ")))
+      else (0 until ts.length - 4)
+        .map(i => tokenHashLong((i to i + 4).map(ts).mkString)).toSet)
     }
     val dfm = shSets.values.flatten.groupBy(identity)
       .map { case (h, o) => h -> o.size }
@@ -660,6 +663,42 @@ class OperatorsSpec extends AnyFunSuite {
     val setJ = Dedup.ngramJaccardPairs(rep, threshold = 0.0).collect()
     assert(setJ.length == 1 && setJ(0).getDouble(2) >= 0.8,
       "set jaccard must stay high where the weighted form collapses")
+  }
+
+  test("short docs below the shingle width still block (whole-seq fallback key)") {
+    // r13 ADVICE (medium): the 5-gram prefix blocking emitted ZERO
+    // keys for <5-token docs, so exact copies of short docs were
+    // silently never candidates — the fallback key must catch them
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // 3-token copy pair: J_W = 1, set J = 1
+      (2L, "alpha beta gamma"),
+      (3L, "delta eps zeta eta"), // 4-token copy pair
+      (4L, "delta eps zeta eta"),
+      (5L, "lone short doc"), // unique short doc: fallback df = 1, no pair
+      (6L, (1 to 12).map(i => s"n$i").mkString(" ")), // long noise
+      (7L, (1 to 12).map(i => s"m$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val wj = Dedup.weightedJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(wj == Set((1L, 2L, 1.0), (3L, 4L, 1.0)),
+      s"short-doc copies must pair at J_W = 1.0, got $wj")
+    val setJ = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(setJ == Set((1L, 2L, 1.0), (3L, 4L, 1.0)),
+      s"3-gram verify is defined for 3-4-token docs, got $setJ")
+    // the driver replay (which mirrors the fallback) agrees end-to-end
+    val (_, sums) = wjReplay(docs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq, Long.MaxValue)
+    val want = sums.collect {
+      case (pair, (sMin, sMax)) if sMin.toDouble / sMax >= 0.5 => pair
+    }.toSet
+    assert(wj.map(p => (p._1, p._2)) == want)
+    // incremental form: an incoming short copy matches the corpus
+    val incoming = Seq((101L, "alpha beta gamma")).toDF("doc_id", "text")
+    val inc = Dedup.weightedJaccardIncremental(docs, incoming).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == Set((101L, 1L, 1.0), (101L, 2L, 1.0)), s"got $inc")
   }
 
   test("incremental weighted jaccard equals the batch pairs touching the batch") {
@@ -1710,6 +1749,15 @@ class OperatorsSpec extends AnyFunSuite {
     val mAgree = gd.join(gx, Seq("vec_a", "vec_b")).count().toDouble /
       math.max(1L, gx.count())
     assert(mAgree >= 0.8, s"mutual-graph agreement too low: $mAgree")
+    // autoconfig dial (r13 verdict #2): the lazy ladder walk returns
+    // the cheapest config meeting the 0.85 edge-agreement floor —
+    // on this fixture the default rung already passes (the 0.85 pin
+    // above), so the pick must be the ladder's first rung
+    val picked = Similarity.autoConfigNnd(emb, 0.85)
+    assert(picked.nonEmpty, "autoConfigNnd found no config at 0.85")
+    assert(picked.get.agreement >= 0.85)
+    assert(picked.get.config == Similarity.DefaultNndLadder.head,
+      s"expected the cheapest passing rung, got ${picked.get.config.key}")
   }
 
   test("graph-ANN insert finds clones through reverse edges; takedown removes them") {

@@ -314,8 +314,9 @@ class StreamingSpec extends AnyFunSuite {
     val nClones = clones.count()
     assert(wh.readTable(ref, "gedges_vecs").count() == nBase + nClones,
       "vector table must hold every unique vector")
-    // bootstrap edges = exact serving edges of batch 1; clone edges =
-    // k beam-found partners each, sourced at clone ids only
+    // bootstrap edges = NN-descent serving edges of batch 1 (the
+    // default bulk build — deterministic, so replay-safe); clone
+    // edges = k beam-found partners each, sourced at clone ids only
     val edges = wh.readTable(ref, "gedges")
     val cloneEdges = edges.filter(col("vec_a") >= Similarity.Shift)
     assert(cloneEdges.count() == nClones * Similarity.TopK)
