@@ -549,6 +549,39 @@ object Graph {
     * community partial agg — community count is bounded by the node
     * count, output one row per community.
     */
+  /** Per-community exact-rational modularity contributions in
+    * integer ppm over an undirected closure `und` and a (u, c)
+    * partition frame — the scoring half shared by [[qModularity]]
+    * (LPA partition) and [[qLouvain]]'s spec comparisons.
+    */
+  private[graft] def modularityContrib(und: DataFrame,
+                                       nodeC: DataFrame): DataFrame = {
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val m2 = und.count()
+    val den = (BigInt(m2) * BigInt(m2)).toString
+    val comm = nodeC.join(deg, Seq("u"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_members"),
+        sum(col("deg")).as("deg_sum"))
+    val intra = und.join(nodeC, Seq("u"))
+      .join(nodeC.toDF("v", "c2"), Seq("v"))
+      .filter(col("c") === col("c2"))
+      .groupBy(col("c")).agg(count(lit(1)).as("intra_rows"))
+    comm.join(intra, Seq("c"), "left")
+      .withColumn("intra_rows", coalesce(col("intra_rows"), lit(0L)))
+      .withColumn("num",
+        col("intra_rows").cast("decimal(38,0)")
+          * lit(m2).cast("decimal(38,0)")
+          - col("deg_sum").cast("decimal(38,0)")
+          * col("deg_sum").cast("decimal(38,0)"))
+      .select(col("c").as("community"), col("n_members"), col("deg_sum"),
+        col("intra_rows"),
+        when(col("num") >= 0,
+          expr(s"(num * 1000000) div cast('$den' as decimal(38,0))"))
+          .otherwise(-expr(
+            s"((- num) * 1000000) div cast('$den' as decimal(38,0))"))
+          .cast("long").as("contrib_ppm"))
+  }
+
   def qModularity(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
@@ -557,31 +590,94 @@ object Graph {
       .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
       .distinct().persist()
     try {
-      val nodeC = lpaLabels(docs, und).toDF("u", "c")
-      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val m2 = und.count()
-      val den = (BigInt(m2) * BigInt(m2)).toString
-      val comm = nodeC.join(deg, Seq("u"))
-        .groupBy(col("c")).agg(count(lit(1)).as("n_members"),
-          sum(col("deg")).as("deg_sum"))
-      val intra = und.join(nodeC, Seq("u"))
-        .join(nodeC.toDF("v", "c2"), Seq("v"))
-        .filter(col("c") === col("c2"))
-        .groupBy(col("c")).agg(count(lit(1)).as("intra_rows"))
-      comm.join(intra, Seq("c"), "left")
-        .withColumn("intra_rows", coalesce(col("intra_rows"), lit(0L)))
-        .withColumn("num",
-          col("intra_rows").cast("decimal(38,0)")
-            * lit(m2).cast("decimal(38,0)")
-            - col("deg_sum").cast("decimal(38,0)")
-            * col("deg_sum").cast("decimal(38,0)"))
-        .select(col("c").as("community"), col("n_members"), col("deg_sum"),
-          col("intra_rows"),
-          when(col("num") >= 0,
-            expr(s"(num * 1000000) div cast('$den' as decimal(38,0))"))
-            .otherwise(-expr(
-              s"((- num) * 1000000) div cast('$den' as decimal(38,0))"))
-            .cast("long").as("contrib_ppm"))
+      modularityContrib(und, lpaLabels(docs, und).toDF("u", "c"))
+    } finally { und.unpersist(); () }
+  }
+
+  /** Louvain local-move rounds (synchronous; see [[louvainLabels]]).
+    * Six rounds measured on the ring-chord fixture: Q climbs 14.6k →
+    * 140.4k ppm (crossing LPA's 84.9k at round 4) with a mild
+    * non-monotone wobble later (synchronous moves can oscillate) —
+    * the spec pins Q(louvain) ≥ Q(LPA) at this setting.
+    */
+  val LouvainIters = 6
+
+  /** Synchronous Louvain-style local moves (Blondel et al. 2008, the
+    * local-move phase, synchronous variant — the modularity-ASCENT
+    * algorithm the 26ag audit measures FOR): starting from singleton
+    * communities, each round every node adopts the candidate
+    * community (its neighbors' communities ∪ its own) maximizing the
+    * EXACT-RATIONAL modularity gain. In directed-row units
+    * (m2 = |und|), moving v into community c changes Q by
+    * 2·(m2·k(v,c) − d_v·d_c^{¬v})/m2² relative to v isolated, so the
+    * argmax of score(v,c) = m2·k(v,c) − d_v·d_c^{¬v} (products in
+    * decimal(38,0) — the 26ag headroom discipline) IS the argmax of
+    * ΔQ; ties break to the MINIMUM community label (deterministic,
+    * oracle-mirrored by row_number ORDER BY score DESC, c ASC).
+    * d_c^{¬v} excludes v's own degree when scoring its current
+    * community, so "stay" competes on equal footing.
+    *
+    * Scale shape per round: one neighbor-label equi-join + (u, c)
+    * partial-agg count (the LPA shape), one community-degree partial
+    * agg (communities ≤ nodes), two label-sized equi-joins, one
+    * (u)-keyed struct-min fold. All state is node- or edge-sized;
+    * lineage cut per round. Synchronous moves can oscillate like LPA
+    * (bounded rounds, not convergence-guaranteed); the 26ag audit
+    * scores any resulting partition, and the spec pins
+    * Q(louvain) ≥ Q(LPA) on the ring-chord fixture.
+    */
+  private[graft] def louvainLabels(docs: DataFrame, und: DataFrame,
+                                   rounds: Int = LouvainIters): DataFrame = {
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val m2 = und.count()
+    var lab = docs.select(col("doc_id").as("lv"), col("doc_id").as("lab"))
+    for (_ <- 1 to rounds) {
+      val nodeC = lab.toDF("u", "c")
+      val dC = nodeC.join(deg, Seq("u"))
+        .groupBy(col("c")).agg(sum(col("deg")).as("dc"))
+      val k = und.join(nodeC.toDF("v", "c"), Seq("v"))
+        .groupBy(col("u"), col("c")).agg(count(lit(1)).as("k"))
+      val own = lab.select(col("lv").as("u"), col("lab").as("own_c"))
+      val cand = k.select(col("u"), col("c"))
+        .unionAll(own.select(col("u"), col("own_c").as("c")))
+        .distinct()
+        .join(k, Seq("u", "c"), "left")
+        .withColumn("k", coalesce(col("k"), lit(0L)))
+        .join(own, Seq("u"))
+        .join(deg, Seq("u"))
+        .join(dC, Seq("c"))
+        .withColumn("dc_adj", col("dc") -
+          when(col("c") === col("own_c"), col("deg")).otherwise(lit(0L)))
+        .withColumn("score",
+          col("k").cast("decimal(38,0)") * lit(m2).cast("decimal(38,0)")
+            - col("deg").cast("decimal(38,0)") * col("dc_adj").cast("decimal(38,0)"))
+      val pick = cand.groupBy(col("u"))
+        .agg(min(struct((-col("score")).as("ns"), col("c").as("l"))).as("m"))
+        .select(col("u"), col("m.l").as("newlab"))
+      lab = cut(lab
+        .join(pick, col("lv") === pick("u"), "left")
+        .select(col("lv"), coalesce(col("newlab"), col("lab")).as("lab")))
+    }
+    lab
+  }
+
+  /** Louvain communities over the ring-chord fixture — the same
+    * output contract as [[qLabelProp]] (doc_id, community,
+    * comm_size); quality measured by [[modularityContrib]].
+    */
+  def qLouvain(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().persist()
+    try {
+      val lab = louvainLabels(docs, und)
+      val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
+      lab.join(sz, Seq("lab"))
+        .select(col("lv").as("doc_id"), col("lab").as("community"),
+          col("comm_size"))
     } finally { und.unpersist(); () }
   }
 
@@ -1465,6 +1561,7 @@ object Graph {
     "q_betweenness" -> qBetweenness _,
     "q_label_prop" -> qLabelProp _,
     "q_modularity" -> qModularity _,
+    "q_louvain" -> qLouvain _,
     "q_random_walks" -> qRandomWalks _,
     "q_walk_pairs" -> qWalkPairs _,
     "q_kcore" -> qKcore _,
@@ -1765,6 +1862,52 @@ object Graph {
       |  (CASE WHEN num >= 0 THEN (num * 1000000) // den
       |        ELSE -(((0 - num) * 1000000) // den) END)::BIGINT AS contrib_ppm
       |FROM scored""".stripMargin
+  }
+
+  private def louvainSql: String = {
+    val undCte =
+      s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+        |    FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % nn.n FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 3) % nn.n FROM documents CROSS JOIN nn)),
+        |und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+        |  SELECT src AS u, dst AS v FROM e WHERE src != dst
+        |  UNION ALL SELECT dst, src FROM e WHERE src != dst)),
+        |deg AS MATERIALIZED (SELECT u, count(*)::BIGINT AS deg
+        |  FROM und GROUP BY 1),
+        |mm AS (SELECT count(*)::HUGEINT AS m2 FROM und),
+        |l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents)""".stripMargin
+    val iters = (1 to LouvainIters).map { k =>
+      s"""dc$k AS MATERIALIZED (SELECT l.lab AS c, sum(deg.deg)::BIGINT AS dc
+        |  FROM l${k - 1} l JOIN deg ON deg.u = l.v GROUP BY 1),
+        |kk$k AS MATERIALIZED (SELECT und.u, l.lab AS c, count(*)::BIGINT AS k
+        |  FROM und JOIN l${k - 1} l ON und.v = l.v GROUP BY 1, 2),
+        |cd$k AS (SELECT u, c FROM kk$k UNION SELECT v, lab FROM l${k - 1}),
+        |sc$k AS (SELECT cd.u, cd.c,
+        |    (coalesce(kk.k, 0)::HUGEINT * (SELECT m2 FROM mm)
+        |     - deg.deg::HUGEINT * (dc.dc - CASE WHEN cd.c = ow.lab
+        |         THEN deg.deg ELSE 0 END)::HUGEINT) AS score
+        |  FROM cd$k cd
+        |  JOIN l${k - 1} ow ON ow.v = cd.u
+        |  JOIN deg ON deg.u = cd.u
+        |  JOIN dc$k dc ON dc.c = cd.c
+        |  LEFT JOIN kk$k kk ON kk.u = cd.u AND kk.c = cd.c),
+        |p$k AS (SELECT u, c FROM (
+        |    SELECT u, c, row_number() OVER (PARTITION BY u
+        |      ORDER BY score DESC, c ASC) AS rn FROM sc$k) WHERE rn = 1),
+        |l$k AS MATERIALIZED (SELECT l.v, coalesce(p.c, l.lab) AS lab
+        |  FROM l${k - 1} l LEFT JOIN p$k p ON l.v = p.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $undCte,
+      |$iters,
+      |sz AS (SELECT lab, count(*)::BIGINT AS comm_size
+      |  FROM l$LouvainIters GROUP BY 1)
+      |SELECT l.v AS doc_id, l.lab AS community, sz.comm_size
+      |FROM l$LouvainIters l JOIN sz USING (lab)""".stripMargin
   }
 
   private def randomWalksSql: String = {
@@ -2161,6 +2304,7 @@ object Graph {
     "q_betweenness" -> betweennessSql,
     "q_label_prop" -> labelPropSql,
     "q_modularity" -> modularitySql,
+    "q_louvain" -> louvainSql,
     "q_random_walks" -> randomWalksSql,
     "q_walk_pairs" -> walkPairsSql,
     "q_kcore" -> kcoreSql,

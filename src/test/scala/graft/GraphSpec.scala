@@ -143,6 +143,68 @@ class GraphSpec extends AnyFunSuite {
     assert(qPpm > 0, s"LPA must find real structure on the fixture: Q=$qPpm")
   }
 
+  test("louvain: moves equal a BigInt dQ replay; beats LPA's modularity on the fixture") {
+    import graft.sources.Tables
+    val n = Tables.documents(spark, sf).count()
+    val ids = (0L until n).toArray
+    val und = ids.flatMap { u =>
+      Seq((u + 1) % n, (u + 2) % n, (u * 7 + 3) % n)
+        .filter(_ != u).flatMap(d => Seq((u, d), (d, u)))
+    }.toSet
+    val nbrs = und.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    val deg = und.toSeq.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val m2 = BigInt(und.size)
+    // full BigInt replay of the synchronous dQ local-move rule:
+    // score(v, c) = m2*k(v,c) - d_v*d_c^{not v}, argmax, min-c ties
+    var lab = ids.map(i => i -> i).toMap
+    for (_ <- 1 to Graph.LouvainIters) {
+      val cur = lab
+      val dc = cur.toSeq.groupBy(_._2)
+        .map { case (c, ms) => c -> ms.map(m => deg(m._1)).sum }
+      lab = ids.map { v =>
+        val k = nbrs.getOrElse(v, Set.empty[Long]).toSeq.map(cur)
+          .groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+        val scored = (k.keySet + cur(v)).toSeq.map { c =>
+          val dcAdj = BigInt(dc(c)) -
+            (if (c == cur(v)) BigInt(deg(v)) else BigInt(0))
+          c -> (BigInt(k.getOrElse(c, 0L)) * m2 - BigInt(deg(v)) * dcAdj)
+        }
+        v -> scored.minBy { case (c, s) => (-s, c) }._1
+      }.toMap
+    }
+    val sizes = lab.values.toSeq.groupBy(identity)
+      .map { case (l, xs) => (l, xs.size.toLong) }
+    val got = Graph.qLouvain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == n)
+    got.foreach { case (v, community, commSize) =>
+      assert(community == lab(v), s"community mismatch at $v")
+      assert(commSize == sizes(lab(v)), s"size mismatch at $v")
+    }
+    // the point of the operator: modularity ASCENT — Q(louvain) must
+    // beat Q(LPA) on the ring-chord fixture (both exact BigInt)
+    def qOf(part: Map[Long, Long]): BigInt = part.groupBy(_._2)
+      .map { case (c, members) =>
+        val vs = members.keys.toSet
+        val degSum = vs.toSeq.map(deg(_)).sum
+        BigInt(und.count { case (a, b) => vs(a) && part(b) == c }) * m2 -
+          BigInt(degSum) * BigInt(degSum)
+      }.sum
+    var lpa = ids.map(i => i -> i).toMap
+    for (_ <- 1 to Graph.LpIters) {
+      lpa = ids.map { v =>
+        val counts = nbrs.getOrElse(v, Set.empty[Long]).toSeq
+          .map(lpa).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        v -> (if (counts.isEmpty) lpa(v)
+              else counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+    }
+    val (qLouvain, qLpa) = (qOf(lab), qOf(lpa))
+    assert(qLouvain > 0, s"louvain must find real structure: $qLouvain")
+    assert(qLouvain >= qLpa,
+      s"modularity ascent must not lose to LPA: $qLouvain < $qLpa")
+  }
+
   test("k-core equals a synchronous driver-side peel and converges inside the bound") {
     import graft.sources.Tables
     val n = Tables.documents(spark, sf).count()
