@@ -132,6 +132,11 @@ object ScaleRehearsal {
         graft.operators.Graph.hyperBallPacked(docs,
           graft.operators.Graph.edges(docs, n), 2 * graft.operators.Graph.HopT))
     }),
+    // r14: forward-push PPR — the ACL serving form beside q_ppr's
+    // power iteration; frontier shrinks as residuals drain, expect
+    // at-or-below the q_ppr ratio
+    "ppr_push" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Graph.pprPush(s, dir)),
     "align_via_ann" -> ((s: SparkSession, dir: String) =>
       graft.operators.Similarity.alignViaAnn(
         graft.sources.Tables.embeddings(s, dir))),

@@ -321,6 +321,99 @@ object Graph {
     } finally { ed.unpersist(); () }
   }
 
+  /** Push threshold for the production [[pprPush]] rung: residuals
+    * below this many ppb hold (aren't propagated) — the ACL ε dial.
+    */
+  val PprPushEpsPpb = 1000000L
+  /** Round bound for the thresholded push (it also early-exits when
+    * no residual clears the threshold).
+    */
+  val PprPushRounds = 2 * PprIters
+
+  /** Forward-push personalized PageRank (Andersen, Chung & Lang,
+    * FOCS'06 — the published SERVING form of [[qPpr]]): per-seed
+    * state is (p, r) — banked estimate and residual. Each round,
+    * every (seed, node) whose residual clears the ε threshold PUSHES:
+    * it banks α·r into p and sends (1−α)·r out along its edges
+    * (div deg shares; sink nodes return the mass to their seed, the
+    * qPpr dangling discipline); sub-threshold residuals just hold.
+    * The whole point at 100 TB: a small ε caps total pushed mass at
+    * O(1/ε) per seed instead of materializing every seed's full
+    * t-hop ball every round — frontier work shrinks as residuals
+    * drain, where power iteration re-propagates ALL mass each round.
+    *
+    * ACL certificate (the spec pin): ppr = p + Σ_v r(v)·ppr_v, and
+    * each ppr_v is a (sub-)distribution, so for every node
+    * |ppr − p| ≤ Σ_v r(v) — the REMAINING RESIDUAL MASS is a
+    * computable per-seed error bound, returned as `residual_ppb`.
+    * With ε = 0 and [[PprIters]] rounds, p + r telescopes to exactly
+    * the power iterate (α·Σ_j ((1−α)W)^j + ((1−α)W)^t — the same
+    * series), so the spec also pins |x − (p + r)| against qPpr up to
+    * integer-floor drift.
+    *
+    * Scale shape per round: one threshold split, one per-seed pushed-
+    * dangling partial agg (keyed, never a driver scalar), one
+    * edge⋈pushed equi-join + (s, v) partial sum, one (s, v) full
+    * outer merge of banked p with the new residuals; all integer ppb,
+    * lineage cut per round, empty-frontier early exit (one bounded
+    * driver scalar).
+    */
+  def pprPush(s: SparkSession, dir: String,
+              epsPpb: Long = PprPushEpsPpb,
+              rounds: Int = PprPushRounds): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, Seq("src")).persist()
+    try {
+      val thr = math.max(1L, epsPpb)
+      val seeds = docs.filter(col("doc_id") % PprSeedMod === 0)
+        .select(col("doc_id").as("s"))
+      var st = seeds.select(col("s"), col("s").as("v"),
+        lit(0L).as("p"), lit(1000000000L).as("r"))
+      var round = 0
+      var converged = false
+      while (round < rounds && !converged) {
+        round += 1
+        val pushed = st.filter(col("r") >= thr)
+        if (pushed.limit(1).count() == 0) converged = true
+        else {
+          val held = st.filter(col("r") < thr)
+          val dangP = pushed.join(deg, pushed("v") === deg("src"), "left_anti")
+            .groupBy(col("s")).agg(sum(col("r")).as("dang"))
+          val inflow = ed.join(pushed, ed("src") === pushed("v"))
+            .select(pushed("s"), col("dst").as("v"), expr("r div deg").as("share"))
+            .groupBy(col("s"), col("v")).agg(sum(col("share")).as("inflow"))
+          val cand = inflow.select(col("s"), col("v"))
+            .unionAll(held.select(col("s"), col("v")))
+            .unionAll(dangP.select(col("s"), col("s").as("v")))
+            .distinct()
+          val newR = cand
+            .join(inflow, Seq("s", "v"), "left")
+            .join(dangP, Seq("s"), "left")
+            .join(held.select(col("s"), col("v"), col("r").as("held_r")),
+              Seq("s", "v"), "left")
+            .select(col("s"), col("v"),
+              (coalesce(col("held_r"), lit(0L)) +
+                expr("85 * (coalesce(inflow, 0L) + " +
+                  "IF(v = s, coalesce(dang, 0L), 0L)) div 100")).as("r"))
+          val newP = st.select(col("s"), col("v"),
+            (col("p") + when(col("r") >= thr, expr("15 * r div 100"))
+              .otherwise(lit(0L))).as("p"))
+            .filter(col("p") =!= 0)
+          st = cut(newP.join(newR, Seq("s", "v"), "full")
+            .select(col("s"), col("v"),
+              coalesce(col("p"), lit(0L)).as("p"),
+              coalesce(col("r"), lit(0L)).as("r"))
+            .filter(col("p") =!= 0 || col("r") =!= 0))
+        }
+      }
+      st.select(col("s").as("seed_id"), col("v").as("doc_id"),
+        col("p").as("ppr_push_ppb"), col("r").as("residual_ppb"))
+    } finally { ed.unpersist(); () }
+  }
+
   /** Triangle count + local clustering coefficient over the
     * undirected closure of the link fixture — the degree-ordered
     * ("compact-forward") formulation: orient every undirected edge

@@ -1462,6 +1462,37 @@ object TextAnalysis {
         divFloor(col("n_chars") * 1000000L, col("n_symbols")).as("chars_per_symbol_ppm"))
   }
 
+  /** The tokenizer-family RACE (r13 verdict #7): the "which tokenizer
+    * for this corpus" decision as ONE gated artifact instead of three
+    * separate reads — family × source × words/pieces/chars and the
+    * ppm fertility + compression ratios, all on the same corpus.
+    * [[qTokenizerRace]] is the ORACLE-CHECKED projection over the two
+    * SQL-expressible families (BPE merges / greedy WordPiece — the
+    * q_fertility and q_wordpiece rungs, unioned with identical column
+    * names); [[tokenizerRace]] is the FULL three-way artifact adding
+    * the unigram-LM rows, whose EM training keeps its documented
+    * 37ae spec-only posture (no reasonable SQL twin) — the spec pins
+    * the full artifact equal to the three family tables row-for-row.
+    */
+  def qTokenizerRace(s: SparkSession, dir: String): DataFrame = {
+    val bpe = qFertility(s, dir).select(lit("bpe").as("family"),
+      col("source"), col("n_words"), col("n_symbols").as("n_pieces"),
+      col("n_chars"), col("fertility_ppm"),
+      col("chars_per_symbol_ppm").as("chars_per_piece_ppm"))
+    val wp = qWordpiece(s, dir).select(lit("wordpiece").as("family"),
+      col("source"), col("n_words"), col("n_pieces"), col("n_chars"),
+      col("fertility_ppm"), col("chars_per_piece_ppm"))
+    bpe.unionAll(wp)
+  }
+
+  /** Full three-way race (see [[qTokenizerRace]]). */
+  def tokenizerRace(s: SparkSession, dir: String): DataFrame =
+    qTokenizerRace(s, dir).unionAll(
+      unigramLmFertility(Tables.documents(s, dir))
+        .select(lit("unigram_lm").as("family"), col("source"),
+          col("n_words"), col("n_pieces"), col("n_chars"),
+          col("fertility_ppm"), col("chars_per_piece_ppm")))
+
   /** N-gram diversity audit — the templated-text / mode-collapse
     * detector corpus reports publish per source: type-token ratio
     * and distinct-bigram ratio (the bigram side over 48-bit shingle
@@ -1774,6 +1805,7 @@ object TextAnalysis {
     "q_bpe_encode" -> qBpeEncode _,
     "q_fertility" -> qFertility _,
     "q_wordpiece" -> qWordpiece _,
+    "q_tokenizer_race" -> qTokenizerRace _,
     "q_diversity" -> qDiversity _,
     "q_simpson" -> qSimpson _,
     "q_bpe_merge" -> qBpeMerge _,
@@ -2128,6 +2160,76 @@ object TextAnalysis {
       |FROM sc, tot""".stripMargin
   }
 
+  /** [[qFertility]]'s oracle (BPE fertility per source) — shared with
+    * the q_tokenizer_race union.
+    */
+  private def bpeFertilitySql: String =
+    s"""$bpeRoundsCtes,
+      |enc AS (SELECT w, len(string_split(s, ' '))::BIGINT AS n_sym,
+      |  strlen(w)::BIGINT AS n_chars FROM sym$BpeTrainSteps),
+      |tok AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      |  FROM documents),
+      |per AS (SELECT source, count(*)::BIGINT AS n_words,
+      |    sum(e.n_sym)::BIGINT AS n_symbols, sum(e.n_chars)::BIGINT AS n_chars
+      |  FROM tok t JOIN enc e USING (w)
+      |  GROUP BY source)
+      |SELECT source, n_words, n_symbols, n_chars,
+      |  (n_symbols * 1000000) // n_words AS fertility_ppm,
+      |  (n_chars * 1000000) // n_symbols AS chars_per_symbol_ppm
+      |FROM per""".stripMargin
+
+  /** [[qWordpiece]]'s oracle (greedy longest-match WordPiece fertility
+    * per source) — shared with the q_tokenizer_race union.
+    */
+  private def wordpieceFertilitySql: String = {
+    val rounds = (1 to WpMaxWordLen).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT c.w, max(c.L)::BIGINT AS adv FROM (
+        |    SELECT s.w, l.L, substr(s.w, (s.pos + 1)::INT, l.L::INT) AS piece
+        |    FROM s${r - 1} s CROSS JOIN
+        |      (SELECT unnest(range(1, ${WpMaxPiece + 1})) AS L) l
+        |    WHERE s.pos < s.len AND s.pos + l.L <= s.len) c
+        |  JOIN vocab v ON v.piece = c.piece GROUP BY c.w),
+        |s$r AS MATERIALIZED (SELECT s.w, s.len,
+        |    (CASE WHEN s.pos < s.len THEN s.pos + coalesce(a.adv, 1)
+        |      ELSE s.pos END)::BIGINT AS pos,
+        |    (CASE WHEN s.pos < s.len THEN s.np + 1 ELSE s.np END)::BIGINT AS np
+        |  FROM s${r - 1} s LEFT JOIN a$r a ON s.w = a.w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (
+      |  SELECT source, substr(t, 1, $WpMaxWordLen) AS w FROM (
+      |    SELECT source,
+      |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      |    FROM documents)
+      |  WHERE length(t) >= 1),
+      |words AS MATERIALIZED (
+      |  SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+      |chars AS (SELECT DISTINCT substr(w, i::INT, 1) AS piece FROM (
+      |  SELECT w, unnest(range(1, length(w) + 1)) AS i FROM words)),
+      |grams AS (SELECT piece FROM (
+      |  SELECT substr(w, i::INT, L::INT) AS piece, sum(n) AS cnt FROM (
+      |    SELECT w, n, L, unnest(range(1, length(w) - L + 2)) AS i
+      |    FROM (SELECT w, n, unnest(range(2, ${WpMaxPiece + 1})) AS L
+      |          FROM words)
+      |    WHERE length(w) >= L)
+      |  GROUP BY 1 ORDER BY cnt DESC, piece LIMIT $WpVocabN)),
+      |vocab AS MATERIALIZED (SELECT DISTINCT piece FROM (
+      |  SELECT piece FROM chars UNION ALL SELECT piece FROM grams)),
+      |s0 AS MATERIALIZED (SELECT w, length(w)::BIGINT AS len,
+      |  0::BIGINT AS pos, 0::BIGINT AS np FROM words),
+      |$rounds,
+      |enc AS (SELECT w, np AS n_pieces, len AS n_chars
+      |  FROM s$WpMaxWordLen),
+      |per AS (SELECT source, count(*)::BIGINT AS n_words,
+      |    sum(e.n_pieces)::BIGINT AS n_pieces,
+      |    sum(e.n_chars)::BIGINT AS n_chars
+      |  FROM tok t JOIN enc e USING (w)
+      |  GROUP BY source)
+      |SELECT source, n_words, n_pieces, n_chars,
+      |  (n_pieces * 1000000) // n_words AS fertility_ppm,
+      |  (n_chars * 1000000) // n_pieces AS chars_per_piece_ppm
+      |FROM per""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_langid_nb" -> langidNbSql,
     "q_quality_calibrate" -> qualityCalibrateSql,
@@ -2154,68 +2256,16 @@ object TextAnalysis {
         |SELECT doc_id, n_shingles, n_common,
         |  (n_common * 1000000) // n_shingles AS common_frac_ppm
         |FROM per""".stripMargin,
-    "q_wordpiece" -> {
-      val rounds = (1 to WpMaxWordLen).map { r =>
-        s"""a$r AS MATERIALIZED (SELECT c.w, max(c.L)::BIGINT AS adv FROM (
-          |    SELECT s.w, l.L, substr(s.w, (s.pos + 1)::INT, l.L::INT) AS piece
-          |    FROM s${r - 1} s CROSS JOIN
-          |      (SELECT unnest(range(1, ${WpMaxPiece + 1})) AS L) l
-          |    WHERE s.pos < s.len AND s.pos + l.L <= s.len) c
-          |  JOIN vocab v ON v.piece = c.piece GROUP BY c.w),
-          |s$r AS MATERIALIZED (SELECT s.w, s.len,
-          |    (CASE WHEN s.pos < s.len THEN s.pos + coalesce(a.adv, 1)
-          |      ELSE s.pos END)::BIGINT AS pos,
-          |    (CASE WHEN s.pos < s.len THEN s.np + 1 ELSE s.np END)::BIGINT AS np
-          |  FROM s${r - 1} s LEFT JOIN a$r a ON s.w = a.w)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH tok AS MATERIALIZED (
-        |  SELECT source, substr(t, 1, $WpMaxWordLen) AS w FROM (
-        |    SELECT source,
-        |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
-        |    FROM documents)
-        |  WHERE length(t) >= 1),
-        |words AS MATERIALIZED (
-        |  SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY 1),
-        |chars AS (SELECT DISTINCT substr(w, i::INT, 1) AS piece FROM (
-        |  SELECT w, unnest(range(1, length(w) + 1)) AS i FROM words)),
-        |grams AS (SELECT piece FROM (
-        |  SELECT substr(w, i::INT, L::INT) AS piece, sum(n) AS cnt FROM (
-        |    SELECT w, n, L, unnest(range(1, length(w) - L + 2)) AS i
-        |    FROM (SELECT w, n, unnest(range(2, ${WpMaxPiece + 1})) AS L
-        |          FROM words)
-        |    WHERE length(w) >= L)
-        |  GROUP BY 1 ORDER BY cnt DESC, piece LIMIT $WpVocabN)),
-        |vocab AS MATERIALIZED (SELECT DISTINCT piece FROM (
-        |  SELECT piece FROM chars UNION ALL SELECT piece FROM grams)),
-        |s0 AS MATERIALIZED (SELECT w, length(w)::BIGINT AS len,
-        |  0::BIGINT AS pos, 0::BIGINT AS np FROM words),
-        |$rounds,
-        |enc AS (SELECT w, np AS n_pieces, len AS n_chars
-        |  FROM s$WpMaxWordLen),
-        |per AS (SELECT source, count(*)::BIGINT AS n_words,
-        |    sum(e.n_pieces)::BIGINT AS n_pieces,
-        |    sum(e.n_chars)::BIGINT AS n_chars
-        |  FROM tok t JOIN enc e USING (w)
-        |  GROUP BY source)
-        |SELECT source, n_words, n_pieces, n_chars,
-        |  (n_pieces * 1000000) // n_words AS fertility_ppm,
-        |  (n_chars * 1000000) // n_pieces AS chars_per_piece_ppm
-        |FROM per""".stripMargin
-    },
-    "q_fertility" ->
-      s"""$bpeRoundsCtes,
-        |enc AS (SELECT w, len(string_split(s, ' '))::BIGINT AS n_sym,
-        |  strlen(w)::BIGINT AS n_chars FROM sym$BpeTrainSteps),
-        |tok AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-        |  FROM documents),
-        |per AS (SELECT source, count(*)::BIGINT AS n_words,
-        |    sum(e.n_sym)::BIGINT AS n_symbols, sum(e.n_chars)::BIGINT AS n_chars
-        |  FROM tok t JOIN enc e USING (w)
-        |  GROUP BY source)
-        |SELECT source, n_words, n_symbols, n_chars,
-        |  (n_symbols * 1000000) // n_words AS fertility_ppm,
-        |  (n_chars * 1000000) // n_symbols AS chars_per_symbol_ppm
-        |FROM per""".stripMargin,
+    "q_wordpiece" -> wordpieceFertilitySql,
+    "q_tokenizer_race" ->
+      s"""SELECT 'bpe' AS family, source, n_words, n_symbols AS n_pieces,
+        |  n_chars, fertility_ppm, chars_per_symbol_ppm AS chars_per_piece_ppm
+        |FROM ($bpeFertilitySql)
+        |UNION ALL
+        |SELECT 'wordpiece' AS family, source, n_words, n_pieces, n_chars,
+        |  fertility_ppm, chars_per_piece_ppm
+        |FROM ($wordpieceFertilitySql)""".stripMargin,
+    "q_fertility" -> bpeFertilitySql,
     "q_source_containment" ->
       """WITH t AS (SELECT source,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

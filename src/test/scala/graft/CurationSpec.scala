@@ -857,6 +857,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer race equals the three family tables; oracle projection drops unigram") {
+    type K = (String, String)
+    type V = (Long, Long, Long, Long, Long)
+    def keyed(rows: Array[org.apache.spark.sql.Row], fam: String): Map[K, V] =
+      rows.map(r => (fam, r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+    val want =
+      keyed(TextAnalysis.qFertility(spark, sf).collect(), "bpe") ++
+        keyed(TextAnalysis.qWordpiece(spark, sf).collect(), "wordpiece") ++
+        keyed(TextAnalysis.unigramLmFertility(
+          Tables.documents(spark, sf)).collect(), "unigram_lm")
+    val race = TextAnalysis.tokenizerRace(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(race == want,
+      s"diff=${want.collect { case (k, v) if race.get(k) != Some(v) =>
+        (k, v, race.get(k)) }.take(2)}")
+    // all three families rate every source — the decision table is
+    // complete, not a partial union
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    Seq("bpe", "wordpiece", "unigram_lm").foreach { fam =>
+      assert(race.keys.count(_._1 == fam) == nSources, s"$fam incomplete")
+    }
+    // the oracle-checked projection is exactly the race minus the
+    // unigram rows (37ae spec-only posture)
+    val proj = TextAnalysis.qTokenizerRace(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(proj == race.filter(_._1._1 != "unigram_lm"))
+  }
+
   test("wordpiece: per-source stats equal a driver greedy-MaxMatch replay") {
     val docs = Tables.documents(spark, sf)
       .select(col("source"), col("text")).collect()

@@ -954,6 +954,104 @@ class GraphSpec extends AnyFunSuite {
     seeds.foreach(s => assert(got((s, s)) >= Graph.PprTeleport))
   }
 
+  test("ppr push: equals a replay; eps=0 telescopes to power; residual certifies eps") {
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    val edges = (0L until n).filter(_ % Graph.SinkMod != 0)
+      .flatMap(u => Seq(u -> (u * 7 + 3) % n, u -> (u * 13 + 5) % n))
+      .distinct.filter { case (a, b) => a != b }
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val deg = adj.map { case (k, vs) => k -> vs.size.toLong }
+    val seeds = (0L until n).filter(_ % Graph.PprSeedMod == 0)
+    // exact driver replay of the thresholded push (sparse maps)
+    def pushReplay(epsPpb: Long, rounds: Int): Map[(Long, Long), (Long, Long)] = {
+      val thr = math.max(1L, epsPpb)
+      val out = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+      for (s <- seeds) {
+        var p = Map[Long, Long]().withDefaultValue(0L)
+        var r = Map(s -> 1000000000L).withDefaultValue(0L)
+        var round = 0
+        var conv = false
+        while (round < rounds && !conv) {
+          round += 1
+          val pushed = r.filter(_._2 >= thr)
+          if (pushed.isEmpty) conv = true
+          else {
+            val dang = pushed.collect {
+              case (v, m) if !deg.contains(v) => m }.sum
+            val inflow = scala.collection.mutable.Map[Long, Long]()
+              .withDefaultValue(0L)
+            pushed.foreach { case (v, m) =>
+              adj.getOrElse(v, Seq.empty).foreach(w => inflow(w) += m / deg(v)) }
+            val held = r.filter(kv => kv._2 > 0 && kv._2 < thr)
+            val newP = (p.keySet ++ pushed.keySet).map(v =>
+              v -> (p(v) + (if (r(v) >= thr) 15L * r(v) / 100L else 0L))).toMap
+            val cand = inflow.keySet ++ held.keySet ++
+              (if (dang > 0) Set(s) else Set.empty[Long])
+            val newR = cand.map(v => v -> (held.getOrElse(v, 0L) +
+              85L * (inflow(v) + (if (v == s) dang else 0L)) / 100L)).toMap
+            p = newP.withDefaultValue(0L)
+            r = newR.withDefaultValue(0L)
+          }
+        }
+        (p.keySet ++ r.keySet).foreach { v =>
+          if (p(v) != 0 || r(v) != 0) out((s, v)) = (p(v), r(v)) }
+      }
+      out.toMap
+    }
+    // 1) bit-exact vs the replay, both at eps=0 and the production eps
+    val push0 = Graph.pprPush(spark, sf, epsPpb = 0L,
+        rounds = Graph.PprIters).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(push0 == pushReplay(0L, Graph.PprIters), "eps=0 replay mismatch")
+    val pushE = Graph.pprPush(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(pushE == pushReplay(Graph.PprPushEpsPpb, Graph.PprPushRounds),
+      "eps replay mismatch")
+    // 2) telescoping: at eps=0 and the SAME round count, p + r is the
+    // power iterate's series (exact in real arithmetic; the integer
+    // floors land on different subterms, so the pin is a small
+    // measured drift bound, not equality)
+    val power = Graph.qPpr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val keys = power.keySet ++ push0.keySet
+    val maxDiff = keys.map { k =>
+      val x = power.getOrElse(k, 0L)
+      val (p, r) = push0.getOrElse(k, (0L, 0L))
+      math.abs(x - (p + r))
+    }.max
+    assert(maxDiff <= 100L * Graph.PprIters,
+      s"eps=0 push drifted $maxDiff ppb from the power iterate")
+    // 3) ACL certificate on the production rung: for every node,
+    // |p_eps - power| <= the seed's REMAINING residual mass (+ the
+    // same floor-drift allowance) — the bound a consumer reads off
+    // residual_ppb without ever running the power form
+    val resTotal = pushE.toSeq.groupBy(_._1._1)
+      .map { case (s, rows) => s -> rows.map(_._2._2).sum }
+      .withDefaultValue(0L)
+    (power.keySet ++ pushE.keySet).foreach { case (s, v) =>
+      val x = power.getOrElse((s, v), 0L)
+      val p = pushE.getOrElse((s, v), (0L, 0L))._1
+      assert(math.abs(x - p) <= resTotal(s) + 100L * Graph.PprPushRounds,
+        s"ACL bound violated at ($s, $v): |$x - $p| > ${resTotal(s)}")
+    }
+    // 4) run-to-convergence: with enough rounds the push FIXPOINT is
+    // observable from the output alone — every residual sits below ε
+    // (the loop's empty-frontier exit), which is exactly the ACL
+    // termination state whose total remaining error is ≤ |state|·ε.
+    // (The bounded-round production default stops at PprPushRounds
+    // with the residual certificate carrying whatever mass remains —
+    // pin 3 above is the contract that makes that honest.)
+    val eps = 50000000L
+    val pushC = Graph.pprPush(spark, sf, epsPpb = eps, rounds = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(pushC == pushReplay(eps, 32), "converged replay mismatch")
+    pushC.foreach { case ((s, v), (_, r)) =>
+      assert(r < eps, s"unconverged residual $r at ($s, $v)") }
+  }
+
   test("betweenness: equals a driver-side hop-bounded Brandes replay") {
     val got = Graph.qBetweenness(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
