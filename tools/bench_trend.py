@@ -171,14 +171,20 @@ def touched_queries(root, names):
 
 
 def main(root="."):
-    rounds = {}
+    # pass 1: collect every epoch as (queries, env) so per-epoch spin
+    # calibration can normalize BEFORE the pointwise-min merge (r13
+    # verdict #6: the median-drift factor tracked whichever box ran
+    # last; spin1s is a recorded per-epoch hardware measurement, so
+    # normalizing times to a reference box makes the gate
+    # machine-independent instead of threshold-scaled)
+    collected = {}  # tag -> {"epochs": [(qs, env)], "envs": {...}}
     newest_driver_mtime = 0.0
     for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
         m = re.search(r"BENCH_r0*(\d+)\.json$", path)
         if not m:
             continue
         n = int(m.group(1))
-        epochs = [extract(path, root)]
+        epochs = [(extract(path, root), extract_env(path))]
         # committed per-round epochs: the builder's min-of-n snapshot
         # and the driver's own per-query file (Bench writes the full
         # map to BENCH_LAST.json; the wrapper keeps only the summary
@@ -187,10 +193,10 @@ def main(root="."):
             snap = os.path.join(root, "bench", f"BENCH_r{n}_{suffix}.json")
             if os.path.exists(snap):
                 raw = json.load(open(snap))
-                epochs.append(raw.get("queries"))
-                epochs.append(raw.get("medians"))
-        qs = pointwise_min(*epochs)
-        if not qs:
+                e = extract_env(snap)
+                epochs.append((raw.get("queries"), e))
+                epochs.append((raw.get("medians"), e))
+        if not any(qs for qs, _ in epochs):
             print(f"  {path}: no parseable bench line in any epoch, skipped")
             continue
         newest_driver_mtime = max(newest_driver_mtime, os.path.getmtime(path))
@@ -202,24 +208,52 @@ def main(root="."):
                 e = extract_env(p)
                 if e:
                     envs[tag] = e
-        rounds[f"r{n:02d}"] = {
-            "total": sum(v for v in qs.values() if v > 0),
-            "queries": qs,
-            **({"env": envs} if envs else {}),
-        }
+        collected[f"r{n:02d}"] = {"epochs": epochs, "envs": envs}
     last = os.path.join(root, "BENCH_LAST.json")
     if os.path.exists(last) and os.path.getmtime(last) > newest_driver_mtime:
         raw = json.load(open(last))
-        qs = pointwise_min(raw.get("queries"), raw.get("medians"))
-        if qs:
-            env = extract_env(last)
-            rounds["latest"] = {
-                "total": sum(v for v in qs.values() if v > 0),
-                "queries": qs,
-                **({"env": {"local": env}} if env else {}),
+        env = extract_env(last)
+        if raw.get("queries") or raw.get("medians"):
+            collected["latest"] = {
+                "epochs": [(raw.get("queries"), env), (raw.get("medians"), env)],
+                "envs": {"local": env} if env else {},
             }
-    if not rounds:
+    if not collected:
         print("no BENCH_r*.json found")
+        return 1
+    # reference box = the fastest spin observed across all epochs;
+    # each spin-carrying epoch's times are scaled by spin/ref (a
+    # slower box's seconds shrink to their ref-box equivalent).
+    # Epochs without a fingerprint (pre-r7 rounds) stay raw.
+    spins = [env["spin1s"] for c in collected.values()
+             for _, env in c["epochs"]
+             if isinstance(env, dict)
+             and isinstance(env.get("spin1s"), (int, float))
+             and env["spin1s"] > 0]
+    spin_ref = max(spins) if spins else None
+
+    def norm(qs, env):
+        if not qs:
+            return None
+        if (spin_ref and isinstance(env, dict)
+                and isinstance(env.get("spin1s"), (int, float))
+                and env["spin1s"] > 0):
+            f = env["spin1s"] / spin_ref
+            return {k: v * f for k, v in qs.items()}
+        return qs
+
+    rounds = {}
+    for tag, c in collected.items():
+        qs = pointwise_min(*[norm(q, e) for q, e in c["epochs"]])
+        if not qs:
+            continue
+        rounds[tag] = {
+            "total": sum(v for v in qs.values() if v > 0),
+            "queries": qs,
+            **({"env": c["envs"]} if c["envs"] else {}),
+        }
+    if not rounds:
+        print("no parseable bench epochs found")
         return 1
     os.makedirs(os.path.join(root, "bench"), exist_ok=True)
     out = os.path.join(root, "bench", "TREND.json")
@@ -252,7 +286,8 @@ def main(root="."):
     drift = drift if (drift > 1.25 or drift < 0.8) else 1.0
     # persist BEFORE the flagging/report loop: an exception while
     # reporting must not leave a stale TREND.json (r7 advice)
-    json.dump({"rounds": rounds, "machine_drift": drift},
+    json.dump({"rounds": rounds, "machine_drift": drift,
+               "spin_ref": spin_ref},
               open(out, "w"), indent=1, sort_keys=True)
     w = max(len(n) for n in names)
     print(f"  {'query':{w}s} " + " ".join(f"{t:>8s}" for t in tags))
@@ -281,9 +316,13 @@ def main(root="."):
         print(f"  {name:{w}s} {cells}  {flag}")
     print(f"\n  {'total':{w}s} " +
           " ".join(f"{rounds[t]['total']:8.1f}" for t in tags))
+    if spin_ref:
+        print(f"  spin-normalized to the fastest observed box "
+              f"(spin1s={spin_ref:.0f}); fingerprintless epochs stay raw")
     if drift != 1.0:
-        print(f"  machine drift: latest epoch's median per-query ratio vs "
-              f"best prior = {drift:.2f}x - thresholds scaled accordingly")
+        print(f"  residual machine drift after spin normalization: latest "
+              f"epoch's median per-query ratio vs best prior = {drift:.2f}x "
+              f"- thresholds scaled accordingly")
     if touched is not None:
         print(f"  touched since last round boundary: {len(touched)} queries")
     else:
