@@ -774,6 +774,24 @@ object Graph {
     } finally { und.unpersist(); () }
   }
 
+  /** [[qModularity]]'s audit applied to the LOUVAIN partition — the
+    * closed loop: 26ag scores LPA, 26ah ascends, and this rung makes
+    * the ascent's output an oracle-gated number too (one row per
+    * louvain community, exact-rational contribution in ppm). Same
+    * plan as qModularity with [[louvainLabels]] swapped in.
+    */
+  def qModularityLouvain(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().persist()
+    try {
+      modularityContrib(und, louvainLabels(docs, und).toDF("u", "c"))
+    } finally { und.unpersist(); () }
+  }
+
   /** Steps per walk (positions 0..WalkSteps; walks END early at
     * dangling nodes — the fixture's sinks exercise exactly that).
     */
@@ -1655,6 +1673,7 @@ object Graph {
     "q_label_prop" -> qLabelProp _,
     "q_modularity" -> qModularity _,
     "q_louvain" -> qLouvain _,
+    "q_modularity_louvain" -> qModularityLouvain _,
     "q_random_walks" -> qRandomWalks _,
     "q_walk_pairs" -> qWalkPairs _,
     "q_kcore" -> qKcore _,
@@ -1957,7 +1976,11 @@ object Graph {
       |FROM scored""".stripMargin
   }
 
-  private def louvainSql: String = {
+  /** Shared CTE chain of the Louvain oracles: undirected closure +
+    * degrees + m2 + the [[LouvainIters]] unrolled move rounds, ending
+    * at l$LouvainIters.
+    */
+  private def louvainCtes: String = {
     val undCte =
       s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
         |e AS (SELECT DISTINCT src, dst FROM (
@@ -1995,13 +2018,35 @@ object Graph {
         |l$k AS MATERIALIZED (SELECT l.v, coalesce(p.c, l.lab) AS lab
         |  FROM l${k - 1} l LEFT JOIN p$k p ON l.v = p.u)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $undCte,
-      |$iters,
+    s"$undCte,\n$iters"
+  }
+
+  private def louvainSql: String =
+    s"""WITH $louvainCtes,
       |sz AS (SELECT lab, count(*)::BIGINT AS comm_size
       |  FROM l$LouvainIters GROUP BY 1)
       |SELECT l.v AS doc_id, l.lab AS community, sz.comm_size
       |FROM l$LouvainIters l JOIN sz USING (lab)""".stripMargin
-  }
+
+  private def modularityLouvainSql: String =
+    s"""WITH $louvainCtes,
+      |nc AS (SELECT v AS u, lab AS c FROM l$LouvainIters),
+      |comm AS (SELECT nc.c, count(*)::BIGINT AS n_members,
+      |    sum(deg.deg)::BIGINT AS deg_sum
+      |  FROM nc JOIN deg ON deg.u = nc.u GROUP BY 1),
+      |intra AS (SELECT a.c, count(*)::BIGINT AS intra_rows
+      |  FROM und JOIN nc a ON und.u = a.u JOIN nc b ON und.v = b.u
+      |  WHERE a.c = b.c GROUP BY 1),
+      |scored AS (SELECT comm.c, comm.n_members, comm.deg_sum,
+      |    coalesce(i.intra_rows, 0)::BIGINT AS intra_rows,
+      |    (coalesce(i.intra_rows, 0)::HUGEINT * (SELECT m2 FROM mm)
+      |      - comm.deg_sum::HUGEINT * comm.deg_sum::HUGEINT) AS num,
+      |    ((SELECT m2 FROM mm) * (SELECT m2 FROM mm)) AS den
+      |  FROM comm LEFT JOIN intra i ON i.c = comm.c)
+      |SELECT c AS community, n_members, deg_sum, intra_rows,
+      |  (CASE WHEN num >= 0 THEN (num * 1000000) // den
+      |        ELSE -(((0 - num) * 1000000) // den) END)::BIGINT AS contrib_ppm
+      |FROM scored""".stripMargin
 
   private def randomWalksSql: String = {
     val eCte =
@@ -2398,6 +2443,7 @@ object Graph {
     "q_label_prop" -> labelPropSql,
     "q_modularity" -> modularitySql,
     "q_louvain" -> louvainSql,
+    "q_modularity_louvain" -> modularityLouvainSql,
     "q_random_walks" -> randomWalksSql,
     "q_walk_pairs" -> walkPairsSql,
     "q_kcore" -> kcoreSql,

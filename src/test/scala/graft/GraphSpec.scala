@@ -203,6 +203,25 @@ class GraphSpec extends AnyFunSuite {
     assert(qLouvain > 0, s"louvain must find real structure: $qLouvain")
     assert(qLouvain >= qLpa,
       s"modularity ascent must not lose to LPA: $qLouvain < $qLpa")
+    // the audit applied to the ascent output (q_modularity_louvain)
+    // equals the exact BigInt per-community contributions
+    val gotMod = Graph.qModularityLouvain(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val wantMod = lab.groupBy(_._2).map { case (c, members) =>
+      val vs = members.keys.toSet
+      val degSum = vs.toSeq.map(deg(_)).sum
+      val intra = und.count { case (a, b) => vs(a) && lab(b) == c }
+      val num = BigInt(intra) * m2 - BigInt(degSum) * BigInt(degSum)
+      val den = m2 * m2
+      val ppm =
+        if (num >= 0) (num * 1000000 / den).toLong
+        else -((-num) * 1000000 / den).toLong
+      c -> ((vs.size.toLong, degSum, intra.toLong, ppm))
+    }
+    assert(gotMod == wantMod,
+      s"diff=${wantMod.collect { case (k, v) if gotMod.get(k) != Some(v) =>
+        (k, v, gotMod.get(k)) }.take(2)}")
   }
 
   test("k-core equals a synchronous driver-side peel and converges inside the bound") {
