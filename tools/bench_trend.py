@@ -264,6 +264,26 @@ def main(root="."):
     latest = tags[-1]
     touched = touched_queries(root, names)
 
+    # ROUND-BOUNDARY epoch (the driver run snapshotted at round start,
+    # i.e. PRE-change code): the gate's own protocol says a flagged
+    # query should be cross-checked against the driver's medians —
+    # automate it. If the boundary epoch ALREADY exceeded the 1.25x
+    # bar vs best prior, the elevation predates this round's code
+    # (machine or regenerated-testdata drift) and the flag demotes to
+    # env-attributed noise. Normalized like every other epoch.
+    boundary = {}
+    snaps = glob.glob(os.path.join(root, "bench", "BENCH_r*_driver.json"))
+    nums = [(int(m.group(1)), p) for p in snaps
+            for m in [re.search(r"BENCH_r0*(\d+)_driver\.json$", p)] if m]
+    if nums:
+        _, bpath = max(nums)
+        try:
+            braw = json.load(open(bpath))
+            bqs = braw.get("medians") or braw.get("queries") or {}
+            boundary = norm(bqs, braw.get("env")) or {}
+        except Exception:
+            boundary = {}
+
     # MACHINE-DRIFT normalization: sessions land on different boxes
     # (the env fingerprint records it going forward, but prior rounds
     # carry none), so compare the latest epoch's MEDIAN per-query
@@ -307,7 +327,17 @@ def main(root="."):
                 and cur > 1.5 * drift * min(prior)
                 and cur > 1.25 * drift * prior[-1]
                 and cur > 0.3 * drift):
-            if touched is None or name in touched:
+            bval = boundary.get(name)
+            # demote ONLY when the pre-change epoch was already
+            # elevated AND the current value sits inside the normal
+            # band RELATIVE to that epoch — a query regressed further
+            # on top of an environmental shift still flags
+            if (bval is not None and bval > 1.25 * drift * min(prior)
+                    and cur <= 1.5 * drift * bval):
+                flag = (f"env? (pre-change boundary epoch already "
+                        f"{bval / min(prior):.2f}x best prior)")
+                noise.append(name)
+            elif touched is None or name in touched:
                 flag = "REGRESSED"
                 flagged.append(name)
             else:
