@@ -845,6 +845,47 @@ object Graph {
     } finally { und.unpersist(); () }
   }
 
+  /** Community CONNECTIVITY audit of the Louvain partition — the
+    * statistic motivating Leiden (Traag, Waltman & van Eck 2019):
+    * Louvain's local moves can strand a community's members with no
+    * internal path (a "badly connected" community — the labels lie
+    * about cohesion). Per community: members, the number of INTERNAL
+    * connected components over intra-community edges (isolated
+    * members count as their own), and the is_connected flag a
+    * clustering consumer gates on. Plan: one louvain run + two label
+    * equi-joins selecting intra edges + the O(log n)
+    * large-star/small-star CC (the dedup-cluster machinery) + one
+    * community partial agg — component ids are min-reachable ids, so
+    * the recursive-closure oracle agrees exactly.
+    */
+  def qLouvainConnectivity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().persist()
+    try {
+      val lab = louvainLabels(docs, und).localCheckpoint()
+      val nodeC = lab.toDF("u", "c")
+      val intra = und.join(nodeC, Seq("u"))
+        .join(nodeC.toDF("v", "c2"), Seq("v"))
+        .filter(col("c") === col("c2") && col("u") < col("v"))
+        .select(col("u").as("doc_a"), col("v").as("doc_b"))
+      val cc = Dedup.connectedComponentsLS(intra)
+      val comp = lab.join(cc.toDF("lv", "comp"), Seq("lv"), "left")
+        .select(col("lv"), col("lab"),
+          coalesce(col("comp"), col("lv")).as("comp"))
+      comp.groupBy(col("lab"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("comp")).as("n_internal_components"))
+        .select(col("lab").as("community"), col("n_members"),
+          col("n_internal_components"),
+          when(col("n_internal_components") === 1, 1L).otherwise(0L)
+            .as("is_connected"))
+    } finally { und.unpersist(); () }
+  }
+
   /** [[qModularity]]'s audit applied to the LOUVAIN partition — the
     * closed loop: 26ag scores LPA, 26ah ascends, and this rung makes
     * the ascent's output an oracle-gated number too (one row per
@@ -1745,6 +1786,7 @@ object Graph {
     "q_modularity" -> qModularity _,
     "q_louvain" -> qLouvain _,
     "q_louvain_multilevel" -> qLouvainMultilevel _,
+    "q_louvain_connectivity" -> qLouvainConnectivity _,
     "q_modularity_louvain" -> qModularityLouvain _,
     "q_random_walks" -> qRandomWalks _,
     "q_walk_pairs" -> qWalkPairs _,
@@ -2137,6 +2179,28 @@ object Graph {
       |SELECT f.v AS doc_id, f.lab AS community, sz.comm_size
       |FROM fin f JOIN sz USING (lab)""".stripMargin
   }
+
+  private def louvainConnectivitySql: String =
+    s"""WITH RECURSIVE $louvainCtes,
+      |nc AS MATERIALIZED (SELECT v AS u, lab AS c FROM l$LouvainIters),
+      |intra AS MATERIALIZED (SELECT und.u AS src, und.v AS dst FROM und
+      |  JOIN nc a ON und.u = a.u JOIN nc b ON und.v = b.u
+      |  WHERE a.c = b.c),
+      |verts AS (SELECT DISTINCT src AS v FROM intra),
+      |reach(v, r) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.dst, r.r FROM intra e JOIN reach r ON e.src = r.v),
+      |comps AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+      |fl AS (SELECT l.v, l.lab, coalesce(c.comp, l.v) AS comp
+      |  FROM l$LouvainIters l LEFT JOIN comps c ON c.v = l.v),
+      |ag AS (SELECT lab, count(*)::BIGINT AS n_members,
+      |    count(DISTINCT comp)::BIGINT AS n_internal_components
+      |  FROM fl GROUP BY 1)
+      |SELECT lab AS community, n_members, n_internal_components,
+      |  (CASE WHEN n_internal_components = 1 THEN 1 ELSE 0 END)::BIGINT
+      |    AS is_connected
+      |FROM ag""".stripMargin
 
   private def modularityLouvainSql: String =
     s"""WITH $louvainCtes,
@@ -2554,6 +2618,7 @@ object Graph {
     "q_modularity" -> modularitySql,
     "q_louvain" -> louvainSql,
     "q_louvain_multilevel" -> louvainMultilevelSql,
+    "q_louvain_connectivity" -> louvainConnectivitySql,
     "q_modularity_louvain" -> modularityLouvainSql,
     "q_random_walks" -> randomWalksSql,
     "q_walk_pairs" -> walkPairsSql,

@@ -243,6 +243,35 @@ class GraphSpec extends AnyFunSuite {
     val qMl = qOf(finLab)
     assert(qMl >= qLouvain,
       s"level-2 aggregation must not lose to level 1: $qMl < $qLouvain")
+    // CONNECTIVITY audit (the Leiden-motivating statistic): per
+    // community, internal components via a driver BFS replay over
+    // intra-community edges; totals partition the nodes
+    val gotConn = Graph.qLouvainConnectivity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val wantConn = lab.groupBy(_._2).map { case (c, members) =>
+      val vs = members.keys.toSet
+      val adj = vs.map(v =>
+        v -> nbrs.getOrElse(v, Set.empty[Long]).filter(u =>
+          vs(u) && lab(u) == c)).toMap
+      var unseen = vs
+      var comps = 0
+      while (unseen.nonEmpty) {
+        comps += 1
+        var frontier = Set(unseen.head)
+        unseen -= unseen.head
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj).intersect(unseen)
+          unseen --= frontier
+        }
+      }
+      c -> ((vs.size.toLong, comps.toLong, if (comps == 1) 1L else 0L))
+    }
+    assert(gotConn == wantConn,
+      s"diff=${wantConn.collect { case (k, v) if gotConn.get(k) != Some(v) =>
+        (k, v, gotConn.get(k)) }.take(2)}")
+    assert(gotConn.values.map(_._1).sum == n)
+    assert(gotConn.values.forall(_._2 >= 1))
     // the audit applied to the ascent output (q_modularity_louvain)
     // equals the exact BigInt per-community contributions
     val gotMod = Graph.qModularityLouvain(spark, sf).collect()
