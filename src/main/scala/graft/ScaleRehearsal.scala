@@ -114,9 +114,9 @@ object ScaleRehearsal {
     // the multilevel form adds a communities-sized coarse phase on
     // top — expect ~q_louvain plus a small constant
     "q_louvain", "q_louvain_multilevel",
-    // connectivity audit = louvain + intra-edge CC (both measured
-    // shapes); expect ~q_louvain plus the CC rounds
-    "q_louvain_connectivity",
+    // connectivity audit / refinement = louvain + intra-edge CC
+    // (both measured shapes); expect ~q_louvain plus the CC rounds
+    "q_louvain_connectivity", "q_louvain_refined",
     // r13: HITS (two PageRank-shaped joins per iteration — expect the
     // q_pagerank ratio) and per-seed PPR (sparse (seed, node) state,
     // seeds ∝ n with fixture-bounded balls — expect ~linear)

@@ -886,6 +886,47 @@ object Graph {
     } finally { und.unpersist(); () }
   }
 
+  /** Leiden-style connectivity REFINEMENT of the Louvain partition
+    * (Traag et al. 2019's fix for what [[qLouvainConnectivity]]
+    * measures): split every community into its internal connected
+    * components — each member relabels to its component's minimum id.
+    * This is a THEOREM, not a heuristic: parts of a disconnected
+    * community share no internal edge, so every community's intra
+    * row count is unchanged by the split while the degree penalty
+    * strictly improves (−(d₁+d₂)² < −d₁² − d₂² whenever both parts
+    * carry degree) — Q(refined) ≥ Q(louvain) exactly, with equality
+    * iff every community was already connected; and every refined
+    * community is connected BY CONSTRUCTION. Same plan as the
+    * connectivity audit plus one relabel join; output contract =
+    * [[qLouvain]] (doc_id, community, comm_size) with communities
+    * keyed by component-min ids.
+    */
+  def qLouvainRefined(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().persist()
+    try {
+      val lab = louvainLabels(docs, und).localCheckpoint()
+      val nodeC = lab.toDF("u", "c")
+      val intra = und.join(nodeC, Seq("u"))
+        .join(nodeC.toDF("v", "c2"), Seq("v"))
+        .filter(col("c") === col("c2") && col("u") < col("v"))
+        .select(col("u").as("doc_a"), col("v").as("doc_b"))
+      val cc = Dedup.connectedComponentsLS(intra)
+      // refined label = internal-component min id (isolated members
+      // become their own singleton community)
+      val fin = lab.join(cc.toDF("lv", "comp"), Seq("lv"), "left")
+        .select(col("lv"), coalesce(col("comp"), col("lv")).as("lab"))
+      val sz = fin.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
+      fin.join(sz, Seq("lab"))
+        .select(col("lv").as("doc_id"), col("lab").as("community"),
+          col("comm_size"))
+    } finally { und.unpersist(); () }
+  }
+
   /** [[qModularity]]'s audit applied to the LOUVAIN partition — the
     * closed loop: 26ag scores LPA, 26ah ascends, and this rung makes
     * the ascent's output an oracle-gated number too (one row per
@@ -1787,6 +1828,7 @@ object Graph {
     "q_louvain" -> qLouvain _,
     "q_louvain_multilevel" -> qLouvainMultilevel _,
     "q_louvain_connectivity" -> qLouvainConnectivity _,
+    "q_louvain_refined" -> qLouvainRefined _,
     "q_modularity_louvain" -> qModularityLouvain _,
     "q_random_walks" -> qRandomWalks _,
     "q_walk_pairs" -> qWalkPairs _,
@@ -2201,6 +2243,24 @@ object Graph {
       |  (CASE WHEN n_internal_components = 1 THEN 1 ELSE 0 END)::BIGINT
       |    AS is_connected
       |FROM ag""".stripMargin
+
+  private def louvainRefinedSql: String =
+    s"""WITH RECURSIVE $louvainCtes,
+      |nc AS MATERIALIZED (SELECT v AS u, lab AS c FROM l$LouvainIters),
+      |intra AS MATERIALIZED (SELECT und.u AS src, und.v AS dst FROM und
+      |  JOIN nc a ON und.u = a.u JOIN nc b ON und.v = b.u
+      |  WHERE a.c = b.c),
+      |verts AS (SELECT DISTINCT src AS v FROM intra),
+      |reach(v, r) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.dst, r.r FROM intra e JOIN reach r ON e.src = r.v),
+      |comps AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+      |fin AS (SELECT l.v, coalesce(c.comp, l.v) AS lab
+      |  FROM l$LouvainIters l LEFT JOIN comps c ON c.v = l.v),
+      |sz AS (SELECT lab, count(*)::BIGINT AS comm_size FROM fin GROUP BY 1)
+      |SELECT f.v AS doc_id, f.lab AS community, sz.comm_size
+      |FROM fin f JOIN sz USING (lab)""".stripMargin
 
   private def modularityLouvainSql: String =
     s"""WITH $louvainCtes,
@@ -2619,6 +2679,7 @@ object Graph {
     "q_louvain" -> louvainSql,
     "q_louvain_multilevel" -> louvainMultilevelSql,
     "q_louvain_connectivity" -> louvainConnectivitySql,
+    "q_louvain_refined" -> louvainRefinedSql,
     "q_modularity_louvain" -> modularityLouvainSql,
     "q_random_walks" -> randomWalksSql,
     "q_walk_pairs" -> walkPairsSql,

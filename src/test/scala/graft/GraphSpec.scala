@@ -272,6 +272,57 @@ class GraphSpec extends AnyFunSuite {
         (k, v, gotConn.get(k)) }.take(2)}")
     assert(gotConn.values.map(_._1).sum == n)
     assert(gotConn.values.forall(_._2 >= 1))
+    // REFINEMENT (the Leiden split): each member relabels to its
+    // internal component's min id — Q must improve EXACTLY (theorem:
+    // intra rows unchanged, degree penalty strictly better on any
+    // split), every refined community must be connected, and the
+    // operator must equal the replay relabel
+    val compOf = lab.groupBy(_._2).flatMap { case (c, members) =>
+      val vs = members.keys.toSet
+      val adj = vs.map(v =>
+        v -> nbrs.getOrElse(v, Set.empty[Long]).filter(u =>
+          vs(u) && lab(u) == c)).toMap
+      val out = scala.collection.mutable.Map[Long, Long]()
+      var unseen = vs
+      while (unseen.nonEmpty) {
+        var comp = Set(unseen.head)
+        var frontier = comp
+        unseen -= unseen.head
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj).intersect(unseen)
+          unseen --= frontier
+          comp ++= frontier
+        }
+        val m = comp.min
+        comp.foreach(v => out(v) = m)
+      }
+      out
+    }
+    val refLab = compOf.toMap
+    val refSizes = refLab.values.toSeq.groupBy(identity)
+      .map { case (l, xs) => (l, xs.size.toLong) }
+    val gotRef = Graph.qLouvainRefined(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotRef.length == n)
+    gotRef.foreach { case (v, community, commSize) =>
+      assert(community == refLab(v), s"refined community mismatch at $v")
+      assert(commSize == refSizes(refLab(v)), s"refined size mismatch at $v")
+    }
+    val qRef = qOf(refLab)
+    assert(qRef >= qLouvain,
+      s"connectivity split must not lower Q (theorem): $qRef < $qLouvain")
+    // every refined community is connected by construction
+    refLab.groupBy(_._2).foreach { case (c, members) =>
+      val vs = members.keys.toSet
+      var seen = Set(vs.head)
+      var frontier = seen
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(v => nbrs.getOrElse(v, Set.empty[Long]))
+          .intersect(vs) -- seen
+        seen ++= frontier
+      }
+      assert(seen == vs, s"refined community $c is disconnected")
+    }
     // the audit applied to the ascent output (q_modularity_louvain)
     // equals the exact BigInt per-community contributions
     val gotMod = Graph.qModularityLouvain(spark, sf).collect()
