@@ -43,7 +43,8 @@ object ScaleRehearsal {
     // question), graph family (iteration-dominated, expect ~linear),
     // drift (vocab-join), matryoshka (3× the known-linear brute),
     // html strip (narrow)
-    "q_prefix_join", "q_label_prop", "q_random_walks", "q_triangles",
+    "q_prefix_join", "q_label_prop", "q_random_walks", "q_node2vec_walks",
+    "q_triangles",
     "q_source_drift", "q_matryoshka", "q_html_strip", "q_walk_pairs",
     "q_preference_pairs", "q_json_extract", "q_prefix_incremental",
     "q_delta_release", "q_quality_calibrate",

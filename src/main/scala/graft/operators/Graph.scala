@@ -995,6 +995,93 @@ object Graph {
 
   def qRandomWalks(s: SparkSession, dir: String): DataFrame = walks(s, dir)
 
+  /** node2vec bias weights in lcm units (Grover & Leskovec 2016's
+    * p = q = 2 setting scaled by 2): a candidate step back to the
+    * PREVIOUS node weighs 1/p, a step to a common out-neighbor of the
+    * previous node (graph distance ≤ 1) weighs 1, an outward step
+    * weighs 1/q — the dial between BFS-like (community-structure) and
+    * DFS-like (role-structure) walk corpora.
+    */
+  val N2vWReturn = 1L
+  val N2vWMid = 2L
+  val N2vWOut = 1L
+
+  /** node2vec biased walks (Grover & Leskovec, KDD'16) — the biased
+    * twin of [[walks]], completing the published walk-corpus pair
+    * (DeepWalk's uniform walks + node2vec's 2nd-order biased walks;
+    * both feed [[qWalkPairs]]' skip-gram extraction unchanged). The
+    * 2nd-order state is (walk, prev, cur); each step classifies every
+    * out-neighbor dst of cur into return (dst = prev), mid (dst an
+    * out-neighbor of prev — the directed form of "distance ≤ 1"), or
+    * outward, and picks the dst minimizing hash div w — the
+    * derandomized integer race: like the LSH planes and the 26l walk
+    * picks, the randomness is md5-derived and the weight enters as a
+    * floor-divisor, so higher-weight classes win more often while
+    * both engines replay the choice bit-exactly (a documented
+    * deterministic approximation of the exponential race; the 26l
+    * derandomization posture, now weighted). Step 1 has no previous
+    * node and uses the unbiased 26l rule.
+    *
+    * Shape per step: one frontier⋈edges equi-join + ONE classification
+    * LEFT equi-join against the edge set on (prev, dst) + one per-walk
+    * min(struct) partial fold — O(frontier·degree) shuffled, bounded
+    * steps, cut() lineage; walks end at dangling nodes via the inner
+    * join exactly like [[walks]]. Output (walk_id, step, node).
+    *
+    * Fixture: the RING-CHORD graph ([[triEdges]]) rather than the
+    * sink fixture — measured, not assumed: under the sink fixture's
+    * two linear maps a candidate is essentially never the previous
+    * node or one of its out-neighbors, so the 2nd-order classes never
+    * engage and the biased corpus degenerates to the uniform one; the
+    * ring edges make "common neighbor of prev" a frequent class
+    * (cur = u+1's candidate u+2 ∈ outN(u)) and the spec pins the
+    * corpus genuinely diverges from the unbiased walk on the SAME
+    * graph.
+    */
+  def qNode2vecWalks(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = triEdges(docs, n).filter(col("src") =!= col("dst")).persist()
+    try {
+      var out = docs.select(col("doc_id").as("walk_id"), lit(0L).as("step"),
+        col("doc_id").as("node"))
+      // step 1: unbiased md5 pick; prev = the start node
+      var st = cut(docs.select(col("doc_id").as("walk_id"),
+          col("doc_id").as("prev"))
+        .join(e, col("prev") === e("src"))
+        .select(col("walk_id"), col("prev"),
+          tokenHash(concat_ws(":", col("walk_id"), lit(1), col("dst"))).as("hk"),
+          col("dst"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("hk"), col("dst"))).as("m"),
+          max(col("prev")).as("prev"))
+        .select(col("walk_id"), col("prev"), col("m.dst").as("cur")))
+      out = out.unionAll(st.select(col("walk_id"), lit(1L).as("step"),
+        col("cur").as("node")))
+      for (k <- 2 to WalkSteps) {
+        val cand = st.join(e, st("cur") === e("src"))
+          .select(col("walk_id"), col("prev"), col("cur"), col("dst"))
+        val classified = cand
+          .join(e.toDF("prev", "dst").withColumn("mid", lit(1)),
+            Seq("prev", "dst"), "left")
+          .withColumn("w",
+            when(col("dst") === col("prev"), lit(N2vWReturn))
+              .otherwise(when(col("mid") === 1, lit(N2vWMid))
+                .otherwise(lit(N2vWOut))))
+          .withColumn("hk",
+            tokenHash(concat_ws(":", col("walk_id"), lit(k), col("dst"))))
+          .withColumn("key", expr("hk div w"))
+        st = cut(classified.groupBy(col("walk_id"))
+          .agg(min(struct(col("key"), col("dst"))).as("m"),
+            max(col("cur")).as("prev"))
+          .select(col("walk_id"), col("prev"), col("m.dst").as("cur")))
+        out = out.unionAll(st.select(col("walk_id"), lit(k.toLong).as("step"),
+          col("cur").as("node")))
+      }
+      out.select(col("walk_id"), col("step"), col("node"))
+    } finally { e.unpersist(); () }
+  }
+
   /** Skip-gram window for walk-pair extraction. */
   val WalkWindow = 2
 
@@ -1831,6 +1918,7 @@ object Graph {
     "q_louvain_refined" -> qLouvainRefined _,
     "q_modularity_louvain" -> qModularityLouvain _,
     "q_random_walks" -> qRandomWalks _,
+    "q_node2vec_walks" -> qNode2vecWalks _,
     "q_walk_pairs" -> qWalkPairs _,
     "q_kcore" -> qKcore _,
     "q_triangles" -> qTriangles _,
@@ -2282,6 +2370,45 @@ object Graph {
       |        ELSE -(((0 - num) * 1000000) // den) END)::BIGINT AS contrib_ppm
       |FROM scored""".stripMargin
 
+  private def node2vecWalksSql: String = {
+    val eCte =
+      s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+        |    FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % nn.n FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 3) % nn.n FROM documents CROSS JOIN nn)
+        |  WHERE src != dst),
+        |w0 AS (SELECT doc_id AS walk_id, doc_id AS node FROM documents),
+        |w1 AS MATERIALIZED (SELECT walk_id, prev, node FROM (
+        |  SELECT s.walk_id, s.node AS prev, e.dst AS node,
+        |    row_number() OVER (PARTITION BY s.walk_id ORDER BY
+        |      ('0x' || substr(md5(concat_ws(':', s.walk_id, 1, e.dst)), 1, 12))::BIGINT,
+        |      e.dst) AS rn
+        |  FROM w0 s JOIN e ON s.node = e.src) WHERE rn = 1)""".stripMargin
+    val steps = (2 to WalkSteps).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT walk_id, prev, node FROM (
+        |  SELECT s.walk_id, s.node AS prev, e.dst AS node,
+        |    row_number() OVER (PARTITION BY s.walk_id ORDER BY
+        |      ('0x' || substr(md5(concat_ws(':', s.walk_id, $k, e.dst)), 1, 12))::BIGINT
+        |        // (CASE WHEN e.dst = s.prev THEN $N2vWReturn
+        |               WHEN m.dst IS NOT NULL THEN $N2vWMid
+        |               ELSE $N2vWOut END),
+        |      e.dst) AS rn
+        |  FROM w${k - 1} s JOIN e ON s.node = e.src
+        |  LEFT JOIN e m ON m.src = s.prev AND m.dst = e.dst) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (Seq("SELECT walk_id, 0::BIGINT AS step, node FROM w0") ++
+      (1 to WalkSteps).map(k =>
+        s"SELECT walk_id, $k::BIGINT AS step, node FROM w$k"))
+      .mkString("\nUNION ALL ")
+    s"""WITH $eCte,
+      |$steps
+      |$union""".stripMargin
+  }
+
   private def randomWalksSql: String = {
     val eCte =
       s"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
@@ -2682,6 +2809,7 @@ object Graph {
     "q_louvain_refined" -> louvainRefinedSql,
     "q_modularity_louvain" -> modularityLouvainSql,
     "q_random_walks" -> randomWalksSql,
+    "q_node2vec_walks" -> node2vecWalksSql,
     "q_walk_pairs" -> walkPairsSql,
     "q_kcore" -> kcoreSql,
     "q_triangles" -> trianglesSql,

@@ -419,6 +419,82 @@ class GraphSpec extends AnyFunSuite {
       "some walk should hit a sink before the last step")
   }
 
+  test("node2vec walks equal a driver replay; the 2nd-order bias is real") {
+    import graft.functions.GraftFunctions.tokenHashLong
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    // the ring-chord fixture (see the operator's fixture note: the
+    // sink fixture's linear maps never produce a return/common
+    // candidate, so the bias would never engage there)
+    val edges = (0L until n)
+      .flatMap(u => Seq(u -> (u + 1) % n, u -> (u + 2) % n,
+        u -> (u * 7 + 3) % n))
+      .filter { case (a, b) => a != b }.distinct
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val eset = edges.toSet
+    // full driver replay of the weighted integer race
+    val want = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (w <- 0L until n) {
+      var prev = w
+      var cur = w
+      want((w, 0L)) = w
+      var k = 1
+      var alive = adj.contains(cur)
+      while (k <= Graph.WalkSteps && alive) {
+        val cands = adj(cur)
+        val pick =
+          if (k == 1) cands.map(d =>
+            (tokenHashLong(s"$w:$k:$d"), d)).min._2
+          else cands.map { d =>
+            val wt = if (d == prev) Graph.N2vWReturn
+              else if (eset((prev, d))) Graph.N2vWMid
+              else Graph.N2vWOut
+            (tokenHashLong(s"$w:$k:$d") / wt, d)
+          }.min._2
+        prev = cur
+        cur = pick
+        want((w, k.toLong)) = cur
+        alive = adj.contains(cur)
+        k += 1
+      }
+    }
+    val got = Graph.qNode2vecWalks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want.toMap,
+      s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- want.keySet).take(3)} " +
+        s"diff=${want.collect { case (k, v) if got.get(k) != Some(v) =>
+          (k, v, got.get(k)) }.take(3)}")
+    // every transition follows an edge of the fixture
+    got.toSeq.groupBy(_._1._1).foreach { case (w, steps) =>
+      val path = steps.sortBy(_._1._2).map(_._2)
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(eset((a, b)), s"walk $w jumped $a -> $b")
+        case _ =>
+      }
+    }
+    // the bias is REAL: the biased corpus must diverge from the
+    // UNBIASED pick rule replayed on the SAME graph
+    val uniform = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (w <- 0L until n) {
+      var cur = w
+      uniform((w, 0L)) = w
+      for (k <- 1 to Graph.WalkSteps if adj.contains(cur)) {
+        cur = adj(cur).map(d => (tokenHashLong(s"$w:$k:$d"), d)).min._2
+        uniform((w, k.toLong)) = cur
+      }
+    }
+    assert(got != uniform.toMap, "node2vec bias never changed a pick")
+    // and the classes genuinely occur: some step's winner was a
+    // common-neighbor (mid) or return candidate
+    val biasedSteps = got.toSeq.groupBy(_._1._1).flatMap { case (w, steps) =>
+      val path = steps.sortBy(_._1._2).map(_._2)
+      path.sliding(3).collect {
+        case Seq(p, _, d) if d == p || eset((p, d)) => 1
+      }
+    }
+    assert(biasedSteps.nonEmpty, "no return/mid transition ever won")
+  }
+
   test("walk pairs equal the window expansion of the walk corpus") {
     val w = Graph.walks(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
