@@ -38,6 +38,7 @@ object ScaleRehearsal {
     // r10: the sketch/phrase tier — all expected ~linear (partial-agg
     // shuffles to fixed-size or vocab-size state; per-doc windows)
     "q_pmi_phrases", "q_phrase_apply", "q_count_min", "q_hll_sketch",
+    "q_f2_sketch",
     "q_bloom_audit", "q_len_hist",
     // r10 late additions: prefix join (candidate growth is the
     // question), graph family (iteration-dominated, expect ~linear),

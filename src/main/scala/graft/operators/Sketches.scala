@@ -612,6 +612,56 @@ object Sketches {
   def qKmvSetOps(s: SparkSession, dir: String): DataFrame =
     kmvSetOps(Tables.documents(s, dir))
 
+  // --- AMS F2 (second frequency moment) sketch ---------------------------
+
+  /** Number of independent ±1 sketches (mean of squares over them). */
+  val F2Sketches = 16
+
+  /** The k ±1 sketch sums per group — S_i(g) = Σ_tokens σ_i(token),
+    * σ_i(w) = ±1 from the md5 hash parity of w#f2i (the established
+    * derandomization: four-wise independence replaced by md5, so both
+    * engines replay the sketch bit-exactly). LINEAR in the token
+    * multiset — the merge law S_i(A ⊎ B) = S_i(A) + S_i(B) is exact
+    * integer equality, spec-pinned. One partial-agg shuffle to a
+    * (groups × k)-scalar frame.
+    */
+  private[graft] def f2SketchSums(terms: DataFrame): DataFrame =
+    terms.groupBy(col("gk"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (0 until F2Sketches).map(i =>
+          sum(when(tokenHash(concat(col("w"), lit(s"#f2$i"))) % 2 === 0, 1L)
+            .otherwise(-1L)).as(s"s$i")): _*)
+
+  /** AMS second-frequency-moment sketch (Alon, Matias & Szegedy,
+    * STOC'96) per source — F2 = Σ_w cnt(w)² is the token-frequency
+    * SKEW statistic (self-join size of the token table, the repeated-
+    * token analogue of HLL's distinct count; count-min answers point
+    * frequency, HLL cardinality, F2 skew — the classic streaming
+    * trio, now complete). Estimate = mean over [[F2Sketches]]
+    * derandomized ±1 sketches of S_i² (E[S²] = F2 exactly under
+    * 4-wise independence; the md5 signs make it a deterministic,
+    * cross-engine-exact estimator — its accuracy on this corpus is
+    * part of the oracle-checked output, the minhash-estimator
+    * posture). Exact F2 rides one (source, w) partial agg for the
+    * audit column; the sketch itself never materializes per-word
+    * state — the 100 TB form keeps only sources × k longs, and
+    * sketches MERGE by addition (linear; spec-pinned exact).
+    */
+  def qF2Sketch(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("source").as("gk"), explode(tokens(col("text"))).as("w"))
+    val sk = f2SketchSums(terms)
+      .withColumn("est_f2", expr("(" +
+        (0 until F2Sketches).map(i => s"s$i * s$i").mkString(" + ") +
+        s") div $F2Sketches"))
+    val exact = terms.groupBy(col("gk"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("gk")).agg(sum(col("c") * col("c")).as("exact_f2"))
+    sk.join(exact, Seq("gk"))
+      .select(col("gk").as("source"), col("n_tokens"), col("exact_f2"),
+        col("est_f2"))
+  }
+
   // --- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -620,6 +670,7 @@ object Sketches {
     "q_phrase_apply" -> qPhraseApply _,
     "q_count_min" -> qCountMin _,
     "q_hll_sketch" -> qHllSketch _,
+    "q_f2_sketch" -> qF2Sketch _,
     "q_bloom_audit" -> qBloomAudit _,
     "q_quantile_sketch" -> qQuantileSketch _,
     "q_len_hist" -> qLenHist _)
@@ -627,6 +678,23 @@ object Sketches {
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "q_f2_sketch" -> {
+      val sums = (0 until F2Sketches).map(i =>
+        s"sum(CASE WHEN ('0x' || substr(md5(w || '#f2$i'), 1, 12))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS s$i")
+        .mkString(",\n    ")
+      val sq = (0 until F2Sketches).map(i => s"s$i * s$i").mkString(" + ")
+      s"""WITH tok AS (SELECT source AS gk, unnest($toksSql) AS w
+        |  FROM documents),
+        |sk AS (SELECT gk, count(*)::BIGINT AS n_tokens,
+        |    $sums
+        |  FROM tok GROUP BY gk),
+        |ex AS (SELECT gk, sum(c * c)::BIGINT AS exact_f2 FROM (
+        |  SELECT gk, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2)
+        |  GROUP BY gk)
+        |SELECT sk.gk AS source, sk.n_tokens, ex.exact_f2,
+        |  (($sq) // $F2Sketches)::BIGINT AS est_f2
+        |FROM sk JOIN ex USING (gk)""".stripMargin
+    },
     "q_kmv_setops" ->
       s"""WITH tok AS (
         |  SELECT source, unnest(hs) AS h FROM (

