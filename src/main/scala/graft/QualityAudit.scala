@@ -172,12 +172,14 @@ object QualityAudit {
     val nnd = s"""{"edges":{"recall":$edgeAgree,"candidates":$nndEdgeCount},"serve_b${Similarity.BeamWidth}":{"recall":$nndServe,"candidates":${Similarity.TopK * nQueries}}}"""
     // r14: the descent-dial ladder (waves/sample/buildK) measured
     // against the same pinned exact edges, and the config
-    // autoConfigNnd picks at the 0.85 edge-agreement floor — rung 1
-    // is the default build already measured above, reused
-    val nndPts = Similarity.NndSweepPoint(
+    // autoConfigNnd picks at the 0.85 edge-agreement floor — the
+    // default rung (w8s24 since r15) is the build already measured
+    // above, reused; the remaining rungs sweep in ladder order
+    val nndPts = (Similarity.NndSweepPoint(
         Similarity.NndConfig(), nndEdgeCount, edgeAgree) +:
       Similarity.nndSweepAgainst(emb, exactEdges,
-        Similarity.DefaultNndLadder.tail)
+        Similarity.DefaultNndLadder.filterNot(_ == Similarity.NndConfig())))
+      .sortBy(p => Similarity.DefaultNndLadder.indexOf(p.config))
     val nndLadder = nndPts
       .map(p => s""""${p.config.key}":{"recall":${p.agreement},"candidates":${p.nEdges}}""")
       .mkString("{", ",", "}")

@@ -2505,15 +2505,24 @@ object Similarity {
 
   /** NN-descent refinement rounds (each is one bounded
     * neighbor-of-neighbor candidate wave; the loop also early-exits
-    * at the no-edge-changed fixpoint).
+    * at the no-edge-changed fixpoint). 8 waves (with sample 24) is
+    * the r14 autoconfig pick — the first [[DefaultNndLadder]] rung
+    * meeting the 0.85 edge-agreement floor at sf0.1 (measured 0.893
+    * vs the r13 w6s16 dial's 0.78, RECALL_r14
+    * `autoconfig_nnd_0.85`); shipped as the default per the r14
+    * verdict (the production entry points now build at the measured
+    * floor, not below it).
     */
-  val NndRounds = 6
+  val NndRounds = 8
   /** Per-node neighborhood sample cap: the candidate generator takes
     * each node's ≤ NndSample in∪out neighbors (deterministic hash
     * pick — Dong et al.'s ρK sampling), so an adversarial in-degree
-    * hub contributes NndSample² pairs, never deg².
+    * hub contributes NndSample² pairs, never deg². 24 per the r14
+    * autoconfig pick (see [[NndRounds]]); candidate mass per wave is
+    * ∝ sample², so this rung costs ~2.25× the r13 w6s16 wave — the
+    * measured price of clearing the floor.
     */
-  val NndSample = 16
+  val NndSample = 24
   /** Internal build list width: the descent refines buildK-wide lists
     * and cuts to the caller's k at the end. Dong et al. note the
     * low-K regime under-explores — with K = 5 the measured fixture
@@ -2714,14 +2723,17 @@ object Similarity {
   /** Cheapest-first NN-descent ladder for [[autoConfigNnd]]: more
     * waves first (each wave is one bounded candidate join — the
     * cheapest dial), then wider neighborhood samples (candidate mass
-    * ∝ sample²), then deeper build lists (state ∝ buildK). The r13
-    * defaults are the bottom rung (0.78 edge agreement at sf0.1 —
-    * below the 0.85 floor, which is why this dial exists).
+    * ∝ sample²), then deeper build lists (state ∝ buildK). Rungs are
+    * spelled explicitly (not via `NndConfig()` defaults) so the
+    * sweep keeps measuring the historical dials after a default
+    * bump: w6s16 was the r13 default (0.78 at sf0.1 — below the
+    * 0.85 floor, which is why this dial exists); w8s24 is the r14
+    * pick now shipped as [[NndConfig]]'s default.
     */
   val DefaultNndLadder: Seq[NndConfig] = Seq(
+    NndConfig(rounds = 6, sample = 16),
+    NndConfig(rounds = 8, sample = 16),
     NndConfig(),
-    NndConfig(rounds = 8),
-    NndConfig(rounds = 8, sample = 24),
     NndConfig(rounds = 10, sample = 24, buildK = 28),
     NndConfig(rounds = 12, sample = 32, buildK = 32))
 
