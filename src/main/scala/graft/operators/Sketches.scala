@@ -650,13 +650,24 @@ object Sketches {
   def qF2Sketch(s: SparkSession, dir: String): DataFrame = {
     val terms = Tables.documents(s, dir)
       .select(col("source").as("gk"), explode(tokens(col("text"))).as("w"))
+    // squared terms ride DECIMAL(38,0) (the PMI/26ag headroom
+    // discipline): s_i and c are bounded by the group's token count,
+    // so s_i² / c² pass ~3e9 tokens-per-source where int64 silently
+    // wraps on the Spark side while the DuckDB twin raises. The mean
+    // over sketches is a remainder-subtract floor division kept in
+    // decimal — `div` truncates its result to int64 (measured: it
+    // WRAPS past 2^63) — mirroring DuckDB's HUGEINT `//` exactly up
+    // to ~1e32 (n_tokens ~1e16 per source, beyond any corpus).
+    val s2sum = "(" + (0 until F2Sketches)
+      .map(i => s"CAST(s$i AS DECIMAL(38,0)) * s$i").mkString(" + ") + ")"
     val sk = f2SketchSums(terms)
-      .withColumn("est_f2", expr("(" +
-        (0 until F2Sketches).map(i => s"s$i * s$i").mkString(" + ") +
-        s") div $F2Sketches"))
+      .withColumn("s2", expr(s2sum))
+      .withColumn("est_f2",
+        expr(s"CAST((s2 - s2 % $F2Sketches) / $F2Sketches AS DECIMAL(38,0))"))
     val exact = terms.groupBy(col("gk"), col("w"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("gk")).agg(sum(col("c") * col("c")).as("exact_f2"))
+      .groupBy(col("gk"))
+      .agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("exact_f2"))
     sk.join(exact, Seq("gk"))
       .select(col("gk").as("source"), col("n_tokens"), col("exact_f2"),
         col("est_f2"))
@@ -682,17 +693,18 @@ object Sketches {
       val sums = (0 until F2Sketches).map(i =>
         s"sum(CASE WHEN ('0x' || substr(md5(w || '#f2$i'), 1, 12))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS s$i")
         .mkString(",\n    ")
-      val sq = (0 until F2Sketches).map(i => s"s$i * s$i").mkString(" + ")
+      val sq = (0 until F2Sketches)
+        .map(i => s"s$i::HUGEINT * s$i").mkString(" + ")
       s"""WITH tok AS (SELECT source AS gk, unnest($toksSql) AS w
         |  FROM documents),
         |sk AS (SELECT gk, count(*)::BIGINT AS n_tokens,
         |    $sums
         |  FROM tok GROUP BY gk),
-        |ex AS (SELECT gk, sum(c * c)::BIGINT AS exact_f2 FROM (
+        |ex AS (SELECT gk, sum(c::HUGEINT * c)::DECIMAL(38,0) AS exact_f2 FROM (
         |  SELECT gk, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2)
         |  GROUP BY gk)
         |SELECT sk.gk AS source, sk.n_tokens, ex.exact_f2,
-        |  (($sq) // $F2Sketches)::BIGINT AS est_f2
+        |  (($sq) // $F2Sketches)::DECIMAL(38,0) AS est_f2
         |FROM sk JOIN ex USING (gk)""".stripMargin
     },
     "q_kmv_setops" ->

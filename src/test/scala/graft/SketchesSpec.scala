@@ -161,9 +161,11 @@ class SketchesSpec extends AnyFunSuite {
       val est = sums.map(s => s * s).sum / Sketches.F2Sketches
       src -> ((ws.size.toLong, exact, est, sums))
     }
+    // exact_f2/est_f2 ride decimal(38,0) (int64-overflow headroom)
     val got = Sketches.qF2Sketch(spark, sf).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        ((r.getLong(1), r.getDecimal(2).longValueExact(),
+          r.getDecimal(3).longValueExact()))).toMap
     assert(got == bySrc.map { case (s, (n, ex, e, _)) => s -> ((n, ex, e)) },
       "F2 replay mismatch")
     // merge law: the corpus-wide sketch sums are EXACTLY the per-
