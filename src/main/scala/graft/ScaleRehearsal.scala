@@ -125,7 +125,12 @@ object ScaleRehearsal {
     "q_hits", "q_ppr",
     // WordPiece-likelihood training: vocab-sized state per round —
     // expect sublinear in rows (tracks distinct-word growth)
-    "q_wp_train")
+    "q_wp_train",
+    // r15: full Leiden (refine → aggregate-refined → coarse moves →
+    // project → final refine; expect ~q_louvain_multilevel plus the
+    // CC rounds) and the biased-corpus pair expansion (the
+    // q_walk_pairs self-join shape over the node2vec corpus)
+    "q_leiden", "q_walk_pairs_n2v")
     .map(n => n -> SparkEntry.queries(n)) ++ Seq(
     // r12 (r11 verdict #2): the packed-register HyperBall at DOUBLE
     // the audited hop count — the scaled rung the 64-rows-per-node

@@ -769,24 +769,43 @@ object Graph {
       und.groupBy(col("u")).agg(count(lit(1)).as("s")),
       und.count(), rounds)
 
+  /** Memoized Louvain base state per (session, dir): the undirected
+    * ring-chord closure (lineage-cut), its directed-row count m2,
+    * and the level-1 ascent labels. The five audit/refinement rungs
+    * plus the Leiden composition all consume ONE ascent — r14
+    * verdict #3: 37.6 s of BENCH_r14 was the identical 6-round
+    * ascent recomputed five times, exactly what a production
+    * consumer would never do (labels are computed once and fed to
+    * every audit). Keyed by SparkSession reference so a fresh
+    * session never sees another session's checkpointed blocks; the
+    * per-rung oracle outputs are byte-identical to the unshared
+    * form (same deterministic ascent, same frames).
+    */
+  private val louvainMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Long, DataFrame)]
+
+  private[graft] def louvainBase(s: SparkSession, dir: String)
+      : (DataFrame, Long, DataFrame) =
+    louvainMemo.getOrElseUpdate((s, dir), {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
+      val und = cut(e.select(col("src").as("u"), col("dst").as("v"))
+        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+        .distinct())
+      (und, und.count(), cut(louvainLabels(docs, und)))
+    })
+
   /** Louvain communities over the ring-chord fixture — the same
     * output contract as [[qLabelProp]] (doc_id, community,
     * comm_size); quality measured by [[modularityContrib]].
     */
   def qLouvain(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val n = docs.count()
-    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
-    val und = e.select(col("src").as("u"), col("dst").as("v"))
-      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
-      .distinct().persist()
-    try {
-      val lab = louvainLabels(docs, und)
-      val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
-      lab.join(sz, Seq("lab"))
-        .select(col("lv").as("doc_id"), col("lab").as("community"),
-          col("comm_size"))
-    } finally { und.unpersist(); () }
+    val (_, _, lab) = louvainBase(s, dir)
+    val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
+    lab.join(sz, Seq("lab"))
+      .select(col("lv").as("doc_id"), col("lab").as("community"),
+        col("comm_size"))
   }
 
   /** Level-2 move rounds of the multilevel form (see
@@ -812,37 +831,45 @@ object Graph {
     * plan on a smaller frame. Spec pins Q(multilevel) ≥ Q(one-level)
     * ≥ Q(LPA), all exact BigInt, plus the full two-level replay.
     */
+  /** Coarse weighted graph over a (u, c) node→community assignment:
+    * inter-community directed-row counts as edge weights and
+    * community degree sums as super-node strengths (m2-conserving —
+    * the shared aggregation stage of [[qLouvainMultilevel]] and
+    * [[qLeiden]]).
+    */
+  private def coarsen(und: DataFrame, nodeC: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val cw = und.join(nodeC, Seq("u"))
+      .join(nodeC.toDF("v", "c2"), Seq("v"))
+      .filter(col("c") =!= col("c2"))
+      .groupBy(col("c"), col("c2")).agg(count(lit(1)).as("w"))
+      .select(col("c").as("u"), col("c2").as("v"), col("w"))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val cs = nodeC.join(deg, Seq("u"))
+      .groupBy(col("c")).agg(sum(col("deg")).as("s"))
+      .select(col("c").as("u"), col("s"))
+    (cw, cs)
+  }
+
   def qLouvainMultilevel(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val n = docs.count()
-    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
-    val und = e.select(col("src").as("u"), col("dst").as("v"))
-      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
-      .distinct().persist()
-    try {
-      val m2 = und.count()
-      val l1 = louvainLabels(docs, und).localCheckpoint()
-      val nodeC = l1.toDF("u", "c")
-      val cw = und.join(nodeC, Seq("u"))
-        .join(nodeC.toDF("v", "c2"), Seq("v"))
-        .filter(col("c") =!= col("c2"))
-        .groupBy(col("c"), col("c2")).agg(count(lit(1)).as("w"))
-        .select(col("c").as("u"), col("c2").as("v"), col("w"))
-      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val cs = nodeC.join(deg, Seq("u"))
-        .groupBy(col("c")).agg(sum(col("deg")).as("s"))
-        .select(col("c").as("u"), col("s"))
-      val l2 = louvainMoveRounds(
-        cs.select(col("u").as("lv"), col("u").as("lab")),
-        cw, cs, m2, LouvainL2Iters)
-      val fin = l1.select(col("lv"), col("lab"))
-        .join(l2.toDF("lab", "lab2"), Seq("lab"))
-        .select(col("lv"), col("lab2").as("lab"))
-      val sz = fin.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
-      fin.join(sz, Seq("lab"))
-        .select(col("lv").as("doc_id"), col("lab").as("community"),
-          col("comm_size"))
-    } finally { und.unpersist(); () }
+    val (und, m2, l1) = louvainBase(s, dir)
+    val nodeC = l1.toDF("u", "c")
+    val (cw, cs) = coarsen(und, nodeC)
+    val l2 = louvainMoveRounds(
+      cs.select(col("u").as("lv"), col("u").as("lab")),
+      cw, cs, m2, LouvainL2Iters)
+    // LEFT join + coalesce (r14 ADVICE): the coarse node set carries
+    // only communities whose members have degree — an all-isolated
+    // community never aggregates, and an inner join would silently
+    // drop its members from the projection (latent off-fixture);
+    // unaggregated communities pass their level-1 label through.
+    val fin = l1.select(col("lv"), col("lab"))
+      .join(l2.toDF("lab", "lab2"), Seq("lab"), "left")
+      .select(col("lv"), coalesce(col("lab2"), col("lab")).as("lab"))
+    val sz = fin.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
+    fin.join(sz, Seq("lab"))
+      .select(col("lv").as("doc_id"), col("lab").as("community"),
+        col("comm_size"))
   }
 
   /** Community CONNECTIVITY audit of the Louvain partition — the
@@ -858,32 +885,34 @@ object Graph {
     * community partial agg — component ids are min-reachable ids, so
     * the recursive-closure oracle agrees exactly.
     */
+  /** Internal-component relabel of a (lv, lab) partition over `und`:
+    * each member's refined label is the minimum id of its
+    * intra-community connected component (isolated members keep
+    * their own id) — the shared refinement stage of the
+    * connectivity audit, [[qLouvainRefined]] and [[qLeiden]].
+    */
+  private def refineByComponents(und: DataFrame, lab: DataFrame): DataFrame = {
+    val nodeC = lab.toDF("u", "c")
+    val intra = und.join(nodeC, Seq("u"))
+      .join(nodeC.toDF("v", "c2"), Seq("v"))
+      .filter(col("c") === col("c2") && col("u") < col("v"))
+      .select(col("u").as("doc_a"), col("v").as("doc_b"))
+    val cc = Dedup.connectedComponentsLS(intra)
+    lab.join(cc.toDF("lv", "comp"), Seq("lv"), "left")
+      .select(col("lv"), col("lab"),
+        coalesce(col("comp"), col("lv")).as("comp"))
+  }
+
   def qLouvainConnectivity(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val n = docs.count()
-    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
-    val und = e.select(col("src").as("u"), col("dst").as("v"))
-      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
-      .distinct().persist()
-    try {
-      val lab = louvainLabels(docs, und).localCheckpoint()
-      val nodeC = lab.toDF("u", "c")
-      val intra = und.join(nodeC, Seq("u"))
-        .join(nodeC.toDF("v", "c2"), Seq("v"))
-        .filter(col("c") === col("c2") && col("u") < col("v"))
-        .select(col("u").as("doc_a"), col("v").as("doc_b"))
-      val cc = Dedup.connectedComponentsLS(intra)
-      val comp = lab.join(cc.toDF("lv", "comp"), Seq("lv"), "left")
-        .select(col("lv"), col("lab"),
-          coalesce(col("comp"), col("lv")).as("comp"))
-      comp.groupBy(col("lab"))
-        .agg(count(lit(1)).as("n_members"),
-          countDistinct(col("comp")).as("n_internal_components"))
-        .select(col("lab").as("community"), col("n_members"),
-          col("n_internal_components"),
-          when(col("n_internal_components") === 1, 1L).otherwise(0L)
-            .as("is_connected"))
-    } finally { und.unpersist(); () }
+    val (und, _, lab) = louvainBase(s, dir)
+    refineByComponents(und, lab)
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("comp")).as("n_internal_components"))
+      .select(col("lab").as("community"), col("n_members"),
+        col("n_internal_components"),
+        when(col("n_internal_components") === 1, 1L).otherwise(0L)
+          .as("is_connected"))
   }
 
   /** Leiden-style connectivity REFINEMENT of the Louvain partition
@@ -902,29 +931,15 @@ object Graph {
     * keyed by component-min ids.
     */
   def qLouvainRefined(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val n = docs.count()
-    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
-    val und = e.select(col("src").as("u"), col("dst").as("v"))
-      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
-      .distinct().persist()
-    try {
-      val lab = louvainLabels(docs, und).localCheckpoint()
-      val nodeC = lab.toDF("u", "c")
-      val intra = und.join(nodeC, Seq("u"))
-        .join(nodeC.toDF("v", "c2"), Seq("v"))
-        .filter(col("c") === col("c2") && col("u") < col("v"))
-        .select(col("u").as("doc_a"), col("v").as("doc_b"))
-      val cc = Dedup.connectedComponentsLS(intra)
-      // refined label = internal-component min id (isolated members
-      // become their own singleton community)
-      val fin = lab.join(cc.toDF("lv", "comp"), Seq("lv"), "left")
-        .select(col("lv"), coalesce(col("comp"), col("lv")).as("lab"))
-      val sz = fin.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
-      fin.join(sz, Seq("lab"))
-        .select(col("lv").as("doc_id"), col("lab").as("community"),
-          col("comm_size"))
-    } finally { und.unpersist(); () }
+    val (und, _, lab) = louvainBase(s, dir)
+    // refined label = internal-component min id (isolated members
+    // become their own singleton community)
+    val fin = refineByComponents(und, lab)
+      .select(col("lv"), col("comp").as("lab"))
+    val sz = fin.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
+    fin.join(sz, Seq("lab"))
+      .select(col("lv").as("doc_id"), col("lab").as("community"),
+        col("comm_size"))
   }
 
   /** [[qModularity]]'s audit applied to the LOUVAIN partition — the
@@ -934,15 +949,55 @@ object Graph {
     * plan as qModularity with [[louvainLabels]] swapped in.
     */
   def qModularityLouvain(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val n = docs.count()
-    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
-    val und = e.select(col("src").as("u"), col("dst").as("v"))
-      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
-      .distinct().persist()
-    try {
-      modularityContrib(und, louvainLabels(docs, und).toDF("u", "c"))
-    } finally { und.unpersist(); () }
+    val (und, _, lab) = louvainBase(s, dir)
+    modularityContrib(und, lab.toDF("u", "c"))
+  }
+
+  /** Full LEIDEN (Traag, Waltman & van Eck 2019) — the r14
+    * composition closed: where [[qLouvainMultilevel]] aggregates the
+    * RAW level-1 partition, Leiden refines FIRST and aggregates the
+    * REFINED partition, seeding each refined super-node with its
+    * parent community — so the coarse move phase starts from the
+    * level-1 partition's Q (grouping refined parts by parent
+    * reconstitutes it exactly) but moves connectivity-safe units: a
+    * badly-connected community's stranded part can leave on its own
+    * instead of being welded to members it cannot reach. Stages, all
+    * machinery r14 already shipped: (1) level-1 local moves
+    * ([[louvainBase]]'s shared ascent); (2) connectivity refinement
+    * ([[refineByComponents]] — the paper's γ-connectivity guarantee
+    * in its deterministic component form); (3) aggregation of the
+    * refined partition ([[coarsen]]) with init = parent labels;
+    * (4) the same weighted ΔQ move rounds on the coarse graph;
+    * (5) projection final(v) = L2(refined(v)) (left + coalesce — the
+    * multilevel isolated-community discipline); (6) a final
+    * component refinement, so every output community is connected BY
+    * CONSTRUCTION at every level and Q only gains (the r14 theorem
+    * pin, applied per level; spec pins Q(leiden) ≥ Q(multilevel) on
+    * the fixture in exact BigInt). Scale shape: every stage is
+    * either the level-1 LPA plan, the O(log n) large-star/small-star
+    * CC, or the same plan on the communities-sized coarse frame.
+    */
+  def qLeiden(s: SparkSession, dir: String): DataFrame = {
+    val (und, m2, l1) = louvainBase(s, dir)
+    // (2) refined partition: (lv, parent lab, refined comp label)
+    val ref = refineByComponents(und, l1)
+    val r1 = ref.select(col("lv"), col("comp").as("lab"))
+    // (3) aggregate the REFINED partition; init = parent community
+    val (cw, cs) = coarsen(und, r1.toDF("u", "c"))
+    val init = ref.select(col("comp").as("lv"), col("lab")).distinct()
+    // (4) coarse move rounds (m2 conserved — same score arithmetic)
+    val l2 = louvainMoveRounds(init, cw, cs, m2, LouvainL2Iters)
+    // (5) project through the refined ids, left + coalesce
+    val projected = r1
+      .join(l2.toDF("lab", "lab2"), Seq("lab"), "left")
+      .select(col("lv"), coalesce(col("lab2"), col("lab")).as("lab"))
+    // (6) final refinement: output communities connected by construction
+    val fin = refineByComponents(und, projected)
+      .select(col("lv"), col("comp").as("lab"))
+    val sz = fin.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
+    fin.join(sz, Seq("lab"))
+      .select(col("lv").as("doc_id"), col("lab").as("community"),
+        col("comm_size"))
   }
 
   /** Steps per walk (positions 0..WalkSteps; walks END early at
@@ -1094,15 +1149,30 @@ object Graph {
     * partial-agg count. The output is exactly the pair table a
     * skip-gram embedding trainer consumes.
     */
-  def qWalkPairs(s: SparkSession, dir: String): DataFrame = {
-    val w = walks(s, dir)
+  /** The window expansion itself, shared by both corpora: `w` is a
+    * (walk_id, step, node) walk table.
+    */
+  private def skipGramPairs(w: DataFrame): DataFrame =
     w.toDF("walk_id", "step_a", "center")
       .join(w.toDF("walk_id", "step_b", "context"), Seq("walk_id"))
       .filter(col("step_a") =!= col("step_b") &&
         abs(col("step_a") - col("step_b")) <= WalkWindow)
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n_pairs"))
-  }
+
+  def qWalkPairs(s: SparkSession, dir: String): DataFrame =
+    skipGramPairs(walks(s, dir))
+
+  /** Skip-gram pairs over the node2vec BIASED corpus (r14 verdict
+    * #5: the biased walks existed but nothing consumed them — the
+    * walk-corpus PAIR table is the artifact 26l2 exists to feed).
+    * Identical window/self-join shape as [[qWalkPairs]]; the spec
+    * pins that on the ring-chord fixture this pair table genuinely
+    * differs from the UNBIASED pick rule's pairs on the SAME graph
+    * (the bias reaches the training data, not just the walks).
+    */
+  def qWalkPairsN2v(s: SparkSession, dir: String): DataFrame =
+    skipGramPairs(qNode2vecWalks(s, dir))
 
   /** k-core threshold and the synchronous-peel round bound. The
     * PageRank fixture converges in ≤ 8 rounds at every test SF
@@ -1916,10 +1986,12 @@ object Graph {
     "q_louvain_multilevel" -> qLouvainMultilevel _,
     "q_louvain_connectivity" -> qLouvainConnectivity _,
     "q_louvain_refined" -> qLouvainRefined _,
+    "q_leiden" -> qLeiden _,
     "q_modularity_louvain" -> qModularityLouvain _,
     "q_random_walks" -> qRandomWalks _,
     "q_node2vec_walks" -> qNode2vecWalks _,
     "q_walk_pairs" -> qWalkPairs _,
+    "q_walk_pairs_n2v" -> qWalkPairsN2v _,
     "q_kcore" -> qKcore _,
     "q_triangles" -> qTriangles _,
     "q_link_predict" -> qLinkPredict _)
@@ -2272,8 +2344,12 @@ object Graph {
       |SELECT l.v AS doc_id, l.lab AS community, sz.comm_size
       |FROM l$LouvainIters l JOIN sz USING (lab)""".stripMargin
 
-  private def louvainMultilevelSql: String = {
-    val l2iters = (1 to LouvainL2Iters).map { k =>
+  /** The coarse-graph move-round CTE chain shared by the multilevel
+    * and Leiden oracles: g0 → g[[LouvainL2Iters]] over super-node
+    * frames `cw` (weighted edges), `cs` (strengths) and `mm` (m2).
+    */
+  private def coarseMoveCtes: String =
+    (1 to LouvainL2Iters).map { k =>
       s"""gdc$k AS (SELECT g.lab AS c, sum(cs.s)::BIGINT AS dc
         |  FROM g${k - 1} g JOIN cs ON cs.u = g.v GROUP BY 1),
         |gkk$k AS MATERIALIZED (SELECT cw.u, g.lab AS c, sum(cw.w)::BIGINT AS k
@@ -2294,6 +2370,9 @@ object Graph {
         |g$k AS MATERIALIZED (SELECT g.v, coalesce(p.c, g.lab) AS lab
         |  FROM g${k - 1} g LEFT JOIN gp$k p ON g.v = p.u)""".stripMargin
     }.mkString(",\n")
+
+  private def louvainMultilevelSql: String = {
+    val l2iters = coarseMoveCtes
     s"""WITH $louvainCtes,
       |nc AS MATERIALIZED (SELECT v AS u, lab AS c FROM l$LouvainIters),
       |cw AS MATERIALIZED (SELECT a.c AS u, b.c AS v, count(*)::BIGINT AS w
@@ -2303,8 +2382,8 @@ object Graph {
       |  FROM nc JOIN deg ON deg.u = nc.u GROUP BY 1),
       |g0 AS (SELECT u AS v, u AS lab FROM cs),
       |$l2iters,
-      |fin AS (SELECT nc.u AS v, g.lab FROM nc JOIN g$LouvainL2Iters g
-      |  ON g.v = nc.c),
+      |fin AS (SELECT nc.u AS v, coalesce(g.lab, nc.c) AS lab
+      |  FROM nc LEFT JOIN g$LouvainL2Iters g ON g.v = nc.c),
       |sz AS (SELECT lab, count(*)::BIGINT AS comm_size FROM fin GROUP BY 1)
       |SELECT f.v AS doc_id, f.lab AS community, sz.comm_size
       |FROM fin f JOIN sz USING (lab)""".stripMargin
@@ -2346,6 +2425,45 @@ object Graph {
       |comps AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
       |fin AS (SELECT l.v, coalesce(c.comp, l.v) AS lab
       |  FROM l$LouvainIters l LEFT JOIN comps c ON c.v = l.v),
+      |sz AS (SELECT lab, count(*)::BIGINT AS comm_size FROM fin GROUP BY 1)
+      |SELECT f.v AS doc_id, f.lab AS community, sz.comm_size
+      |FROM fin f JOIN sz USING (lab)""".stripMargin
+
+  private def leidenSql: String =
+    s"""WITH RECURSIVE $louvainCtes,
+      |nc AS MATERIALIZED (SELECT v AS u, lab AS c FROM l$LouvainIters),
+      |intra AS MATERIALIZED (SELECT und.u AS src, und.v AS dst FROM und
+      |  JOIN nc a ON und.u = a.u JOIN nc b ON und.v = b.u
+      |  WHERE a.c = b.c),
+      |verts AS (SELECT DISTINCT src AS v FROM intra),
+      |reach(v, r) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.dst, r.r FROM intra e JOIN reach r ON e.src = r.v),
+      |comps AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+      |r1 AS MATERIALIZED (SELECT l.v AS u, l.lab AS parent,
+      |    coalesce(c.comp, l.v) AS c
+      |  FROM l$LouvainIters l LEFT JOIN comps c ON c.v = l.v),
+      |cw AS MATERIALIZED (SELECT a.c AS u, b.c AS v, count(*)::BIGINT AS w
+      |  FROM und JOIN r1 a ON und.u = a.u JOIN r1 b ON und.v = b.u
+      |  WHERE a.c != b.c GROUP BY 1, 2),
+      |cs AS MATERIALIZED (SELECT r1.c AS u, sum(deg.deg)::BIGINT AS s
+      |  FROM r1 JOIN deg ON deg.u = r1.u GROUP BY 1),
+      |g0 AS (SELECT DISTINCT c AS v, parent AS lab FROM r1),
+      |$coarseMoveCtes,
+      |proj AS MATERIALIZED (SELECT r1.u AS v, coalesce(g.lab, r1.c) AS lab
+      |  FROM r1 LEFT JOIN g$LouvainL2Iters g ON g.v = r1.c),
+      |intra2 AS MATERIALIZED (SELECT und.u AS src, und.v AS dst FROM und
+      |  JOIN proj a ON und.u = a.v JOIN proj b ON und.v = b.v
+      |  WHERE a.lab = b.lab),
+      |verts2 AS (SELECT DISTINCT src AS v FROM intra2),
+      |reach2(v, r) AS (
+      |  SELECT v, v FROM verts2
+      |  UNION
+      |  SELECT e.dst, r.r FROM intra2 e JOIN reach2 r ON e.src = r.v),
+      |comps2 AS (SELECT v, min(r) AS comp FROM reach2 GROUP BY v),
+      |fin AS (SELECT p.v, coalesce(c.comp, p.v) AS lab
+      |  FROM proj p LEFT JOIN comps2 c ON c.v = p.v),
       |sz AS (SELECT lab, count(*)::BIGINT AS comm_size FROM fin GROUP BY 1)
       |SELECT f.v AS doc_id, f.lab AS community, sz.comm_size
       |FROM fin f JOIN sz USING (lab)""".stripMargin
@@ -2437,6 +2555,15 @@ object Graph {
 
   private def walkPairsSql: String =
     s"""WITH wk AS ($randomWalksSql)
+      |SELECT a.node AS center, b.node AS context,
+      |  count(*)::BIGINT AS n_pairs
+      |FROM wk a JOIN wk b
+      |  ON a.walk_id = b.walk_id AND a.step != b.step
+      |  AND abs(a.step - b.step) <= $WalkWindow
+      |GROUP BY 1, 2""".stripMargin
+
+  private def walkPairsN2vSql: String =
+    s"""WITH wk AS ($node2vecWalksSql)
       |SELECT a.node AS center, b.node AS context,
       |  count(*)::BIGINT AS n_pairs
       |FROM wk a JOIN wk b
@@ -2807,10 +2934,12 @@ object Graph {
     "q_louvain_multilevel" -> louvainMultilevelSql,
     "q_louvain_connectivity" -> louvainConnectivitySql,
     "q_louvain_refined" -> louvainRefinedSql,
+    "q_leiden" -> leidenSql,
     "q_modularity_louvain" -> modularityLouvainSql,
     "q_random_walks" -> randomWalksSql,
     "q_node2vec_walks" -> node2vecWalksSql,
     "q_walk_pairs" -> walkPairsSql,
+    "q_walk_pairs_n2v" -> walkPairsN2vSql,
     "q_kcore" -> kcoreSql,
     "q_triangles" -> trianglesSql,
     "q_link_predict" -> linkPredictSql)

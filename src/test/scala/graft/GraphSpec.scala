@@ -344,6 +344,146 @@ class GraphSpec extends AnyFunSuite {
         (k, v, gotMod.get(k)) }.take(2)}")
   }
 
+  test("leiden: refined aggregation equals a BigInt replay; Q beats multilevel; communities connected") {
+    import graft.sources.Tables
+    val n = Tables.documents(spark, sf).count()
+    val ids = (0L until n).toArray
+    val und = ids.flatMap { u =>
+      Seq((u + 1) % n, (u + 2) % n, (u * 7 + 3) % n)
+        .filter(_ != u).flatMap(d => Seq((u, d), (d, u)))
+    }.toSet
+    val nbrs = und.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    val deg = und.toSeq.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val m2 = BigInt(und.size)
+    def qOf(part: Map[Long, Long]): BigInt = part.groupBy(_._2)
+      .map { case (c, members) =>
+        val vs = members.keys.toSet
+        val degSum = vs.toSeq.map(deg(_)).sum
+        BigInt(und.count { case (a, b) => vs(a) && part(b) == c }) * m2 -
+          BigInt(degSum) * BigInt(degSum)
+      }.sum
+    // level-1 ascent replay (identical to the louvain test)
+    var lab = ids.map(i => i -> i).toMap
+    for (_ <- 1 to Graph.LouvainIters) {
+      val cur = lab
+      val dc = cur.toSeq.groupBy(_._2)
+        .map { case (c, ms) => c -> ms.map(m => deg(m._1)).sum }
+      lab = ids.map { v =>
+        val k = nbrs.getOrElse(v, Set.empty[Long]).toSeq.map(cur)
+          .groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+        val scored = (k.keySet + cur(v)).toSeq.map { c =>
+          val dcAdj = BigInt(dc(c)) -
+            (if (c == cur(v)) BigInt(deg(v)) else BigInt(0))
+          c -> (BigInt(k.getOrElse(c, 0L)) * m2 - BigInt(deg(v)) * dcAdj)
+        }
+        v -> scored.minBy { case (c, s) => (-s, c) }._1
+      }.toMap
+    }
+    // component-min refinement of a partition (BFS replay)
+    def refine(part: Map[Long, Long]): Map[Long, Long] =
+      part.groupBy(_._2).flatMap { case (c, members) =>
+        val vs = members.keys.toSet
+        val adj = vs.map(v =>
+          v -> nbrs.getOrElse(v, Set.empty[Long]).filter(u =>
+            vs(u) && part(u) == c)).toMap
+        val out = scala.collection.mutable.Map[Long, Long]()
+        var unseen = vs
+        while (unseen.nonEmpty) {
+          var comp = Set(unseen.head)
+          var frontier = comp
+          unseen -= unseen.head
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(adj).intersect(unseen)
+            unseen --= frontier
+            comp ++= frontier
+          }
+          val m = comp.min
+          comp.foreach(v => out(v) = m)
+        }
+        out
+      }.toMap
+    val r1 = refine(lab)
+    // coarse move rounds over SUPER-NODES `sup` with strengths sS,
+    // weighted edges cwS, starting from `init` labels — shared by
+    // the multilevel replay (sup = l1 communities, init = identity)
+    // and the leiden replay (sup = refined communities, init =
+    // parent l1 label)
+    def coarseMoves(sup: Map[Long, Long], // node -> super-node id
+                    init: Map[Long, Long]): Map[Long, Long] = {
+      val s2 = sup.toSeq.groupBy(_._2)
+        .map { case (c, ms) => c -> ms.map(m => deg(m._1)).sum }
+      val cw = und.toSeq.map { case (a, b) => (sup(a), sup(b)) }
+        .filter { case (a, b) => a != b }
+        .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      val cwAdj = cw.keys.groupBy(_._1)
+        .map { case (a, ps) => a -> ps.map(_._2).toSeq }
+      var l2 = init
+      for (_ <- 1 to Graph.LouvainL2Iters) {
+        val cur = l2
+        val sS = cur.toSeq.groupBy(_._2)
+          .map { case (cc, ms) => cc -> ms.map(m => s2(m._1)).sum }
+        l2 = init.keys.map { c =>
+          val k = cwAdj.getOrElse(c, Seq.empty)
+            .groupBy(cur).map { case (cc, c2s) =>
+              cc -> c2s.map(c2 => cw((c, c2))).sum }
+          val scored = (k.keySet + cur(c)).toSeq.map { cc =>
+            val sAdj = BigInt(sS(cc)) -
+              (if (cc == cur(c)) BigInt(s2(c)) else BigInt(0))
+            cc -> (BigInt(k.getOrElse(cc, 0L)) * m2 - BigInt(s2(c)) * sAdj)
+          }
+          c -> scored.minBy { case (cc, sc) => (-sc, cc) }._1
+        }.toMap
+      }
+      l2
+    }
+    // leiden: aggregate the REFINED partition, init = parent label
+    val parentOf = r1.toSeq.map { case (v, rc) => rc -> lab(v) }.toMap
+    val lei2 = coarseMoves(r1, parentOf)
+    val projected = r1.map { case (v, rc) => v -> lei2(rc) }
+    val finLab = refine(projected)
+    val finSizes = finLab.values.toSeq.groupBy(identity)
+      .map { case (l, xs) => (l, xs.size.toLong) }
+    val got = Graph.qLeiden(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == n)
+    got.foreach { case (v, community, commSize) =>
+      assert(community == finLab(v), s"leiden community mismatch at $v")
+      assert(commSize == finSizes(finLab(v)), s"leiden size mismatch at $v")
+    }
+    // quality pins, all exact BigInt: the refined-aggregation path
+    // must not lose to the raw multilevel aggregation on the
+    // fixture, and both final refinements only gain (theorem)
+    val ml = coarseMoves(lab, lab.values.toSet.map((c: Long) => c -> c).toMap)
+    val mlLab = lab.map { case (v, c) => v -> ml(c) }
+    val qLei = qOf(finLab)
+    val qMl = qOf(mlLab)
+    assert(qLei > 0, s"leiden must find real structure: $qLei")
+    assert(qLei >= qMl,
+      s"leiden must not lose to multilevel on the fixture: $qLei < $qMl")
+    assert(qLei >= qOf(projected),
+      "final refinement must not lower Q (theorem)")
+    assert(qOf(r1) >= qOf(lab),
+      "level-1 refinement must not lower Q (theorem)")
+    // connectivity at every level: the refined level-1 partition and
+    // the final output are both connected by construction
+    Seq(r1, finLab).foreach { part =>
+      part.groupBy(_._2).foreach { case (c, members) =>
+        val vs = members.keys.toSet
+        var seen = Set(vs.head)
+        var frontier = seen
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(v => nbrs.getOrElse(v, Set.empty[Long]))
+            .intersect(vs) -- seen
+          seen ++= frontier
+        }
+        assert(seen == vs, s"community $c is disconnected")
+      }
+    }
+    // output sizes partition the corpus: one (community, size) per
+    // community, sizes summing to n
+    assert(got.map(r => (r._2, r._3)).distinct.map(_._2).sum == n)
+  }
+
   test("k-core equals a synchronous driver-side peel and converges inside the bound") {
     import graft.sources.Tables
     val n = Tables.documents(spark, sf).count()
@@ -513,6 +653,46 @@ class GraphSpec extends AnyFunSuite {
     // the window is symmetric: (a,b) and (b,a) counts match
     val m = got.map(t => (t._1, t._2) -> t._3).toMap
     assert(got.forall(t => m((t._2, t._1)) == t._3))
+  }
+
+  test("n2v walk pairs equal the window expansion; the bias reaches the pair table") {
+    import graft.functions.GraftFunctions.tokenHashLong
+    def expand(w: Seq[(Long, Long, Long)]): Map[(Long, Long), Long] =
+      w.groupBy(_._1).values.toSeq.flatMap { steps =>
+        for {
+          a <- steps.toSeq; b <- steps.toSeq
+          if a._2 != b._2 && math.abs(a._2 - b._2) <= Graph.WalkWindow
+        } yield (a._3, b._3)
+      }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val w = Graph.qNode2vecWalks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = expand(w.toSeq)
+    val got = Graph.qWalkPairsN2v(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect,
+      s"diff=${expect.collect { case (k, v) if got.get(k) != Some(v) =>
+        (k, v, got.get(k)) }.take(3)}")
+    // the 2nd-order bias reaches the TRAINING DATA: expand the
+    // unbiased pick rule's corpus on the SAME ring-chord graph and
+    // pin the pair tables apart (walks diverging is necessary but
+    // not sufficient — a window expansion can wash differences out)
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    val edges = (0L until n)
+      .flatMap(u => Seq(u -> (u + 1) % n, u -> (u + 2) % n,
+        u -> (u * 7 + 3) % n))
+      .filter { case (a, b) => a != b }.distinct
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val uniform = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    for (wid <- 0L until n) {
+      var cur = wid
+      uniform += ((wid, 0L, wid))
+      for (k <- 1 to Graph.WalkSteps if adj.contains(cur)) {
+        cur = adj(cur).map(d => (tokenHashLong(s"$wid:$k:$d"), d)).min._2
+        uniform += ((wid, k.toLong, cur))
+      }
+    }
+    assert(got != expand(uniform.toSeq),
+      "biased pair table equals the unbiased one — the bias washed out")
   }
 
   test("funnel steps only shrink; step 1 converts at 100%") {
