@@ -279,7 +279,16 @@ def main(root="."):
         _, bpath = max(nums)
         try:
             braw = json.load(open(bpath))
-            bqs = braw.get("medians") or braw.get("queries") or {}
+            # SAME basis as every other epoch: pointwise min of the
+            # snapshot's sweeps/medians (r14 ADVICE — medians sit
+            # systematically above mins, so a medians-based boundary
+            # could exceed 1.25x best-prior from ordinary sweep
+            # spread and demote a genuine code regression to 'env?')
+            bq = braw.get("queries") or {}
+            bm = braw.get("medians") or {}
+            bqs = {k: min(v for v in (bq.get(k), bm.get(k))
+                          if isinstance(v, (int, float)))
+                   for k in set(bq) | set(bm)}
             boundary = norm(bqs, braw.get("env")) or {}
         except Exception:
             boundary = {}
