@@ -441,6 +441,112 @@ object Curation {
     applyMixture(docs, mixtureFactors(docs))
   }
 
+  // --- DoReMi-style domain reweighting (multiplicative weights) ---------
+
+  /** Hedge epochs: with a STATIC per-domain signal the multiplicative
+    * recursion w ← w·(1 + η·g) telescopes to the closed form
+    * (1 + η·g)^R with one final normalization — computed that way so
+    * no per-round integer floors accumulate (the BigInt-exact
+    * posture). A production DoReMi re-measures the excess signal
+    * between rounds (proxy-model training); the seam is the excess
+    * column, the update law is unchanged.
+    */
+  val DwRounds = 4
+  /** η = 0.25 on the ppm grid (the Hedge step; |η·g| ≤ 1/4 keeps the
+    * linearized update inside the regime where it tracks the
+    * exponentiated form).
+    */
+  val DwEtaPpm = 250000L
+  /** DoReMi's uniform smoothing: final α = (1−ε)·w + ε·u, ε = 0.1. */
+  val DwSmoothPpm = 100000L
+
+  /** DoReMi-style domain weights (Xie et al. 2023) in the repo's
+    * exact-integer discipline: the published recipe trains a proxy
+    * model and upweights domains with EXCESS loss via exponentiated
+    * gradient; here the proxy signal is the 37k unigram-LM
+    * typicality lifted to the domain grain (the same perplexity
+    * stand-in the CCNet bucketing rides — an ATYPICAL domain is the
+    * high-excess-loss one a proxy would upweight), and the update is
+    * the linearized Hedge / multiplicative-weights rule (Freund &
+    * Schapire; Arora-Hazan-Kale survey) so every step is integer:
+    * gain_ppm = excess normalized by the max |excess| (losses-in-
+    * [0,1], the MW precondition; sign-split floor division), factor
+    * f = 1e6 + η·gain (sign-split), raw weight f^R in decimal(38,0),
+    * one normalization to the 1e6 grid, then the ε-uniform smooth.
+    * Output is O(sources) rows; the only corpus-sized work is the
+    * token-stats shuffle the typicality already pays. Weights feed
+    * [[applyMixture]] via [[qDoremiSample]].
+    */
+  def domainWeights(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val per = tok.join(tf, "term").groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_freq"))
+    val nDocsPer = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tok"),
+      sum(col("sum_freq")).as("tot_freq"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("typ_ppb", expr(
+        "CAST(sum_freq AS DECIMAL(38,0)) * 1000000000" +
+          " div (CAST(n_tokens AS DECIMAL(38,0)) * tot_tok)"))
+      .withColumn("corp_ppb", expr(
+        "CAST(tot_freq AS DECIMAL(38,0)) * 1000000000" +
+          " div (CAST(tot_tok AS DECIMAL(38,0)) * tot_tok)"))
+      .withColumn("excess_ppb", col("typ_ppb") - col("corp_ppb"))
+    val mx = scored.agg(max(abs(col("excess_ppb"))).as("mx"))
+    val raw = scored.crossJoin(broadcast(mx))
+      // sign-split floor division throughout: Spark's div truncates
+      // toward zero, DuckDB's // floors — they agree only on
+      // non-negative operands (the modularity discipline)
+      .withColumn("gain_ppm", expr(
+        "CASE WHEN mx = 0 THEN 0" +
+          " WHEN excess_ppb >= 0 THEN (excess_ppb * 1000000) div mx" +
+          " ELSE -(((- excess_ppb) * 1000000) div mx) END"))
+      .withColumn("f", expr(
+        s"1000000 + (CASE WHEN gain_ppm >= 0" +
+          s" THEN ($DwEtaPpm * gain_ppm) div 1000000" +
+          s" ELSE -(($DwEtaPpm * (- gain_ppm)) div 1000000) END)"))
+      .withColumn("wraw",
+        expr("CAST(f AS DECIMAL(38,0))" + " * f" * (DwRounds - 1)))
+    val norm = raw.agg(sum(col("wraw")).as("wtot"), count(lit(1)).as("k"))
+    raw.crossJoin(broadcast(norm))
+      .withColumn("wn_ppm", expr("(wraw * 1000000) div wtot"))
+      .withColumn("weight_ppm", expr(
+        s"((1000000 - $DwSmoothPpm) * wn_ppm" +
+          s" + $DwSmoothPpm * (1000000 div k)) div 1000000"))
+      .join(nDocsPer, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("typ_ppb"),
+        col("excess_ppb"), col("gain_ppm"), col("weight_ppm"))
+  }
+
+  def qDomainWeights(s: SparkSession, dir: String): DataFrame =
+    domainWeights(Tables.documents(s, dir))
+
+  /** The DoReMi weights applied as a deterministic sampler: factors
+    * f_i = α_i / token_share_i on the integer (base, thr) grid —
+    * exact decimal arithmetic, no doubles — then [[applyMixture]]'s
+    * hash-threshold materialization unchanged (same output contract
+    * as q_mixture_sample; the two rungs differ exactly by the
+    * weight-planning law: temperature sqrt vs MW excess).
+    */
+  def doremiFactors(docs: DataFrame): DataFrame = {
+    val w = domainWeights(docs)
+    val tot = w.agg(sum(col("n_tokens")).as("tot_tok"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("fnum", expr(
+        "CAST(weight_ppm AS DECIMAL(38,0)) * tot_tok"))
+      .withColumn("fden", expr(
+        "CAST(n_tokens AS DECIMAL(38,0)) * 1000000"))
+      .select(col("source"),
+        expr("CAST(fnum div fden AS LONG)").as("base"),
+        expr("CAST((fnum * 1000000 div fden) % 1000000 AS LONG)").as("thr"))
+  }
+
+  def qDoremiSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    applyMixture(docs, doremiFactors(docs))
+  }
+
   /** Mixture REPLANNING drift: recompute the temperature weights
     * after a (biased) batch of arrivals lands and report the
     * per-source weight shift — the monitoring signal that tells a
@@ -956,6 +1062,8 @@ object Curation {
     "q_source_report" -> qSourceReport _,
     "q_mixture" -> qMixture _,
     "q_mixture_sample" -> qMixtureSample _,
+    "q_domain_weights" -> qDomainWeights _,
+    "q_doremi_sample" -> qDoremiSample _,
     "q_mixture_drift" -> qMixtureDrift _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_dsir" -> qDsir _,
@@ -1097,6 +1205,83 @@ object Curation {
       |  CASE WHEN json_valid(j) THEN json_extract(j, '$$.n')::BIGINT END AS j_n
       |FROM a""".stripMargin
 
+  /** Shared CTE chain of the DoReMi oracles: token stats → integer
+    * typicality/excess → sign-split gain → closed-form Hedge weight
+    * → normalized + ε-smoothed ppm. Mirrors [[domainWeights]] op for
+    * op (HUGEINT for the decimal(38,0) products, // on non-negative
+    * operands only).
+    */
+  private def domainWeightsSql: String = {
+    val wrawSql = "f::HUGEINT" + " * f" * (DwRounds - 1)
+    s"""WITH tok AS (SELECT source,
+      |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+      |per AS (SELECT t.source, count(*)::BIGINT AS n_tokens,
+      |    sum(f.cnt)::BIGINT AS sum_freq
+      |  FROM tok t JOIN tf f USING (term) GROUP BY 1),
+      |ndp AS (SELECT source, count(*)::BIGINT AS n_docs
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(n_tokens)::BIGINT AS tot_tok,
+      |    sum(sum_freq)::BIGINT AS tot_freq FROM per),
+      |sc AS (SELECT per.*,
+      |    ((sum_freq::HUGEINT * 1000000000)
+      |      // (n_tokens::HUGEINT * (SELECT tot_tok FROM tot)))::BIGINT
+      |      AS typ_ppb,
+      |    (((SELECT tot_freq FROM tot)::HUGEINT * 1000000000)
+      |      // ((SELECT tot_tok FROM tot)::HUGEINT
+      |         * (SELECT tot_tok FROM tot)))::BIGINT AS corp_ppb
+      |  FROM per),
+      |ex AS (SELECT *, (typ_ppb - corp_ppb)::BIGINT AS excess_ppb FROM sc),
+      |mx AS (SELECT max(abs(excess_ppb))::BIGINT AS mx FROM ex),
+      |g AS (SELECT *,
+      |    (CASE WHEN (SELECT mx FROM mx) = 0 THEN 0
+      |          WHEN excess_ppb >= 0
+      |            THEN (excess_ppb * 1000000) // (SELECT mx FROM mx)
+      |          ELSE -(((0 - excess_ppb) * 1000000)
+      |            // (SELECT mx FROM mx)) END)::BIGINT AS gain_ppm
+      |  FROM ex),
+      |ff AS (SELECT *,
+      |    (1000000 + (CASE WHEN gain_ppm >= 0
+      |      THEN ($DwEtaPpm * gain_ppm) // 1000000
+      |      ELSE -(($DwEtaPpm * (0 - gain_ppm)) // 1000000) END))::BIGINT AS f
+      |  FROM g),
+      |wr AS (SELECT *, ($wrawSql) AS wraw FROM ff),
+      |t2 AS (SELECT sum(wraw)::HUGEINT AS wtot, count(*)::BIGINT AS k FROM wr),
+      |wn AS (SELECT *,
+      |    ((wraw * 1000000) // (SELECT wtot FROM t2))::BIGINT AS wn_ppm
+      |  FROM wr),
+      |fin AS (SELECT source, n_tokens, typ_ppb, excess_ppb, gain_ppm,
+      |    (((1000000 - $DwSmoothPpm) * wn_ppm
+      |      + $DwSmoothPpm * (1000000 // (SELECT k FROM t2)))
+      |      // 1000000)::BIGINT AS weight_ppm
+      |  FROM wn)""".stripMargin
+  }
+
+  private def domainWeightsTail: String =
+    """
+      |SELECT f.source, ndp.n_docs, f.n_tokens, f.typ_ppb, f.excess_ppb,
+      |  f.gain_ppm, f.weight_ppm
+      |FROM fin f JOIN ndp USING (source)""".stripMargin
+
+  private def doremiSampleSql: String =
+    s"""$domainWeightsSql,
+      |wt AS (SELECT sum(n_tokens)::HUGEINT AS tt FROM fin),
+      |fac AS (SELECT source,
+      |    ((weight_ppm::HUGEINT * (SELECT tt FROM wt))
+      |      // (n_tokens::HUGEINT * 1000000))::BIGINT AS base,
+      |    (((weight_ppm::HUGEINT * (SELECT tt FROM wt) * 1000000)
+      |      // (n_tokens::HUGEINT * 1000000)) % 1000000)::BIGINT AS thr
+      |  FROM fin),
+      |cp AS (SELECT d.doc_id, d.source,
+      |    base + (CASE WHEN
+      |      ('0x' || substr(md5('mix_' || d.doc_id::VARCHAR), 1, 12))::BIGINT
+      |        % 1000000 < thr THEN 1 ELSE 0 END) AS n_copies
+      |  FROM documents d JOIN fac USING (source))
+      |SELECT doc_id, source, n_copies,
+      |  unnest(range(1, n_copies + 1)) AS copy_idx
+      |FROM cp""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_kanon" ->
       s"""SELECT c_nationkey, c_mktsegment, count(*) AS n,
@@ -1226,6 +1411,8 @@ object Curation {
         |  round(w::DOUBLE / w_tot::DOUBLE, 6) AS weight,
         |  round(w::DOUBLE / w_tot::DOUBLE / share, 6) AS sample_factor
         |FROM n""".stripMargin,
+    "q_domain_weights" -> (domainWeightsSql + domainWeightsTail),
+    "q_doremi_sample" -> doremiSampleSql,
     "q_mixture_sample" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,

@@ -1795,6 +1795,114 @@ object TextAnalysis {
       .toDF("doc_id", "n_bytes", "n_deflate", "ratio_ppm", "repetitive")
   }
 
+  // --- corpus-law audit: Zipf rank-frequency + Heaps vocab growth -------
+
+  /** Integer least-squares slope over (x, y) points in ppm, exact
+    * rational with the sign-split floor division both engines share
+    * (num can be negative — Zipf slopes are): slope = (nΣxy − ΣxΣy)
+    * / (nΣx² − (Σx)²). Point counts and coordinates are tiny
+    * (≤ ~60 log2 anchors), so the arithmetic stays comfortably in
+    * int64; the div is the modularity sign-split.
+    */
+  private def lsqSlopePpm(pts: DataFrame, x: Column, y: Column): DataFrame =
+    pts.agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .select(expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("den"))
+      .select(expr("CASE WHEN num >= 0 THEN (num * 1000000) div den" +
+        " ELSE -(((- num) * 1000000) div den) END").as("slope_ppm"))
+
+  /** Corpus-law audit — the two classical regularities a healthy
+    * text corpus obeys, as one oracle-gated artifact (corpus-QA
+    * monitors: a synthetic, templated, or collapsed corpus bends
+    * them, and a 100 TB ingest wants the check as a standing gate):
+    *
+    *  - ZIPF (Zipf 1949): freq(rank) ∝ rank^(−s), s ≈ 1. Points are
+    *    (log2 rank, biLog cnt) at rank anchors 2^b. NO vocab-wide
+    *    sort: the frequency spectrum (cnt → n_terms, ≤ O(√tokens)
+    *    rows) gets exclusive rank prefixes via the pplBuckets
+    *    two-level prefix (fine window PARTITIONED by the biLog
+    *    coarse bucket + a ≤128-row broadcast coarse self-join —
+    *    never an unpartitioned window), and each anchor lands in
+    *    exactly one spectrum interval via a broadcast ≤63-row
+    *    condition join. x_b = biLog(2^b) = 2b+1 exactly, so only y
+    *    carries the half-bit grid.
+    *  - HEAPS (Heaps 1978): vocab(N) ∝ N^β, β ≈ 0.4-0.6. Anchors are
+    *    doc-id prefixes 2^j (doc_id IS the arrival order of the
+    *    synthetic corpus): V_j = terms whose min(doc_id) < 2^j,
+    *    N_j = tokens in docs < 2^j — each ONE broadcast condition
+    *    join of a linear frame against the ≤63 anchors, no window
+    *    at all. Points (biLog N_j, biLog V_j).
+    *
+    * Both axes ride the established integer bit-length log
+    * ([[biLog]], the 41l/unigram-LM discipline — L(x) = bits(x²) ≈
+    * 2·log2(x)+1, monotone, cross-engine exact), so the fitted
+    * slope_ppm ≈ −s·1e6 (zipf) / β·1e6 (heaps) on matching grids and
+    * the whole artifact hash-compares. Output: one row per (law,
+    * anchor) with the fit coordinates and the law's slope_ppm.
+    */
+  def corpusLaws(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // ---- zipf: spectrum + two-level exclusive rank prefix
+    val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val spectrum = tf.groupBy(col("cnt")).agg(count(lit(1)).as("n_terms"))
+      .withColumn("coarse", biLog(col("cnt")))
+    val coarseTot = spectrum.groupBy(col("coarse"))
+      .agg(sum(col("n_terms")).as("ctot"))
+    val cPrefix = coarseTot.select(col("coarse"))
+      .join(broadcast(coarseTot.select(col("coarse").as("hc"),
+        col("ctot").as("hn"))), col("hc") > col("coarse"), "left")
+      .groupBy(col("coarse"))
+      .agg(coalesce(sum(col("hn")), lit(0L)).as("cprefix"))
+    val wFine = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("coarse")).orderBy(col("cnt").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val ranked = spectrum
+      .withColumn("fprefix", sum(col("n_terms")).over(wFine))
+      .join(cPrefix, Seq("coarse"))
+      // ranks (rank_lo, rank_hi] hold terms of this cnt
+      .withColumn("rank_hi", col("cprefix") + col("fprefix"))
+      .withColumn("rank_lo", col("rank_hi") - col("n_terms"))
+      .select(col("cnt"), col("rank_lo"), col("rank_hi"))
+    val vocabN = tf.count()
+    val zAnchorSeq = (0 until 63).map(b => (b.toLong, 1L << b))
+      .filter(_._2 <= vocabN)
+    val zAnchors = broadcast(
+      docs.sparkSession.createDataFrame(zAnchorSeq).toDF("b", "anchor"))
+    val zPts = ranked.join(zAnchors,
+        col("rank_lo") < col("anchor") && col("anchor") <= col("rank_hi"))
+      .select(lit("zipf").as("law"), col("b"), col("anchor"),
+        (col("b") * 2 + 1).as("x"), biLog(col("cnt")).as("y"))
+    // ---- heaps: anchor prefixes by condition join, no windows
+    val firstSeen = tok.groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
+    val docTok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val nDocs = docs.count()
+    val hAnchorSeq = (0 until 63).map(j => (j.toLong, 1L << j))
+      .filter(_._2 <= nDocs)
+    val hAnchors = broadcast(
+      docs.sparkSession.createDataFrame(hAnchorSeq).toDF("b", "anchor"))
+    val vj = firstSeen.join(hAnchors, col("first_doc") < col("anchor"))
+      .groupBy(col("b"), col("anchor")).agg(sum(col("n_new")).as("v"))
+    val nj = docTok.join(hAnchors, col("doc_id") < col("anchor"))
+      .groupBy(col("b"), col("anchor")).agg(sum(col("n_tok")).as("ntok"))
+    val hPts = vj.join(nj, Seq("b", "anchor"))
+      .select(lit("heaps").as("law"), col("b"), col("anchor"),
+        biLog(col("ntok")).as("x"), biLog(col("v")).as("y"))
+    // ---- fits (per law), slope broadcast back onto the points
+    val zSlope = lsqSlopePpm(zPts, col("x"), col("y"))
+      .withColumn("law", lit("zipf"))
+    val hSlope = lsqSlopePpm(hPts, col("x"), col("y"))
+      .withColumn("law", lit("heaps"))
+    zPts.unionByName(hPts)
+      .join(broadcast(zSlope.unionByName(hSlope)), Seq("law"))
+      .select(col("law"), col("b"), col("anchor"), col("x"), col("y"),
+        col("slope_ppm"))
+  }
+
+  def qCorpusLaws(s: SparkSession, dir: String): DataFrame =
+    corpusLaws(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_containment" -> qSourceContainment _,
     "q_quality_calibrate" -> qQualityCalibrate _,
@@ -1811,6 +1919,7 @@ object TextAnalysis {
     "q_bpe_merge" -> qBpeMerge _,
     "q_vocab" -> qVocab _,
     "q_vocab_coverage" -> qVocabCoverage _,
+    "q_corpus_laws" -> qCorpusLaws _,
     "q_lm_score" -> qLmScore _,
     "q_lm_bigram" -> qLmBigram _,
     "q_lm_kn" -> qLmKneserNey _,
@@ -2230,7 +2339,61 @@ object TextAnalysis {
       |FROM per""".stripMargin
   }
 
+  /** q_corpus_laws oracle: identical integer arithmetic in DuckDB —
+    * strlen(bin(·)) is the biLog mirror, the spectrum prefix rides a
+    * plain window (oracle side carries no scale posture), anchors
+    * come from range(0, 63), and the least-squares fit is the exact
+    * sign-split rational.
+    */
+  private def corpusLawsSql: String = {
+    def biLogSql(v: String): String =
+      s"(CASE WHEN $v < 3000000000 THEN strlen(bin(($v) * ($v)))" +
+        s" ELSE 2 * strlen(bin($v)) END)::BIGINT"
+    s"""WITH tok AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+      |spectrum AS (SELECT cnt, count(*)::BIGINT AS n_terms FROM tf GROUP BY 1),
+      |rk AS (SELECT cnt, n_terms,
+      |    (sum(n_terms) OVER (ORDER BY cnt DESC))::BIGINT AS rank_hi
+      |  FROM spectrum),
+      |vn AS (SELECT count(*)::BIGINT AS v FROM tf),
+      |zanch AS (SELECT b::BIGINT AS b, (1::BIGINT << b)::BIGINT AS anchor
+      |  FROM range(0, 63) t(b)
+      |  WHERE (1::BIGINT << b) <= (SELECT v FROM vn)),
+      |zpts AS (SELECT 'zipf' AS law, za.b, za.anchor,
+      |    (2 * za.b + 1)::BIGINT AS x, ${biLogSql("rk.cnt")} AS y
+      |  FROM rk JOIN zanch za
+      |    ON rk.rank_hi - rk.n_terms < za.anchor AND za.anchor <= rk.rank_hi),
+      |fs AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+      |fsh AS (SELECT first_doc, count(*)::BIGINT AS n_new FROM fs GROUP BY 1),
+      |dt AS (SELECT doc_id, count(*)::BIGINT AS n_tok FROM tok GROUP BY 1),
+      |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |hanch AS (SELECT b::BIGINT AS b, (1::BIGINT << b)::BIGINT AS anchor
+      |  FROM range(0, 63) t(b)
+      |  WHERE (1::BIGINT << b) <= (SELECT n FROM nd)),
+      |vj AS (SELECT ha.b, ha.anchor, sum(fsh.n_new)::BIGINT AS v
+      |  FROM fsh JOIN hanch ha ON fsh.first_doc < ha.anchor GROUP BY 1, 2),
+      |nj AS (SELECT ha.b, ha.anchor, sum(dt.n_tok)::BIGINT AS ntok
+      |  FROM dt JOIN hanch ha ON dt.doc_id < ha.anchor GROUP BY 1, 2),
+      |hpts AS (SELECT 'heaps' AS law, vj.b, vj.anchor,
+      |    ${biLogSql("nj.ntok")} AS x, ${biLogSql("vj.v")} AS y
+      |  FROM vj JOIN nj USING (b, anchor)),
+      |pts AS (SELECT * FROM zpts UNION ALL SELECT * FROM hpts),
+      |fit AS (SELECT law,
+      |    (count(*)::BIGINT * sum(x * y) - sum(x) * sum(y))::BIGINT AS num,
+      |    (count(*)::BIGINT * sum(x * x) - sum(x) * sum(x))::BIGINT AS den
+      |  FROM pts GROUP BY 1),
+      |sl AS (SELECT law,
+      |    (CASE WHEN num >= 0 THEN (num * 1000000) // den
+      |          ELSE -(((0 - num) * 1000000) // den) END)::BIGINT AS slope_ppm
+      |  FROM fit)
+      |SELECT p.law, p.b, p.anchor, p.x, p.y, sl.slope_ppm
+      |FROM pts p JOIN sl USING (law)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_corpus_laws" -> corpusLawsSql,
     "q_langid_nb" -> langidNbSql,
     "q_quality_calibrate" -> qualityCalibrateSql,
     "q_source_drift" -> sourceDriftSql,

@@ -1433,4 +1433,153 @@ class CurationSpec extends AnyFunSuite {
     val seedAcc = seeds.count(v => nb(v) == truth(v)).toDouble / seeds.size
     assert(seedAcc >= 0.95, f"seed (train) accuracy must be high: $seedAcc%.3f")
   }
+
+  test("corpus laws: planted Zipf recovered, Heaps sublinear, exact integer fit") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.tokenHashLong
+    // planted corpus: position p draws term k by the inverse-CDF of a
+    // Zipf(s=2)-ish law, k = min(V, 1 + floor(u/(1-u))) with u the
+    // md5-uniform of p - cnt(k) ~ 1/k^2 (steep rank-frequency line)
+    // and vocabulary growth sublinear in tokens (rare terms surface
+    // late) - the regime the natural template fixture cannot exercise
+    // (its vocab is ~20 terms and saturates in the first doc; the
+    // oracle run covers that degenerate shape)
+    val N = 20000
+    val V = 4000
+    val D = 128
+    val terms = (0 until N).map { p =>
+      val u = (tokenHashLong(s"cl_$p") % 1048576L).toDouble / 1048576.0
+      val k = 1 + math.floor(u / (1.0 - u)).toLong
+      s"t${math.min(V.toLong, k)}"
+    }
+    val docs = terms.zipWithIndex.groupBy(_._2 / (N / D)).toSeq
+      .map { case (d, ws) => (d.toLong, ws.map(_._1).mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.corpusLaws(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // full driver replay of the integer pipeline
+    def biLog(x: Long): Long =
+      if (x < 3000000000L) java.lang.Long.toBinaryString(x * x).length.toLong
+      else 2L * java.lang.Long.toBinaryString(x).length
+    def lsq(pts: Seq[(Long, Long)]): Long = {
+      val n = BigInt(pts.size)
+      val sx = BigInt(pts.map(_._1).sum); val sy = BigInt(pts.map(_._2).sum)
+      val sxy = BigInt(pts.map(q => q._1 * q._2).sum)
+      val sxx = BigInt(pts.map(q => q._1 * q._1).sum)
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      (if (num >= 0) num * 1000000 / den else -((-num) * 1000000 / den)).toLong
+    }
+    val cnt = terms.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    // zipf replay: spectrum intervals in descending-cnt order
+    val spectrum = cnt.values.groupBy(identity)
+      .map { case (c, xs) => c -> xs.size.toLong }.toSeq.sortBy(-_._1)
+    val zPts = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var prefix = 0L
+    val anchors = (0 until 63).map(b => (b.toLong, 1L << b))
+      .filter(_._2 <= cnt.size)
+    for ((c, nt) <- spectrum) {
+      val lo = prefix; val hi = prefix + nt
+      anchors.foreach { case (b, a) =>
+        if (lo < a && a <= hi) zPts += ((b, 2 * b + 1, biLog(c)))
+      }
+      prefix = hi
+    }
+    // heaps replay
+    val docOf = terms.zipWithIndex.map { case (t, p) => (t, p / (N / D)) }
+    val firstSeen = docOf.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).min }
+    val docTok = docOf.groupBy(_._2).map { case (d, xs) => d -> xs.size.toLong }
+    val hAnchors = (0 until 63).map(j => (j.toLong, 1L << j)).filter(_._2 <= D)
+    val hPts = hAnchors.map { case (j, a) =>
+      val v = firstSeen.values.count(_ < a).toLong
+      val nt = docTok.filter(_._1 < a).values.sum
+      (j, biLog(nt), biLog(v))
+    }.filter(p => p._2 > 0 && p._3 > 0)
+    val zSlope = lsq(zPts.toSeq.map(p => (p._2, p._3)))
+    val hSlope = lsq(hPts.map(p => (p._2, p._3)))
+    val wantRows =
+      (zPts.map { case (b, x, y) => ("zipf", b, 1L << b, x, y, zSlope) } ++
+        hPts.map { case (j, x, y) => ("heaps", j, 1L << j, x, y, hSlope) }).toSet
+    assert(got.toSet == wantRows,
+      s"missing=${(wantRows -- got.toSet).take(3)} extra=${(got.toSet -- wantRows).take(3)}")
+    // recovery: the planted rank-frequency line is steep (s ~ 2 on
+    // the matched biLog grids) and vocab growth is genuinely
+    // sublinear yet real - the two qualitative laws a healthy corpus
+    // must show and a collapsed one breaks
+    assert(zSlope < -1200000L, s"zipf slope not steep: $zSlope")
+    assert(hSlope > 250000L && hSlope < 900000L, s"heaps slope: $hSlope")
+    // natural-fixture run: end-to-end, one row per (law, anchor),
+    // one slope per law (the degenerate template-vocab shape is the
+    // oracle's business; here just the partition laws)
+    val nat = TextAnalysis.qCorpusLaws(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(5)))
+    assert(nat.map(t => (t._1, t._2)).distinct.length == nat.length)
+    assert(nat.groupBy(_._1).forall(_._2.map(_._3).distinct.length == 1))
+  }
+
+  test("doremi domain weights: exact driver replay, MW direction and smoothing floor") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val all = docs.flatMap { case (src, t) => toks(t).map(src -> _) }
+    val tf = all.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val per = all.groupBy(_._1).map { case (src, xs) =>
+      src -> ((xs.size.toLong, xs.map(x => tf(x._2)).sum))
+    }
+    val totTok = per.values.map(_._1).sum
+    val totFreq = per.values.map(_._2).sum
+    def fdiv(a: BigInt, b: BigInt): BigInt = a / b // operands non-negative
+    val corp = fdiv(BigInt(totFreq) * 1000000000L, BigInt(totTok) * totTok)
+    val sc = per.map { case (src, (nt, sfq)) =>
+      val typ = fdiv(BigInt(sfq) * 1000000000L, BigInt(nt) * totTok)
+      src -> ((nt, typ.toLong, (typ - corp).toLong))
+    }
+    val mx = sc.values.map(v => math.abs(v._3)).max
+    val gained = sc.map { case (src, (nt, typ, ex)) =>
+      val g = if (mx == 0) 0L
+        else if (ex >= 0) ex * 1000000L / mx
+        else -((-ex) * 1000000L / mx)
+      val step = if (g >= 0) Curation.DwEtaPpm * g / 1000000L
+        else -(Curation.DwEtaPpm * (-g) / 1000000L)
+      val f = BigInt(1000000L + step)
+      src -> ((nt, typ, ex, g, f.pow(Curation.DwRounds)))
+    }
+    val wtot = gained.values.map(_._5).sum
+    val k = gained.size.toLong
+    val want = gained.map { case (src, (nt, typ, ex, g, wraw)) =>
+      val wn = (wraw * 1000000L / wtot).toLong
+      val w = ((1000000L - Curation.DwSmoothPpm) * wn +
+        Curation.DwSmoothPpm * (1000000L / k)) / 1000000L
+      src -> ((nt, typ, ex, g, w))
+    }
+    val got = Curation.qDomainWeights(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    assert(got == want,
+      s"diff=${want.collect { case (s2, v) if got.get(s2) != Some(v) =>
+        (s2, v, got.get(s2)) }.take(2)}")
+    // laws: weights are a (floored) distribution; the smoothing
+    // floor keeps every domain alive (DoReMi's epsilon-uniform mix);
+    // gain carries the excess sign; the max-|excess| domain is the
+    // (saturated) +/-1e6 gain
+    val ws = got.values.map(_._5)
+    assert(ws.sum <= 1000000L && ws.sum >= 1000000L - 2 * k)
+    val floor = Curation.DwSmoothPpm * (1000000L / k) / 1000000L
+    assert(ws.forall(_ >= floor), s"a domain starved below the smoothing floor")
+    assert(got.values.forall(v => v._3.sign == v._4.sign || v._4 == 0))
+    assert(got.values.map(_._4).max == 1000000L ||
+      got.values.map(_._4).min == -1000000L)
+    // the sampler materializes base/base+1 copies per doc, per source
+    val fac = Curation.doremiFactors(Tables.documents(spark, sf)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sampled = Curation.qDoremiSample(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    sampled.foreach { case (src, nc) =>
+      val (base, _) = fac(src)
+      assert(nc == base || nc == base + 1, s"$src copies $nc vs base $base")
+    }
+  }
 }
