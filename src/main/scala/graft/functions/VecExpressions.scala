@@ -394,6 +394,111 @@ case class PackedIntDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Per-row julienne-predicate match count: given a (possibly null)
+  * long key and the parsed (lo, hi] interval bounds of the rendered
+  * predicates (null lo = the first slice's open lower end, whose
+  * predicate also admits NULL keys; null hi = the open last slice),
+  * counts how many predicates the row satisfies — the coverage audit
+  * of q_julienne_approx.
+  *
+  * A native expression for the same reason as [[LongArrayDot]]: the
+  * composable forms are pathological at this predicate count — one
+  * when(expr(p)).sum per predicate generates O(N) Java source per
+  * FRESH plan (~2.9 s of Janino per bench sample at N≈150, measured),
+  * and the `aggregate(typedlit(...))` fold is a CodegenFallback
+  * higher-order function (~3.4 s interpreted at 150k rows × 150
+  * intervals, measured). This loop is ~40 lines of generated code
+  * regardless of N and runs inside whole-stage codegen; the
+  * interpreted eval computes the identical count.
+  */
+case class IntervalMatchCount(first: Expression, second: Expression,
+                              third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"interval_match_count expects (bigint, array<bigint>, array<bigint>), " +
+            s"got ${first.dataType} / ${second.dataType} / ${third.dataType}")
+    }
+
+  // custom eval (not nullSafeEval): a NULL key is legitimate input —
+  // it matches exactly the predicates carrying the IS NULL clause
+  // (the null-lo slices), like the rendered SQL text does.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val los = second.eval(input).asInstanceOf[ArrayData]
+    val his = third.eval(input).asInstanceOf[ArrayData]
+    val kAny = first.eval(input)
+    val n = los.numElements()
+    var c = 0
+    var i = 0
+    if (kAny == null) {
+      while (i < n) { if (los.isNullAt(i)) c += 1; i += 1 }
+    } else {
+      val k = kAny.asInstanceOf[Long]
+      while (i < n) {
+        val loN = los.isNullAt(i)
+        val hiN = his.isNullAt(i)
+        val m =
+          if (loN) hiN || k <= his.getLong(i)
+          else if (hiN) k > los.getLong(i)
+          else k > los.getLong(i) && k <= his.getLong(i)
+        if (m) c += 1
+        i += 1
+      }
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val kGen = first.genCode(ctx)
+    val loGen = second.genCode(ctx)
+    val hiGen = third.genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val loN = ctx.freshName("loN")
+    val hiN = ctx.freshName("hiN")
+    val m = ctx.freshName("m")
+    val kv = ctx.freshName("kv")
+    val body =
+      s"""
+         |${kGen.code}
+         |${loGen.code}
+         |${hiGen.code}
+         |int ${ev.value} = 0;
+         |int $n = ${loGen.value}.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  boolean $loN = ${loGen.value}.isNullAt($i);
+         |  boolean $hiN = ${hiGen.value}.isNullAt($i);
+         |  if (${kGen.isNull}) {
+         |    if ($loN) ${ev.value}++;
+         |  } else {
+         |    long $kv = ${kGen.value};
+         |    boolean $m = $loN
+         |      ? ($hiN || $kv <= ${hiGen.value}.getLong($i))
+         |      : ($hiN ? $kv > ${loGen.value}.getLong($i)
+         |              : ($kv > ${loGen.value}.getLong($i)
+         |                 && $kv <= ${hiGen.value}.getLong($i)));
+         |    if ($m) ${ev.value}++;
+         |  }
+         |}
+       """.stripMargin
+    ev.copy(code = code"$body",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object VecExpressions {
   import org.apache.spark.sql.GraftColumnBridge
 
@@ -421,4 +526,9 @@ object VecExpressions {
   def pqAdcSum(codes: Column, lut: Column, k: Int): Column =
     GraftColumnBridge.column(
       PqAdcSum(GraftColumnBridge.expression(codes), GraftColumnBridge.expression(lut), k))
+
+  def intervalMatchCount(key: Column, los: Column, his: Column): Column =
+    GraftColumnBridge.column(
+      IntervalMatchCount(GraftColumnBridge.expression(key),
+        GraftColumnBridge.expression(los), GraftColumnBridge.expression(his)))
 }

@@ -178,12 +178,45 @@ object CorpusOps {
     * ranking only, with the scored candidate set already restricted
     * to docs containing at least one query term.
     */
-  def qBm25Search(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val qterms = Bm25Queries.toDF("qid", "qtext")
-      .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
-    bm25TopKFor(s, dir, qterms)
-  }
+  /** Memoized shared retrieval stages per (session, dir) — the
+    * louvainBase discipline on the retrieval family (r15
+    * optimization): the per-(doc, term) tf table (one corpus
+    * tokenize + partial agg) is the shared index of BOTH scorers and
+    * every retrieval rung, and the fixture-query BM25 ranking is
+    * consumed verbatim by [[qBm25Search]] AND [[qRrfFusion]]'s
+    * a-side — a production retrieval stack builds the index and runs
+    * each ranking once. Lineage-cut with the reliable-checkpoint
+    * discipline; every process invocation still computes from the
+    * parquet inputs, and all consumer oracle outputs are
+    * byte-identical.
+    */
+  private def memoCutR(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  private val tfMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** (doc_id, term, tf) — the retrieval index table. */
+  private[graft] def tfBase(s: SparkSession, dir: String): DataFrame =
+    tfMemo.getOrElseUpdate((s, dir), memoCutR(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))))
+
+  private val bm25Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def bm25FixtureBase(s: SparkSession, dir: String): DataFrame =
+    bm25Memo.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val qterms = Bm25Queries.toDF("qid", "qtext")
+        .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
+      memoCutR(bm25TopKFor(s, dir, qterms))
+    })
+
+  def qBm25Search(s: SparkSession, dir: String): DataFrame =
+    bm25FixtureBase(s, dir)
 
   /** BM25 scoring core against an external (qid, term) query frame —
     * the seam [[qBm25Search]] and [[qRetrievalEval]] share.
@@ -193,11 +226,10 @@ object CorpusOps {
     */
   def bm25TopKFor(s: SparkSession, dir: String, qterms: DataFrame,
                   topK: Int = Bm25TopK): DataFrame = {
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = tfBase(s, dir)
     // dl and df both derive from tf — one shuffle of the raw token
-    // stream total; everything downstream aggregates the (much
+    // stream total (shared across every retrieval rung via tfBase);
+    // everything downstream aggregates the (much
     // smaller) per-doc term table
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
@@ -238,9 +270,7 @@ object CorpusOps {
     */
   def overlapTopKFor(s: SparkSession, dir: String, qterms: DataFrame,
                      topK: Int = Bm25TopK): DataFrame = {
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = tfBase(s, dir)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val qtf = qterms.groupBy(col("qid"), col("term"))
@@ -276,7 +306,7 @@ object CorpusOps {
     import s.implicits._
     val qterms = Bm25Queries.toDF("qid", "qtext")
       .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
-    val a = bm25TopKFor(s, dir, qterms)
+    val a = bm25FixtureBase(s, dir)
       .select(col("qid"), col("doc_id"), col("rnk").cast("long").as("rnk_bm25"))
     val b = overlapTopKFor(s, dir, qterms)
       .select(col("qid"), col("doc_id"), col("rnk").cast("long").as("rnk_overlap"))

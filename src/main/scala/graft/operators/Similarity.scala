@@ -327,15 +327,25 @@ object Similarity {
                    excludeSelf: Boolean = false): DataFrame = {
     val all = quantized(emb)
     val qs = quantized(queries).toDF("query_id", "label_q", "q_q", "nq_q")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    // Bounded top-k partial AGGREGATION (graft.functions.TopKCos), not
+    // row_number over a window: the window plan SORTS the full
+    // queries×corpus expansion before its partial WindowGroupLimit —
+    // for the corpus-as-queries brute rungs (knnGraph, the recall
+    // ground truths) that is an n²-row local sort, the dominant stage
+    // at every scale. The k-slot buffer collapses the expansion
+    // map-side (guide §2.3: aggregate before you shuffle); ordering
+    // (cos desc via Double.compare, ties to the smaller vec_id) is
+    // the window's, so rows and ranks are bit-identical.
+    val topk = udaf(new graft.functions.TopKCos(k))
     all.join(broadcast(qs),
         if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("cos", cosine(dotQ(col("q"), col("q_q")), col("nq"), col("nq_q")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        round(col("cos"), 6).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        round(col("col._1"), 6).as("cos_sim"))
   }
 
   // --- binary quantization (sign-bit hamming) --------------------------
@@ -2313,8 +2323,16 @@ object Similarity {
     * on the (already small) top-k table: k·n rows in, ≤ k·n/2 out.
     */
   private def mutualEdges(topk: DataFrame): DataFrame = {
-    val fwd = topk.select(col("query_id").as("vec_a"),
+    // Cut the top-k frame ONCE: both sides of the mutuality semi-join
+    // derive from it, and without the cut the whole top-k subtree —
+    // the quadratic brute scan in [[knnGraph]], the IVF posting join
+    // in [[knnGraphScaled]] — executes twice for a frame of only
+    // k·n scalar rows (r15 optimization; output unchanged).
+    val t = topk.select(col("query_id").as("vec_a"),
       col("neighbor_id").as("vec_b"), col("cos_sim"))
+    val fwd =
+      if (t.sparkSession.sparkContext.getCheckpointDir.isDefined) t.checkpoint()
+      else t.localCheckpoint()
     val rev = fwd.filter(col("vec_a") > col("vec_b"))
       .select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"))
     fwd.filter(col("vec_a") < col("vec_b"))

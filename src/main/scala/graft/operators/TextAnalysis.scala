@@ -262,8 +262,22 @@ object TextAnalysis {
     sel.unionAll(short)
   }
 
+  /** Memoized winnow fingerprint table per (session, dir) —
+    * [[qWinnowPairs]] re-ran the whole selection pass [[qWinnow]] had
+    * already run (r15 optimization; a MOSS-style pipeline fingerprints
+    * once and every overlap report reads the table). Lineage-cut with
+    * the reliable-checkpoint discipline; both oracle outputs are
+    * byte-identical.
+    */
+  private val winnowMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def winnowBase(s: SparkSession, dir: String): DataFrame =
+    winnowMemo.getOrElseUpdate((s, dir),
+      memoCutTok(winnowFingerprints(Tables.documents(s, dir))))
+
   def qWinnow(s: SparkSession, dir: String): DataFrame =
-    winnowFingerprints(Tables.documents(s, dir))
+    winnowBase(s, dir)
 
   /** Winnowing's payoff: document-overlap pairs ranked by how many
     * selected fingerprints they share — the MOSS report. Fingerprints
@@ -277,8 +291,14 @@ object TextAnalysis {
   val WinnowHashCap = 32
   val WinnowMinShared = 2
 
-  def winnowOverlapPairs(docs: DataFrame): DataFrame = {
-    val fp = winnowFingerprints(docs)
+  def winnowOverlapPairs(docs: DataFrame): DataFrame =
+    winnowOverlapPairsFrom(winnowFingerprints(docs))
+
+  /** [[winnowOverlapPairs]] over a PRECOMPUTED fingerprint table —
+    * the serving form ([[qWinnowPairs]] rides [[winnowBase]]).
+    */
+  private[graft] def winnowOverlapPairsFrom(fps: DataFrame): DataFrame = {
+    val fp = fps
       .select(col("doc_id"), col("sel_h")).distinct()
     val rare = fp.groupBy(col("sel_h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") <= WinnowHashCap).select(col("sel_h"))
@@ -292,7 +312,7 @@ object TextAnalysis {
   }
 
   def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
-    winnowOverlapPairs(Tables.documents(s, dir))
+    winnowOverlapPairsFrom(winnowBase(s, dir))
 
   /** Long-doc winnow fixture (r6 verdict #3): a synthetic
     * 40 000-token doc (39 998 shingles > PosField = 32 768) rides
@@ -955,8 +975,33 @@ object TextAnalysis {
     (steps, sym)
   }
 
+  /** Memoized BPE training per (session, dir) — the louvainBase
+    * discipline on the tokenizer family (r15 optimization):
+    * [[qBpeTrain]], [[qBpeEncode]], [[qFertility]] and (through
+    * fertility) [[qTokenizerRace]] all consume the SAME
+    * [[BpeTrainSteps]]-round training loop over the same corpus, and
+    * each was re-running it — a production tokenizer is trained once
+    * and applied everywhere. The merge-step union is lineage-cut (each
+    * step frame otherwise re-executes its round's pair-count pass per
+    * consumer); the final symbol table is already pinned by the loop.
+    * Every process invocation still trains from the parquet inputs;
+    * all consumer oracle outputs are byte-identical.
+    */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def bpeBase(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeMemo.getOrElseUpdate((s, dir), {
+      val (steps, sym) = bpeTrainLoop(Tables.documents(s, dir))
+      val merged = steps.reduce(_ unionAll _)
+      val cut =
+        if (s.sparkContext.getCheckpointDir.isDefined) merged.checkpoint()
+        else merged.localCheckpoint()
+      (cut, sym)
+    })
+
   def qBpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeTrainLoop(Tables.documents(s, dir))._1.reduce(_ unionAll _)
+    bpeBase(s, dir)._1
 
   /** BPE ENCODE — apply the trained tokenizer to the corpus and
     * measure what it bought: per-doc symbol counts and the
@@ -971,7 +1016,7 @@ object TextAnalysis {
     */
   def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (_, sym) = bpeTrainLoop(docs)
+    val sym = bpeBase(s, dir)._2
     val vocabEnc = sym.select(col("w"),
       size(split(col("s"), " ")).cast("long").as("n_sym"),
       length(col("w")).cast("long").as("n_chars"))
@@ -1416,7 +1461,10 @@ object TextAnalysis {
     * per-source stats are one equi-join of exploded tokens against
     * the encoded word table + one partial-agg rollup.
     */
-  def qWordpiece(s: SparkSession, dir: String): DataFrame = {
+  def qWordpiece(s: SparkSession, dir: String): DataFrame =
+    wpEncMemo.getOrElseUpdate((s, dir), memoCutTok(qWordpiecePlan(s, dir)))
+
+  private def qWordpiecePlan(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val tok = docs.select(col("source"), explode(tokens(col("text"))).as("t"))
       .filter(length(col("t")) >= 1)
@@ -1445,9 +1493,26 @@ object TextAnalysis {
     * plus one partial-aggregated rollup on source; ratios stay in
     * exact integer ppm.
     */
-  def qFertility(s: SparkSession, dir: String): DataFrame = {
+  def qFertility(s: SparkSession, dir: String): DataFrame =
+    fertMemo.getOrElseUpdate((s, dir), memoCutTok(qFertilityPlan(s, dir)))
+
+  /** Memoized final frames of the fertility / wordpiece rungs — both
+    * are re-consumed verbatim by [[qTokenizerRace]] (tiny per-source
+    * tables; the cut stops the race re-running the encode joins and,
+    * for wordpiece, the greedy MaxMatch loop).
+    */
+  private val fertMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val wpEncMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def memoCutTok(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  private def qFertilityPlan(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (_, sym) = bpeTrainLoop(docs)
+    val sym = bpeBase(s, dir)._2
     val vocabEnc = sym.select(col("w"),
       size(split(col("s"), " ")).cast("long").as("n_sym"),
       length(col("w")).cast("long").as("n_chars"))

@@ -51,9 +51,18 @@ class PlanSpec extends AnyFunSuite {
     val tfidf = plan(operators.TextAnalysis.qTfidf(spark, sf))
     assert(tfidf.contains("WindowGroupLimit"),
       "tfidf rank<=3 did not push a group-limit below the window")
+    // The brute ANN top-k no longer windows at all (r15): TopKCos is
+    // a k-slot partial AGGREGATE, so the plan must show a partial
+    // ObjectHashAggregate below the exchange and NO sort of the
+    // queries×corpus expansion (the window plan local-sorted the
+    // full n²-row expansion before its WindowGroupLimit).
     val ann = plan(operators.Similarity.qAnnBrute(spark, sf))
-    assert(ann.contains("WindowGroupLimit"),
-      "ANN top-k did not push a group-limit below the window")
+    assert(ann.contains("partial_topkcos"),
+      "brute ANN top-k lost its map-side partial top-k aggregation")
+    assert(!ann.contains("Window"),
+      "brute ANN top-k regressed to a window plan")
+    assert(!ann.contains("Sort "),
+      "brute ANN top-k sorts the full query-corpus expansion")
   }
 
   test("IVF ANN: centroid set broadcasts, posting-list join is equi") {
